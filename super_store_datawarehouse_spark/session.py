@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+Defaults are chosen for correctness-vs-oracle and for scale-out behavior:
+
+- ``spark.sql.session.timeZone=UTC``: DuckDB timestamps are UTC-naive;
+  pinning the session TZ makes timestamp semantics match the oracle.
+- AQE on (coalesce partitions, skew-join handling): at 100 TB the static
+  shuffle-partition count is always wrong somewhere; AQE re-plans per stage.
+- ``spark.sql.shuffle.partitions`` sized to the local core count for tests;
+  on a real cluster this should be ~2-3x total executor cores (AQE coalesces
+  down, it does not split up-front partitions).
+- broadcast threshold raised: every dimension table in the reference model
+  (SURVEY.md §1.4 — largest dim is Product at 1,894 rows) is far below it,
+  so all dim joins plan as BroadcastHashJoin with no shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "superstore-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession with engine defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,41 @@
+"""Driver-generated TPC-H-ish parquet tables (see /root/repo/TESTDATA.md).
+
+One parquet file per table under ``{sf_dir}/{name}.parquet``. These are the
+inputs for the correctness harness (``__spark_entry__.py``) and ``bench.py``.
+
+At 100 TB these reads stay efficient because everything downstream is
+expressed declaratively: Catalyst pushes filters and column pruning into the
+parquet scan (verify with ``df.explain`` → ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Columnar scan; schema comes from parquet."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
