@@ -322,3 +322,631 @@ def q08_dup_merge_weighted_discount(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .filter(F.col("n_merged") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# q09 — explicit ROWS frame running total over a pushed-down date slice
+# (SURVEY §2 W3 + P2). Reference: Data_Analysis.ipynb:763-783 (Q12 frame
+# "ROWS UNBOUNDED PRECEDING"). The shipdate filter lands in the parquet
+# scan (PushedFilters), so the window only sorts one month of data.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q09_rows_frame_running",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) OVER (
+             PARTITION BY l_returnflag
+             ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT) DESC, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS running_sales
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def q09_rows_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price_cents = cents("l_extendedprice")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(price_cents.desc(), "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            (F.sum(price_cents).over(w).cast("double") / 100.0).alias("running_sales"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — share of grand total + cumulative share (SURVEY §2 W5 + A11).
+# Reference: Data_Analysis.ipynb:630-641 (Q10: SUM(SUM(x)) OVER (ORDER BY
+# state) with a scalar-subquery denominator). Aggregate first; both the
+# grand total and the cumulative sum are windows over the 25-row aggregate,
+# never over the fact table.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q10_nation_share_of_total",
+    oracle="""
+    WITH agg AS (
+      SELECT n.n_name, SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name,
+           CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(rev_cents AS DOUBLE) / CAST(SUM(rev_cents) OVER () AS DOUBLE) AS share,
+           CAST(SUM(rev_cents) OVER (ORDER BY n_name) AS DOUBLE)
+             / CAST(SUM(rev_cents) OVER () AS DOUBLE) AS cum_share
+    FROM agg
+    ORDER BY n_name
+    """,
+)
+def q10_nation_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    agg = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents("o_totalprice")).alias("rev_cents"))
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("n_name")
+    total = F.sum("rev_cents").over(w_all).cast("double")
+    return (
+        agg.select(
+            "n_name",
+            (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+            (F.col("rev_cents").cast("double") / total).alias("share"),
+            (F.sum("rev_cents").over(w_cum).cast("double") / total).alias("cum_share"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — qualified-majority CTE: parts covering 80% of brand revenue
+# (SURVEY §2 W6). Reference: Data_Analysis.ipynb:761-784 (Q12: CTE computes
+# running + partition totals, outer filter keeps running - own < 0.8*total).
+# The 0.8 threshold is evaluated in pure integers (10*(run-own) < 8*total)
+# so no float boundary can disagree between engines.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q11_brand_revenue_majority",
+    oracle="""
+    WITH part_rev AS (
+      SELECT p.p_brand, p.p_name,
+             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS rev_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, p.p_name
+    ), windowed AS (
+      SELECT p_brand, p_name, rev_cents,
+             SUM(rev_cents) OVER (PARTITION BY p_brand
+               ORDER BY rev_cents DESC, p_name
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+             SUM(rev_cents) OVER (PARTITION BY p_brand) AS total_cents
+      FROM part_rev
+    )
+    SELECT p_brand, p_name,
+           CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(running_cents AS DOUBLE) / 100.0 AS running_revenue
+    FROM windowed
+    WHERE 10 * (running_cents - rev_cents) < 8 * total_cents
+    """,
+)
+def q11_brand_revenue_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    part_rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_name")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_cents")
+        )
+    )
+    w_run = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.desc("rev_cents"), "p_name")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("p_brand")
+    windowed = part_rev.select(
+        "p_brand",
+        "p_name",
+        "rev_cents",
+        F.sum("rev_cents").over(w_run).alias("running_cents"),
+        F.sum("rev_cents").over(w_tot).alias("total_cents"),
+    )
+    return windowed.filter(
+        10 * (F.col("running_cents") - F.col("rev_cents")) < 8 * F.col("total_cents")
+    ).select(
+        "p_brand",
+        "p_name",
+        (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+        (F.col("running_cents").cast("double") / 100.0).alias("running_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — ordered string-agg: top-5 part names per brand by revenue
+# (SURVEY §2 A10). Reference: Data_Analysis.ipynb:895-907 (Q13:
+# GROUP_CONCAT(... ORDER BY sales DESC) + SUBSTRING_INDEX top-10).
+# Spark's collect_list has no ordering guarantee, so the composition is
+# row_number ≤ 5 → collect_list(struct(rn, name)) → array_sort →
+# transform → array_join (SURVEY §2.8 A10 recipe).
+# --------------------------------------------------------------------------
+@harness_query(
+    "q12_top_parts_concat_by_brand",
+    oracle="""
+    WITH part_rev AS (
+      SELECT p.p_brand, p.p_name,
+             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS rev_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, p.p_name
+    ), ranked AS (
+      SELECT p_brand, p_name, rev_cents,
+             ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY rev_cents DESC, p_name) AS rn
+      FROM part_rev
+    )
+    SELECT p_brand,
+           string_agg(p_name, ', ' ORDER BY rn) AS top_parts,
+           CAST(SUM(rev_cents) AS DOUBLE) / 100.0 AS top5_revenue
+    FROM ranked WHERE rn <= 5
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q12_top_parts_concat_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    part_rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_name")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_cents")
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("p_brand").orderBy(F.desc("rev_cents"), "p_name")
+    )
+    ranked = part_rev.withColumn("rn", rn).filter(F.col("rn") <= 5)
+    return (
+        ranked.groupBy("p_brand")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "p_name"))),
+                    lambda s: s.p_name,
+                ),
+                ", ",
+            ).alias("top_parts"),
+            (F.sum("rev_cents").cast("double") / 100.0).alias("top5_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — HAVING-style filter on an aggregate (SURVEY §2 P3).
+# Reference: etl.py:77-80 (keep groups with count > 1); etl.ipynb:1159.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q13_busy_suppliers",
+    oracle="""
+    SELECT l_suppkey, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 550
+    ORDER BY l_suppkey
+    """,
+)
+def q13_busy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+        .filter(F.col("n_lines") > 550)
+        .orderBy("l_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — multi-column distinct (SURVEY §2 P4) — the dimension-membership
+# primitive. Reference: etl.py:257,277,293,316-318 (drop_duplicates defines
+# every dimension's row set).
+# --------------------------------------------------------------------------
+@harness_query(
+    "q14_distinct_segment_nation",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey
+    FROM customer
+    """,
+)
+def q14_distinct_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select("c_mktsegment", "c_nationkey").distinct()
+
+
+# --------------------------------------------------------------------------
+# q15 — union-distinct date domain (SURVEY §2 U1).
+# Reference: etl.py:164-167 — Calendar dim = set(order dates) ∪ set(ship
+# dates). Same shape: the engine's calendar domain over the testdata.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q15_union_date_domain",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS cal_date FROM orders
+    UNION
+    SELECT CAST(l_shipdate AS DATE) FROM lineitem
+    """,
+)
+def q15_union_date_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.select(F.col("o_orderdate").cast("date").alias("cal_date"))
+        .union(li.select(F.col("l_shipdate").cast("date")))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — anti-join rejects report (SURVEY §2 J4 + S8).
+# Reference: etl.py:489-496 — rows with unresolvable dimension keys are
+# skipped and logged; the Spark-native report is a left_anti join (parts
+# that no lineitem references). NULL-safe by construction — no id==0
+# conflation (the reference's `not all([...])` bug, SURVEY §7.5).
+# --------------------------------------------------------------------------
+@harness_query(
+    "q16_unreferenced_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_name
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    ORDER BY p.p_partkey
+    """,
+)
+def q16_unreferenced_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — deterministic surrogate keys (SURVEY §2 F12, §7.3).
+# Reference: AUTO_INCREMENT dims (setup_database.sql:33) + enumerate maps
+# (etl.py:140-158). row_number over the natural key is deterministic and
+# stable across runs — unlike insertion order under parallelism. The
+# single-partition exchange is acceptable for dimension-sized inputs only
+# (document zipWithIndex for 100 TB-scale dims).
+# --------------------------------------------------------------------------
+@harness_query(
+    "q17_nation_surrogate_keys",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_name) AS BIGINT) AS nation_sk,
+           n_name, n_nationkey
+    FROM nation
+    ORDER BY nation_sk
+    """,
+)
+def q17_nation_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.select(
+            F.row_number().over(Window.orderBy("n_name")).cast("long").alias("nation_sk"),
+            "n_name",
+            "n_nationkey",
+        )
+        .orderBy("nation_sk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — grouped cumulative sum by month (SURVEY §2 A6/W7).
+# Reference: etl.py:852-855 — ProductPerformance.cumulative_profit =
+# sort by (Category, State, year, month) then groupby cumsum. The pandas
+# sort+cumsum collapses into one window spec.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q18_cumulative_monthly_revenue",
+    oracle="""
+    WITH monthly AS (
+      SELECT l_returnflag,
+             CAST(year(l_shipdate) AS INT) AS ship_year,
+             CAST(month(l_shipdate) AS INT) AS ship_month,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_cents
+      FROM lineitem
+      GROUP BY l_returnflag, year(l_shipdate), month(l_shipdate)
+    )
+    SELECT l_returnflag, ship_year, ship_month,
+           CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(SUM(rev_cents) OVER (PARTITION BY l_returnflag
+             ORDER BY ship_year, ship_month) AS DOUBLE) / 100.0 AS cumulative_revenue
+    FROM monthly
+    ORDER BY l_returnflag, ship_year, ship_month
+    """,
+)
+def q18_cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_returnflag",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.month("l_shipdate").cast("int").alias("ship_month"),
+    ).agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_cents")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("ship_year", "ship_month")
+    return (
+        monthly.select(
+            "l_returnflag",
+            "ship_year",
+            "ship_month",
+            (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+            (F.sum("rev_cents").over(w).cast("double") / 100.0).alias("cumulative_revenue"),
+        )
+        .orderBy("l_returnflag", "ship_year", "ship_month")
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — count-distinct per group (SURVEY §2 A7).
+# Reference: etl.ipynb:1229-1232 (grouped nunique data-quality checks).
+# --------------------------------------------------------------------------
+@harness_query(
+    "q19_active_customers_per_nation",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active_customers,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q19_active_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — conditional + label scalar functions (SURVEY §2 F7/F8/F11).
+# Reference: IF() in Data_Analysis.ipynb:262, year-month zfill label at :85.
+# No ROUND on derived quotients: Java shortest-repr vs C multiply-rounding
+# disagree on doubles like 2.675 — averages stay as exact-cents quotients.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q20_monthly_order_volume",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           concat(CAST(year(o_orderdate) AS VARCHAR), '-',
+                  lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0')) AS year_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+           CASE WHEN COUNT(*) > 200 THEN 'HIGH' ELSE 'LOW' END AS volume_class
+    FROM orders
+    GROUP BY year(o_orderdate), month(o_orderdate)
+    ORDER BY year_month
+    """,
+)
+def q20_monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.functions.exact import money_avg
+    from super_store_datawarehouse_spark.functions.scalars import year_month_label
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_avg("o_totalprice", "avg_price"),
+        )
+        .select(
+            "order_year",
+            year_month_label("order_year", "order_month").alias("year_month"),
+            "n_orders",
+            "avg_price",
+            F.when(F.col("n_orders") > 200, F.lit("HIGH")).otherwise(F.lit("LOW")).alias("volume_class"),
+        )
+        .orderBy("year_month")
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 — snowflake join chain across 4 tables (SURVEY §2 J6).
+# Reference: Data_Analysis.ipynb:137-144, 688-700 (Orders ⋈ Location ⋈
+# State ⋈ Region walks). All dims broadcast → zero shuffle on the fact side.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q21_revenue_by_region",
+    oracle="""
+    SELECT r.r_name,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def q21_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            money_sum("o_totalprice", "total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — substring extraction (SURVEY §2 F9): first word of part name.
+# Reference: SUBSTRING_INDEX(str, sep, n) in Data_Analysis.ipynb:899-903.
+# Spark has substring_index verbatim; DuckDB's twin is split_part.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q22_part_name_first_word",
+    oracle="""
+    SELECT split_part(p_name, ' ', 1) AS first_word,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+    FROM part
+    GROUP BY split_part(p_name, ' ', 1)
+    ORDER BY first_word
+    """,
+)
+def q22_part_name_first_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy(F.substring_index("p_name", " ", 1).alias("first_word"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            money_sum("p_retailprice", "total_price"),
+        )
+        .orderBy("first_word")
+    )
+
+
+# --------------------------------------------------------------------------
+# q23 — scalar-subquery threshold (SURVEY §2 A11).
+# Reference: Data_Analysis.ipynb:635 (scalar subquery denominator).
+# DataFrame form: 1-row aggregate broadcast-cross-joined into the filter,
+# so the "subquery" costs one extra stage, not a per-row lookup.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q23_orders_above_average",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*)
+      FROM orders
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def q23_orders_above_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.functions.exact import money_avg
+
+    orders = load_table(spark, sf_dir, "orders")
+    avg_row = orders.agg(money_avg("o_totalprice", "avg_price"))
+    return (
+        orders.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q24 — CUBE with grouping labels (SURVEY §2.4 note: cube/grouping-sets as
+# Catalyst bonuses beyond the reference's ROLLUP-only surface).
+# --------------------------------------------------------------------------
+@harness_query(
+    "q24_cube_flag_status",
+    oracle="""
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS return_flag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS line_status,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY return_flag, line_status
+    """,
+)
+def q24_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.when(F.grouping("l_returnflag") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_returnflag"))
+            .alias("return_flag"),
+            F.when(F.grouping("l_linestatus") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_linestatus"))
+            .alias("line_status"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+        .select("return_flag", "line_status", "n_lines", "total_qty")
+        .orderBy("return_flag", "line_status")
+    )
+
+
+# --------------------------------------------------------------------------
+# q25 — pivot: order counts per year × status (SURVEY §4 "free Catalyst
+# bonus"; pivot/unpivot from the PySpark surface). Oracle = conditional
+# aggregation; nulls filled to 0 to match COUNT(CASE ...) semantics.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q25_pivot_status_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_O,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_F,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_P
+    FROM orders
+    GROUP BY year(o_orderdate)
+    ORDER BY order_year
+    """,
+)
+def q25_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+    return (
+        pivoted.select(
+            "order_year",
+            F.col("O").alias("status_O"),
+            F.col("F").alias("status_F"),
+            F.col("P").alias("status_P"),
+        )
+        .orderBy("order_year")
+    )
