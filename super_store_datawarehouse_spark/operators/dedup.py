@@ -1,0 +1,309 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the whole point of these over a naive O(n²) pass):
+
+- exact dedup is a hash groupBy — one shuffle on the normalized text key;
+- n-gram Jaccard is an *exact* set-similarity join via shingle explosion —
+  correct but shuffle-heavy (|docs|×|shingles| rows); it is the oracle-
+  checkable baseline the sketch paths are validated against;
+- MinHash+LSH is the 100 TB path: constant-size signatures per doc, a
+  band-bucket join that only pairs documents sharing a band, then exact
+  verification on the candidates only;
+- SimHash gives 64-bit signatures for hamming-distance near-dup with a
+  4-chunk pigeonhole join (hamming ≤ 3 ⇒ at least one 16-bit chunk equal);
+- embedding-cosine brute force is quadratic (baseline); the ANN module
+  (operators/similarity.py) provides the bucketed path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from super_store_datawarehouse_spark.operators.text import words
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical text form for exact dedup: lowercase, collapsed whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One representative row (min id) per normalized text; counts duplicates.
+
+    Hash aggregation on the normalized key — a single shuffle; at scale,
+    pre-hash the key (xxhash64) to shrink shuffle payload when texts are
+    long, and verify collisions afterwards.
+    """
+    return (
+        df.groupBy(normalize_text(text_col).alias("norm_text"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle) rows."""
+    w = words(text_col)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+    return df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(F.array_distinct(shingles)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join.
+
+    Shingle-explode → self-equi-join on shingle → per-pair intersection
+    count → Jaccard from the inclusion-exclusion identity. Integer/integer
+    division keeps the similarity bit-exact across engines. The threshold
+    comparison is done in integers (inter > t·union) to avoid float edges.
+    """
+    sh = word_shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    left = sh.select(F.col("sid").alias("id_a"), "shingle")
+    right = sh.select(F.col("sid").alias("id_b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("sid").alias("id_a"), F.col("n_shingles").alias("sz_a"))
+    sz_b = sizes.select(F.col("sid").alias("id_b"), F.col("n_shingles").alias("sz_b"))
+    thr_num, thr_den = _ratio_as_ints(threshold)
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        # integer threshold: inter/union >= t  ⇔  den*inter >= num*union
+        .filter(thr_den * F.col("n_inter") >= thr_num * F.col("n_union"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter").cast("double") / F.col("n_union").cast("double")).alias("jaccard"),
+        )
+    )
+
+
+def _ratio_as_ints(threshold: float, den: int = 1000) -> tuple[int, int]:
+    return round(threshold * den), den
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    # coefficients < 2^31 so a·h + b stays inside int64 under ANSI mode
+    # (base hash is reduced to 31 bits: a·h < 2^62, + b < 2^63)
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: array<long> of length num_hashes.
+
+    Base shingle hash is xxhash64 (JVM-side, deterministic across runs);
+    the i-th permutation is the universal hash (aᵢ·h + bᵢ) mod 2⁶¹-1,
+    folded with MIN per document. One explode + one groupBy; signature
+    size is constant, so shuffle volume is O(docs), not O(docs·shingles).
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    base = F.abs(F.xxhash64("shingle")) % F.lit(1 << 31)
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    mins = [
+        F.min((F.lit(a) * base + F.lit(b)) % F.lit(MERSENNE61)).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = sh.groupBy("sid").agg(*mins)
+    return sig.select(
+        F.col("sid").alias(id_col),
+        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("minhash"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate generation + exact Jaccard verification.
+
+    Documents sharing any band bucket become candidates (band join);
+    candidates are then verified with the exact shingle Jaccard, so the
+    output has no false positives — only (tunable) false-negative risk.
+    At 100 TB this replaces the quadratic similarity join with
+    O(docs·bands) bucket rows.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    band_rows = sig.select(
+        F.col(id_col).alias("sid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("sid", "bb.band", "bb.bucket")
+
+    cand = (
+        band_rows.alias("x")
+        .join(band_rows.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.sid") < F.col("y.sid"))
+        .select(F.col("x.sid").alias("id_a"), F.col("y.sid").alias("id_b"))
+        .distinct()
+    )
+
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    return (
+        cand.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- SimHash -----------------------------------------------------------------
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over distinct word features.
+
+    Per bit position: sign-sum of feature-hash bits; bit set iff the sum is
+    positive. Expressed as 64 native aggregate expressions over one
+    explode — no UDF, fully codegen'd.
+    """
+    features = df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(F.array_distinct(words(text_col))).alias("word"),
+    )
+    h = F.xxhash64("word")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = features.groupBy("sid").agg(*bit_sums)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return agg.select(F.col("sid").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole band join: with 4 16-bit chunks, hamming ≤ 3 implies at
+    least one chunk is equal, so candidates come from 4 equi-joins
+    (union), then the exact hamming filter runs on candidates only.
+    """
+    sig = simhash64(df, text_col, id_col)
+    chunks = sig.select(
+        F.col(id_col).alias("sid"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_no"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("sid", "simhash", "cc.chunk_no", "cc.chunk")
+
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk_no", "chunk"])
+        .filter(F.col("x.sid") < F.col("y.sid"))
+        .select(
+            F.col("x.sid").alias("id_a"),
+            F.col("y.sid").alias("id_b"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.filter(hamming <= max_hamming).select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    )
+
+
+# -- Embedding near-dup ------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Brute-force cosine near-duplicate pairs (the exact baseline).
+
+    Quadratic — correct at validation scale; the LSH-bucketed variant in
+    operators/similarity.py is the production path.
+    """
+    from super_store_datawarehouse_spark.operators.similarity import cosine
+
+    e = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

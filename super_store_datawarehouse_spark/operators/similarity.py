@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k — broadcast the (small) query
+  set against the corpus; per-row work is a codegen'd fold over the
+  vector, no Python. This is the correctness baseline and is fine
+  whenever |queries| is small.
+- ``lsh_topk``: random-hyperplane LSH — constant-size bit signatures,
+  bucket join, exact re-rank inside buckets. The 100 TB path: the corpus
+  is scanned once to build signatures; candidate generation touches only
+  bucket-mates instead of the full corpus per query.
+
+Determinism: all dot products fold left-to-right in double precision
+(exact float→double widening first), which both Spark and DuckDB
+reproduce bit-for-bit — verified in the oracle harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double-precision dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; inputs should already be array<double>."""
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Broadcast-join the query set against the corpus (no shuffle of the
+    corpus), rank per query with a window. Self-matches are excluded.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
+    """Random-hyperplane LSH signature as an integer bucket id.
+
+    Plane weights are pseudo-random but *deterministic*: weight(p, d) is a
+    pure integer function of (p, d) via a splitmix-style scramble, so the
+    same signature is computed on any executor, any run, with no stored
+    plane matrix and no Python. sign(v · w_p) contributes bit p.
+    """
+    bit_terms = []
+    for p in range(n_planes):
+        # deterministic ±1 weights per (plane, dim) from integer scrambling
+        weights = [_scramble_sign(p, d) for d in range(dim)]
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(w)) for w in weights]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit_terms.append(F.shiftleft(bit, p))
+    sig = bit_terms[0]
+    for t in bit_terms[1:]:
+        sig = sig.bitwiseOR(t)
+    return sig
+
+
+def _scramble_sign(p: int, d: int) -> int:
+    """Deterministic ±1 from (plane, dim) — splitmix64-style integer mix."""
+    z = (p * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) % (1 << 64)
+    z ^= z >> 30
+    z = (z * 0xBF58476D1CE4E5B9) % (1 << 64)
+    z ^= z >> 27
+    return 1 if (z >> 63) & 1 else -1
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-bucket candidates, exact re-rank.
+
+    Equi-join on the signature bucket replaces the all-pairs cross join;
+    recall is tuned via n_planes (fewer planes → bigger buckets → higher
+    recall, more work). Candidates get the exact cosine, ranked per query.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("bucket", hyperplane_signature(F.col("cv"), n_planes, dim))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("bucket", hyperplane_signature(F.col("qv"), n_planes, dim))
+
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

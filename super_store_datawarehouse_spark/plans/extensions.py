@@ -1,0 +1,432 @@
+"""Extension harness queries: LLM-data-pipeline operators over the
+documents / embeddings / events tables (BASELINE.json north star — these
+are first-class engine capabilities, not reference parity).
+
+Oracle-able queries carry full DuckDB twins (integer-exact or
+bit-exact-fold arithmetic); hash-based sketches (MinHash/SimHash/LSH)
+are registered rows-only because xxhash64 has no DuckDB equivalent —
+their correctness is covered by unit tests against the exact operators
+they approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from super_store_datawarehouse_spark.functions.exact import cents
+from super_store_datawarehouse_spark.operators import dedup, similarity
+from super_store_datawarehouse_spark.operators.multimodal import (
+    attach_binary_metadata,
+    decode_assets,
+    texts_as_assets,
+)
+from super_store_datawarehouse_spark.operators.text import (
+    BPE_TOKEN_PATTERN,
+    lang_id,
+    poly_fingerprint,
+    quality_components,
+    token_count_bpe,
+)
+from super_store_datawarehouse_spark.plans.registry import harness_query
+from super_store_datawarehouse_spark.sources.testdata import load_table
+
+EN_STOP_SQL = "('the','a','an','of','and','to','in','is','it','that')"
+
+
+# --------------------------------------------------------------------------
+# x01 — exact deduplication: hash groupBy on normalized text.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x01_dedup_exact",
+    oracle="""
+    SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+# --------------------------------------------------------------------------
+# x02 — exact n-gram Jaccard similarity join (near-dup baseline).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x02_ngram_jaccard_pairs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 1000 * n_inter >= 200 * (sa.n_shingles + sb.n_shingles - n_inter)
+    """,
+)
+def x02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+# --------------------------------------------------------------------------
+# x03/x04 — sketch-based near-dup (rows-only: xxhash64 has no SQL twin;
+# unit tests check recall against the exact x02 result).
+# --------------------------------------------------------------------------
+@harness_query("x03_minhash_lsh_pairs")
+def x03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.2)
+
+
+@harness_query("x04_simhash_near_pairs")
+def x04_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=6)
+
+
+# --------------------------------------------------------------------------
+# x05 — exact ANN baseline: brute-force cosine top-5 for 10 query vectors.
+# The dot-product folds are bit-exact between Spark and DuckDB (verified),
+# so the oracle compares full-precision cosines.
+# --------------------------------------------------------------------------
+_COSINE_FOLD = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i])),"
+    " (acc, x) -> acc + x)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_COSINE_FOLD.format(a=a, b=b)} / "
+        f"(sqrt({_COSINE_FOLD.format(a=a, b=a)}) * sqrt({_COSINE_FOLD.format(a=b, b=b)}))"
+    )
+
+
+@harness_query(
+    "x05_ann_bruteforce_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_cos_sql('qv', 'v')} AS cosine
+      FROM q JOIN e ON e.vec_id != q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+    """,
+)
+def x05_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+# --------------------------------------------------------------------------
+# x06 — language-ID heuristic (CJK char class + stopword density).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x06_lang_id",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             CASE WHEN regexp_matches(text, '[一-鿿]') THEN 2 ELSE 0 END AS is_cjk,
+             CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                                  x -> x IN {EN_STOP_SQL})) AS DOUBLE)
+               / CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE) AS en_ratio
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN is_cjk = 2 THEN 'zh'
+                WHEN en_ratio > 0.05 THEN 'en'
+                ELSE 'other' END AS predicted_lang,
+           en_ratio
+    FROM feats
+    """,
+)
+def x06_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import stopword_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id("text").alias("predicted_lang"),
+        stopword_ratio("text").alias("en_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x07 — quality scoring components + keep/drop classification.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x07_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+             len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN {EN_STOP_SQL})) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+           CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+           CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+           (n_tokens >= 10 AND CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 12.0) AS keep
+    FROM t
+    """,
+)
+def x07_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import quality_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    comps = quality_components("text")
+    return docs.select(
+        "doc_id",
+        comps["n_chars"].alias("n_chars"),
+        comps["n_tokens"].alias("n_tokens"),
+        comps["avg_token_len"].alias("avg_token_len"),
+        comps["stopword_ratio"].alias("stopword_ratio"),
+        comps["punct_ratio"].alias("punct_ratio"),
+        quality_keep("text").alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x08 — token counting (whitespace + BPE-ish regex) aggregated per source.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x08_token_counts_by_source",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))) AS BIGINT) AS bpe_tokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def x08_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_ws("text").cast("long")).alias("ws_tokens"),
+            F.sum(token_count_bpe("text").cast("long")).alias("bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# x09 — document fingerprint: rolling polynomial hash (pure bigint fold —
+# engine-agnostic, unlike xxhash), bucketed to count prefix collisions.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x09_poly_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split_regex(substr(text, 1, 64), ''),
+                                ch -> CAST(ascii(ch) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, MIN(doc_id) AS first_doc, COUNT(*) AS n_docs
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def x09_poly_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", poly_fingerprint("text", 64).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# x10 — event-time tumbling window aggregation (batch form of the
+# streaming job in streaming/jobs.py; F.window ↔ date_trunc for 1h).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x10_events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def x10_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# x11 — sessionization: lag-gap boundaries + per-user session stats
+# (SURVEY guide "Common OLAP patterns"; 30-minute inactivity gap).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x11_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM ordered
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def x11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = (
+        F.when(F.lag("ts").over(w).isNull() | (gap_sec > 1800), 1).otherwise(0)
+    )
+    return (
+        events.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x12 — multimodal plumbing: binary payloads with JVM-side metadata and the
+# (fake) distributed decoder. sha256 is engine-agnostic → full oracle for
+# the metadata pass; decode dims replicate the fake's integer arithmetic.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x12_binary_assets",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(length(text) AS BIGINT) AS byte_len,
+           sha256(text) AS sha256,
+           CAST(1 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width,
+           CAST(1 + ascii(substr(text, length(text), 1)) % 64 AS INT) AS height
+    FROM documents
+    """,
+)
+def x12_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assets = texts_as_assets(docs)
+    meta = attach_binary_metadata(assets)
+    decoded = decode_assets(assets, fake=True)
+    return meta.join(decoded.select("asset_id", "width", "height"), "asset_id").select(
+        "asset_id", "byte_len", "sha256", "width", "height"
+    )
+
+
+# --------------------------------------------------------------------------
+# x13 — JSON property extraction from the events props column.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x13_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def x13_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("total_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# x14 — embedding cluster stats: per label, count + exact-cents sum of
+# per-row squared norms (per-row folds are deterministic; cross-row sums
+# go through the integer-micros trick like money cents).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x14_embedding_label_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT label, {_COSINE_FOLD.format(a='v', b='v')} AS norm_sq FROM e
+    )
+    SELECT label, COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(ROUND(norm_sq * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_norm_sq
+    FROM n GROUP BY label ORDER BY label
+    """,
+)
+def x14_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm_sq = similarity.dot(v, v)
+    micros = F.round(norm_sq * 1000000).cast("long")
+    return (
+        emb.select("label", micros.alias("norm_micros"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.sum("norm_micros").cast("double") / 1000000.0).alias("total_norm_sq"),
+        )
+        .orderBy("label")
+    )

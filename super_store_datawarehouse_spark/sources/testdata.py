@@ -31,8 +31,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table. Columnar scan; schema comes from parquet."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one testdata table. Columnar scan; schema comes from parquet.
+
+    The events table is written with TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects; read nanos as long (runtime-settable legacy
+    conf, so this works in any caller's session) and convert to a
+    microsecond TimestampType with integer DIV — double arithmetic would
+    lose precision above 2^53 ns.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
