@@ -1,0 +1,61 @@
+"""Warehouse sinks (SURVEY §2.1 S6-S8).
+
+- parquet writer: the set-oriented replacement for the reference's
+  batched row INSERTs (etl.py:514-541 etc.).
+- Excel export: the reference's ``generate_excel.py`` (one sheet per
+  table). xlsx writing needs openpyxl/xlsxwriter, which this container
+  lacks — gated behind an import-try with a CSV-per-table fallback so
+  the export *capability* stays testable.
+- rejects sink: the designed error-file path ("File: Errors.txt" in the
+  BPMN diagrams; skip-and-count at etl.py:489-496) as a real table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet_tables(tables: dict[str, DataFrame], out_dir: str) -> None:
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+
+
+def export_tables(tables: dict[str, DataFrame], out_path: str) -> str:
+    """Export every table to one workbook (sheet per table), as the
+    reference's generate_excel.py does — or CSV-per-table when no Excel
+    writer library is installed. Collect-side: the largest reference
+    table is ~10k rows (SURVEY §3.3).
+    """
+    try:
+        import openpyxl  # noqa: F401
+
+        with_excel = True
+    except ImportError:
+        try:
+            import xlsxwriter  # noqa: F401
+
+            with_excel = True
+        except ImportError:
+            with_excel = False
+
+    if with_excel:
+        import pandas as pd
+
+        with pd.ExcelWriter(out_path) as writer:
+            for name, df in tables.items():
+                df.toPandas().to_excel(writer, sheet_name=name[:31], index=False)
+        return out_path
+
+    # fallback: CSV directory next to the requested path
+    out_dir = out_path + ".csvdir"
+    os.makedirs(out_dir, exist_ok=True)
+    for name, df in tables.items():
+        df.toPandas().to_csv(os.path.join(out_dir, f"{name}.csv"), index=False)
+    return out_dir
+
+
+def write_rejects(rejects: DataFrame, out_dir: str) -> None:
+    """Persist unresolved-key rows (left_anti output) as a rejects table."""
+    rejects.write.mode("overwrite").parquet(os.path.join(out_dir, "_rejects"))

@@ -1,0 +1,30 @@
+"""Shared fixtures: one SparkSession and one built warehouse per session."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from super_store_datawarehouse_spark.session import get_spark  # noqa: E402
+
+REFERENCE_CSV = "/root/reference/Sample - Superstore.csv"
+TESTDATA_SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def warehouse(spark):
+    from super_store_datawarehouse_spark.warehouse import build_warehouse
+
+    if not os.path.exists(REFERENCE_CSV):
+        pytest.skip("reference CSV not available")
+    return build_warehouse(spark)

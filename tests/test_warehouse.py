@@ -1,0 +1,191 @@
+"""Golden-output tests for the Superstore warehouse (SURVEY §5).
+
+Cardinalities come from the reference's export
+``superstore_dw_export.xlsx`` (SURVEY §1.4); measure identities and
+integrity invariants replace the DDL's PK/FK constraints (FIXTURES.md
+§F2); cross-engine value checks use DuckDB over the same CSV as an
+independent oracle.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+GOLDEN_CARDINALITIES = {
+    "Calendar": 1434,
+    "CalendarMonth": 49,
+    "Customer": 793,
+    "Region": 4,
+    "State": 49,
+    "Location": 632,
+    "Category": 3,
+    "Product": 1894,
+    "Shipping": 4,
+    "Item": 9986,
+    "Orders": 5009,
+    "OrderM": 1253,
+    "ProductPerformance": 2595,
+    "ShippingBehavior": 48,
+    "ShippingBehaviorS": 458,
+}
+
+CSV = "/root/reference/Sample - Superstore.csv"
+
+
+@pytest.fixture(scope="module")
+def csv_utf8(tmp_path_factory):
+    """UTF-8 transcoding of the cp1252 CSV (DuckDB reads UTF-8 only)."""
+    out = tmp_path_factory.mktemp("csv") / "superstore_utf8.csv"
+    out.write_text(
+        open(CSV, encoding="windows-1252").read(), encoding="utf-8"
+    )
+    return str(out)
+
+
+@pytest.mark.parametrize("table,expected", sorted(GOLDEN_CARDINALITIES.items()))
+def test_golden_cardinality(warehouse, table, expected):
+    assert warehouse[table].count() == expected
+
+
+def test_item_preserves_all_measures(warehouse, csv_utf8):
+    """No rows are lost to key resolution: Item measure totals equal the
+    raw CSV totals (duplicate merge preserves sums by construction)."""
+    con = duckdb.connect()
+    sales, qty, profit, _ = con.sql(
+        f"""SELECT SUM(Sales), SUM(Quantity), SUM(Profit), COUNT(*)
+            FROM read_csv('{csv_utf8}', header=true)"""
+    ).fetchone()
+    got = warehouse["Item"].agg(
+        F.sum("sales"), F.sum("quantity"), F.sum("profit")
+    ).first()
+    # money is DECIMAL(10,2)-rounded per row; worst-case drift vs the
+    # unrounded CSV totals is 0.005 per row
+    tol = 0.005 * 9986
+    assert float(got[0]) == pytest.approx(sales, abs=tol)
+    assert int(got[1]) == int(qty)
+    assert float(got[2]) == pytest.approx(profit, abs=tol)
+
+
+def test_orders_match_item_totals(warehouse):
+    """Orders sums = Σ of its items' measures (FIXTURES §F2)."""
+    o = warehouse["Orders"].agg(F.sum("sales_order"), F.sum("quantity_order")).first()
+    i = warehouse["Item"].agg(F.sum("sales"), F.sum("quantity")).first()
+    assert float(o[0]) == pytest.approx(float(i[0]), abs=1.0)
+    assert float(o[1]) == pytest.approx(float(i[1]), abs=0.01)
+
+
+def test_lost_value_identity(warehouse):
+    """lost_value = sales/(1-discount) - sales, 0 at discount >= 1.
+
+    lost_value was computed from the UNROUNDED merged discount, while the
+    stored discount column is DECIMAL(3,2) — the tolerance includes the
+    first-order effect of that ±0.005 rounding: s·δd/(1-d)², plus the
+    DECIMAL(10,2) rounding of both compared quantities.
+    """
+    s = F.col("sales").cast("double")
+    d = F.col("discount").cast("double")
+    recomputed = s / (1 - d) - s
+    tol = 0.011 + s * 0.0051 / ((1 - d) * (1 - d))
+    bad = warehouse["Item"].filter(
+        (d < 1) & (F.abs(F.col("lost_value").cast("double") - recomputed) > tol)
+    )
+    assert bad.count() == 0
+
+
+@pytest.mark.parametrize(
+    "table,keys",
+    [
+        ("Item", ["customer_id", "location_id", "calendar_id", "product_id", "order_code"]),
+        ("Orders", ["order_calendar_id", "shipping_calendar_id", "location_id", "shipping_id", "order_code"]),
+        ("OrderM", ["calendar_month_id", "state_id"]),
+        ("ProductPerformance", ["category_id", "state_id", "calendar_month_id"]),
+        ("ShippingBehavior", ["shipping_id", "category_id", "region_id"]),
+        ("ShippingBehaviorS", ["shipping_id", "category_id", "state_id"]),
+    ],
+)
+def test_fact_key_uniqueness(warehouse, table, keys):
+    """Composite-PK invariants from setup_database.sql:122-196.
+
+    Item's DDL PK omits order_code, but the loaded data is only unique
+    with it (two orders can share customer/location/date/product) — the
+    wider key is asserted here; the narrower DDL key held in MySQL only
+    because no collision occurred in insertion order.
+    """
+    df = warehouse[table]
+    assert df.groupBy(*keys).count().filter(F.col("count") > 1).count() == 0
+
+
+def test_fact_fk_totality(warehouse):
+    """Every fact FK resolves to a dimension row (inner-join build)."""
+    item = warehouse["Item"]
+    for fk, dim, pk in [
+        ("customer_id", "Customer", "customer_id"),
+        ("location_id", "Location", "location_id"),
+        ("calendar_id", "Calendar", "calendar_id"),
+        ("product_id", "Product", "product_id"),
+    ]:
+        dim_keys = warehouse[dim].select(F.col(pk).alias("_dim_pk"))
+        orphans = item.join(dim_keys, item[fk] == F.col("_dim_pk"), "left_anti")
+        assert orphans.count() == 0, f"orphan {fk}"
+
+
+def test_cumulative_profit_is_running_sum(warehouse):
+    """ProductPerformance.cumulative_profit = running Σ total_profit
+    within (category, state) ordered by month (etl.py:852-855)."""
+    from pyspark.sql import Window
+
+    pp = warehouse["ProductPerformance"].join(
+        warehouse["CalendarMonth"].select(
+            "calendar_month_id", "year_number", "calendar_month_number"
+        ),
+        "calendar_month_id",
+    )
+    w = Window.partitionBy("category_id", "state_id").orderBy(
+        "year_number", "calendar_month_number"
+    )
+    recomputed = pp.withColumn(
+        "recmp", F.sum(F.col("total_profit").cast("double")).over(w)
+    )
+    bad = recomputed.filter(
+        F.abs(F.col("recmp") - F.col("cumulative_profit").cast("double")) > 0.05
+    )
+    assert bad.count() == 0
+
+
+def test_calendar_is_union_of_both_date_columns(warehouse, csv_utf8):
+    """U1: ship-date-only months make Calendar bigger than order dates."""
+    con = duckdb.connect()
+    n_dates = con.sql(
+        f"""SELECT COUNT(DISTINCT d) FROM (
+              SELECT "Order Date" AS d FROM read_csv('{csv_utf8}', header=true)
+              UNION SELECT "Ship Date" FROM read_csv('{csv_utf8}', header=true))"""
+    ).fetchone()[0]
+    assert warehouse["Calendar"].count() == n_dates
+
+
+def test_dup_merge_weighted_discount(spark):
+    """P5/A12 on a synthetic frame with a known weighted mean."""
+    from super_store_datawarehouse_spark.warehouse.ingest import merge_duplicate_order_lines
+
+    cols = (
+        "row_id order_id product_code order_date ship_date ship_mode customer_code "
+        "customer_name segment country city state postal_code region category "
+        "sub_category product_name sales quantity discount profit"
+    ).split()
+    base = ["2024-01-01", "2024-01-02", "A", "C1", "N", "S", "US", "X", "Y", "1", "R", "Cat", "Sub", "P"]
+    rows = [
+        tuple([1, "O1", "PR1"] + base + [10.0, 2, 0.2, 1.0]),
+        tuple([2, "O1", "PR1"] + base + [30.0, 6, 0.4, 2.0]),
+        tuple([3, "O2", "PR1"] + base + [5.0, 1, 0.1, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, cols)
+    out = {r["order_id"]: r for r in merge_duplicate_order_lines(df).collect()}
+    merged = out["O1"]
+    assert merged["quantity"] == 8
+    assert merged["sales"] == pytest.approx(40.0)
+    # weighted: (0.2*2 + 0.4*6) / 8 = 0.35
+    assert merged["discount"] == pytest.approx(0.35)
+    # singleton keeps its exact discount (no d*q/q re-rounding)
+    assert out["O2"]["discount"] == 0.1
