@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Per query: 1 warm-up + 2 timed runs, median (=min of 2) recorded. The
+timed action is a full execution with results drained (collect on
+bounded outputs — every headline query returns an aggregate-sized
+result, so collect cost ≈ 0 and the measurement is plan execution).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from super_store_datawarehouse_spark.session import get_spark
+
+HEADLINE = [
+    "q01_top_parts_by_quantity",
+    "q02_pricing_summary",
+    "q04_running_total_by_nation",
+    "q06_order_rollup",
+    "q08_dup_merge_weighted_discount",
+    "q11_brand_revenue_majority",
+    "q12_top_parts_concat_by_brand",
+    "q18_cumulative_monthly_revenue",
+    "q23_orders_above_average",
+    "x01_dedup_exact",
+    "x02_ngram_jaccard_pairs",
+    "x03_minhash_lsh_pairs",
+    "x05_ann_bruteforce_topk",
+    "x10_events_hourly",
+    "x11_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from super_store_datawarehouse_spark.plans import HARNESS
+    from super_store_datawarehouse_spark.plans import harness as _h  # noqa: F401
+    from super_store_datawarehouse_spark.plans import extensions as _x  # noqa: F401
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        builder, _ = HARNESS[name]
+        runs = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            builder(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs[1:]), 3)  # skip the cold run
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -195,11 +195,32 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    # Exact verification bounded to the candidate set — the whole point of
+    # LSH is that the quadratic similarity join never materializes; the
+    # shingle join below fans out per (candidate, shared shingle) only.
+    sh = word_shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sh_a = sh.select(F.col("sid").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("sid").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("sid").alias("id_a"), F.col("n_shingles").alias("sz_a"))
+    sz_b = sizes.select(F.col("sid").alias("id_b"), F.col("n_shingles").alias("sz_b"))
+    thr_num, thr_den = _ratio_as_ints(threshold)
     return (
-        cand.join(exact, ["id_a", "id_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        .filter(thr_den * F.col("n_inter") >= thr_num * F.col("n_union"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter").cast("double") / F.col("n_union").cast("double")).alias("jaccard"),
+        )
     )
 
 

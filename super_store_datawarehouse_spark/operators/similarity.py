@@ -66,18 +66,20 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
+def hyperplane_signature(
+    vec: Column, n_planes: int = 16, dim: int = 64, table: int = 0
+) -> Column:
     """Random-hyperplane LSH signature as an integer bucket id.
 
     Plane weights are pseudo-random but *deterministic*: weight(p, d) is a
-    pure integer function of (p, d) via a splitmix-style scramble, so the
-    same signature is computed on any executor, any run, with no stored
-    plane matrix and no Python. sign(v · w_p) contributes bit p.
+    pure integer function of (table, p, d) via a splitmix-style scramble,
+    so the same signature is computed on any executor, any run, with no
+    stored plane matrix and no Python. sign(v · w_p) contributes bit p.
     """
     bit_terms = []
     for p in range(n_planes):
-        # deterministic ±1 weights per (plane, dim) from integer scrambling
-        weights = [_scramble_sign(p, d) for d in range(dim)]
+        # deterministic ±1 weights per (table, plane, dim)
+        weights = [_scramble_sign(table * 1024 + p, d) for d in range(dim)]
         proj = F.aggregate(
             F.zip_with(
                 vec,
@@ -108,30 +110,57 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 16,
+    n_planes: int = 4,
+    n_tables: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-bucket candidates, exact re-rank.
+    """Approximate top-k: multi-table hyperplane LSH + exact re-rank.
 
-    Equi-join on the signature bucket replaces the all-pairs cross join;
-    recall is tuned via n_planes (fewer planes → bigger buckets → higher
-    recall, more work). Candidates get the exact cosine, ranked per query.
+    Single-table sign-LSH has poor recall when true neighbors sit at
+    modest cosine (random high-dim embeddings are near-orthogonal), so
+    this is the standard L-tables construction: a candidate needs to
+    collide in ANY of the L independent tables. Recall rises as
+    1-(1-p^k)^L while the equi-join still touches only bucket-mates —
+    at corpus scale the cost is L signature columns and an L-way
+    exploded join, not an all-pairs product. Tune (n_planes, n_tables):
+    more planes → smaller buckets; more tables → higher recall.
     """
+
+    def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    hyperplane_signature(F.col(vc), n_planes, dim, table=t).alias("sig"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(idc, vc, F.explode(sigs).alias("b")).select(
+            idc, vc, F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig")
+        )
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", hyperplane_signature(F.col("cv"), n_planes, dim))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", hyperplane_signature(F.col("qv"), n_planes, dim))
+    )
+    cb = with_buckets(c, "neighbor_id", "cv")
+    qb = with_buckets(q, "query_id", "qv")
 
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

@@ -430,3 +430,26 @@ def x14_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# x15 — Structured Streaming windowed aggregation driven to completion
+# (streaming/jobs.py). Complete-mode memory sink over the static events
+# source makes the final table equal the batch x10 result, so it shares
+# the same oracle — the driver verifies a *streaming* job against SQL.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x15_stream_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def x15_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.streaming.jobs import hourly_counts_stream
+
+    return hourly_counts_stream(spark, sf_dir).orderBy("window_start", "event_type")

@@ -1,0 +1,148 @@
+"""Streaming jobs: windowed aggregation, dedup, stateful counting.
+
+Local test harness: a parquet file stream + memory sink driven to
+completion with ``processAllAvailable`` (synchronous, deterministic).
+In production the same plans run against Kafka/queue sources with
+per-trigger micro-batches; the watermark bounds state so a 100 TB/day
+stream holds only the open windows, not history.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from super_store_datawarehouse_spark.functions.exact import cents
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based stream over the events table (nanos ts → TimestampType).
+
+    maxFilesPerTrigger=1 keeps micro-batches realistic in tests; the
+    schema comes from a cheap static read of the same parquet.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # file streams require a directory source; glob-filter the one table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
+
+
+def hourly_counts_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type, run to completion.
+
+    Complete output mode so the finished result equals the batch
+    equivalent (plans/extensions.py x10) — which is exactly what the
+    matching test asserts. The watermark still bounds state in a live
+    deployment; with a static file source it simply never discards.
+    """
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    name = f"hourly_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def dedup_events_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon.
+
+    dropDuplicatesWithinWatermark keeps per-key state only until the
+    watermark passes — the streaming analog of the batch exact-dedup
+    operator (operators/dedup.py) with bounded memory.
+    """
+    deduped = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    name = f"dedup_events_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def user_running_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user cumulative event count via
+    applyInPandasWithState (the escape hatch for operators Spark's
+    built-in streaming aggregations can't express).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("count", LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    counts = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    name = f"user_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.outputMode("update").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update-mode memory sink appends every emission; the final state per
+    # user is the max running count
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )

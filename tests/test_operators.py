@@ -1,0 +1,143 @@
+"""Unit tests for the LLM-pipeline operators on small synthetic frames,
+plus recall checks of the sketch operators against their exact baselines
+(the rows-only harness queries lean on these).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    from super_store_datawarehouse_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different text")],
+        ["doc_id", "text"],
+    )
+    rows = {r["norm_text"]: r for r in exact_dedup(df).collect()}
+    assert rows["hello world"]["n_copies"] == 2
+    assert rows["hello world"]["keep_id"] == 1
+    assert rows["different text"]["n_copies"] == 1
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    from super_store_datawarehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, threshold=0.2).collect()}
+    assert lsh <= exact  # exact verification ⇒ no false positives
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_simhash_identical_docs_collide(spark):
+    from super_store_datawarehouse_spark.operators.dedup import simhash_near_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark query engine with columnar storage and joins"),
+            (2, "spark query engine with columnar storage and joins"),
+            (3, "completely unrelated words about gardening and flowers"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs
+
+
+def test_lsh_topk_overlaps_bruteforce(spark):
+    from super_store_datawarehouse_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, queries, k=5).collect()
+    }
+    assert approx, "LSH returned nothing"
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_anti_join_rejects_nonempty_path(spark):
+    """The harness q16 returns 0 rows on testdata; exercise the non-empty
+    rejects path the reference's skip-logging handles (etl.py:489-496)."""
+    from super_store_datawarehouse_spark.sources.superstore import read_superstore_csv
+    from super_store_datawarehouse_spark.warehouse import dims, facts
+    from super_store_datawarehouse_spark.warehouse.ingest import merge_duplicate_order_lines
+
+    lines = merge_duplicate_order_lines(read_superstore_csv(spark)).limit(200).cache()
+    customer = dims.build_customer_dim(lines)
+    _, product = dims.build_product_dims(lines)
+    calendar, _ = dims.build_calendar_dims(lines)
+    _, _, location = dims.build_geography_dims(lines)
+
+    # poison the customer dim: drop one customer → its rows become rejects
+    victim = lines.select("customer_code").first()["customer_code"]
+    broken_customer = customer.filter(F.col("customer_code") != victim)
+    rejects = facts.item_rejects(lines, broken_customer, product, calendar, location)
+    n_victim_rows = lines.filter(F.col("customer_code") == victim).count()
+    assert rejects.count() == n_victim_rows
+    item = facts.build_item_fact(lines, broken_customer, product, calendar, location)
+    assert item.count() == 200 - n_victim_rows
+
+
+def test_poly_fingerprint_deterministic_and_engine_free(spark):
+    from super_store_datawarehouse_spark.operators.text import poly_fingerprint
+
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    got = df.select(poly_fingerprint("text").alias("fp")).first()["fp"]
+    # independent python computation of the same fold
+    h = 7
+    for ch in "abc":
+        h = (h * 31 + ord(ch)) % 1_000_000_007
+    assert got == h
+
+
+def test_quality_keep_thresholds(spark):
+    from super_store_datawarehouse_spark.operators.text import quality_keep
+
+    df = spark.createDataFrame(
+        [(1, "short text"), (2, " ".join(["word"] * 50))], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r["keep"] for r in df.select("doc_id", quality_keep("text").alias("keep")).collect()}
+    assert rows[1] is False  # < 10 tokens
+    assert rows[2] is True
+
+
+def test_multimodal_fake_decode_shapes(spark, docs):
+    from super_store_datawarehouse_spark.operators.multimodal import (
+        decode_assets,
+        texts_as_assets,
+    )
+
+    assets = texts_as_assets(docs.limit(20))
+    decoded = decode_assets(assets, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    assert all(1 <= r["width"] <= 64 and 1 <= r["height"] <= 64 for r in rows)
+    assert all(r["byte_len"] > 0 for r in rows)
