@@ -453,3 +453,75 @@ def x15_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.streaming.jobs import hourly_counts_stream
 
     return hourly_counts_stream(spark, sf_dir).orderBy("window_start", "event_type")
+
+
+# --------------------------------------------------------------------------
+# x16 — embedding-cosine near-dup pairs (exact brute-force baseline).
+# The per-row dot-product fold is bit-exact between Spark's F.aggregate
+# and DuckDB's list_reduce (same left-to-right order — verified by x05),
+# so the >= threshold cut selects identical pair sets in both engines.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x16_embedding_near_dup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_sql('a.v', 'b.v')} AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.v', 'b.v')} >= 0.40
+    """,
+)
+def x16_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb, threshold=0.40)
+
+
+# --------------------------------------------------------------------------
+# x17 — multi-table hyperplane-LSH ANN top-k (rows-only: the sketch is
+# approximate by construction; unit tests measure recall against the
+# exact x05 result). The scale path for x05: bucket equi-join instead of
+# the all-pairs product.
+# --------------------------------------------------------------------------
+@harness_query("x17_ann_lsh_topk")
+def x17_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, k=5)
+
+
+# --------------------------------------------------------------------------
+# x18 — streaming exact dedup (dropDuplicatesWithinWatermark) run to
+# completion over the events file stream. event_id is unique in the
+# testdata, so the oracle is a passthrough — the check asserts the
+# streaming dedup loses and fabricates nothing; actual duplicate
+# dropping is unit-tested with planted duplicates (tests/test_streaming).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x18_stream_dedup",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+)
+def x18_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.streaming.jobs import dedup_events_stream
+
+    return dedup_events_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# x19 — custom stateful streaming operator (applyInPandasWithState):
+# per-user running event counts; the final state per user equals the
+# batch COUNT(*), which is what the oracle asserts.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x19_stream_user_counts",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    """,
+)
+def x19_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.streaming.jobs import user_running_counts_stream
+
+    return user_running_counts_stream(spark, sf_dir)

@@ -31,7 +31,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
+        # events*.parquet: matches the single driver table and lets tests
+        # plant extra files to force multiple micro-batches
+        .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))

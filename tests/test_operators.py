@@ -83,6 +83,24 @@ def test_lsh_topk_overlaps_bruteforce(spark):
     assert len(approx & exact) / len(exact) >= 0.5
 
 
+def test_embedding_near_dup_planted_pair(spark):
+    from super_store_datawarehouse_spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        (4, [0.0, 0.0, -1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] > 0.99
+
+
 def test_anti_join_rejects_nonempty_path(spark):
     """The harness q16 returns 0 rows on testdata; exercise the non-empty
     rejects path the reference's skip-logging handles (etl.py:489-496)."""

@@ -37,6 +37,40 @@ def test_dedup_stream_preserves_distinct_ids(spark):
     assert out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
 
 
+def test_dedup_stream_drops_planted_duplicates_across_batches(tmp_path, spark):
+    """Duplicate event_ids split across two files (→ two micro-batches with
+    maxFilesPerTrigger=1) must still collapse to one row each: the
+    dropDuplicatesWithinWatermark state survives the batch boundary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from super_store_datawarehouse_spark.streaming.jobs import dedup_events_stream
+
+    base_ns = 1_700_000_000_000_000_000  # fixed instant; all rows same hour
+    def table(ids):
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(
+                    [base_ns + i * 60_000_000_000 for i in range(len(ids))],
+                    pa.timestamp("ns"),
+                ),
+                "user_id": pa.array([i % 3 for i in ids], pa.int64()),
+                "event_type": pa.array(["click"] * len(ids)),
+                "value": pa.array([1.5] * len(ids), pa.float64()),
+                "props": pa.array(["{}"] * len(ids)),
+            }
+        )
+
+    # ids 1-6; ids 2 and 4 appear in BOTH files, id 5 twice in one file
+    pq.write_table(table([1, 2, 3, 4, 5, 5]), tmp_path / "events.parquet")
+    pq.write_table(table([2, 4, 6]), tmp_path / "events2.parquet")
+
+    out = dedup_events_stream(spark, str(tmp_path))
+    ids = sorted(r["event_id"] for r in out.select("event_id").collect())
+    assert ids == [1, 2, 3, 4, 5, 6]
+
+
 def test_user_running_counts_stream(spark):
     from super_store_datawarehouse_spark.sources.testdata import load_table
     from super_store_datawarehouse_spark.streaming.jobs import user_running_counts_stream
