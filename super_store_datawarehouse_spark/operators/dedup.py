@@ -128,6 +128,7 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: array<long> of length num_hashes.
 
@@ -135,8 +136,11 @@ def minhash_signatures(
     the i-th permutation is the universal hash (aᵢ·h + bᵢ) mod 2⁶¹-1,
     folded with MIN per document. One explode + one groupBy; signature
     size is constant, so shuffle volume is O(docs), not O(docs·shingles).
+
+    Pass ``shingles`` (a cached (sid, shingle) frame) to reuse the
+    shingle explosion across signature build and candidate verification.
     """
-    sh = word_shingles(df, text_col, id_col, n)
+    sh = shingles if shingles is not None else word_shingles(df, text_col, id_col, n)
     base = F.abs(F.xxhash64("shingle")) % F.lit(1 << 31)
     coeffs = _minhash_coeffs(num_hashes, seed)
     mins = [
@@ -169,7 +173,10 @@ def minhash_lsh_pairs(
     O(docs·bands) bucket rows.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    # one shingle explosion feeds both the signature build and the exact
+    # verification below — at 100 TB this halves the dominant scan+explode
+    sh = word_shingles(df, text_col, id_col, n).cache()
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed, shingles=sh)
     band_rows = sig.select(
         F.col(id_col).alias("sid"),
         F.explode(
@@ -198,7 +205,6 @@ def minhash_lsh_pairs(
     # Exact verification bounded to the candidate set — the whole point of
     # LSH is that the quadratic similarity join never materializes; the
     # shingle join below fans out per (candidate, shared shingle) only.
-    sh = word_shingles(df, text_col, id_col, n).cache()
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
     sh_a = sh.select(F.col("sid").alias("id_a"), "shingle")
     sh_b = sh.select(F.col("sid").alias("id_b"), "shingle")

@@ -16,6 +16,8 @@ reproduce bit-for-bit — verified in the oracle harness.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -106,6 +108,39 @@ def _scramble_sign(p: int, d: int) -> int:
     return 1 if (z >> 63) & 1 else -1
 
 
+def _all_table_signatures(n_planes: int, n_tables: int, dim: int):
+    """Arrow-vectorized signature UDF: one numpy matmul per batch computes
+    every table's signature at once, replacing n_tables×n_planes Catalyst
+    fold expressions (which dominate both codegen and per-row cost).
+
+    The ±1 plane matrix is generated on the driver from the same
+    deterministic scramble as ``hyperplane_signature``; signatures agree
+    except when a projection sits exactly at 0 under one float-summation
+    order and not the other (immaterial for an approximate sketch).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            [_scramble_sign(t * 1024 + p, d) for t in range(n_tables) for p in range(n_planes)]
+            for d in range(dim)
+        ],
+        dtype=np.float64,
+    )  # (dim, n_tables*n_planes)
+    powers = np.power(2, np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(v.to_numpy())  # (rows, dim)
+        bits = (m @ planes) > 0  # (rows, n_tables*n_planes)
+        per_table = bits.reshape(len(v), -1, n_planes) @ powers  # (rows, n_tables)
+        return pd.Series(list(per_table.astype(np.int64)))
+
+    return sigs
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -127,19 +162,11 @@ def lsh_topk(
     exploded join, not an all-pairs product. Tune (n_planes, n_tables):
     more planes → smaller buckets; more tables → higher recall.
     """
+    sig_udf = _all_table_signatures(n_planes, n_tables, dim)
 
     def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        sigs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    hyperplane_signature(F.col(vc), n_planes, dim, table=t).alias("sig"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-        return df.select(idc, vc, F.explode(sigs).alias("b")).select(
-            idc, vc, F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig")
+        return df.select(
+            idc, vc, F.posexplode(sig_udf(F.col(vc))).alias("tbl", "sig")
         )
 
     c = corpus.select(
