@@ -118,3 +118,45 @@ def decode_assets(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_no", LongType(), False),
+        StructField("ts_ms", LongType(), False),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, max_frames: int = 8, fake: bool = False
+) -> DataFrame:
+    """Sample frames from video payloads: one output row per frame.
+
+    The one-to-many mapInPandas shape for frame extraction — each Arrow
+    batch of payloads yields a larger batch of (asset_id, frame_no,
+    ts_ms) rows. STUB like ``decode_assets``: real extraction needs
+    ffmpeg; ``fake=True`` derives the frame count from the payload byte
+    length (1 + byte_len % max_frames), so the distributed plumbing and
+    fan-out are exercised end-to-end and SQL-verifiable.
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame extraction requires ffmpeg; use fake=True for plumbing tests"
+                )
+            ids, frames, tss = [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n = 1 + (len(payload) if payload is not None else 0) % max_frames
+                for f in range(n):
+                    ids.append(aid)
+                    frames.append(f)
+                    tss.append(f * every_ms)
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_no": frames, "ts_ms": tss}, dtype="int64"
+            )
+
+    return df.mapInPandas(frame_batches, FRAME_SCHEMA)

@@ -525,3 +525,29 @@ def x19_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.streaming.jobs import user_running_counts_stream
 
     return user_running_counts_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# x20 — multimodal frame sampling: the one-to-many mapInPandas shape
+# (one row per sampled frame). The fake extractor derives frame count
+# from payload byte length, so the fan-out is SQL-verifiable.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x20_frame_sample",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id AS asset_id,
+             1 + octet_length(CAST(text AS BLOB)) % 8 AS n_frames
+      FROM documents
+    )
+    SELECT asset_id,
+           CAST(f AS BIGINT) AS frame_no,
+           CAST(f * 1000 AS BIGINT) AS ts_ms
+    FROM n, UNNEST(range(0, n_frames)) AS t(f)
+    """,
+)
+def x20_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(texts_as_assets(docs), every_ms=1000, max_frames=8, fake=True)

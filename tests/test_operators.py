@@ -83,6 +83,25 @@ def test_lsh_topk_overlaps_bruteforce(spark):
     assert len(approx & exact) / len(exact) >= 0.5
 
 
+def test_frame_sample_fanout_matches_byte_length(spark):
+    from super_store_datawarehouse_spark.operators.multimodal import (
+        sample_frames,
+        texts_as_assets,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "abcdefgh"), (3, "")], ["doc_id", "text"]
+    )
+    rows = sample_frames(texts_as_assets(df), every_ms=500, max_frames=4, fake=True).collect()
+    per_asset = {}
+    for r in rows:
+        per_asset.setdefault(r["asset_id"], []).append((r["frame_no"], r["ts_ms"]))
+    # n_frames = 1 + byte_len % 4
+    assert sorted(per_asset[1]) == [(0, 0), (1, 500), (2, 1000)]
+    assert sorted(per_asset[2]) == [(0, 0)]
+    assert sorted(per_asset[3]) == [(0, 0)]
+
+
 def test_embedding_near_dup_planted_pair(spark):
     from super_store_datawarehouse_spark.operators.dedup import embedding_near_dup_pairs
 
