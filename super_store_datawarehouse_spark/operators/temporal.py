@@ -1,0 +1,125 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range
+(interval) join — expressed as compositions of existing DataFrame ops,
+never a cross join or a Python loop.
+
+Scale design:
+
+- ``asof_join``: the classic union-and-window formulation. Tag left and
+  right rows, union them, and take ``last(right_value, ignorenulls)``
+  over a window partitioned by key and ordered by time. One shuffle on
+  the key — the same cost as a sort-merge join — with state bounded by
+  one right-row struct per window frame. No per-left-row probe, no
+  broadcast requirement on either side.
+- ``interval_join``: equi-join on coarse time buckets + exact residual
+  predicate. Exploding each left interval into the hour buckets it
+  covers turns the inequality join into an equi-join Catalyst can
+  shuffle-hash: cost O(rows · buckets-per-interval) instead of the
+  O(|L|·|R|) nested-loop Spark plans for a raw range predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKET_SECONDS = {"1 hour": 3600, "1 day": 86400, "1 minute": 60}
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    allow_exact: bool = True,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` (strictly ``<`` when ``allow_exact=False``)
+    per key. Unmatched left rows keep NULL value columns (left join).
+
+    Matched right columns come back prefixed ``asof_``.
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
+    out_cols = [right_ts] + [c for c in value_cols if c != right_ts]
+
+    rval = F.struct(*[F.col(c).alias(c) for c in out_cols])
+    r2 = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0 if allow_exact else 1).alias("__side"),
+        rval.alias("__rval"),
+        F.lit(None).cast(_struct_of(left)).alias("__lrow"),
+    )
+    l2 = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1 if allow_exact else 0).alias("__side"),
+        F.lit(None).cast(r2.schema["__rval"].dataType).alias("__rval"),
+        F.struct(*left.columns).alias("__lrow"),
+    )
+    # side ordering decides same-instant visibility: right-before-left
+    # (allow_exact) or left-before-right (strict). __rval as a final key
+    # makes the surviving right row deterministic under timestamp ties.
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__side", "__rval")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r2.unionByName(l2)
+        .withColumn("__match", F.last("__rval", ignorenulls=True).over(w))
+        .filter(F.col("__lrow").isNotNull())
+    )
+    return matched.select(
+        "__lrow.*",
+        *[F.col(f"__match.{c}").alias(f"asof_{c}") for c in out_cols],
+    )
+
+
+def _struct_of(df: DataFrame):
+    from pyspark.sql.types import StructType
+
+    return StructType([df.schema[c] for c in df.columns])
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_start: str,
+    left_end: str,
+    right_ts: str = "ts",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Range join: pairs (left, right) with ``left_start < right_ts <=
+    left_end`` and equal keys, via bucketed equi-join + exact residual
+    filter. Returns the left rows joined to each matching right row
+    (right columns prefixed ``r_``).
+    """
+    step = _BUCKET_SECONDS[bucket]
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(left_start) / step).cast("long"),
+                (F.unix_timestamp(left_end) / step).cast("long"),
+            )
+        ),
+    )
+    rb = right.select(
+        F.col(on).alias("__rkey"),
+        (F.unix_timestamp(right_ts) / step).cast("long").alias("__bucket"),
+        F.struct(*right.columns).alias("__rrow"),
+    )
+    joined = lb.join(
+        rb,
+        (F.col(on) == F.col("__rkey")) & (lb["__bucket"] == rb["__bucket"]),
+    ).filter(
+        (F.col(f"__rrow.{right_ts}") > F.col(left_start))
+        & (F.col(f"__rrow.{right_ts}") <= F.col(left_end))
+    )
+    return joined.select(
+        *left.columns,
+        *[F.col(f"__rrow.{c}").alias(f"r_{c}") for c in right.columns],
+    )

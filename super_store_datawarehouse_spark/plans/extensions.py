@@ -528,6 +528,72 @@ def x19_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x21 — as-of join (union-and-window formulation, operators/temporal.py):
+# each purchase event gets the latest prior-or-same-instant click by the
+# same user. DuckDB's native ASOF JOIN is the oracle.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x21_asof_click_attribution",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def x21_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(purchases, clicks, on="user_id", value_cols=["ts"]).select(
+        "event_id", "user_id", "ts", F.col("asof_ts").alias("last_click_ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# x22 — range (interval) join via bucketed equi-join + residual filter:
+# per signup event, how many events the same user produced in the
+# following 24 hours. The oracle is the plain inequality join.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x22_range_join_next24h",
+    oracle="""
+    SELECT s.event_id, s.user_id, s.ts,
+           COUNT(e.event_id) AS n_next_24h
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    LEFT JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 24 HOUR
+    GROUP BY s.event_id, s.user_id, s.ts
+    """,
+)
+def x22_range_join_next24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.temporal import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select("event_id", "user_id", "ts")
+        .withColumn("end_ts", F.col("ts") + F.expr("INTERVAL 24 HOURS"))
+    )
+    pairs = interval_join(
+        signups, events.select("user_id", "ts", "event_id"), on="user_id",
+        left_start="ts", left_end="end_ts",
+    )
+    counts = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_next_24h"))
+    return signups.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("n_next_24h", F.lit(0)).alias("n_next_24h"),
+    )
+
+
+# --------------------------------------------------------------------------
 # x20 — multimodal frame sampling: the one-to-many mapInPandas shape
 # (one row per sampled frame). The fake extractor derives frame count
 # from payload byte length, so the fan-out is SQL-verifiable.

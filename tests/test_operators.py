@@ -83,6 +83,63 @@ def test_lsh_topk_overlaps_bruteforce(spark):
     assert len(approx & exact) / len(exact) >= 0.5
 
 
+def test_asof_join_exact_and_strict_semantics(spark):
+    import datetime as dt
+
+    from super_store_datawarehouse_spark.operators.temporal import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 1, t(10)), (2, 1, t(5)), (3, 2, t(10))], ["lid", "key", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 50.0), (1, t(8), 80.0), (9, t(1), 10.0)], ["key", "ts", "px"]
+    )
+    exact = {
+        r["lid"]: (r["asof_ts"], r["asof_px"])
+        for r in asof_join(left, right, on="key", value_cols=["px"]).collect()
+    }
+    assert exact[1] == (t(8), 80.0)      # latest <= 10
+    assert exact[2] == (t(5), 50.0)      # equal instant visible
+    assert exact[3] == (None, None)      # key 2 has no right rows
+    strict = {
+        r["lid"]: r["asof_px"]
+        for r in asof_join(
+            left, right, on="key", value_cols=["px"], allow_exact=False
+        ).collect()
+    }
+    assert strict[1] == 80.0
+    assert strict[2] is None             # equal instant excluded under strict
+
+
+def test_interval_join_boundary_inclusion(spark):
+    import datetime as dt
+
+    from super_store_datawarehouse_spark.operators.temporal import interval_join
+
+    t = lambda m, s=0: dt.datetime(2024, 1, 1, 0, m, s)
+    left = spark.createDataFrame(
+        [(1, 1, t(0), t(30))], ["lid", "key", "start_ts", "end_ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t(0), "at-start"),       # excluded: ts > start is strict
+            (1, t(30), "at-end"),        # included: ts <= end
+            (1, t(15), "inside"),
+            (1, t(31), "after"),         # excluded
+            (2, t(15), "other-key"),     # excluded
+        ],
+        ["key", "ts", "tag"],
+    )
+    got = {
+        r["r_tag"]
+        for r in interval_join(
+            left, right, on="key", left_start="start_ts", left_end="end_ts"
+        ).collect()
+    }
+    assert got == {"inside", "at-end"}
+
+
 def test_frame_sample_fanout_matches_byte_length(spark):
     from super_store_datawarehouse_spark.operators.multimodal import (
         sample_frames,
