@@ -1,0 +1,84 @@
+"""Deterministic sampling and dataset splitting for reproducible
+training-data pipelines.
+
+``rand()``-based sampling is not reproducible across runs, partitionings,
+or engines, which makes lineage audits impossible. These operators hash a
+stable integer key with a Knuth multiplicative scramble into 10,000
+buckets and select by bucket range, so
+
+- the same row lands in the same split/sample on every run, any cluster,
+  any partitioning (the decision is a pure row-local expression —
+  no shuffle, fully codegen'd, pushable below joins);
+- membership is expressible in portable integer SQL, so an external
+  engine can reproduce (and audit) the exact sample;
+- disjointness of train/val/test is by construction (bucket ranges).
+
+Keys must be non-negative and < 2^31 so the product stays inside int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # 2^32 / phi, the classic multiplicative-hash constant
+N_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column | str, salt: int = 0) -> Column:
+    """Deterministic bucket in [0, 10000) from an integer key column."""
+    c = F.col(key) if isinstance(key, str) else key
+    return ((c + F.lit(salt)) * F.lit(KNUTH)) % F.lit(1 << 32) % F.lit(N_BUCKETS)
+
+
+def bucket_sql(key: str, salt: int = 0) -> str:
+    """The identical bucket expression in portable SQL (audit twin)."""
+    return f"(({key} + {salt}) * {KNUTH}) % {1 << 32} % {N_BUCKETS}"
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: int = 0
+) -> DataFrame:
+    """Keep rows whose bucket falls below fraction·10000 — a reproducible
+    ~fraction sample, stable under reruns and repartitioning."""
+    return df.filter(hash_bucket(key_col, salt) < int(round(fraction * N_BUCKETS)))
+
+
+def split_column(
+    key_col: str, weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"), salt: int = 0,
+) -> Column:
+    """Split label from contiguous bucket ranges: disjoint and exhaustive
+    by construction."""
+    bucket = hash_bucket(key_col, salt)
+    bounds = []
+    acc = 0.0
+    for w in weights:
+        acc += w
+        bounds.append(int(round(acc * N_BUCKETS)))
+    expr = F.when(bucket < bounds[0], F.lit(names[0]))
+    for hi, name in zip(bounds[1:], names[1:]):
+        expr = expr.when(bucket < hi, F.lit(name))
+    return expr.otherwise(F.lit(names[-1]))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    keep all `en`, half of `zh`). The threshold is a when-chain on the
+    stratum column — row-local, no shuffle, prunable."""
+    bucket = hash_bucket(key_col, salt)
+    thr = F.lit(int(round(default_fraction * N_BUCKETS)))
+    expr = None
+    for value, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == value
+        lim = F.lit(int(round(frac * N_BUCKETS)))
+        expr = F.when(cond, lim) if expr is None else expr.when(cond, lim)
+    threshold = expr.otherwise(thr) if expr is not None else thr
+    return df.filter(bucket < threshold)

@@ -528,6 +528,66 @@ def x19_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x23 — deterministic train/val/test split (operators/sampling.py):
+# Knuth-multiplicative bucket ranges; the oracle reproduces the split
+# with the identical integer arithmetic, proving cross-engine
+# reproducibility of the sample membership.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x23_det_split_counts",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             ((doc_id + 0) * 2654435761) % 4294967296 % 10000 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def x23_det_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sampling import split_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", split_column("doc_id"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# x24 — stratified deterministic sampling: language rebalancing (keep all
+# en, half zh, a fifth of everything else), reproduced by the oracle with
+# the same integer arithmetic.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x24_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             ((doc_id + 7) * 2654435761) % 4294967296 % 10000 AS bucket
+      FROM documents
+    )
+    WHERE bucket < CASE lang WHEN 'en' THEN 10000 WHEN 'zh' THEN 5000 ELSE 2000 END
+    """,
+)
+def x24_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_hash_sample(
+        docs, "doc_id", "lang",
+        fractions={"en": 1.0, "zh": 0.5}, default_fraction=0.2, salt=7,
+    )
+
+
+# --------------------------------------------------------------------------
 # x21 — as-of join (union-and-window formulation, operators/temporal.py):
 # each purchase event gets the latest prior-or-same-instant click by the
 # same user. DuckDB's native ASOF JOIN is the oracle.

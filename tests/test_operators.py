@@ -83,6 +83,24 @@ def test_lsh_topk_overlaps_bruteforce(spark):
     assert len(approx & exact) / len(exact) >= 0.5
 
 
+def test_hash_split_stable_disjoint_exhaustive(spark):
+    from super_store_datawarehouse_spark.operators.sampling import (
+        hash_sample,
+        split_column,
+    )
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    with_split = df.withColumn("split", split_column("doc_id"))
+    counts = {r["split"]: r["n"] for r in
+              with_split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 5000          # exhaustive
+    assert 0.75 < counts["train"] / 5000 < 0.85  # ~weights
+    # stable under repartitioning: identical membership, not just counts
+    ids_a = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.3).collect()}
+    ids_b = {r["doc_id"] for r in hash_sample(df.repartition(13), "doc_id", 0.3).collect()}
+    assert ids_a == ids_b and 0.25 < len(ids_a) / 5000 < 0.35
+
+
 def test_asof_join_exact_and_strict_semantics(spark):
     import datetime as dt
 
