@@ -319,18 +319,23 @@ def embedding_near_dup_pairs(
     Quadratic — correct at validation scale; the LSH-bucketed variant in
     operators/similarity.py is the production path.
     """
-    from super_store_datawarehouse_spark.operators.similarity import cosine
+    from super_store_datawarehouse_spark.operators.similarity import dot
 
     e = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    a, b = e.alias("a"), e.alias("b")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    # norms once per vector (not per pair); repartition the probe side so
+    # the nested-loop pair scan parallelizes instead of running one task
+    a = e.repartition(32).alias("a")
+    b = e.alias("b")
     return (
         a.join(b, F.col("a.vid") < F.col("b.vid"))
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            (
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -47,18 +47,25 @@ def brute_force_topk(
 
     Broadcast-join the query set against the corpus (no shuffle of the
     corpus), rank per query with a window. Self-matches are excluded.
+    Norms are computed once per vector, not once per pair, so the
+    per-pair work is a single dot-product fold — the arithmetic
+    (dot/(q_norm·c_norm)) is unchanged and stays bit-exact vs the oracle.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("cnrm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qnrm", F.sqrt(dot(F.col("qv"), F.col("qv"))))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

@@ -110,23 +110,18 @@ _COSINE_FOLD = (
 )
 
 
-def _cos_sql(a: str, b: str) -> str:
-    return (
-        f"{_COSINE_FOLD.format(a=a, b=b)} / "
-        f"(sqrt({_COSINE_FOLD.format(a=a, b=a)}) * sqrt({_COSINE_FOLD.format(a=b, b=b)}))"
-    )
-
-
 @harness_query(
     "x05_ann_bruteforce_topk",
     oracle=f"""
     WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt({_COSINE_FOLD.format(a='CAST(embedding AS DOUBLE[])', b='CAST(embedding AS DOUBLE[])')}) AS nrm
+      FROM embeddings
     ), q AS (
-      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+      SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 10
     ), scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
-             {_cos_sql('qv', 'v')} AS cosine
+             {_COSINE_FOLD.format(a='qv', b='v')} / (q.qnrm * e.nrm) AS cosine
       FROM q JOIN e ON e.vec_id != q.query_id
     ), ranked AS (
       SELECT query_id, neighbor_id, cosine,
@@ -465,12 +460,15 @@ def x15_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x16_embedding_near_dup",
     oracle=f"""
     WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt({_COSINE_FOLD.format(a='CAST(embedding AS DOUBLE[])', b='CAST(embedding AS DOUBLE[])')}) AS nrm
+      FROM embeddings
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_cos_sql('a.v', 'b.v')} AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE {_cos_sql('a.v', 'b.v')} >= 0.40
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_COSINE_FOLD.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.40
     """,
 )
 def x16_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
