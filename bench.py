@@ -39,6 +39,11 @@ HEADLINE = [
     "x05_ann_bruteforce_topk",
     "x10_events_hourly",
     "x11_sessionize",
+    "x16_embedding_near_dup",
+    "x17_ann_lsh_topk",
+    "x21_asof_click_attribution",
+    "x22_range_join_next24h",
+    "x25_group_median_price",
 ]
 
 

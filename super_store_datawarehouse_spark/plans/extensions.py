@@ -526,6 +526,52 @@ def x19_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x25 — exact per-group median via rank windows (not approx_percentile):
+# the two middle ranks of the integer-cents ordering average exactly the
+# same way in both engines, unlike engine-specific quantile interpolation.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x25_group_median_price",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS median_price,
+           MAX(n) AS n_rows
+    FROM c
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def x25_group_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select("l_returnflag", cents("l_extendedprice").alias("cents"))
+    w = Window.partitionBy("l_returnflag")
+    ranked = c.withColumn("rn", F.row_number().over(w.orderBy("cents"))).withColumn(
+        "n", F.count(F.lit(1)).over(w)
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return (
+        mid.groupBy("l_returnflag")
+        .agg(
+            (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0).alias(
+                "median_price"
+            ),
+            F.max("n").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
 # x23 — deterministic train/val/test split (operators/sampling.py):
 # Knuth-multiplicative bucket ranges; the oracle reproduces the split
 # with the identical integer arithmetic, proving cross-engine
