@@ -526,6 +526,98 @@ def x19_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x26 — native session windows (F.session_window): the built-in gap-merge
+# operator, vs x11's lag/cumsum formulation. Session end is exclusive
+# (last event + gap), so the oracle's new-session predicate is >= gap on
+# the exact microsecond difference.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x26_session_windows",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def x26_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x27 — skew-proof exact count-distinct (operators/skew.py): value-hash
+# bucketing, two uniform shuffles. Oracle is the plain COUNT(DISTINCT),
+# proving the decomposition is exact.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x27_salted_count_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x27_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.skew import salted_count_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    return salted_count_distinct(events, ["event_type"], "user_id").orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# x28 — salted join equivalence: the replicate-and-salt join must produce
+# exactly the plain inner join (aggregated to keep the oracle small).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x28_salted_join_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def x28_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, on="o_orderkey", n_salts=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(cents("l_extendedprice")).cast("double") / 100.0).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
 # x25 — exact per-group median via rank windows (not approx_percentile):
 # the two middle ranks of the integer-cents ordering average exactly the
 # same way in both engines, unlike engine-specific quantile interpolation.

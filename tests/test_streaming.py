@@ -71,6 +71,62 @@ def test_dedup_stream_drops_planted_duplicates_across_batches(tmp_path, spark):
     assert ids == [1, 2, 3, 4, 5, 6]
 
 
+def test_windowed_agg_append_finalizes_only_watermark_passed_windows(tmp_path, spark):
+    """Append-mode windowed aggregation emits a window only once the
+    watermark has passed its end; windows still open when the stream
+    drains are withheld. (Dropping data *older* than the watermark is
+    best-effort in Spark and deliberately not asserted.)"""
+    import os as _os
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from super_store_datawarehouse_spark.streaming.jobs import read_events_stream
+
+    hour_ns = 3_600_000_000_000
+    base_ns = 1_700_000_000_000_000_000
+
+    def table(rows):  # rows: (event_id, ts_hours_offset)
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [base_ns + int(r[1] * hour_ns) for r in rows], pa.timestamp("ns")
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+
+    # batch 1: early event (hour 6) + late-hour events that push the
+    # watermark to hour 9 (max 11 - 2h delay), closing the hour-6 window
+    pq.write_table(table([(1, 6), (2, 10), (3, 11)]), tmp_path / "events.parquet")
+    # batch 2: hour 10.5 lands in a still-open window (never finalized)
+    pq.write_table(table([(5, 10.5)]), tmp_path / "events2.parquet")
+    _os.utime(tmp_path / "events.parquet", (1_000_000, 1_000_000))
+    _os.utime(tmp_path / "events2.parquet", (2_000_000, 2_000_000))
+
+    agg = (
+        read_events_stream(spark, str(tmp_path))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .count()
+    )
+    name = f"late_{_uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    # only the hour-6 event's window was finalized (watermark reached
+    # hour 9 > its end); the hour-10/10.5/11 windows stay open → withheld
+    assert [(r["w"]["start"].hour, r["count"]) for r in rows] == [(4, 1)]
+
+
 def test_user_running_counts_stream(spark):
     from super_store_datawarehouse_spark.sources.testdata import load_table
     from super_store_datawarehouse_spark.streaming.jobs import user_running_counts_stream
