@@ -618,6 +618,55 @@ def x28_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x29 — sliding event-time windows (1h length, 30m slide): every event
+# contributes to exactly two windows. The oracle derives both window
+# starts from epoch arithmetic and unions them.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x29_sliding_windows",
+    oracle="""
+    WITH starts AS (
+      SELECT event_type,
+             make_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 * 1000000) AS s1,
+             make_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800) * 1000000) AS s2
+      FROM events
+    ), exploded AS (
+      SELECT event_type, s1 AS window_start FROM starts
+      UNION ALL
+      SELECT event_type, s2 AS window_start FROM starts
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM exploded GROUP BY 1, 2
+    """,
+)
+def x29_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# x30 — approximate distinct (HyperLogLog++): the constant-memory path
+# for COUNT(DISTINCT) at 100 TB. No cross-engine oracle (sketch internals
+# are engine-specific) — rows-only here; the unit test bounds its error
+# against the exact count.
+# --------------------------------------------------------------------------
+@harness_query("x30_approx_distinct_users")
+def x30_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # x25 — exact per-group median via rank windows (not approx_percentile):
 # the two middle ranks of the integer-cents ordering average exactly the
 # same way in both engines, unlike engine-specific quantile interpolation.

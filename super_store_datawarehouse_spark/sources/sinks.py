@@ -59,3 +59,26 @@ def export_tables(tables: dict[str, DataFrame], out_path: str) -> str:
 def write_rejects(rejects: DataFrame, out_dir: str) -> None:
     """Persist unresolved-key rows (left_anti output) as a rejects table."""
     rejects.write.mode("overwrite").parquet(os.path.join(out_dir, "_rejects"))
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], target_partitions: int | None = None
+) -> None:
+    """Hive-partitioned parquet write — the 100 TB fact-table layout.
+
+    Partitioning by a date-derived column gives readers partition pruning
+    (filters on the partition column never touch non-matching directories
+    — visible as PartitionFilters in the scan plan) and dynamic partition
+    pruning on joins. Reference-scale tables (≤10k rows) deliberately
+    stay unpartitioned in write_parquet_tables: directory-per-value
+    layouts below ~100 MB/partition cost more in small files than they
+    save in pruning.
+
+    ``target_partitions`` repartitions by the partition columns first so
+    each directory gets few, large files instead of one file per task.
+    """
+    if target_partitions:
+        from pyspark.sql import functions as F
+
+        df = df.repartition(target_partitions, *[F.col(c) for c in partition_cols])
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -83,6 +83,39 @@ def test_lsh_topk_overlaps_bruteforce(spark):
     assert len(approx & exact) / len(exact) >= 0.5
 
 
+def test_partitioned_write_prunes_scan(tmp_path, spark):
+    from super_store_datawarehouse_spark.sources.sinks import write_partitioned
+
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    df = events.withColumn("event_date", F.to_date("ts"))
+    out = str(tmp_path / "events_by_date")
+    write_partitioned(df, out, ["event_date"], target_partitions=4)
+
+    back = spark.read.parquet(out).filter(F.col("event_date") == "2024-01-02")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters")[1][:200]
+    want = df.filter(F.col("event_date") == "2024-01-02").count()
+    assert back.count() == want and want > 0
+
+
+def test_approx_distinct_error_bound(spark):
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in df.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    approx = {
+        r["event_type"]: r["a"]
+        for r in df.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("a"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.1
+
+
 def test_hash_split_stable_disjoint_exhaustive(spark):
     from super_store_datawarehouse_spark.operators.sampling import (
         hash_sample,
