@@ -618,6 +618,28 @@ def x28_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x31 — stream-stream inner join with event-time range bounds and
+# watermarks on both sides (streaming/jobs.py); driven to completion it
+# equals the batch inequality join, which is the oracle.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x31_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+           c.event_id AS click_id, c.ts AS c_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def x31_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.streaming.jobs import purchase_click_join_stream
+
+    return purchase_click_join_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
 # x29 — sliding event-time windows (1h length, 30m slide): every event
 # contributes to exactly two windows. The oracle derives both window
 # starts from epoch arithmetic and unions them.

@@ -102,6 +102,54 @@ def dedup_events_stream(
     return spark.table(name)
 
 
+def purchase_click_join_stream(
+    spark: SparkSession, sf_dir: str, lookback: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase paired with every click by
+    the same user in the preceding hour.
+
+    Both sides carry watermarks and the join has an event-time range
+    condition, so the state store holds only rows inside the watermark
+    horizon (the unbounded-buffer problem stream-stream joins otherwise
+    have). Inner-join matches emit as soon as both sides arrive, so
+    driving the stream to completion yields exactly the batch result —
+    which is what the harness oracle (plain inequality join) asserts.
+    """
+    base = read_events_stream(spark, sf_dir)
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "click_id", "c_ts")
+    name = f"pc_join_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def user_running_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: per-user cumulative event count via
     applyInPandasWithState (the escape hatch for operators Spark's

@@ -127,6 +127,33 @@ def test_windowed_agg_append_finalizes_only_watermark_passed_windows(tmp_path, s
     assert [(r["w"]["start"].hour, r["count"]) for r in rows] == [(4, 1)]
 
 
+def test_stream_stream_join_equals_batch(spark):
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from super_store_datawarehouse_spark.streaming.jobs import purchase_click_join_stream
+
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in purchase_click_join_stream(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    want = {
+        (r["pid"], r["cid"])
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("cts") <= F.col("pts")),
+        ).collect()
+    }
+    assert got == want and want
+
+
 def test_user_running_counts_stream(spark):
     from super_store_datawarehouse_spark.sources.testdata import load_table
     from super_store_datawarehouse_spark.streaming.jobs import user_running_counts_stream
