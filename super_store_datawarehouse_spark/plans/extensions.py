@@ -618,6 +618,103 @@ def x28_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x32 — column profiling (the data-quality first pass of any ingest):
+# per-column row/null/distinct counts and min/max, one output row per
+# profiled column.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x32_profile_lineitem",
+    oracle="""
+    SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_quantity) AS n_nulls,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount), MIN(l_discount), MAX(l_discount)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice), MIN(l_extendedprice), MAX(l_extendedprice)
+    FROM lineitem
+    """,
+)
+def x32_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    profiles = []
+    for c in ("l_quantity", "l_discount", "l_extendedprice"):
+        profiles.append(
+            li.agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(c).alias("min_val"),
+                F.max(c).alias("max_val"),
+            )
+        )
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# x33 — fuzzy matching via edit distance: supplier-name pairs within
+# levenshtein 1 (one digit apart). Both engines implement the same
+# classic DP distance, so the oracle is exact.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x33_fuzzy_supplier_pairs",
+    oracle="""
+    SELECT a.s_name AS name_a, b.s_name AS name_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+)
+def x33_fuzzy_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    a, b = sup.alias("a"), sup.alias("b")
+    dist = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+    return (
+        a.join(b, F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        .filter(dist <= 1)
+        .select(
+            F.col("a.s_name").alias("name_a"),
+            F.col("b.s_name").alias("name_b"),
+            dist.cast("int").alias("dist"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x34 — regex extraction: brand number from the p_brand code, aggregated.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x34_regex_brand_numbers",
+    oracle="""
+    SELECT CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS BIGINT) AS brand_num,
+           COUNT(*) AS n_parts,
+           COUNT(DISTINCT p_name) AS n_names
+    FROM part GROUP BY 1 ORDER BY 1
+    """,
+)
+def x34_regex_brand_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    brand_num = F.regexp_extract("p_brand", r"#(\d+)", 1).cast("long")
+    return (
+        part.groupBy(brand_num.alias("brand_num"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("p_name").alias("n_names"),
+        )
+        .orderBy("brand_num")
+    )
+
+
+# --------------------------------------------------------------------------
 # x31 — stream-stream inner join with event-time range bounds and
 # watermarks on both sides (streaming/jobs.py); driven to completion it
 # equals the batch inequality join, which is the oracle.

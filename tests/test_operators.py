@@ -100,6 +100,38 @@ def test_partitioned_write_prunes_scan(tmp_path, spark):
     assert back.count() == want and want > 0
 
 
+def test_bucketed_tables_join_without_shuffle(tmp_path, spark):
+    """Pre-bucketing both sides of a recurring join key removes the
+    per-query Exchange: the sort-merge join reads co-located buckets.
+    This is the 100 TB strategy for repeated fact-fact joins."""
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+        "b_lineitem"
+    )
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+        "b_orders"
+    )
+    try:
+        joined = (
+            spark.table("b_lineitem")
+            .join(
+                spark.table("b_orders").hint("merge"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout replaces the shuffle
+        assert joined.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
 def test_approx_distinct_error_bound(spark):
     df = spark.read.parquet(f"{SF_DIR}/events.parquet")
     exact = {
