@@ -100,6 +100,26 @@ def test_partitioned_write_prunes_scan(tmp_path, spark):
     assert back.count() == want and want > 0
 
 
+def test_export_tables_and_rejects_sinks(tmp_path, spark):
+    import os
+
+    from super_store_datawarehouse_spark.sources.sinks import (
+        export_tables,
+        write_rejects,
+    )
+
+    t1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    t2 = spark.createDataFrame([(3.5,)], ["x"])
+    out = export_tables({"T1": t1, "T2": t2}, str(tmp_path / "export.xlsx"))
+    assert os.path.exists(out)
+    if out.endswith(".csvdir"):
+        assert sorted(os.listdir(out)) == ["T1.csv", "T2.csv"]
+
+    write_rejects(t1.filter(F.col("id") > 1), str(tmp_path))
+    back = spark.read.parquet(str(tmp_path / "_rejects"))
+    assert [r["id"] for r in back.collect()] == [2]
+
+
 def test_bucketed_tables_join_without_shuffle(tmp_path, spark):
     """Pre-bucketing both sides of a recurring join key removes the
     per-query Exchange: the sort-merge join reads co-located buckets.

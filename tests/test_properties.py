@@ -1,0 +1,65 @@
+"""Property-based tests (hypothesis) for the custom operators whose edge
+cases are easy to get wrong: as-of join tie/miss handling and the salted
+count-distinct decomposition. Random inputs are checked against
+brute-force Python references; example counts are capped because each
+example runs a Spark job."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+KEYS = st.integers(min_value=0, max_value=3)
+TS = st.integers(min_value=0, max_value=50)  # seconds offset; collisions likely
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _t(sec: int) -> dt.datetime:
+    return BASE + dt.timedelta(seconds=sec)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(st.tuples(KEYS, TS), min_size=1, max_size=8),
+    right=st.lists(st.tuples(KEYS, TS, st.integers(0, 99)), min_size=0, max_size=8),
+)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from super_store_datawarehouse_spark.operators.temporal import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, _t(s)) for i, (k, s) in enumerate(left)], ["lid", "key", "ts"]
+    )
+    rdf = spark.createDataFrame(
+        [(k, _t(s), float(v)) for k, s, v in right],
+        "key int, ts timestamp, px double",
+    )
+    got = {
+        r["lid"]: r["asof_ts"]
+        for r in asof_join(ldf, rdf, on="key", value_cols=["px"]).collect()
+    }
+    assert set(got) == set(range(len(left)))  # every left row survives exactly once
+    for i, (k, s) in enumerate(left):
+        cands = [_t(rs) for rk, rs, _ in right if rk == k and rs <= s]
+        assert got[i] == (max(cands) if cands else None)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(st.tuples(KEYS, st.integers(0, 20)), min_size=1, max_size=40),
+    n_buckets=st.sampled_from([1, 2, 7, 32]),
+)
+def test_salted_count_distinct_is_exact(spark, rows, n_buckets):
+    from super_store_datawarehouse_spark.operators.skew import salted_count_distinct
+
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r["k"]: r["n_distinct_v"]
+        for r in salted_count_distinct(df, ["k"], "v", n_buckets).collect()
+    }
+    want = {}
+    for k, v in rows:
+        want.setdefault(k, set()).add(v)
+    assert got == {k: len(vs) for k, vs in want.items()}
