@@ -618,6 +618,38 @@ def x28_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x35 — explicit GROUPING SETS (beyond q24's CUBE / q03's ROLLUP): three
+# chosen aggregation levels in one pass, with GROUPING() labels.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x35_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY flag, status
+    """,
+)
+def x35_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("x35_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               COUNT(*) AS n_lines,
+               SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+        FROM x35_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY flag, status
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # x32 — column profiling (the data-quality first pass of any ingest):
 # per-column row/null/distinct counts and min/max, one output row per
 # profiled column.
