@@ -112,3 +112,26 @@ def poly_fingerprint(text: Column | str, prefix_len: int = 64) -> Column:
         F.lit(7).cast("long"),
         lambda h, code: (h * POLY_BASE + code) % POLY_MOD,
     )
+
+
+def chunk_words(
+    text: Column | str, chunk_size: int = 50, stride: int = 40
+) -> Column:
+    """Overlapping fixed-word-count chunks for LLM context windows.
+
+    Returns array<struct<chunk_no, chunk_text, n_words>> — explode it for
+    one row per chunk. Chunk i starts at word i·stride (stride <
+    chunk_size gives overlap); the tail chunk may be short. Pure array
+    expressions (sequence → slice → array_join): codegen'd, no Python,
+    and reproducible in any engine with list slicing.
+    """
+    w = words(text)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("long").alias("chunk_no"),
+            F.array_join(F.slice(w, s, chunk_size), " ").alias("chunk_text"),
+            F.size(F.slice(w, s, chunk_size)).cast("long").alias("n_words"),
+        ),
+    )

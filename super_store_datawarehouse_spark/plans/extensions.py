@@ -618,6 +618,57 @@ def x28_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x36 — overlapping document chunking for LLM context windows: pure
+# array expressions (sequence → slice → array_join), one row per chunk.
+# The oracle reproduces the same chunks with DuckDB list slicing.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x36_chunk_documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ), s AS (
+      SELECT doc_id, ws, UNNEST(range(1, greatest(len(ws), 1) + 1, 40)) AS st
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((st - 1) / 40 AS BIGINT) AS chunk_no,
+           array_to_string(ws[st : st + 49], ' ') AS chunk_text,
+           CAST(len(ws[st : st + 49]) AS BIGINT) AS n_words
+    FROM s
+    """,
+)
+def x36_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import chunk_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(chunk_words("text", chunk_size=50, stride=40)).alias("c")
+    ).select("doc_id", "c.chunk_no", "c.chunk_text", "c.n_words")
+
+
+# --------------------------------------------------------------------------
+# x37 — stream-static broadcast enrichment (streaming/jobs.py): events
+# stream joined to the static customer dim, aggregated per nation; the
+# completed stream equals the batch join, which is the oracle.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x37_stream_static_enrich",
+    oracle="""
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def x37_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.streaming.jobs import enriched_nation_counts_stream
+
+    return enriched_nation_counts_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
 # x35 — explicit GROUPING SETS (beyond q24's CUBE / q03's ROLLUP): three
 # chosen aggregation levels in one pass, with GROUPING() labels.
 # --------------------------------------------------------------------------

@@ -150,6 +150,37 @@ def purchase_click_join_stream(
     return spark.table(name)
 
 
+def enriched_nation_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against the static
+    customer table (broadcast — no stream state at all), aggregated per
+    nation. The standard dimension-enrichment topology: the static side
+    re-reads per micro-batch, so dimension updates are picked up without
+    restarting the stream.
+    """
+    customer = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    )
+    enriched = (
+        read_events_stream(spark, sf_dir)
+        .join(F.broadcast(customer), "user_id")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("total_value"),
+        )
+    )
+    name = f"nation_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def user_running_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: per-user cumulative event count via
     applyInPandasWithState (the escape hatch for operators Spark's

@@ -100,6 +100,23 @@ def test_partitioned_write_prunes_scan(tmp_path, spark):
     assert back.count() == want and want > 0
 
 
+def test_chunk_words_overlap_and_tail(spark):
+    from super_store_datawarehouse_spark.operators.text import chunk_words
+
+    text = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = (
+        df.select(F.explode(chunk_words("text", chunk_size=5, stride=3)).alias("c"))
+        .select("c.*")
+        .collect()
+    )
+    chunks = {r["chunk_no"]: (r["chunk_text"], r["n_words"]) for r in rows}
+    assert chunks[0] == ("w0 w1 w2 w3 w4", 5)
+    assert chunks[1] == ("w3 w4 w5 w6 w7", 5)      # stride-3 overlap of 2
+    assert chunks[3] == ("w9 w10 w11", 3)          # short tail chunk
+    assert len(chunks) == 4
+
+
 def test_export_tables_and_rejects_sinks(tmp_path, spark):
     import os
 
