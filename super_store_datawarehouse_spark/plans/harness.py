@@ -1108,3 +1108,73 @@ def q29_order_gaps_and_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_date")
     )
+
+
+# --------------------------------------------------------------------------
+# q30 — left-semi join (EXISTS): customers with at least one open order.
+# Complements q16's left_anti; semi avoids the row-multiplication a plain
+# join + distinct would shuffle.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q30_customers_with_open_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_nationkey
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+    )
+    ORDER BY c.c_custkey
+    """,
+)
+def q30_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q31 — full outer join of two aggregates: order counts vs lineitem
+# counts per key-bucket; either side can be missing (COALESCE fills).
+# --------------------------------------------------------------------------
+@harness_query(
+    "q31_full_outer_reconciliation",
+    oracle="""
+    WITH ob AS (
+      SELECT o_orderkey % 1000 AS bucket, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), lb AS (
+      SELECT l_partkey % 1000 AS bucket, COUNT(*) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(ob.bucket, lb.bucket) AS bucket,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_lines, 0) AS n_lines
+    FROM ob FULL OUTER JOIN lb ON ob.bucket = lb.bucket
+    ORDER BY bucket
+    """,
+)
+def q31_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ob = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy((F.col("o_orderkey") % 1000).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    lb = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy((F.col("l_partkey") % 1000).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    return (
+        ob.join(lb, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        )
+        .orderBy("bucket")
+    )

@@ -100,6 +100,34 @@ def test_partitioned_write_prunes_scan(tmp_path, spark):
     assert back.count() == want and want > 0
 
 
+def test_jsonl_roundtrip_with_corrupt_line(tmp_path, spark):
+    import gzip
+    import os
+
+    from super_store_datawarehouse_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello", 1.5), (2, "world", None)], "doc_id long, text string, score double"
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, out)
+    assert any(f.endswith(".json.gz") for f in os.listdir(out))
+    back = read_jsonl(spark, out, "doc_id long, text string, score double")
+    assert sorted((r["doc_id"], r["text"], r["score"]) for r in back.collect()) == [
+        (1, "hello", 1.5),
+        (2, "world", None),
+    ]
+
+    # corrupt line: PERMISSIVE default nulls the fields instead of failing
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    with gzip.open(raw / "part.json.gz", "wt") as f:
+        f.write('{"doc_id": 3, "text": "ok", "score": 2.0}\n')
+        f.write("not json at all\n")
+    rows = read_jsonl(spark, str(raw), "doc_id long, text string, score double").collect()
+    assert len(rows) == 2 and {r["doc_id"] for r in rows} == {3, None}
+
+
 def test_chunk_words_overlap_and_tail(spark):
     from super_store_datawarehouse_spark.operators.text import chunk_words
 
