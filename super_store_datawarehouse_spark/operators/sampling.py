@@ -62,6 +62,28 @@ def split_column(
     return expr.otherwise(F.lit(names[-1]))
 
 
+def weighted_mix(
+    sources: dict[str, tuple[DataFrame, float]], key_col: str, salt: int = 0
+) -> DataFrame:
+    """Deterministic dataset mixture: union each source's hash-sample at
+    its mixture fraction, tagging rows with the source name. The standard
+    training-mix operator (e.g. 100% curated + 30% web crawl), fully
+    reproducible and auditable via ``bucket_sql``.
+
+    All sources must share a schema; fractions apply independently per
+    source (same-key rows in different sources are sampled independently
+    because the source name salts the bucket).
+    """
+    mixed = None
+    for name, (df, fraction) in sorted(sources.items()):
+        src_salt = salt + sum(ord(ch) for ch in name)  # per-source stream
+        part = hash_sample(df, key_col, fraction, salt=src_salt).withColumn(
+            "mix_source", F.lit(name)
+        )
+        mixed = part if mixed is None else mixed.unionByName(part)
+    return mixed
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

@@ -618,6 +618,38 @@ def x28_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x38 — weighted dataset mixture (operators/sampling.py): keep all of the
+# "curated" slice (src0), a quarter of the rest, deterministically. The
+# oracle reproduces both per-source hash streams with integer SQL.
+# --------------------------------------------------------------------------
+_MIX_SALT_A = sum(ord(ch) for ch in "curated")
+_MIX_SALT_B = sum(ord(ch) for ch in "web")
+
+
+@harness_query(
+    "x38_weighted_mix",
+    oracle=f"""
+    SELECT doc_id, source, 'curated' AS mix_source FROM documents
+    WHERE source = 'src0'
+      AND ((doc_id + {_MIX_SALT_A}) * 2654435761) % 4294967296 % 10000 < 10000
+    UNION ALL
+    SELECT doc_id, source, 'web' AS mix_source FROM documents
+    WHERE source <> 'src0'
+      AND ((doc_id + {_MIX_SALT_B}) * 2654435761) % 4294967296 % 10000 < 2500
+    """,
+)
+def x38_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sampling import weighted_mix
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    curated = docs.filter(F.col("source") == "src0")
+    web = docs.filter(F.col("source") != "src0")
+    return weighted_mix(
+        {"curated": (curated, 1.0), "web": (web, 0.25)}, key_col="doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
 # x36 — overlapping document chunking for LLM context windows: pure
 # array expressions (sequence → slice → array_join), one row per chunk.
 # The oracle reproduces the same chunks with DuckDB list slicing.
