@@ -50,17 +50,31 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle) rows."""
+def word_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hashed: bool = False,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle) rows.
+
+    ``hashed=True`` replaces each shingle string with its xxhash64 —
+    the join/groupBy payload becomes a fixed 8 bytes instead of the
+    string (shuffle-dominant at corpus scale; collision odds are
+    ~|shingles|²/2⁶⁴, negligible against the sketch error already
+    accepted by callers on this path).
+    """
     w = words(text_col)
     shingles = F.transform(
         F.sequence(F.lit(0), F.size(w) - n),
         lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
     )
-    return df.select(
-        F.col(id_col).alias("sid"),
-        F.explode(F.array_distinct(shingles)).alias("shingle"),
-    )
+    col = F.explode(F.array_distinct(shingles)).alias("shingle")
+    out = df.select(F.col(id_col).alias("sid"), col)
+    if hashed:
+        out = out.select("sid", F.xxhash64("shingle").alias("shingle"))
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -76,8 +90,10 @@ def ngram_jaccard_pairs(
     count → Jaccard from the inclusion-exclusion identity. Integer/integer
     division keeps the similarity bit-exact across engines. The threshold
     comparison is done in integers (inter > t·union) to avoid float edges.
+    Shingles are pre-hashed to 8-byte ints so the self-join shuffles
+    fixed-width keys, not strings.
     """
-    sh = word_shingles(df, text_col, id_col, n).cache()
+    sh = word_shingles(df, text_col, id_col, n, hashed=True).cache()
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     left = sh.select(F.col("sid").alias("id_a"), "shingle")
@@ -141,7 +157,10 @@ def minhash_signatures(
     shingle explosion across signature build and candidate verification.
     """
     sh = shingles if shingles is not None else word_shingles(df, text_col, id_col, n)
-    base = F.abs(F.xxhash64("shingle")) % F.lit(1 << 31)
+    # accept either raw shingle strings or pre-hashed longs (same values:
+    # the hashed path stores exactly xxhash64(shingle))
+    pre_hashed = dict(sh.dtypes)["shingle"] == "bigint"
+    base = F.abs(F.col("shingle") if pre_hashed else F.xxhash64("shingle")) % F.lit(1 << 31)
     coeffs = _minhash_coeffs(num_hashes, seed)
     mins = [
         F.min((F.lit(a) * base + F.lit(b)) % F.lit(MERSENNE61)).alias(f"h{i}")
@@ -174,8 +193,9 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     # one shingle explosion feeds both the signature build and the exact
-    # verification below — at 100 TB this halves the dominant scan+explode
-    sh = word_shingles(df, text_col, id_col, n).cache()
+    # verification below — at 100 TB this halves the dominant scan+explode;
+    # hashed shingles keep the candidate-verification join fixed-width
+    sh = word_shingles(df, text_col, id_col, n, hashed=True).cache()
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed, shingles=sh)
     band_rows = sig.select(
         F.col(id_col).alias("sid"),
