@@ -359,3 +359,40 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash over a portable polynomial word hash (h·31+ascii mod 2³²).
+
+    Same construction as ``simhash64`` but every step — char fold, bit
+    test, sign sum — is reproducible in any SQL engine, so the full
+    signature (not just row counts) is oracle-verifiable. Use the
+    xxhash64 variant for production (better bit diffusion); use this one
+    when cross-engine auditability of the sketch itself matters.
+    """
+    feats = df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(F.array_distinct(words(text_col))).alias("word"),
+    )
+    codes = F.transform(F.split("word", ""), lambda ch: F.ascii(ch).cast("long"))
+    hw = F.aggregate(
+        codes,
+        F.lit(7).cast("long"),
+        lambda h, c: (h * 31 + c) % F.lit(1 << 32),
+    )
+    feats = feats.withColumn("hw", hw)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("hw", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = feats.groupBy("sid").agg(*bit_sums)
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return agg.select(F.col("sid").alias(id_col), sim.alias("simhash"))

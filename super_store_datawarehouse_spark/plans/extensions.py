@@ -618,6 +618,47 @@ def x28_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x39 — portable SimHash: full 32-bit signatures verified bit-for-bit
+# against the oracle (polynomial word hash → per-bit sign sums), closing
+# the auditability gap the xxhash-based x04 necessarily leaves open.
+# --------------------------------------------------------------------------
+_X39_BITSUMS = ", ".join(
+    f"SUM(CASE WHEN (hw >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(32)
+)
+_X39_COMPOSE = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for i in range(32)
+)
+
+
+@harness_query(
+    "x39_simhash_portable",
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT doc_id, word FROM (
+        SELECT doc_id, UNNEST(string_split(lower(trim(text)), ' ')) AS word
+        FROM documents
+      )
+    ), h AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split_regex(word, ''),
+                                ch -> CAST(ascii(ch) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % 4294967296) AS hw
+      FROM w
+    ), b AS (
+      SELECT doc_id, {_X39_BITSUMS} FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, {_X39_COMPOSE} AS simhash FROM b
+    """,
+)
+def x39_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_portable(docs)
+
+
+# --------------------------------------------------------------------------
 # x38 — weighted dataset mixture (operators/sampling.py): keep all of the
 # "curated" slice (src0), a quarter of the rest, deterministically. The
 # oracle reproduces both per-source hash streams with integer SQL.
