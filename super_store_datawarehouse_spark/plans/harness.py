@@ -1178,3 +1178,42 @@ def q31_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# q32 — bounded sliding frame: 7-day moving average of daily revenue
+# (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) plus FIRST_VALUE anchoring.
+# Rounds out the frame-spec surface: W2 default RANGE, W3 unbounded ROWS,
+# and here a bounded ROWS frame.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q32_moving_average_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT d AS order_date,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(AVG(cents) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS ma7,
+           CAST(first_value(cents) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS window_first
+    FROM daily
+    ORDER BY order_date
+    """,
+)
+def q32_moving_average_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents("o_totalprice")).alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    return (
+        daily.select(
+            F.col("d").alias("order_date"),
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
+            (F.avg("cents").over(w) / 100.0).alias("ma7"),
+            (F.first("cents").over(w).cast("double") / 100.0).alias("window_first"),
+        )
+        .orderBy("order_date")
+    )
