@@ -135,3 +135,28 @@ def chunk_words(
             F.size(F.slice(w, s, chunk_size)).cast("long").alias("n_words"),
         ),
     )
+
+
+# Scrub patterns use only char classes, +, and literal chars — the subset
+# where Java regex (Spark) and RE2 (DuckDB/Go tooling) agree exactly.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+URL_PATTERN = r"https?://[A-Za-z0-9./_%-]+"
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Replace emails and URLs with placeholder tokens — the standard
+    pre-training scrub pass. Native regexp_replace chain: codegen'd,
+    no Python, ~scan speed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>"), URL_PATTERN, "<URL>"
+    )
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """How many emails/URLs a scrub pass would replace (audit metric)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_emails": F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), F.lit(0))),
+        "n_urls": F.size(F.regexp_extract_all(c, F.lit(URL_PATTERN), F.lit(0))),
+    }

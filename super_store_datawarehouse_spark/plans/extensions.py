@@ -618,6 +618,60 @@ def x28_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x40 — PII/URL scrubbing: both sides plant deterministic emails/URLs
+# (synthetic docs contain none), then the scrub + audit counts must
+# match string-for-string. DuckDB needs the 'g' flag to match Spark's
+# replace-all semantics.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x40_scrub_pii",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact: user' || doc_id || '@example.com' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' see https://example.com/d' || doc_id ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+', '<EMAIL>', 'g'),
+             'https?://[A-Za-z0-9./_%-]+', '<URL>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%-]+')) AS INT) AS n_urls
+    FROM seeded
+    """,
+)
+def x40_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import pii_counts, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" contact: user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" see https://example.com/d"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = pii_counts("text")
+    return seeded.select(
+        "doc_id",
+        scrub_pii("text").alias("scrubbed"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_urls"].alias("n_urls"),
+    )
+
+
+# --------------------------------------------------------------------------
 # x39 — portable SimHash: full 32-bit signatures verified bit-for-bit
 # against the oracle (polynomial word hash → per-bit sign sums), closing
 # the auditability gap the xxhash-based x04 necessarily leaves open.
