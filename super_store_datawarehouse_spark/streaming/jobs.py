@@ -150,6 +150,39 @@ def purchase_click_join_stream(
     return spark.table(name)
 
 
+def hourly_counts_to_parquet(
+    spark: SparkSession, sf_dir: str, out_dir: str, watermark: str = "2 hours"
+) -> int:
+    """foreachBatch sink: reuse the batch parquet writer per micro-batch.
+
+    The standard escape hatch for sinks Structured Streaming lacks
+    natively (JDBC upserts, MERGE, multi-table fanout): each trigger
+    hands the micro-batch result to arbitrary batch code with the
+    batch_id for idempotence. Complete mode here overwrites the
+    aggregate per trigger, so the directory always holds the
+    latest-converged table. Returns the number of batches written.
+    """
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    batches = {"n": 0}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+        batches["n"] += 1
+
+    q = agg.writeStream.outputMode("complete").foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return batches["n"]
+
+
 def enriched_nation_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the events stream enriched against the static
     customer table (broadcast — no stream state at all), aggregated per

@@ -165,6 +165,38 @@ def test_export_tables_and_rejects_sinks(tmp_path, spark):
     assert [r["id"] for r in back.collect()] == [2]
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """With one key holding 95% of rows, AQE's skew-join handling must
+    split the hot partition (skew=true in the final adaptive plan) —
+    the runtime half of the skew story (operators/skew.py is the
+    structural half)."""
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        left = (
+            spark.range(0, 200_000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") < 190_000, F.lit(7)).otherwise(F.col("id") % 100),
+            )
+            .withColumn("pad", F.lpad(F.lit("x"), 64, "y"))
+        )
+        right = spark.range(0, 100).withColumnRenamed("id", "k2")
+        j = left.join(right, F.col("k") == F.col("k2"))
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan and "skew=true" in plan
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+
 def test_bucketed_tables_join_without_shuffle(tmp_path, spark):
     """Pre-bucketing both sides of a recurring join key removes the
     per-query Exchange: the sort-merge join reads co-located buckets.

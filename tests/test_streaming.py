@@ -127,6 +127,53 @@ def test_windowed_agg_append_finalizes_only_watermark_passed_windows(tmp_path, s
     assert [(r["w"]["start"].hour, r["count"]) for r in rows] == [(4, 1)]
 
 
+def test_dedup_stream_with_rocksdb_state_store(spark):
+    """The disk-backed RocksDB state store (the 100 TB state backend —
+    state no longer bounded by executor heap) must be a drop-in for the
+    default HDFS-backed provider."""
+    from super_store_datawarehouse_spark.streaming.jobs import dedup_events_stream
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = dedup_events_stream(spark, SF_DIR)
+        n_distinct = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .select("event_id").distinct().count()
+        )
+        assert out.count() == n_distinct
+    finally:
+        spark.conf.unset(key)
+
+
+def test_foreach_batch_parquet_sink(tmp_path, spark):
+    """foreachBatch: arbitrary batch-writer reuse per micro-batch — the
+    standard pattern for sinks Structured Streaming lacks natively."""
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        hourly_counts_to_parquet,
+    )
+
+    out = str(tmp_path / "hourly")
+    n_batches = hourly_counts_to_parquet(spark, SF_DIR, out)
+    assert n_batches >= 1
+    back = spark.read.parquet(out)
+    # complete-mode rewrite per batch: final directory equals the batch agg
+    from super_store_datawarehouse_spark.plans.extensions import x10_events_hourly
+
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in x10_events_hourly(spark, SF_DIR).collect()
+    }
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in back.collect()
+    }
+    assert got == want
+
+
 def test_stream_stream_join_equals_batch(spark):
     from super_store_datawarehouse_spark.sources.testdata import load_table
     from super_store_datawarehouse_spark.streaming.jobs import purchase_click_join_stream
