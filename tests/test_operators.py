@@ -415,3 +415,21 @@ def test_multimodal_fake_decode_shapes(spark, docs):
     assert len(rows) == 20
     assert all(1 <= r["width"] <= 64 and 1 <= r["height"] <= 64 for r in rows)
     assert all(r["byte_len"] > 0 for r in rows)
+
+
+def test_sentence_udtf_lateral(spark):
+    from super_store_datawarehouse_spark.operators.text import register_sentence_udtf
+
+    register_sentence_udtf(spark)
+    spark.createDataFrame(
+        [(1, "Hello there. How are you? Fine!"), (2, "")], ["id", "text"]
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT id, s.sent_no, s.sentence FROM udtf_docs, LATERAL split_sentences(text) s"
+    ).collect()
+    got = {(r["id"], r["sent_no"]): r["sentence"] for r in rows}
+    assert got == {
+        (1, 0): "Hello there.",
+        (1, 1): "How are you?",
+        (1, 2): "Fine!",
+    }
