@@ -66,10 +66,16 @@ def word_shingles(
     accepted by callers on this path).
     """
     w = words(text_col)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
-    )
+    # documents shorter than n words have no shingles (empty array, row
+    # dropped by the explode) — sequence() would otherwise go descending
+    # and crash on slice start 0
+    shingles = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     col = F.explode(F.array_distinct(shingles)).alias("shingle")
     out = df.select(F.col(id_col).alias("sid"), col)
     if hashed:
@@ -341,9 +347,15 @@ def embedding_near_dup_pairs(
     """
     from super_store_datawarehouse_spark.operators.similarity import dot
 
-    e = df.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    e = (
+        df.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        # zero-norm vectors (failed embeds, padding) have no defined
+        # cosine; excluding them also avoids ANSI DIVIDE_BY_ZERO aborts
+        .filter(F.col("nrm") > 0)
+    )
     # norms once per vector (not per pair); repartition the probe side so
     # the nested-loop pair scan parallelizes instead of running one task
     a = e.repartition(32).alias("a")

@@ -13,7 +13,9 @@ buckets and select by bucket range, so
   engine can reproduce (and audit) the exact sample;
 - disjointness of train/val/test is by construction (bucket ranges).
 
-Keys must be non-negative and < 2^31 so the product stays inside int64.
+Keys may be negative (pmod normalizes); |key| must be < 2^31 so the
+product stays inside int64. ``bucket_sql`` assumes non-negative keys —
+wrap with the usual ((x % m) + m) % m when auditing signed keys.
 """
 
 from __future__ import annotations
@@ -26,9 +28,14 @@ N_BUCKETS = 10_000
 
 
 def hash_bucket(key: Column | str, salt: int = 0) -> Column:
-    """Deterministic bucket in [0, 10000) from an integer key column."""
+    """Deterministic bucket in [0, 10000) from an integer key column.
+
+    pmod (not %) so negative keys still land in [0, 10000) — Spark's %
+    keeps the dividend sign, and a negative bucket would silently pass
+    every `bucket < threshold` sample/split filter.
+    """
     c = F.col(key) if isinstance(key, str) else key
-    return ((c + F.lit(salt)) * F.lit(KNUTH)) % F.lit(1 << 32) % F.lit(N_BUCKETS)
+    return F.pmod(F.pmod((c + F.lit(salt)) * F.lit(KNUTH), F.lit(1 << 32)), F.lit(N_BUCKETS))
 
 
 def bucket_sql(key: str, salt: int = 0) -> str:
@@ -74,9 +81,14 @@ def weighted_mix(
     source (same-key rows in different sources are sampled independently
     because the source name salts the bucket).
     """
+    import zlib
+
     mixed = None
     for name, (df, fraction) in sorted(sources.items()):
-        src_salt = salt + sum(ord(ch) for ch in name)  # per-source stream
+        # crc32 of the name: distinct sources get decorrelated hash
+        # streams (a character-sum salt would collide for anagrams,
+        # silently correlating their samples)
+        src_salt = salt + zlib.crc32(name.encode("utf-8")) % (1 << 20)
         part = hash_sample(df, key_col, fraction, salt=src_salt).withColumn(
             "mix_source", F.lit(name)
         )

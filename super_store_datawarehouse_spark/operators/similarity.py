@@ -32,8 +32,12 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; inputs should already be array<double>."""
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """Cosine similarity; inputs should already be array<double>.
+
+    NULL (not an error) when either vector has zero norm — try_divide
+    keeps a single all-zero embedding from aborting the job under ANSI.
+    """
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
 def brute_force_topk(
@@ -51,14 +55,22 @@ def brute_force_topk(
     per-pair work is a single dot-product fold — the arithmetic
     (dot/(q_norm·c_norm)) is unchanged and stays bit-exact vs the oracle.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("cnrm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("qnrm", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .withColumn("cnrm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+        .filter(F.col("cnrm") > 0)  # zero-norm rows have no cosine
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("qnrm", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+        .filter(F.col("qnrm") > 0)
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -171,30 +183,41 @@ def lsh_topk(
     """
     sig_udf = _all_table_signatures(n_planes, n_tables, dim)
 
-    def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
+    def with_buckets(df: DataFrame, idc: str, vc: str, nrm: str) -> DataFrame:
         return df.select(
-            idc, vc, F.posexplode(sig_udf(F.col(vc))).alias("tbl", "sig")
+            idc, vc, nrm, F.posexplode(sig_udf(F.col(vc))).alias("tbl", "sig")
         )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .withColumn("cnrm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+        .filter(F.col("cnrm") > 0)
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("qnrm", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+        .filter(F.col("qnrm") > 0)
     )
-    cb = with_buckets(c, "neighbor_id", "cv")
-    qb = with_buckets(q, "query_id", "qv")
+    cb = with_buckets(c, "neighbor_id", "cv", "cnrm")
+    qb = with_buckets(q, "query_id", "qv", "qnrm")
 
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id", "qv", "cv", "qnrm", "cnrm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # norms ride through the bucket join — one dot-product fold per pair
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

@@ -51,10 +51,20 @@ def salted_join(
     ``left.join(right, on, how)``, but a hot key occupies n tasks
     instead of one.
 
+    Only left-preserving joins are supported: under right/full outer the
+    replicated right side would emit n_salts-1 spurious null-left rows
+    per unmatched right row, silently corrupting the result.
+
     The salt is a deterministic hash of the left row's key plus a
     per-partition row index, so it spreads rows of the same key without
     requiring any extra column from the caller.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} joins, not {how!r}: "
+            "build-side replication breaks right/full outer semantics"
+        )
     salt_l = F.pmod(
         F.xxhash64(F.col(on), F.spark_partition_id(), F.monotonically_increasing_id()),
         F.lit(n_salts),

@@ -24,9 +24,11 @@ POLY_BASE = 31
 
 
 def words(text: Column | str) -> Column:
-    """Whitespace tokenization of lowercased text."""
+    """Whitespace tokenization of lowercased text. Empty/whitespace-only
+    text yields an empty array (split alone would yield [''], giving
+    empty docs a phantom token in every downstream count/signature)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.lower(F.trim(c)), r"\s+")
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda x: x != "")
 
 
 def token_count_ws(text: Column | str) -> Column:
@@ -47,7 +49,8 @@ def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS
     """
     w = words(text)
     hits = F.size(F.filter(w, lambda x: x.isin(*stopwords)))
-    return hits.cast("double") / F.size(w).cast("double")
+    # NULL for empty docs rather than an ANSI divide-by-zero abort
+    return F.try_divide(hits.cast("double"), F.size(w).cast("double"))
 
 
 def lang_id(text: Column | str, en_threshold: float = 0.05) -> Column:
@@ -83,9 +86,11 @@ def quality_components(text: Column | str) -> dict[str, Column]:
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tokens.cast("long"),
-        "avg_token_len": n_chars.cast("double") / n_tokens.cast("double"),
+        # NULL components for empty docs (try_divide) — quality_keep's
+        # comparisons treat NULL as not-keep, which is the right call
+        "avg_token_len": F.try_divide(n_chars.cast("double"), n_tokens.cast("double")),
         "stopword_ratio": stopword_ratio(c),
-        "punct_ratio": punct_count(c).cast("double") / n_chars.cast("double"),
+        "punct_ratio": F.try_divide(punct_count(c).cast("double"), n_chars.cast("double")),
     }
 
 
@@ -140,16 +145,21 @@ def chunk_words(
 # Scrub patterns use only char classes, +, and literal chars — the subset
 # where Java regex (Spark) and RE2 (DuckDB/Go tooling) agree exactly.
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
-URL_PATTERN = r"https?://[A-Za-z0-9./_%-]+"
+URL_PATTERN = r"https?://[A-Za-z0-9./_%@-]+"
 
 
 def scrub_pii(text: Column | str) -> Column:
     """Replace emails and URLs with placeholder tokens — the standard
     pre-training scrub pass. Native regexp_replace chain: codegen'd,
-    no Python, ~scan speed."""
+    no Python, ~scan speed.
+
+    URLs are replaced FIRST: a userinfo-form URL (https://user@host/p)
+    contains an email-shaped substring, and scrubbing that first would
+    break the URL match and leak the scheme/host/path remnants.
+    """
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_replace(
-        F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>"), URL_PATTERN, "<URL>"
+        F.regexp_replace(c, URL_PATTERN, "<URL>"), EMAIL_PATTERN, "<EMAIL>"
     )
 
 

@@ -637,10 +637,10 @@ def x28_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            regexp_replace(
-             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+', '<EMAIL>', 'g'),
-             'https?://[A-Za-z0-9./_%-]+', '<URL>', 'g') AS scrubbed,
+             regexp_replace(text, 'https?://[A-Za-z0-9./_%@-]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+', '<EMAIL>', 'g') AS scrubbed,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+')) AS INT) AS n_emails,
-           CAST(len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%-]+')) AS INT) AS n_urls
+           CAST(len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%@-]+')) AS INT) AS n_urls
     FROM seeded
     """,
 )
@@ -717,8 +717,10 @@ def x39_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "curated" slice (src0), a quarter of the rest, deterministically. The
 # oracle reproduces both per-source hash streams with integer SQL.
 # --------------------------------------------------------------------------
-_MIX_SALT_A = sum(ord(ch) for ch in "curated")
-_MIX_SALT_B = sum(ord(ch) for ch in "web")
+import zlib as _zlib
+
+_MIX_SALT_A = _zlib.crc32(b"curated") % (1 << 20)
+_MIX_SALT_B = _zlib.crc32(b"web") % (1 << 20)
 
 
 @harness_query(

@@ -433,3 +433,120 @@ def test_sentence_udtf_lateral(spark):
         (1, 1): "How are you?",
         (1, 2): "Fine!",
     }
+
+
+def test_orc_and_zstd_parquet_roundtrip(tmp_path, spark):
+    """Format surface beyond parquet/jsonl: ORC (columnar alternative)
+    and zstd-compressed parquet (the 100 TB storage codec of choice)."""
+    import os
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}", float(i) * 1.5) for i in range(100)], ["id", "name", "val"]
+    )
+    orc_path = str(tmp_path / "t_orc")
+    df.write.mode("overwrite").orc(orc_path)
+    assert spark.read.orc(orc_path).count() == 100
+
+    pq_path = str(tmp_path / "t_zstd")
+    df.write.mode("overwrite").option("compression", "zstd").parquet(pq_path)
+    files = [f for f in os.listdir(pq_path) if f.endswith(".parquet")]
+    assert files and all(".zstd." in f for f in files)
+    got = sorted(r["id"] for r in spark.read.parquet(pq_path).collect())
+    assert got == list(range(100))
+
+
+def test_short_and_empty_docs_survive_shingle_paths(spark):
+    """Docs shorter than the shingle width (incl. empty text) must yield
+    zero shingles, not a descending-sequence crash."""
+    from super_store_datawarehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "two words"),
+            (2, ""),
+            (3, "a much longer document with enough words to shingle"),
+            (4, "a much longer document with enough words to shingle"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(df, threshold=0.2).collect()}
+    assert exact == {(3, 4)}
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df, threshold=0.2).collect()}
+    assert lsh == {(3, 4)}
+
+
+def test_zero_norm_vectors_do_not_abort_cosine_paths(spark):
+    from super_store_datawarehouse_spark.operators.dedup import embedding_near_dup_pairs
+    from super_store_datawarehouse_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 0.0]),  # zero norm: excluded, must not abort (ANSI /0)
+        (3, [0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, threshold=0.5).collect()}
+    assert pairs == {(1, 3)}
+    got = brute_force_topk(df, df, k=2).collect()
+    assert {r["neighbor_id"] for r in got} <= {1, 3}
+    lsh_topk(df, df, k=2, dim=2).collect()  # must simply not raise
+
+
+def test_empty_doc_quality_components_are_null_not_error(spark):
+    from super_store_datawarehouse_spark.operators.text import (
+        quality_components,
+        quality_keep,
+        token_count_ws,
+    )
+
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "real text here")], ["doc_id", "text"])
+    comps = quality_components("text")
+    out = df.select(
+        "doc_id",
+        token_count_ws("text").alias("n"),
+        comps["avg_token_len"].alias("atl"),
+        comps["punct_ratio"].alias("pr"),
+        quality_keep("text", min_tokens=1).alias("keep"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n"] == 0 and by_id[2]["n"] == 0 and by_id[3]["n"] == 3
+    assert by_id[1]["atl"] is None and by_id[1]["pr"] is None
+    assert by_id[1]["keep"] is None or by_id[1]["keep"] is False
+    assert by_id[3]["keep"] is True
+
+
+def test_negative_keys_sample_correctly(spark):
+    from super_store_datawarehouse_spark.operators.sampling import hash_sample
+
+    df = spark.range(-2500, 2500).withColumnRenamed("id", "k")
+    kept = hash_sample(df, "k", 0.2).count()
+    # negative keys must hash into [0,10000) like any other — not
+    # unconditionally pass the filter
+    assert 0.15 < kept / 5000 < 0.25
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest as _pytest
+
+    from super_store_datawarehouse_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    with _pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(df, df, on="k", how="full")
+
+
+def test_scrub_pii_handles_userinfo_urls(spark):
+    from super_store_datawarehouse_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "see https://user@example.com/secret and mail bob@corp.io now")],
+        ["id", "text"],
+    )
+    out = df.select(scrub_pii("text").alias("s")).collect()[0]["s"]
+    assert out == "see <URL> and mail <EMAIL> now"
