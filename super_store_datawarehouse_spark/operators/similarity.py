@@ -225,3 +225,144 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, id_out: str, v: str, nrm: str) -> DataFrame:
+    """Project to (id, array<double>, norm), dropping zero-norm vectors."""
+    return (
+        df.select(
+            F.col(id_col).alias(id_out), F.col(vec_col).cast("array<double>").alias(v)
+        )
+        .withColumn(nrm, F.sqrt(dot(F.col(v), F.col(v))))
+        .filter(F.col(nrm) > 0)
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    fraction: float = 0.03,
+    id_col: str = "vec_id",
+    salt: int = 7,
+) -> DataFrame:
+    """IVF coarse quantizer: a deterministic hash-sample of the corpus
+    serves as the centroid set.
+
+    A trained k-means codebook would cluster better, but requires an
+    iterative driver loop; the hash-sample codebook is one scan, fully
+    deterministic (reproducible by any engine via integer arithmetic —
+    see ``operators.sampling``), and preserves the property IVF needs:
+    centroid density follows data density. No global sort/limit, so it
+    scales to any corpus size.
+    """
+    from super_store_datawarehouse_spark.operators.sampling import hash_sample
+
+    return hash_sample(corpus, id_col, fraction, salt=salt)
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    id_out: str = "vid",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by cosine.
+
+    Centroids are broadcast (they are a small fraction of the corpus);
+    scoring is a codegen'd fold per (vector, centroid). The argmax runs
+    over slim (id, centroid_id, cosine) rows only — vectors do NOT ride
+    through the ranking shuffle; callers re-join payload by id, so the
+    shuffled bytes stay O(n·k·16) instead of O(n·k·dim·8).
+    """
+    v = _prep(vectors, id_col, vec_col, id_out, "v", "nrm")
+    c = _prep(centroids, id_col, vec_col, "centroid_id", "cv", "cnrm")
+    scored = v.join(F.broadcast(c)).select(
+        id_out,
+        "centroid_id",
+        (dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("ccos"),
+    )
+    w = Window.partitionBy(id_out).orderBy(F.desc("ccos"), "centroid_id")
+    return (
+        scored.withColumn("probe", F.row_number().over(w))
+        .filter(F.col("probe") <= nprobe)
+        .select(id_out, "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_fraction: float = 0.03,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: hash-sampled centroids partition the corpus into
+    cells; each query exactly re-ranks only the cells its ``nprobe``
+    nearest centroids own.
+
+    The scale path vs brute force: candidate generation is an equi-join
+    on ``centroid_id`` (shuffle-partitionable, AQE-balanceable) instead
+    of a corpus-wide cross product per query — per-query work drops from
+    O(|corpus|) to O(|corpus| · nprobe / n_centroids) expected. Every
+    arithmetic step is the same bit-exact double fold as
+    ``brute_force_topk``, so the whole algorithm (centroid choice,
+    assignment, ranking) is reproducible by the SQL oracle.
+    """
+    cents = ivf_centroids(corpus, centroid_fraction, id_col)
+    c_assign = ivf_assign(corpus, cents, 1, id_col, vec_col, "neighbor_id")
+    q_assign = ivf_assign(queries, cents, nprobe, id_col, vec_col, "query_id")
+
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "cv", "cnrm").join(
+        c_assign, "neighbor_id"
+    )
+    q = _prep(queries, id_col, vec_col, "query_id", "qv", "qnrm").join(
+        q_assign, "query_id"
+    )
+    scored = (
+        c.join(q, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))).alias("cosine"),
+        )
+        # nprobe probes can surface the same neighbor via two cells
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: 4× smaller
+    vectors for the ANN candidate stage (exact re-rank can re-read fp32).
+
+    scale = 127 / max|v_i|; q_i = floor(v_i · scale + 0.5). floor(x+0.5)
+    instead of round() because round-half-to-even vs half-away differs
+    between engines while floor is IEEE-identical everywhere. Zero-norm
+    vectors are dropped (no defined scale). Pure codegen'd array
+    expressions — no UDF.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        df.select(F.col(id_col).alias(id_col), v.alias("v"))
+        .withColumn("maxabs", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))))
+        .filter(F.col("maxabs") > 0)
+        .select(
+            id_col,
+            (F.lit(127.0) / F.col("maxabs")).alias("scale"),
+            F.transform(
+                F.col("v"),
+                lambda x: F.floor(x * (F.lit(127.0) / F.col("maxabs")) + F.lit(0.5)).cast("int"),
+            ).alias("qvec"),
+        )
+    )

@@ -9,7 +9,7 @@ Spark and any ANSI engine agree bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny embedded English stopword list — enough for a ratio heuristic;
@@ -199,3 +199,46 @@ def register_sentence_udtf(spark) -> None:
     """Register the sentence splitter as SQL table function
     ``split_sentences`` (use via LATERAL)."""
     spark.udtf.register("split_sentences", sentence_udtf())
+
+
+# Per-language stopword lists (tiny, deterministic). A production list is
+# longer; what the engine demonstrates is the *mechanism*: auxiliary
+# per-group vocabulary distributed as a broadcast lookup table, so the
+# hit-count runs JVM-side with zero shuffle added to the scan.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": EN_STOPWORDS,
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "fr": ("le", "la", "les", "de", "des", "et", "est", "un", "une", "dans"),
+    "es": ("el", "la", "los", "las", "de", "y", "es", "un", "una", "en"),
+}
+
+
+def stopword_hits_by_lang(
+    docs: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Per-document stopword hits using the language's own stopword list.
+
+    The lists live in a 4-row (lang, stops) DataFrame broadcast to every
+    executor — the idiomatic way to ship per-group vocabulary without a
+    shuffle (at 100 TB the documents scan is untouched; the join adds a
+    BroadcastHashJoin). Languages without a list (e.g. zh, where
+    whitespace tokens are not words) count 0 hits.
+    """
+    spark = docs.sparkSession
+    rows = [(lang, list(ws)) for lang, ws in sorted(LANG_STOPWORDS.items())]
+    lookup = spark.createDataFrame(rows, "lang string, stops array<string>")
+    w = words(F.col(text_col))
+    empty = F.array().cast("array<string>")
+    return (
+        docs.join(F.broadcast(lookup), docs[lang_col] == lookup["lang"], "left")
+        .drop(lookup["lang"])
+        .withColumn("stops", F.coalesce("stops", empty))
+        .withColumn("n_tokens", F.size(w).cast("long"))
+        .withColumn(
+            "n_stop_hits",
+            F.size(
+                F.filter(w, lambda x: F.array_position(F.col("stops"), x) > 0)
+            ).cast("long"),
+        )
+        .drop("stops")
+    )

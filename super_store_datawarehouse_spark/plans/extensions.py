@@ -1193,3 +1193,217 @@ def x20_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(texts_as_assets(docs), every_ms=1000, max_frames=8, fake=True)
+
+
+# --------------------------------------------------------------------------
+# x41 — IVF-style ANN: deterministic hash-sampled centroids partition the
+# corpus into cells; queries exactly re-rank only their nprobe nearest
+# cells. Whole algorithm (centroid choice, assignment, ranking) uses
+# integer + bit-exact-fold arithmetic, so the oracle reproduces it fully.
+# --------------------------------------------------------------------------
+from super_store_datawarehouse_spark.operators.sampling import bucket_sql as _bucket_sql
+
+_E_FOLD = _COSINE_FOLD.format(
+    a="CAST(embedding AS DOUBLE[])", b="CAST(embedding AS DOUBLE[])"
+)
+
+
+@harness_query(
+    "x41_ivf_ann_topk",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt({_E_FOLD}) AS nrm
+      FROM embeddings
+    ), e AS (SELECT * FROM e0 WHERE nrm > 0),
+    cent AS (
+      SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+      FROM e WHERE {_bucket_sql('vec_id', 7)} < 300
+    ),
+    ca AS (
+      SELECT neighbor_id, centroid_id FROM (
+        SELECT e.vec_id AS neighbor_id, cent.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COSINE_FOLD.format(a='e.v', b='cent.cv')} / (e.nrm * cent.cnrm) DESC,
+                          cent.centroid_id) AS rn
+        FROM e CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    qa AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT e.vec_id AS query_id, cent.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COSINE_FOLD.format(a='e.v', b='cent.cv')} / (e.nrm * cent.cnrm) DESC,
+                          cent.centroid_id) AS rn
+        FROM e CROSS JOIN cent
+        WHERE e.vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT DISTINCT qa.query_id, ca.neighbor_id,
+             {_COSINE_FOLD.format(a='qe.v', b='ce.v')} / (qe.nrm * ce.nrm) AS cosine
+      FROM qa
+      JOIN ca ON ca.centroid_id = qa.centroid_id
+      JOIN e qe ON qe.vec_id = qa.query_id
+      JOIN e ce ON ce.vec_id = ca.neighbor_id
+      WHERE qa.query_id != ca.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+    """,
+)
+def x41_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, centroid_fraction=0.03, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# x42 — symmetric int8 embedding quantization (4× smaller ANN candidate
+# vectors). floor(x+0.5) rounding is IEEE-identical across engines; the
+# quantized vector is compared as CSV text to exercise every element.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x42_quantize_int8",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
+      FROM embeddings
+    )
+    SELECT vec_id,
+           127.0 / maxabs AS scale,
+           array_to_string(
+             list_transform(v, x -> CAST(floor(x * (127.0 / maxabs) + 0.5) AS INT)),
+             ',') AS qvec_csv
+    FROM t WHERE maxabs > 0
+    """,
+)
+def x42_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    return q.select("vec_id", "scale", F.array_join("qvec", ",").alias("qvec_csv"))
+
+
+# --------------------------------------------------------------------------
+# x43 — CDC latest-wins upsert: an update batch (every 7th order flips to
+# status 'X') merges into the base table; survivors aggregate by status.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x43_upsert_latest",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version FROM orders
+    ), updates AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice, 2 AS version
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), unioned AS (
+      SELECT * FROM base UNION ALL SELECT * FROM updates
+    ), latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        FROM unioned
+      ) WHERE rn = 1
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+    FROM latest GROUP BY o_orderstatus
+    """,
+)
+def x43_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.functions.exact import money_sum
+    from super_store_datawarehouse_spark.operators.cdc import apply_upserts
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.withColumn("version", F.lit(1))
+    updates = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("version", F.lit(2))
+    )
+    merged = apply_upserts(base, updates, ["o_orderkey"], "version")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum("o_totalprice", "total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x44 — distribution windows: percent_rank + cume_dist of supplier account
+# balance within nation (unique ORDER BY keys → engine-exact doubles).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x44_balance_distribution",
+    oracle="""
+    SELECT s_nationkey, s_suppkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def x44_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return sup.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x45 — per-language stopword density: the stopword lists ship as a
+# broadcast lookup table (no shuffle added to the scan); ratios divide
+# exact integer sums once, so the doubles match bit-for-bit. The oracle
+# CASE is generated from the same LANG_STOPWORDS dict — one source of
+# truth for both engines.
+# --------------------------------------------------------------------------
+from super_store_datawarehouse_spark.operators.text import LANG_STOPWORDS as _LANG_STOPS
+
+
+def _in_list(ws: tuple[str, ...]) -> str:
+    return "(" + ",".join(f"'{w}'" for w in ws) + ")"
+
+
+_LANG_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN len(list_filter(toks, x -> x IN {_in_list(ws)}))"
+    for lang, ws in sorted(_LANG_STOPS.items())
+) + " ELSE 0 END"
+
+
+@harness_query(
+    "x45_stopwords_by_lang",
+    oracle=f"""
+    WITH tk AS (
+      SELECT lang, string_split(lower(trim(text)), ' ') AS toks FROM documents
+    ), h AS (
+      SELECT lang, len(toks) AS n_tokens, {_LANG_CASE} AS n_hits FROM tk
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_hits) AS BIGINT) AS stop_hits,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_hits) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS stop_ratio
+    FROM h GROUP BY lang
+    """,
+)
+def x45_stopwords_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import stopword_hits_by_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = stopword_hits_by_lang(docs)
+    return hits.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_stop_hits").alias("stop_hits"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.sum("n_stop_hits").cast("double") / F.sum("n_tokens").cast("double")).alias(
+            "stop_ratio"
+        ),
+    )
