@@ -1,0 +1,90 @@
+"""Bench regression guard: compare a BENCH json line against the
+recorded round-1 baseline and flag per-query and total regressions.
+
+Usage:
+  python bench.py > /tmp/bench.out && python scripts/check_bench.py /tmp/bench.out
+  python scripts/check_bench.py BENCH_r2.json
+
+Tolerances are deliberately loose (sub-second queries carry ±10-15%
+machine noise — see BASELINE.md closing note): a query regresses at
+>1.8× its baseline AND >0.4 s absolute; the total regresses at >1.35×.
+Exit 1 on any regression so this can gate CI / end-of-round checks.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+BASELINE = {  # round-1 final, sf0.1, min-of-2 warm runs (BASELINE.md)
+    "q01_top_parts_by_quantity": 0.90,
+    "q02_pricing_summary": 0.83,
+    "q04_running_total_by_nation": 1.06,
+    "q06_order_rollup": 1.11,
+    "q08_dup_merge_weighted_discount": 0.81,
+    "q11_brand_revenue_majority": 0.72,
+    "q12_top_parts_concat_by_brand": 0.79,
+    "q18_cumulative_monthly_revenue": 0.50,
+    "q23_orders_above_average": 0.52,
+    "x01_dedup_exact": 0.28,
+    "x02_ngram_jaccard_pairs": 1.72,
+    "x03_minhash_lsh_pairs": 1.21,
+    "x05_ann_bruteforce_topk": 0.44,
+    "x10_events_hourly": 0.32,
+    "x11_sessionize": 0.41,
+    "x16_embedding_near_dup": 0.87,
+    "x17_ann_lsh_topk": 0.79,
+    "x21_asof_click_attribution": 0.45,
+    "x22_range_join_next24h": 0.63,
+    "x25_group_median_price": 0.98,
+}
+BASELINE_TOTAL = 15.345
+
+PER_QUERY_FACTOR = 1.8
+PER_QUERY_ABS_FLOOR = 0.4  # sec — ignore noise blips on sub-second queries
+TOTAL_FACTOR = 1.35
+
+
+def main() -> int:
+    raw = open(sys.argv[1]).read() if len(sys.argv) > 1 else sys.stdin.read()
+    # take the last line that parses as the bench JSON object
+    bench = None
+    for line in raw.strip().splitlines():
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and "queries" in obj:
+            bench = obj
+    if bench is None:
+        print("no bench JSON line found in input")
+        return 2
+
+    regressions = []
+    for name, base in BASELINE.items():
+        got = bench["queries"].get(name)
+        if got is None:
+            regressions.append(f"{name}: missing from bench run")
+            continue
+        if got > base * PER_QUERY_FACTOR and got - base > PER_QUERY_ABS_FLOOR:
+            regressions.append(f"{name}: {got:.2f}s vs baseline {base:.2f}s ({got/base:.1f}x)")
+    total = bench.get("value")
+    if total is not None and total > BASELINE_TOTAL * TOTAL_FACTOR:
+        regressions.append(
+            f"TOTAL: {total:.2f}s vs baseline {BASELINE_TOTAL:.2f}s ({total/BASELINE_TOTAL:.1f}x)"
+        )
+
+    if regressions:
+        print("BENCH REGRESSIONS:")
+        for r in regressions:
+            print("  " + r)
+        return 1
+    print(
+        f"bench ok: total {total:.2f}s vs baseline {BASELINE_TOTAL:.2f}s "
+        f"({len(BASELINE)} queries within tolerance)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
