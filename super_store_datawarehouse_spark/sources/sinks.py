@@ -82,3 +82,52 @@ def write_partitioned(
 
         df = df.repartition(target_partitions, *[F.col(c) for c in partition_cols])
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def delta_available() -> bool:
+    """True when the delta-spark bindings are importable."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def write_delta_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ACID table sink via Delta Lake when the runtime carries
+    delta-spark; parquet is the storage layer either way.
+
+    Delta is the right sink at 100 TB (transactional overwrite,
+    concurrent readers, OPTIMIZE/Z-ORDER compaction, time travel); this
+    container lacks the package, so the capability is gated rather than
+    stubbed silently — callers can branch on ``delta_available()`` and
+    fall back to plain parquet + overwrite (same layout, weaker
+    isolation).
+    """
+    if not delta_available():
+        raise ImportError(
+            "delta-spark not installed: use write_parquet_tables as the "
+            "non-transactional fallback"
+        )
+    df.write.format("delta").mode(mode).save(path)
+
+
+def merge_into_delta(
+    spark, updates: DataFrame, path: str, key_cols: list[str]
+) -> None:
+    """MERGE (upsert) an update batch into a Delta table — the
+    transactional twin of ``operators.cdc.apply_upserts`` (which is the
+    engine's format-agnostic latest-wins merge)."""
+    if not delta_available():
+        raise ImportError("delta-spark not installed: use operators.cdc.apply_upserts")
+    from delta.tables import DeltaTable
+
+    target = DeltaTable.forPath(spark, path)
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    (
+        target.alias("t")
+        .merge(updates.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )

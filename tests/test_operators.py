@@ -637,3 +637,23 @@ def test_stopword_hits_by_lang_uses_each_langs_list(spark):
     assert got[1] == (3, 5)  # the, and, the
     assert got[2] == (3, 5)  # der, und, die
     assert got[3] == (0, 3)  # no list -> zero hits, no crash
+
+
+def test_delta_sink_gated_or_roundtrips(tmp_path, spark):
+    """Delta sink: real write when delta-spark exists, informative
+    ImportError (not a silent no-op) when it doesn't."""
+    import pytest as _pytest
+
+    from super_store_datawarehouse_spark.sources.sinks import (
+        delta_available,
+        write_delta_table,
+    )
+
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    path = str(tmp_path / "t_delta")
+    if delta_available():
+        write_delta_table(df, path)
+        assert spark.read.format("delta").load(path).count() == 1
+    else:
+        with _pytest.raises(ImportError, match="delta-spark"):
+            write_delta_table(df, path)

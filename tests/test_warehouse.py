@@ -189,3 +189,56 @@ def test_dup_merge_weighted_discount(spark):
     assert merged["discount"] == pytest.approx(0.35)
     # singleton keeps its exact discount (no d*q/q re-rounding)
     assert out["O2"]["discount"] == 0.1
+
+
+def test_location_probe_grain(spark):
+    """The item fact's location probe is the composite (postal_code,
+    city): a shared postal code must NOT cross-match cities, and a
+    (postal, city) pair spanning two states collapses to the max
+    location_id (the reference's dict-overwrite semantics)."""
+    from super_store_datawarehouse_spark.warehouse import dims, facts
+
+    cols = (
+        "row_id order_id product_code order_date ship_date ship_mode customer_code "
+        "customer_name segment country city state postal_code region category "
+        "sub_category product_name sales quantity discount profit"
+    ).split()
+
+    def line(row_id, order_id, city, state, postal):
+        return (
+            row_id, order_id, "PR1", "2024-01-01", "2024-01-02", "Std", "C1",
+            "Name", "Seg", "US", city, state, postal, "R1", "Cat", "Sub", "Prod",
+            10.0, 1, 0.0, 1.0,
+        )
+
+    lines = spark.createDataFrame(
+        [
+            line(1, "O1", "Alpha", "S1", "10001"),
+            line(2, "O2", "Beta", "S1", "10001"),   # same postal, other city
+            line(3, "O3", "Gamma", "S1", "22222"),
+            line(4, "O4", "Gamma", "S2", "22222"),  # same (postal, city), other state
+        ],
+        cols,
+    )
+    calendar, _ = dims.build_calendar_dims(lines)
+    customer = dims.build_customer_dim(lines)
+    _, _, location = dims.build_geography_dims(lines)
+    _, product = dims.build_product_dims(lines)
+
+    assert location.count() == 4  # dim keeps the full (postal, city, state) grain
+
+    item = facts.build_item_fact(lines, customer, product, calendar, location)
+    resolved = {
+        r["order_code"]: r["city_name"]
+        for r in item.join(location, "location_id").select("order_code", "city_name").collect()
+    }
+    assert resolved == {"O1": "Alpha", "O2": "Beta", "O3": "Gamma", "O4": "Gamma"}
+
+    ids = {
+        r["order_code"]: r["location_id"]
+        for r in item.select("order_code", "location_id").collect()
+    }
+    assert ids["O1"] != ids["O2"]  # postal alone must not merge cities
+    # the two Gamma states share one probe key -> both get the max id
+    gamma_ids = {r["location_id"] for r in location.filter("city_name = 'Gamma'").collect()}
+    assert ids["O3"] == ids["O4"] == max(gamma_ids)
