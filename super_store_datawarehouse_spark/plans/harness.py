@@ -1217,3 +1217,214 @@ def q32_moving_average_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_date")
     )
+
+
+# --------------------------------------------------------------------------
+# q33 — TPC-H Q4 shape: existential semi-join. Orders in a quarter that
+# have at least one line shipped >30 days after ordering, counted by
+# priority. Spark plans the EXISTS as a left-semi hash join; the date
+# filter sits on the scan (PushedFilters) so the probe side is one
+# quarter, not seven years.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q33_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_late_orders
+    FROM orders o
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q33_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("od")
+    ).filter((F.col("od") >= "1996-01-01") & (F.col("od") < "1996-04-01"))
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    late = orders.join(
+        lines,
+        (orders.o_orderkey == lines.l_orderkey) & (lines.sd > F.date_add(orders.od, 30)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_late_orders"))
+
+
+# --------------------------------------------------------------------------
+# q34 — TPC-H Q14 shape: promo revenue share in one month. Conditional
+# aggregation over an integer-cents base; one deterministic division at
+# the end so the percentage is engine-exact.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q34_promo_revenue_share",
+    oracle="""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE)
+             AS promo_share_pct,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-03-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1996-04-01'
+    """,
+)
+def q34_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    sd = F.col("l_shipdate").cast("date")
+    return (
+        lines.filter((sd >= "1996-03-01") & (sd < "1996-04-01"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_share_pct"),
+            (F.sum(rev).cast("double") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q35 — TPC-H Q19 shape: disjunctive compound predicate (brand × size ×
+# quantity bands). Catalyst splits the OR across the join: the shared
+# conjuncts push to the scans, the residual OR evaluates post-join —
+# the classic predicate-pushdown stress test.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q35_banded_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q35_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
+    )
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        lines.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(rev).cast("double") / 100.0).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q36 — TPC-H Q2 shape: per-group minimum with full row recovery. The
+# cheapest line per brand via window rank (unique tie-breakers), the
+# DataFrame twin of a correlated MIN subquery.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q36_cheapest_line_per_brand",
+    oracle="""
+    SELECT p_brand, l_orderkey, l_linenumber, l_extendedprice AS min_price
+    FROM (
+      SELECT p.p_brand, l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY p.p_brand
+               ORDER BY l.l_extendedprice, l.l_orderkey, l.l_linenumber) AS rn
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ) WHERE rn = 1
+    """,
+)
+def q36_cheapest_line_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    w = Window.partitionBy("p_brand").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        lines.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_brand",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").alias("min_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q37 — TPC-H Q22 shape: above-average dormant customers per nation
+# (no orders since 2000). "Above average" compares in pure integers
+# (bal_cents · n > total_cents) so no float threshold crosses engines;
+# the dormancy test is an anti-join against the filtered orders scan.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q37_dormant_rich_customers",
+    oracle="""
+    WITH stats AS (
+      SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS total_cents,
+             COUNT(*) AS n FROM customer WHERE c_acctbal > 0
+    ), rich AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+      FROM customer c, stats s
+      WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * s.n > s.total_cents
+    ), dormant AS (
+      SELECT r.* FROM rich r
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = r.c_custkey
+          AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01'
+      )
+    )
+    SELECT n.n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(ROUND(d.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_balance
+    FROM dormant d JOIN nation n ON n.n_nationkey = d.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q37_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").cast("date") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    stats = pos.agg(
+        F.sum(cents("c_acctbal")).alias("total_cents"), F.count(F.lit(1)).alias("n")
+    )
+    rich = cust.join(F.broadcast(stats)).filter(
+        cents("c_acctbal") * F.col("n") > F.col("total_cents")
+    )
+    dormant = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        dormant.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum("c_acctbal", "total_balance"),
+        )
+    )
