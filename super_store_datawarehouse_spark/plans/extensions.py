@@ -1407,3 +1407,53 @@ def x45_stopwords_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stop_ratio"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x46 — duplicate-cluster resolution: near-dup pairs are not transitive,
+# so dedup must collapse whole connected components. Spark runs iterative
+# min-label propagation (operators/graph.py); the oracle reproduces the
+# exact same fixpoint with a recursive CTE (transitive closure + MIN).
+# Edges = the x02 n-gram Jaccard pairs at threshold 0.2.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x46_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE 1000 * n_inter >= 200 * (sa.n_shingles + sb.n_shingles - n_inter)
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ), reach AS (
+      SELECT u, u AS v FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ), comp AS (
+      SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_kept
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def x46_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.graph import dedup_by_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    return dedup_by_components(docs, edges).select("doc_id", "component", "is_kept")

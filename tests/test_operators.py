@@ -657,3 +657,27 @@ def test_delta_sink_gated_or_roundtrips(tmp_path, spark):
     else:
         with _pytest.raises(ImportError, match="delta-spark"):
             write_delta_table(df, path)
+
+
+def test_connected_components_collapse_chains_not_just_pairs(spark):
+    """A~B and B~C must collapse to ONE cluster {A,B,C} even though
+    (A,C) was never emitted as a pair — the transitivity gap that makes
+    pair-level dedup insufficient."""
+    from super_store_datawarehouse_spark.operators.graph import (
+        connected_components,
+        dedup_by_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)], ["id_a", "id_b"]
+    )
+    comp = {r["u"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 10, 11, 20, 21, 99]], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: (r["component"], r["is_kept"]) for r in dedup_by_components(docs, edges).collect()}
+    assert out[99] == (99, True)  # no edges -> own singleton cluster
+    kept = sorted(k for k, (_, keep) in out.items() if keep)
+    assert kept == [1, 10, 20, 99]
