@@ -24,9 +24,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxFilesPerTrigger=1 keeps micro-batches realistic in tests; the
     schema comes from a cheap static read of the same parquet.
     """
-    path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    schema = (
+        spark.read.option("pathGlobFilter", "events*.parquet").parquet(sf_dir).schema
+    )
     # file streams require a directory source; glob-filter the one table
     stream = (
         spark.readStream.schema(schema)
@@ -36,7 +37,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
+    # the driver table stores TIMESTAMP(NANOS) which nanosAsLong surfaces
+    # as bigint; re-planted test files may already carry a real timestamp
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    return stream
 
 
 def hourly_counts_stream(
@@ -260,3 +267,49 @@ def user_running_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
+
+
+def stream_upserts_to_parquet(
+    spark: SparkSession, src_dir: str, out_dir: str
+) -> int:
+    """Streaming CDC: each micro-batch of events MERGEs into a parquet
+    state table via ``operators.cdc.apply_upserts`` inside foreachBatch —
+    latest event per user wins (version = event_id).
+
+    This is the upsert-sink topology for runtimes without Delta: read
+    current state, reconcile with the batch, write to a scratch dir and
+    swap. The swap is what Delta's MERGE replaces with a transactional
+    commit (``sinks.merge_into_delta`` when delta-spark is present);
+    state stays on disk between triggers, so restarts resume from the
+    last swapped table. Returns the number of micro-batches merged.
+    """
+    import shutil
+    import tempfile
+
+    from super_store_datawarehouse_spark.operators.cdc import apply_upserts
+
+    ev = read_events_stream(spark, src_dir).select(
+        "user_id", "event_type", "value", F.col("event_id").alias("version")
+    )
+    batches = {"n": 0}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.isdir(out_dir):
+            state = batch_df.sparkSession.read.parquet(out_dir)
+        else:
+            state = batch_df.limit(0)
+        merged = apply_upserts(state, batch_df, ["user_id"], "version")
+        tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir))
+        merged.write.mode("overwrite").parquet(tmp)
+        # materialized before the swap: parquet write is an action
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.replace(tmp, out_dir)
+        batches["n"] += 1
+
+    q = ev.writeStream.outputMode("append").foreachBatch(merge_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return batches["n"]

@@ -217,3 +217,44 @@ def test_user_running_counts_stream(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_upserts_converge_to_batch_latest(tmp_path, spark):
+    """foreachBatch CDC merge: after streaming the events in 3 separate
+    micro-batches, the parquet state equals the batch latest-per-user."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from super_store_datawarehouse_spark.streaming.jobs import stream_upserts_to_parquet
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # plant 3 files so maxFilesPerTrigger=1 forces 3 micro-batches
+    for i in range(3):
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            str(tmp_path / f"part{i}"), mode="overwrite"
+        )
+        part = [f for f in os.listdir(tmp_path / f"part{i}") if f.endswith(".parquet")][0]
+        os.rename(tmp_path / f"part{i}" / part, os.path.join(src, f"events{i}.parquet"))
+
+    out = str(tmp_path / "state")
+    n_batches = stream_upserts_to_parquet(spark, src, out)
+    assert n_batches == 3
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    want = {
+        (r["user_id"], r["version"])
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", F.col("event_id").alias("version"))
+        .collect()
+    }
+    got = {
+        (r["user_id"], r["version"])
+        for r in spark.read.parquet(out).select("user_id", "version").collect()
+    }
+    assert got == want
