@@ -1457,3 +1457,98 @@ def x46_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = dedup.ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
     return dedup_by_components(docs, edges).select("doc_id", "component", "is_kept")
+
+
+# --------------------------------------------------------------------------
+# x47 — funnel analysis: earliest view → first click strictly after it →
+# first purchase strictly after that, counted per stage. Timestamps
+# compare as integer epoch-micros on BOTH engines so the strict
+# inequalities can't straddle the nanos→micros conversion.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x47_funnel_stages",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events
+    ), v AS (
+      SELECT user_id, MIN(tus) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(tus) AS t_click
+      FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND tus > t_view GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(tus) AS t_purchase
+      FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND tus > t_click GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase
+    """,
+)
+def x47_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("tus") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("tus") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .join(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .join(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+# --------------------------------------------------------------------------
+# x48 — retention cohorts: users grouped by first-active week, activity
+# counted per week offset. Week truncation (Monday) agrees between
+# engines; offsets are exact multiples of 7 days so the division is int.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x48_retention_cohorts",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+    ), f AS (
+      SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id
+    )
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, e.wk) // 7 AS INT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def x48_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    f = e.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        e.join(f, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort", "week_offset")
+    )
