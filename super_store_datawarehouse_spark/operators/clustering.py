@@ -1,0 +1,132 @@
+"""Integer-quantized Lloyd k-means over embedding columns.
+
+Clustering is the canonical *iterative* workload a training-data
+pipeline runs over embeddings (topic bucketing, dedup pre-grouping,
+IVF coarse quantizers — see ``operators/similarity.py`` which consumes
+centroids exactly like the ones produced here). The reference engine
+has no iterative operator at all (its ETL is single-pass
+``etl.py:477-1115`` row loops), so this is a first-class extension, built
+the way Spark MLlib builds Lloyd's: per-iteration state is only the
+k×d centroid table, which lives on the driver and is pushed into the
+assignment map as a literal/broadcast — the data never leaves
+executors, and each iteration is one map (assign) plus one map-side
+partially-aggregated reduce (per-cluster component sums).
+
+Arithmetic is **integer-quantized** so results are bit-identical on any
+engine and any row order:
+
+- vectors quantize to ``trunc(v * scale)`` int64 components (trunc is
+  exact cross-engine: an exactly-integer double quotient/product rounds
+  to itself, so the only boundary that matters cannot straddle);
+- distances are integer sums of squares (no float fold order);
+- centroid updates are truncating integer division ``sum div count``
+  (both Spark ``div`` and DuckDB ``//`` truncate toward zero);
+- ties in the argmin break to the lowest centroid id.
+
+Magnitudes: |q| ≤ scale·|v|; dist² ≤ d·(2·scale)² per pair — for
+d=64, scale=1000 that is ~2.6e8/row, so per-cluster int64 sums are safe
+to ~3.5e10 rows/cluster. At 100 TB, raise ``scale`` only with care.
+
+Seeding is deterministic (k lowest ids) so oracles can replicate it;
+swap in k-means|| sampling for production quality — the iteration
+structure is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncating integer division (toward zero), matching Spark ``div``
+    and DuckDB ``//`` — Python's ``//`` floors, which differs for
+    negative sums."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def quantize_vec(vec: Column, scale: int = 1000) -> Column:
+    """float array → int64 array via trunc(v*scale); exact cross-engine."""
+    return F.transform(vec, lambda v: (v.cast("double") * scale).cast("long"))
+
+
+def assign_clusters(
+    qdf: DataFrame, centroids: list[tuple[int, list[int]]], qcol: str = "q"
+) -> DataFrame:
+    """Map-only assignment: argmin of integer squared distance to each
+    centroid, ties to the lowest centroid id.
+
+    Centroids are embedded as an array-of-struct literal (k·d ints), so
+    the stage is pure whole-stage-codegen projection — no join, no
+    shuffle; on a cluster the literal ships inside the serialized plan
+    exactly like a broadcast var.
+    """
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(int(c)).cast("long") for c in cvec]).alias("c"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    dist_structs = F.transform(
+        cent_arr,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(F.col(qcol), s["c"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
+            s["cid"].alias("cid"),
+        ),
+    )
+    best = F.array_min(dist_structs)
+    return qdf.withColumn("cluster", best["cid"]).withColumn("dist2", best["dist2"])
+
+
+def update_centroids(
+    assigned: DataFrame,
+    prev: list[tuple[int, list[int]]],
+    qcol: str = "q",
+) -> list[tuple[int, list[int]]]:
+    """One reduce: per-cluster component sums (d+1 aggregates, map-side
+    partial combine) → k rows to the driver → trunc-div means. Empty
+    clusters keep their previous centroid."""
+    dim = len(prev[0][1])
+    sums = (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col(qcol)[i]).alias(f"s{i}") for i in range(dim)],
+        )
+        .collect()
+    )
+    by_cid = {
+        row["cluster"]: [_trunc_div(row[f"s{i}"], row["n"]) for i in range(dim)]
+        for row in sums
+    }
+    return [(cid, by_cid.get(cid, cvec)) for cid, cvec in prev]
+
+
+def kmeans_quantized(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means, ``iters`` assignment passes with ``iters - 1``
+    centroid updates between them; returns per-point (id, cluster,
+    dist2) from the final assignment. Deterministic: seeds are the k
+    lowest ids, all arithmetic integer."""
+    qdf = emb.select(F.col(id_col), quantize_vec(F.col(vec_col), scale).alias("q"))
+    seed_rows = qdf.orderBy(id_col).limit(k).collect()
+    centroids = [(i, list(row["q"])) for i, row in enumerate(seed_rows)]
+    assigned = assign_clusters(qdf, centroids)
+    for _ in range(iters - 1):
+        centroids = update_centroids(assigned, centroids)
+        assigned = assign_clusters(qdf, centroids)
+    return assigned.select(id_col, "cluster", "dist2")

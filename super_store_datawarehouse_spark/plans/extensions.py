@@ -1552,3 +1552,273 @@ def x48_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# x49 — TF-IDF top terms per document. IDF is integer-scaled
+# ((N·1e6) div df, truncating division on BOTH engines) so the score and
+# therefore the per-doc ranking are bit-exact cross-engine; ties break
+# on the word itself. Shape: explode → two hash aggs (map-side partial)
+# → broadcast of the tiny df table back onto tf → per-doc window.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x49_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, w AS word FROM (
+        SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfw AS (
+      SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf, dfw.df,
+             tf.tf * ((n.n * 1000000) // dfw.df) AS score_scaled,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ((n.n * 1000000) // dfw.df) DESC, tf.word
+             ) AS rnk
+      FROM tf JOIN dfw USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, rnk, word, tf, df, score_scaled
+    FROM scored WHERE rnk <= 5
+    ORDER BY doc_id, rnk
+    """,
+)
+def x49_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(words("text")).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfw = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfw, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_scaled", F.expr("tf * ((n * 1000000) div df)"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_scaled"), "word")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "rnk", "word", "tf", "df", "score_scaled")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# x50 — integer-quantized Lloyd k-means on embeddings (k=8, 2 assignment
+# passes, 1 centroid update). The oracle unrolls both iterations as CTEs
+# with the identical quantize/trunc-div/lowest-cid-tie rules, so even
+# this iterative algorithm is value-hash verified. See
+# operators/clustering.py for the scale design (map-only assignment with
+# literal centroids; one (d+1)-aggregate reduce per iteration).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x50_kmeans_clusters",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            v -> CAST(trunc(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ), seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+      FROM q ORDER BY vec_id LIMIT 8
+    ), a1 AS (
+      SELECT q.vec_id, q.q, s.cid,
+             list_sum(list_transform(list_zip(q.q, s.c),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist2
+      FROM q CROSS JOIN seeds s
+      QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist2, s.cid) = 1
+    ), sums AS (
+      SELECT cid, i, COUNT(*) AS n, SUM(q[i]) AS s
+      FROM a1 CROSS JOIN range(1, 65) r(i)
+      GROUP BY cid, i
+    ), cent2 AS (
+      SELECT cid,
+             list(CAST(trunc(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+      FROM sums GROUP BY cid
+    ), cent2f AS (
+      SELECT seeds.cid, COALESCE(cent2.c, seeds.c) AS c
+      FROM seeds LEFT JOIN cent2 USING (cid)
+    ), a2 AS (
+      SELECT q.vec_id, s.cid AS cluster,
+             list_sum(list_transform(list_zip(q.q, s.c),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist2
+      FROM q CROSS JOIN cent2f s
+      QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist2, s.cid) = 1
+    )
+    SELECT cluster, COUNT(*) AS n_points, CAST(SUM(dist2) AS BIGINT) AS total_dist2
+    FROM a2 GROUP BY cluster ORDER BY cluster
+    """,
+)
+def x50_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.clustering import kmeans_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_quantized(emb, k=8, iters=2, scale=1000)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("dist2").alias("total_dist2"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# --------------------------------------------------------------------------
+# x51 — bigram collocations scored by the Dice coefficient,
+# 2·c(xy)·1e6 div (c(x)+c(y)) — a standard collocation measure that
+# stays in bounded integer arithmetic at any scale (≤1e6 by
+# construction), unlike log-PMI which would need cross-engine floats.
+# Bigrams: zip_with(w, slice(w,2,..)) pads the shorter side with null
+# (Spark) exactly like list_zip(l, l[2:]) (DuckDB); the null pair is
+# filtered on both sides.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x51_bigram_collocations",
+    oracle="""
+    WITH docs_t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS l
+      FROM documents
+    ), bigr AS (
+      SELECT p[1] AS w1, p[2] AS w2 FROM (
+        SELECT UNNEST(list_zip(l, l[2:])) AS p FROM docs_t
+      ) WHERE p[2] IS NOT NULL
+    ), uni AS (
+      SELECT w AS word, COUNT(*) AS c FROM (
+        SELECT UNNEST(l) AS w FROM docs_t
+      ) GROUP BY 1
+    ), pair AS (
+      SELECT w1, w2, COUNT(*) AS c_xy FROM bigr GROUP BY 1, 2
+    )
+    SELECT p.w1, p.w2, p.c_xy, u1.c AS c_x, u2.c AS c_y,
+           (2 * p.c_xy * 1000000) // (u1.c + u2.c) AS dice_ppm
+    FROM pair p
+    JOIN uni u1 ON p.w1 = u1.word
+    JOIN uni u2 ON p.w2 = u2.word
+    WHERE p.c_xy >= 3
+    ORDER BY dice_ppm DESC, p.w1, p.w2
+    LIMIT 20
+    """,
+)
+def x51_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents").select(words("text").alias("l"))
+    bigr = (
+        docs.select(
+            F.explode(
+                F.zip_with(
+                    "l",
+                    F.slice("l", 2, F.greatest(F.size("l"), F.lit(1))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p.w2").isNotNull())
+        .select("p.w1", "p.w2")
+    )
+    uni = docs.select(F.explode("l").alias("word")).groupBy("word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pair = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c_y"))
+    return (
+        pair.filter(F.col("c_xy") >= 3)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .withColumn("dice_ppm", F.expr("(2 * c_xy * 1000000) div (c_x + c_y)"))
+        .select("w1", "w2", "c_xy", "c_x", "c_y", "dice_ppm")
+        .orderBy(F.desc("dice_ppm"), "w1", "w2")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# x52 — inverted index: term → document frequency + first-10 sorted
+# postings (comma-joined so the driver hashes a plain string). The
+# classic IR build is one distinct + one agg; at scale postings would be
+# written bucketed-by-term so term lookups touch one bucket.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x52_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, w AS word FROM (
+        SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    )
+    SELECT word,
+           COUNT(DISTINCT doc_id) AS df,
+           array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',') AS postings
+    FROM toks
+    WHERE length(word) >= 4
+    GROUP BY word
+    ORDER BY df DESC, word
+    LIMIT 100
+    """,
+)
+def x52_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(words("text")).alias("word"))
+        .filter(F.length("word") >= 4)
+        .distinct()
+    )
+    return (
+        toks.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10), ","
+            ).alias("postings"),
+        )
+        .orderBy(F.desc("df"), "word")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# x53 — exact quartiles of order value per priority, over integer cents.
+# Both engines use the (n-1)·p linear-interpolation definition; on
+# int-cent inputs the interpolation fractions are exact binary
+# (0, .25, .5, .75), so the doubles are bit-identical.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x53_order_value_quartiles",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.25) AS p25_cents,
+           quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.50) AS p50_cents,
+           quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.75) AS p75_cents
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def x53_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = cents(F.col("o_totalprice"))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.percentile(c, F.lit(0.25)).alias("p25_cents"),
+            F.percentile(c, F.lit(0.50)).alias("p50_cents"),
+            F.percentile(c, F.lit(0.75)).alias("p75_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
