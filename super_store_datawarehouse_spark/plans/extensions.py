@@ -1822,3 +1822,229 @@ def x53_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# x54 — time-series gap-fill: per-user hourly grid (sequence /
+# generate_series, both ends inclusive) left-joined to observed hourly
+# cent-sums, missing hours filled by last-observation-carried-forward
+# (last IGNORE NULLS over an unbounded-preceding ROWS frame — pure
+# ordering, no arithmetic, so exact). Grid starts at each user's first
+# observed hour, so the fill never sees a leading null. Hours travel as
+# epoch-micros BIGINT to dodge engine timestamp stringification.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x54_gapfill_locf",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE user_id < 10
+    ), obs AS (
+      SELECT user_id, h, CAST(SUM(c) AS BIGINT) AS v_cents FROM ev GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY 1
+    ), grid AS (
+      SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM span
+    )
+    SELECT g.user_id, epoch_us(g.h) AS h_us,
+           last_value(o.v_cents IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_cents,
+           o.v_cents IS NULL AS is_gap
+    FROM grid g LEFT JOIN obs o USING (user_id, h)
+    ORDER BY 1, 2
+    """,
+)
+def x54_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("h"),
+            cents(F.col("value")).alias("c"),
+        )
+    )
+    obs = ev.groupBy("user_id", "h").agg(F.sum("c").alias("v_cents"))
+    span = obs.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.unix_micros("h").alias("h_us"),
+            F.last("v_cents", ignorenulls=True).over(w).alias("filled_cents"),
+            F.col("v_cents").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "h_us")
+    )
+
+
+# --------------------------------------------------------------------------
+# x55 — IQR outlier fences per nation over customer balances: exact
+# quartiles on integer cents, fences q1−1.5·IQR / q3+1.5·IQR (all
+# quantities are multiples of 0.25 cents — exact doubles), outliers
+# counted against the fences. The tiny per-nation fence table broadcasts
+# back onto the scan.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x55_iqr_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal FROM customer
+    ), q AS (
+      SELECT c_nationkey,
+             quantile_cont(bal, 0.25) AS q1,
+             quantile_cont(bal, 0.75) AS q3
+      FROM c GROUP BY 1
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_cust,
+           q.q1 - 1.5 * (q.q3 - q.q1) AS fence_lo,
+           q.q3 + 1.5 * (q.q3 - q.q1) AS fence_hi,
+           CAST(SUM(CASE WHEN c.bal < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR c.bal > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM c JOIN q USING (c_nationkey)
+    GROUP BY 1, 3, 4
+    ORDER BY 1
+    """,
+)
+def x55_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", cents(F.col("c_acctbal")).alias("bal")
+    )
+    q = cust.groupBy("c_nationkey").agg(
+        F.percentile("bal", F.lit(0.25)).alias("q1"),
+        F.percentile("bal", F.lit(0.75)).alias("q3"),
+    )
+    fences = q.select(
+        "c_nationkey",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("fence_lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("fence_hi"),
+    )
+    out = (F.col("bal") < F.col("fence_lo")) | (F.col("bal") > F.col("fence_hi"))
+    return (
+        cust.join(F.broadcast(fences), "c_nationkey")
+        .groupBy("c_nationkey", "fence_lo", "fence_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.when(out, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .select("c_nationkey", "n_cust", "fence_lo", "fence_hi", "n_outliers")
+        .orderBy("c_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# x56 — set operators INTERSECT / EXCEPT (SURVEY §2.7 family, beyond the
+# U1 union): nations that have both building-segment customers and
+# well-capitalized suppliers, vs customer-only nations.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x56_nation_set_ops",
+    oracle="""
+    WITH cn AS (
+      SELECT DISTINCT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), sn AS (
+      SELECT DISTINCT s_nationkey AS k FROM supplier WHERE s_acctbal > 5000
+    )
+    SELECT 'both' AS tag, k FROM (SELECT k FROM cn INTERSECT SELECT k FROM sn)
+    UNION ALL
+    SELECT 'cust_only' AS tag, k FROM (SELECT k FROM cn EXCEPT SELECT k FROM sn)
+    ORDER BY tag, k
+    """,
+)
+def x56_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_nationkey").alias("k"))
+        .distinct()
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("k"))
+        .distinct()
+    )
+    both = cn.intersect(sn).select(F.lit("both").alias("tag"), "k")
+    only = cn.exceptAll(sn).distinct().select(F.lit("cust_only").alias("tag"), "k")
+    return both.unionAll(only).orderBy("tag", "k")
+
+
+# --------------------------------------------------------------------------
+# x57 — UNPIVOT: wide per-flag metrics melted to (flag, metric, value)
+# rows; Spark df.unpivot ≡ DuckDB UNPIVOT ... INTO NAME/VALUE.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x57_unpivot_flag_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT * FROM (UNPIVOT wide ON n_lines, sum_qty, sum_price_cents
+                   INTO NAME metric VALUE v)
+    ORDER BY l_returnflag, metric
+    """,
+)
+def x57_unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["n_lines", "sum_qty", "sum_price_cents"], "metric", "v"
+    ).orderBy("l_returnflag", "metric")
+
+
+# --------------------------------------------------------------------------
+# x58 — VARIANT ingestion (Spark 4 binary JSON): props parsed once to
+# VARIANT, typed path extraction via try_variant_get, aggregated per
+# event type. The scale story: VARIANT decodes the JSON once at scan
+# time into a shreddable binary form instead of re-parsing strings in
+# every expression (get_json_object re-parses per call).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x58_variant_json_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def x58_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
