@@ -44,6 +44,9 @@ HEADLINE = [
     "x21_asof_click_attribution",
     "x22_range_join_next24h",
     "x25_group_median_price",
+    "x49_tfidf_top_terms",
+    "x50_kmeans_clusters",
+    "x54_gapfill_locf",
 ]
 
 

@@ -37,8 +37,12 @@ BASELINE = {  # round-1 final, sf0.1, min-of-2 warm runs (BASELINE.md)
     "x21_asof_click_attribution": 0.45,
     "x22_range_join_next24h": 0.63,
     "x25_group_median_price": 0.98,
+    # added to the headline set later in round 1 (min of 2 full runs)
+    "x49_tfidf_top_terms": 1.02,
+    "x50_kmeans_clusters": 3.00,
+    "x54_gapfill_locf": 0.44,
 }
-BASELINE_TOTAL = 15.345
+BASELINE_TOTAL = 19.805
 
 PER_QUERY_FACTOR = 1.8
 PER_QUERY_ABS_FLOOR = 0.4  # sec — ignore noise blips on sub-second queries

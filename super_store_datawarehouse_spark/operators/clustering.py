@@ -122,7 +122,12 @@ def kmeans_quantized(
     centroid updates between them; returns per-point (id, cluster,
     dist2) from the final assignment. Deterministic: seeds are the k
     lowest ids, all arithmetic integer."""
-    qdf = emb.select(F.col(id_col), quantize_vec(F.col(vec_col), scale).alias("q"))
+    # Iterative working set: cache the quantized vectors so each
+    # assignment/update pass reads memory, not the source scan (at 100 TB
+    # re-scanning per iteration would dominate; MLlib caches likewise).
+    qdf = emb.select(
+        F.col(id_col), quantize_vec(F.col(vec_col), scale).alias("q")
+    ).persist()
     seed_rows = qdf.orderBy(id_col).limit(k).collect()
     centroids = [(i, list(row["q"])) for i, row in enumerate(seed_rows)]
     assigned = assign_clusters(qdf, centroids)

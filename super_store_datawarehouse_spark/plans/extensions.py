@@ -2048,3 +2048,151 @@ def x58_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x59 — per-user activity trend: least-squares slope of hourly event
+# counts, computed as *integer moment sums* (n, Σx, Σy, Σxy, Σx²) so
+# num = n·Σxy − Σx·Σy and den = n·Σx² − (Σx)² are exact int64; the
+# final slope double is a single correctly-rounded IEEE division of two
+# exact integers, hence bit-identical cross-engine. Regression as
+# aggregation: one shuffle, no iteration, no ML library.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x59_user_trend_slope",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id,
+             (epoch_ns(ts) // 1000 - epoch_us(TIMESTAMP '2024-01-01')) // 3600000000 AS x,
+             COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM hourly GROUP BY 1 HAVING COUNT(*) > 1
+    )
+    SELECT user_id, n,
+           n * sxy - sx * sy AS slope_num,
+           n * sxx - sx * sx AS slope_den,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+             AS slope
+    FROM m ORDER BY user_id
+    """,
+)
+def x59_user_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t0 = 1704067200000000  # epoch micros of 2024-01-01, fixed testdata origin
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            ((F.unix_micros("ts") - F.lit(t0)).cast("long")).alias("us"),
+        )
+        .select("user_id", F.expr("us div 3600000000").alias("x"))
+        .groupBy("user_id", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    m = (
+        hourly.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    return m.select(
+        "user_id",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("slope_den"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("slope"),
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# x60 — fixed-width histogram of customer balances: $1000 bins via
+# truncating integer division on cents (negative balances land in the
+# −1 bin on both engines — div truncates toward zero identically).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x60_balance_histogram",
+    oracle="""
+    SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM customer
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def x60_balance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        cents(F.col("c_acctbal")).alias("bal")
+    )
+    return (
+        cust.select(F.expr("bal div 100000").alias("bin"), "bal")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("bal").alias("sum_cents"))
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# x61 — Pearson correlation from exact moment sums: Σy and Σy² overflow
+# int64 at scale, so they accumulate as DECIMAL(38,0) (Spark) /
+# HUGEINT (DuckDB) — both exact; the correlation is then a FIXED
+# double expression tree over those exact sums (each *, −, sqrt, / is a
+# single correctly-rounded IEEE op, so the result is bit-identical,
+# unlike built-in corr() whose float accumulation is order-dependent).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x61_qty_price_correlation",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS sx,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sxy,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS syy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr_xy
+    FROM m ORDER BY 1
+    """,
+)
+def x61_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        cents(F.col("l_extendedprice")).alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum((F.col("y").cast("decimal(19,0)") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = F.col("sxy").cast("double"), F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_xy"),
+    ).orderBy("l_returnflag")

@@ -131,3 +131,44 @@ def merge_into_delta(
         .whenNotMatchedInsertAll()
         .execute()
     )
+
+
+def compact_parquet(
+    spark, path: str, target_file_mb: int = 128, sort_by: list[str] | None = None
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    roughly ``target_file_mb`` each, returning the new file count.
+
+    Streaming/CDC sinks accrete many tiny files (one+ per microbatch);
+    at scale that destroys scan throughput (footer reads + scheduler
+    overhead dominate). Rewrite strategy: size the output file count
+    from the actual on-disk bytes, then ``coalesce`` (no shuffle) —
+    unless ``sort_by`` is given, in which case a ``repartitionByRange``
+    + ``sortWithinPartitions`` lays rows out for min/max data skipping
+    on the sort key (poor-man's clustering, same idea as OPTIMIZE ...
+    ZORDER with one key). Writes to a temp dir then swaps, so a crashed
+    compaction never corrupts the live table.
+    """
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_by:
+        out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.coalesce(n_files)
+    tmp = path.rstrip("/") + "__compacting"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )

@@ -681,3 +681,148 @@ def test_connected_components_collapse_chains_not_just_pairs(spark):
     assert out[99] == (99, True)  # no edges -> own singleton cluster
     kept = sorted(k for k, (_, keep) in out.items() if keep)
     assert kept == [1, 10, 20, 99]
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(tmp_path, spark):
+    from super_store_datawarehouse_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") % 97)
+    df.repartition(40).write.parquet(path)  # simulate microbatch fragmentation
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before >= 40
+    n_after = compact_parquet(spark, path, target_file_mb=128)
+    assert n_after < before
+    got = spark.read.parquet(path)
+    assert got.count() == 10_000
+    assert got.agg(F.sum("id")).first()[0] == 10_000 * 9_999 // 2
+
+
+def test_compact_parquet_sorted_layout_enables_skipping(tmp_path, spark):
+    from super_store_datawarehouse_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "sorted")
+    spark.range(0, 10_000).withColumn("k", (F.col("id") * 7919) % 10_000).write.parquet(
+        path
+    )
+    n = compact_parquet(spark, path, target_file_mb=1, sort_by=["k"])
+    got = spark.read.parquet(path)
+    assert got.count() == 10_000
+    # range-partitioned + sorted: each file covers a disjoint k range, so
+    # per-file min/max stats can prune selective k predicates.
+    if n > 1:
+        import pyarrow.parquet as pq
+
+        ranges = []
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                md = pq.read_metadata(os.path.join(path, f))
+                stats = md.row_group(0).column(1).statistics
+                lo, hi = stats.min, stats.max
+                for g in range(1, md.num_row_groups):
+                    s = md.row_group(g).column(1).statistics
+                    lo, hi = min(lo, s.min), max(hi, s.max)
+                ranges.append((lo, hi))
+        ranges.sort()
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+            assert a_hi <= b_lo  # disjoint → skippable
+
+
+def test_schema_evolution_merge_read(tmp_path, spark):
+    base = str(tmp_path / "evolving")
+    spark.range(0, 5).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(
+        base + "/batch=1"
+    )
+    spark.range(5, 10).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    ).write.parquet(base + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "v1", "v2", "batch"}
+    assert merged.count() == 10
+    assert merged.filter(F.col("v2").isNull()).count() == 5
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Spark injects a bloom filter built from the selective (dim) side
+    of a shuffle join into the fact-side scan, pruning shuffle input at
+    runtime. Off by default below 10 GB application-side scans — the
+    thresholds here only exist to exercise the mechanism at test scale;
+    at the 100 TB target the defaults fire on their own (SCALE.md)."""
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from tests.conftest import TESTDATA_SF
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, TESTDATA_SF, "lineitem")
+        ords = load_table(spark, TESTDATA_SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(ords, li.l_orderkey == ords.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        with_bloom = {r["o_orderpriority"]: r["n"] for r in j.collect()}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = (
+        load_table(spark, TESTDATA_SF, "lineitem")
+        .join(
+            load_table(spark, TESTDATA_SF, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert with_bloom == {r["o_orderpriority"]: r["n"] for r in plain.collect()}
+
+
+def test_orc_roundtrip_preserves_schema_and_values(tmp_path, spark):
+    """ORC sits alongside parquet as a columnar interchange format; the
+    engine reads/writes it with the same pushdown machinery."""
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from tests.conftest import TESTDATA_SF
+
+    nation = load_table(spark, TESTDATA_SF, "nation")
+    path = str(tmp_path / "nation_orc")
+    nation.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_observe_metrics_piggyback_on_action(spark):
+    """df.observe attaches accumulator-style metrics to a plan so a
+    pipeline can audit row counts / sums in the SAME pass as the real
+    work — no second scan at 100 TB."""
+    from pyspark.sql import Observation
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from tests.conftest import TESTDATA_SF
+
+    obs = Observation("audit")
+    li = load_table(spark, TESTDATA_SF, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+    )
+    out = li.groupBy("l_returnflag").count().collect()
+    expected = load_table(spark, TESTDATA_SF, "lineitem")
+    assert obs.get["n_rows"] == expected.count() == sum(r["count"] for r in out)
+    assert obs.get["total_qty"] == expected.agg(
+        F.sum(F.col("l_quantity").cast("long"))
+    ).first()[0]
