@@ -826,3 +826,49 @@ def test_observe_metrics_piggyback_on_action(spark):
     assert obs.get["total_qty"] == expected.agg(
         F.sum(F.col("l_quantity").cast("long"))
     ).first()[0]
+
+
+def test_python_datasource_eventgen_deterministic_and_parallel(spark):
+    from super_store_datawarehouse_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("eventgen")
+        .option("rows", 5000)
+        .option("partitions", 8)
+        .option("seed", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 5000
+    a = df.agg(F.sum("user_id"), F.sum(F.crc32(F.col("event_type")))).first()
+    b = (
+        spark.read.format("eventgen")
+        .option("rows", 5000)
+        .option("partitions", 3)  # different parallelism, same data
+        .option("seed", 7)
+        .load()
+        .agg(F.sum("user_id"), F.sum(F.crc32(F.col("event_type"))))
+        .first()
+    )
+    assert tuple(a) == tuple(b)
+    assert df.select("event_id").distinct().count() == 5000
+
+
+def test_python_datasource_jsonl_writer_two_phase_commit(tmp_path, spark):
+    from super_store_datawarehouse_spark.sources.pydatasource import register
+
+    register(spark)
+    out = str(tmp_path / "jsonl_out")
+    src = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    src.repartition(4).write.format("jsonlpy").mode("append").save(out)
+    import json as _json
+
+    manifest = _json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["rows"] == 1000
+    assert len(manifest["files"]) == 4
+    back = spark.read.schema("id long, v long").json(
+        os.path.join(out, "part-*.jsonl")
+    )
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).first()[0] == 2 * (999 * 1000 // 2)
