@@ -1428,3 +1428,373 @@ def q37_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("c_acctbal", "total_balance"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q38 — TPC-H Q7 shape (volume shipping between two nations): fact
+# joins to both the supplier-side and customer-side nation dims (both
+# broadcast), disjunctive nation-pair predicate, yearly rollup.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q38_bilateral_trade_volume",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE (ns.n_name = 'FRANCE' AND nc.n_name = 'GERMANY')
+       OR (ns.n_name = 'GERMANY' AND nc.n_name = 'FRANCE')
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q38_bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
+    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).cast("long").alias("l_year"),
+        )
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# q39 — TPC-H Q8 shape (market share): one nation's revenue share of a
+# region's yearly volume for one part type. Share is a ratio of two
+# exact cent sums → single IEEE division, bit-exact.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q39_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS BIGINT) AS o_year,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS rev_cents,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN region r ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'FRANCE' THEN rev_cents ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(rev_cents) AS DOUBLE) AS mkt_share,
+           CAST(SUM(rev_cents) AS DOUBLE) / 100.0 AS total_volume
+    FROM vol GROUP BY 1 ORDER BY 1
+    """,
+)
+def q39_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nc = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    vol = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .select(
+            F.year(F.col("l_shipdate").cast("date")).cast("long").alias("o_year"),
+            rev.alias("rev_cents"),
+            "supp_nation",
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "FRANCE", F.col("rev_cents")).otherwise(0)
+                ).cast("double")
+                / F.sum("rev_cents").cast("double")
+            ).alias("mkt_share"),
+            (F.sum("rev_cents").cast("double") / 100.0).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# q40 — TPC-H Q9 shape (profit by supplier nation and year), with
+# p_retailprice·quantity standing in for ps_supplycost (no partsupp
+# table in this schema). Margin stays in integer cents end-to-end.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q40_margin_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                    - CAST(l.l_quantity AS BIGINT) * CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS margin
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2 ORDER BY 1, 2 DESC
+    """,
+)
+def q40_margin_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    margin_cents = cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))) - F.col(
+        "l_quantity"
+    ).cast("long") * cents(F.col("p_retailprice"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("l_shipdate").cast("date")).cast("long").alias("o_year"),
+        )
+        .agg((F.sum(margin_cents).cast("double") / 100.0).alias("margin"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q41 — TPC-H Q13 shape (customer distribution): LEFT join so
+# zero-order customers survive, per-customer count, then a histogram of
+# the counts — two aggregations at different grains.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q41_customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q41_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q42 — TPC-H Q17 shape (small-quantity revenue): lines below 20% of
+# their part's average quantity. The float threshold qty < 0.2·avg is
+# restated in integers — 5·qty·n < sum_qty — so the predicate cannot
+# straddle engines. Per-part averages come from a re-aggregation of the
+# same scan, broadcast back (no correlated per-row subquery execution).
+# --------------------------------------------------------------------------
+@harness_query(
+    "q42_small_quantity_revenue",
+    oracle="""
+    WITH perpart AS (
+      SELECT l_partkey, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 700.0
+             AS avg_weekly_revenue
+    FROM lineitem l JOIN perpart pp ON l.l_partkey = pp.l_partkey
+    WHERE 5 * CAST(l.l_quantity AS BIGINT) * pp.n < pp.sum_qty
+    """,
+)
+def q42_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    perpart = l.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+    return (
+        l.join(F.broadcast(perpart.withColumnRenamed("l_partkey", "pk")), F.col("l_partkey") == F.col("pk"))
+        .filter(
+            5 * F.col("l_quantity").cast("long") * F.col("n") < F.col("sum_qty")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            (F.sum(cents(F.col("l_extendedprice"))).cast("double") / 700.0).alias(
+                "avg_weekly_revenue"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q43 — TPC-H Q18 shape (large-volume orders): HAVING on a per-order
+# rollup, then enrich winners with customer + order attributes. The
+# rollup output is tiny → broadcast into the enrichment joins.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q43_large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+    )
+    SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY totalprice_cents DESC, o.o_orderkey
+    LIMIT 50
+    """,
+)
+def q43_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            cents(F.col("o_totalprice")).alias("totalprice_cents"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice_cents"), "o_orderkey")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# q44 — TPC-H Q15 shape (top supplier): per-supplier revenue for a
+# quarter, then the suppliers achieving the global max (scalar-subquery
+# aggregate over an aggregate, exact cents so "equals max" is safe).
+# --------------------------------------------------------------------------
+@harness_query(
+    "q44_top_revenue_suppliers",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q44_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sd = F.col("l_shipdate").cast("date")
+    rev = (
+        l.filter((sd >= "1996-01-01") & (sd < "1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_cents"))
+    )
+    mx = rev.agg(F.max("total_cents").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q45 — TPC-H Q16 shape (supplier count by part attributes), with the
+# part↔supplier relation derived from lineitem (no partsupp table):
+# distinct (brand, type, size, supplier) then count per attribute
+# triple — a distinct-then-count at a coarser grain.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q45_supplier_count_by_part_attrs",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (10, 20, 30, 40)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, 1, 2, 3
+    LIMIT 100
+    """,
+)
+def q45_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#1") & F.col("p_size").isin(10, 20, 30, 40))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(100)
+    )
