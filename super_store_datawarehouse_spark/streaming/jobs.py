@@ -313,3 +313,80 @@ def stream_upserts_to_parquet(
     finally:
         q.stop()
     return batches["n"]
+
+
+def session_counts_stream(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native streaming sessionization: session_window merges per-user
+    event-time sessions incrementally in the state store (no custom
+    state code — contrast user_running_counts_stream, the escape-hatch
+    version). Complete mode so the drained result equals batch x26; in
+    production, append mode + the watermark emits sessions once they
+    can no longer grow."""
+    return (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas (Spark 4 arbitrary-stateful API) needs
+    protobuf for its state-server protocol; gate on it like the Delta
+    sink gates on delta-spark."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_totals_tws_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user event totals via transformWithStateInPandas —
+    the successor to applyInPandasWithState (user_running_counts_stream
+    implements the same logic on the old API): typed ValueState, an
+    explicit processor lifecycle (init/handleInputRows/close), timers,
+    and state-schema evolution. Requires protobuf (``tws_available``)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("total", LongType())]
+    )
+
+    class RunningTotal(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.state = handle.getValueState(
+                "total", StructType([StructField("t", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self.state.get()[0] if self.state.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+            self.state.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        read_events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotal(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

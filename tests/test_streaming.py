@@ -258,3 +258,66 @@ def test_stream_upserts_converge_to_batch_latest(tmp_path, spark):
         for r in spark.read.parquet(out).select("user_id", "version").collect()
     }
     assert got == want
+
+
+def test_session_window_stream_equals_batch(spark):
+    """Streaming session_window (incremental state-store merge) drains
+    to exactly the batch sessionization of the same data (x26)."""
+    from super_store_datawarehouse_spark.plans.extensions import x26_session_windows
+    from super_store_datawarehouse_spark.streaming.jobs import session_counts_stream
+    from tests.conftest import TESTDATA_SF
+
+    out = session_counts_stream(spark, TESTDATA_SF)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    }
+    want = {tuple(r) for r in x26_session_windows(spark, TESTDATA_SF).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_transform_with_state_totals_or_gated(spark):
+    """New-API stateful totals equal the batch groupBy count. Skips
+    where protobuf (the TWS state-protocol dependency) is absent."""
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        tws_available,
+        user_totals_tws_stream,
+    )
+    from tests.conftest import TESTDATA_SF
+
+    if not tws_available():
+        import pytest
+
+        pytest.skip("protobuf not installed; transformWithStateInPandas gated off")
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+
+    out = user_totals_tws_stream(spark, TESTDATA_SF)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["total"]
+        for r in spark.sql(
+            "SELECT user_id, MAX(total) AS total FROM tws_totals GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, TESTDATA_SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
