@@ -2196,3 +2196,240 @@ def x61_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("corr_xy"),
     ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# x62 — PageRank over the nation-level trade graph (edges: customer
+# nation → supplier nation, weighted by lineitem count), two unrolled
+# iterations in integer ppm arithmetic: contrib = r·w div out_w,
+# r' = 150000 + (850 · Σcontrib) div 1000 (d = 0.85). Every step is a
+# truncating integer op, so the iterative algorithm is fully oracled —
+# same technique as x50. Distributed shape: ranks⋈edges on src (edge
+# table partitioned by src at scale), groupBy dst partial-agg reduce;
+# nodes with no in-edges keep the teleport mass via left join.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x62_trade_pagerank",
+    oracle="""
+    WITH edges AS (
+      SELECT nc.n_nationkey AS src, ns.n_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      GROUP BY 1, 2
+    ), outw AS (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY 1
+    ), nodes AS (
+      SELECT n_nationkey AS id FROM nation
+    ), c1 AS (
+      SELECT e.dst, CAST(SUM((1000000 * e.w) // o.ow) AS BIGINT) AS contrib
+      FROM edges e JOIN outw o ON e.src = o.src
+      GROUP BY 1
+    ), r1 AS (
+      SELECT n.id, 150000 + (850 * COALESCE(c1.contrib, 0)) // 1000 AS r
+      FROM nodes n LEFT JOIN c1 ON n.id = c1.dst
+    ), c2 AS (
+      SELECT e.dst, CAST(SUM((r1.r * e.w) // o.ow) AS BIGINT) AS contrib
+      FROM edges e JOIN outw o ON e.src = o.src JOIN r1 ON e.src = r1.id
+      GROUP BY 1
+    ), r2 AS (
+      SELECT n.id, 150000 + (850 * COALESCE(c2.contrib, 0)) // 1000 AS r
+      FROM nodes n LEFT JOIN c2 ON n.id = c2.dst
+    )
+    SELECT r2.id AS nationkey, nat.n_name, r2.r AS rank_ppm
+    FROM r2 JOIN nation nat ON r2.id = nat.n_nationkey
+    ORDER BY rank_ppm DESC, nationkey
+    """,
+)
+def x62_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ew = edges.join(outw, "src")  # tiny (≤ n² rows): reused by both passes
+    nodes = nation.select(F.col("n_nationkey").alias("id"))
+
+    def rank_step(ranks: DataFrame | None) -> DataFrame:
+        if ranks is None:  # r0 ≡ 1e6: contribution is w-proportional
+            contrib = ew.select(
+                "dst", F.expr("(1000000 * w) div ow").alias("contrib")
+            )
+        else:
+            contrib = ew.join(ranks, ew.src == ranks.id).select(
+                "dst", F.expr("(r * w) div ow").alias("contrib")
+            )
+        summed = contrib.groupBy("dst").agg(F.sum("contrib").alias("contrib"))
+        return nodes.join(summed, nodes.id == summed.dst, "left").select(
+            "id",
+            (
+                F.lit(150000)
+                + F.expr("(850 * coalesce(contrib, 0)) div 1000").cast("long")
+            ).alias("r"),
+        )
+
+    r2 = rank_step(rank_step(None))
+    return (
+        r2.join(F.broadcast(nation), r2.id == nation.n_nationkey)
+        .select(
+            F.col("id").alias("nationkey"), "n_name", F.col("r").alias("rank_ppm")
+        )
+        .orderBy(F.desc("rank_ppm"), "nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# x63 — SCD Type-2 interval build from an event log: per-user value
+# changes become validity intervals [valid_from, valid_to) with an
+# is_current flag — the standard way a warehouse versions a mutating
+# dimension. Change detection via lag, interval close via lead; both
+# pure window ordering, exact. Timestamps travel as epoch micros.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x63_scd2_intervals",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS tus,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+      FROM events WHERE user_id < 5
+    ), changes AS (
+      SELECT * FROM (
+        SELECT user_id, tus, v_cents,
+               lag(v_cents) OVER (PARTITION BY user_id ORDER BY tus, v_cents) AS prev_v
+        FROM src
+      ) WHERE prev_v IS NULL OR prev_v <> v_cents
+    )
+    SELECT user_id, v_cents,
+           tus AS valid_from_us,
+           lead(tus) OVER (PARTITION BY user_id ORDER BY tus, v_cents) AS valid_to_us,
+           lead(tus) OVER (PARTITION BY user_id ORDER BY tus, v_cents) IS NULL AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from_us
+    """,
+)
+def x63_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 5)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("tus"),
+            cents(F.col("value")).alias("v_cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "v_cents")
+    changes = src.withColumn("prev_v", F.lag("v_cents").over(w)).filter(
+        F.col("prev_v").isNull() | (F.col("prev_v") != F.col("v_cents"))
+    )
+    return (
+        changes.select(
+            "user_id",
+            "v_cents",
+            F.col("tus").alias("valid_from_us"),
+            F.lead("tus").over(w).alias("valid_to_us"),
+        )
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+        .orderBy("user_id", "valid_from_us")
+    )
+
+
+# --------------------------------------------------------------------------
+# x64 — data-quality report: referential integrity (anti-join orphan
+# counts), key uniqueness, domain checks — each check one row
+# (check, n_violations, n_checked), all computed set-oriented (no
+# row-at-a-time validation; the reference validates per-row during its
+# iterrows() ETL, etl.py:477-1115).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x64_dq_report",
+    oracle="""
+    SELECT 'orders_orphan_custkey' AS check_name,
+           (SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             AS n_violations,
+           (SELECT COUNT(*) FROM orders) AS n_checked
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+           (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'customer_custkey_duplicates',
+           (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer),
+           (SELECT COUNT(*) FROM customer)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_quantity',
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0),
+           (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'orders_negative_totalprice',
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice < 0),
+           (SELECT COUNT(*) FROM orders)
+    ORDER BY check_name
+    """,
+)
+def x64_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def row(name: str, violations: DataFrame, checked: DataFrame) -> DataFrame:
+        v = violations.agg(F.count(F.lit(1)).alias("n_violations"))
+        n = checked.agg(F.count(F.lit(1)).alias("n_checked"))
+        return v.crossJoin(n).select(
+            F.lit(name).alias("check_name"), "n_violations", "n_checked"
+        )
+
+    dup = customer.agg(
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("n_violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    ).select(
+        F.lit("customer_custkey_duplicates").alias("check_name"),
+        "n_violations",
+        "n_checked",
+    )
+    report = (
+        row(
+            "orders_orphan_custkey",
+            orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti"),
+            orders,
+        )
+        .unionAll(
+            row(
+                "lineitem_orphan_orderkey",
+                lineitem.join(
+                    orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+                ),
+                lineitem,
+            )
+        )
+        .unionAll(dup)
+        .unionAll(
+            row(
+                "lineitem_nonpositive_quantity",
+                lineitem.filter(F.col("l_quantity") <= 0),
+                lineitem,
+            )
+        )
+        .unionAll(
+            row(
+                "orders_negative_totalprice",
+                orders.filter(F.col("o_totalprice") < 0),
+                orders,
+            )
+        )
+    )
+    return report.orderBy("check_name")
