@@ -2433,3 +2433,118 @@ def x64_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return report.orderBy("check_name")
+
+
+# --------------------------------------------------------------------------
+# x65 — scalar string-function battery over part names: split_part,
+# translate, lpad, reverse, repeat, left/right, instr/strpos, ascii —
+# each pinned to identical semantics on both engines (SURVEY §2.8
+# breadth; the reference leans on MySQL string functions throughout its
+# 13-query corpus).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x65_string_battery",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_name, ' ', 1) AS first_word,
+           split_part(p_name, ' ', 2) AS second_word,
+           translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+           reverse(p_name) AS rev_name,
+           repeat(left(p_name, 2), 2) AS doubled_prefix,
+           right(p_name, 3) AS last3,
+           strpos(p_name, 'e') AS first_e,
+           ascii(p_name) AS first_char_code,
+           upper(p_name) AS uname,
+           length(p_name) AS name_len
+    FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
+    """,
+)
+def x65_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.split_part(name, F.lit(" "), F.lit(1)).alias("first_word"),
+        F.split_part(name, F.lit(" "), F.lit(2)).alias("second_word"),
+        F.translate(name, "aeiou", "AEIOU").alias("vowels_up"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.reverse(name).alias("rev_name"),
+        F.repeat(F.substring(name, 1, 2), 2).alias("doubled_prefix"),
+        F.substring(name, -3, 3).alias("last3"),
+        F.instr(name, "e").alias("first_e"),
+        F.ascii(name).alias("first_char_code"),
+        F.upper(name).alias("uname"),
+        F.length(name).alias("name_len"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# x66 — date-function battery over order dates: last_day, add_months
+# (month-end clamping!), quarter, ISO day-of-week, ISO week, make_date
+# round-trip — aligned to identical cross-engine definitions.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x66_date_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_add(CAST(o_orderdate AS DATE), INTERVAL 1 MONTH) AS DATE) AS next_month,
+           quarter(CAST(o_orderdate AS DATE)) AS qtr,
+           isodow(CAST(o_orderdate AS DATE)) AS iso_dow,
+           week(CAST(o_orderdate AS DATE)) AS iso_week,
+           make_date(CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT),
+                     CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS INT), 1)
+             AS month_start
+    FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
+    """,
+)
+def x66_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 1).alias("next_month"),
+        F.quarter(d).cast("long").alias("qtr"),
+        (F.weekday(d) + 1).cast("long").alias("iso_dow"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_start"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# x67 — ordered-selection aggregates: max_by/min_by (tie-proofed by
+# folding the key into the ordering value: cents·1e7 + orderkey is
+# unique), bool_and/bool_or, count_if — per order priority.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x67_selection_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           max_by(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+             AS top_order,
+           min_by(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+             AS bottom_order,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_jumbo,
+           count_if(o_orderstatus = 'F') AS n_finished
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def x67_selection_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    okey = cents(F.col("o_totalprice")) * 10000000 + F.col("o_orderkey")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", okey).alias("top_order"),
+            F.min_by("o_orderkey", okey).alias("bottom_order"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        )
+        .orderBy("o_orderpriority")
+    )
