@@ -2548,3 +2548,58 @@ def x67_selection_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# x68 — array-function battery over tokenized documents: distinct/sort/
+# intersect/contains/position/slice/transform, outputs sort-normalized
+# and comma-joined so both engines hash identical strings (Spark
+# array_position returns 0 where DuckDB list_position yields NULL —
+# normalized via coalesce on the oracle side).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x68_array_battery",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS w
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           len(w) AS n_words,
+           array_to_string(list_sort(list_distinct(w))[1:8], ',') AS first8_distinct,
+           COALESCE(array_to_string(list_sort(list_distinct(list_intersect(w,
+             ['the','a','an','of','and','to','in','is','it','that']))), ','), '')
+             AS stop_hits,  -- DuckDB list_sort([]) yields NULL
+           list_contains(w, 'the') AS has_the,
+           COALESCE(list_position(w, 'the'), 0) AS the_pos,
+           array_to_string(list_transform(w[1:5], x -> CAST(length(x) AS VARCHAR)), ',')
+             AS first5_lens
+    FROM t ORDER BY doc_id
+    """,
+)
+def x68_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import words
+
+    stop = F.array(*[F.lit(s) for s in
+                     ("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")])
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", words("text").alias("w"))
+    )
+    return docs.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct("w")), 1, 8), ","
+        ).alias("first8_distinct"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_intersect("w", stop))), ","
+        ).alias("stop_hits"),
+        F.array_contains("w", "the").alias("has_the"),
+        F.array_position("w", "the").cast("long").alias("the_pos"),
+        F.array_join(
+            F.transform(F.slice("w", 1, 5), lambda x: F.length(x).cast("string")), ","
+        ).alias("first5_lens"),
+    ).orderBy("doc_id")

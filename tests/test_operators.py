@@ -872,3 +872,62 @@ def test_python_datasource_jsonl_writer_two_phase_commit(tmp_path, spark):
     )
     assert back.count() == 1000
     assert back.agg(F.sum("v")).first()[0] == 2 * (999 * 1000 // 2)
+
+
+def test_incremental_agg_equals_full_recompute(spark):
+    """merge_partials(base, delta) must equal build_partials over the
+    union — the invariant that makes O(delta) rollup maintenance safe."""
+    from super_store_datawarehouse_spark.operators.incremental import (
+        build_partials,
+        merge_partials,
+    )
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from tests.conftest import TESTDATA_SF
+
+    ev = load_table(spark, TESTDATA_SF, "events").withColumn(
+        "v_cents", (F.round(F.col("value") * 100)).cast("long")
+    )
+    day = F.dayofmonth("ts")
+    base_rows = ev.filter(day <= 15)
+    delta_rows = ev.filter(day > 15)
+    keys = ["user_id", "event_type"]
+    specs = {
+        "n": ("count", "v_cents"),
+        "total": ("sum", "v_cents"),
+        "lo": ("min", "v_cents"),
+        "hi": ("max", "v_cents"),
+    }
+    merged = merge_partials(
+        build_partials(base_rows, keys, specs),
+        build_partials(delta_rows, keys, specs),
+        keys,
+        specs,
+    )
+    full = build_partials(ev, keys, specs)
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(merged) == as_set(full) and merged.count() > 0
+
+
+def test_incremental_merge_handles_disjoint_and_overlapping_keys(spark):
+    from super_store_datawarehouse_spark.operators.incremental import (
+        build_partials,
+        merge_partials,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 10)], "k string, v long"
+    )
+    delta = spark.createDataFrame(
+        [("b", 2), ("c", 7)], "k string, v long"
+    )
+    specs = {"n": ("count", "v"), "s": ("sum", "v"), "mn": ("min", "v"), "mx": ("max", "v")}
+    got = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in merge_partials(
+            build_partials(base, ["k"], specs),
+            build_partials(delta, ["k"], specs),
+            ["k"],
+            specs,
+        ).collect()
+    }
+    assert got == {"a": (2, 4, 1, 3), "b": (2, 12, 2, 10), "c": (1, 7, 7, 7)}
