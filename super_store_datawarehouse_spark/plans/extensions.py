@@ -2260,7 +2260,13 @@ def x62_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    ew = edges.join(outw, "src")  # tiny (≤ n² rows): reused by both passes
+    # after the nation-grain rollup everything is ≤ n² rows; Catalyst
+    # can't see that through the aggregates, so broadcast explicitly —
+    # the whole iteration then runs shuffle-free on top of one reduce
+    # persist: the expensive part of PageRank is building the edge
+    # rollup from the fact join — each unrolled iteration references it,
+    # and without a cache Spark re-executes that whole subtree per use
+    ew = edges.join(F.broadcast(outw), "src").persist()
     nodes = nation.select(F.col("n_nationkey").alias("id"))
 
     def rank_step(ranks: DataFrame | None) -> DataFrame:
@@ -2269,11 +2275,13 @@ def x62_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dst", F.expr("(1000000 * w) div ow").alias("contrib")
             )
         else:
-            contrib = ew.join(ranks, ew.src == ranks.id).select(
+            contrib = ew.join(F.broadcast(ranks), ew.src == ranks.id).select(
                 "dst", F.expr("(r * w) div ow").alias("contrib")
             )
         summed = contrib.groupBy("dst").agg(F.sum("contrib").alias("contrib"))
-        return nodes.join(summed, nodes.id == summed.dst, "left").select(
+        return nodes.join(
+            F.broadcast(summed), nodes.id == summed.dst, "left"
+        ).select(
             "id",
             (
                 F.lit(150000)
