@@ -2611,3 +2611,83 @@ def x68_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.slice("w", 1, 5), lambda x: F.length(x).cast("string")), ","
         ).alias("first5_lens"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x69 — schema-aligning union (unionByName/allowMissingColumns ≡ UNION
+# ALL BY NAME): merging heterogeneous batches by column name with NULL
+# fill — the schema-drift-tolerant ingest primitive.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x69_union_by_name",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey AS entity_id, c_acctbal AS balance, c_mktsegment AS segment
+      FROM customer WHERE c_custkey <= 100
+      UNION ALL BY NAME
+      SELECT s_suppkey AS entity_id, s_acctbal AS balance, 'SUPPLIER' AS kind
+      FROM supplier WHERE s_suppkey <= 50
+    ) ORDER BY entity_id, segment NULLS FIRST
+    """,
+)
+def x69_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select(
+            F.col("c_custkey").alias("entity_id"),
+            F.col("c_acctbal").alias("balance"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 50)
+        .select(
+            F.col("s_suppkey").alias("entity_id"),
+            F.col("s_acctbal").alias("balance"),
+            F.lit("SUPPLIER").alias("kind"),
+        )
+    )
+    return cust.unionByName(supp, allowMissingColumns=True).orderBy(
+        "entity_id", F.asc_nulls_first("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# x70 — window value-selection battery: first_value / last_value /
+# nth_value over an explicit unbounded frame (the default frame ends at
+# CURRENT ROW, where last_value degenerates — pinned identically on
+# both engines), per-nation customers ordered by key.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x70_window_value_battery",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           first_value(c_custkey) OVER w AS first_cust,
+           last_value(c_custkey) OVER w AS last_cust,
+           nth_value(c_custkey, 3) OVER w AS third_cust,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT)
+             - first_value(CAST(ROUND(c_acctbal * 100) AS BIGINT)) OVER w AS bal_delta_cents
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY c_nationkey, c_custkey
+    """,
+)
+def x70_window_value_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    bal = cents(F.col("c_acctbal"))
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.first("c_custkey").over(w).alias("first_cust"),
+        F.last("c_custkey").over(w).alias("last_cust"),
+        F.nth_value("c_custkey", 3).over(w).alias("third_cust"),
+        (bal - F.first(bal).over(w)).alias("bal_delta_cents"),
+    ).orderBy("c_nationkey", "c_custkey")

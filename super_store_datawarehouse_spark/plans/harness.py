@@ -1798,3 +1798,44 @@ def q45_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# q46 — time-hierarchy ROLLUP: revenue subtotals at (year, quarter),
+# (year), and grand-total levels with GROUPING() flags — the calendar
+# counterpart of q03's segment rollup (reference uses ROLLUP in its
+# monthly-sales query, Data_Analysis.ipynb Q10).
+# --------------------------------------------------------------------------
+@harness_query(
+    "q46_time_hierarchy_rollup",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+           CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+           GROUPING(CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT)) AS g_yr,
+           GROUPING(CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT)) AS g_qtr,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+    FROM orders
+    GROUP BY ROLLUP(1, 2)
+    ORDER BY g_yr, g_qtr, yr NULLS FIRST, qtr NULLS FIRST
+    """,
+)
+def q46_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.select(
+            F.year(d).cast("long").alias("yr"),
+            F.quarter(d).cast("long").alias("qtr"),
+            "o_totalprice",
+        )
+        .rollup("yr", "qtr")
+        .agg(
+            F.grouping("yr").cast("long").alias("g_yr"),
+            F.grouping("qtr").cast("long").alias("g_qtr"),
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice"), "revenue"),
+        )
+        .select("yr", "qtr", "g_yr", "g_qtr", "n_orders", "revenue")
+        .orderBy("g_yr", "g_qtr", F.asc_nulls_first("yr"), F.asc_nulls_first("qtr"))
+    )
