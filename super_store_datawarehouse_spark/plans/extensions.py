@@ -2691,3 +2691,120 @@ def x70_window_value_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("c_custkey", 3).over(w).alias("third_cust"),
         (bal - F.first(bal).over(w)).alias("bal_delta_cents"),
     ).orderBy("c_nationkey", "c_custkey")
+
+
+# --------------------------------------------------------------------------
+# x71 — end-to-end training-data pipeline: exact dedup (keep lowest id
+# per normalized text) → quality gate (≥10 tokens, avg token length
+# ≤ 12) → language gate (en) → deterministic train/val/test split →
+# per-split doc and token counts. One composed DataFrame plan — every
+# stage is an operator verified elsewhere (x01, x07, x06, x23), and the
+# composition itself is fully oracled, proving the stages interlock
+# without materialization between them.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x71_training_pipeline",
+    oracle=f"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    ), feats AS (
+      SELECT d.doc_id,
+             length(d.text) AS n_chars,
+             len(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'),
+                             x -> x <> '')) AS n_tokens,
+             len(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'),
+                             x -> x IN {EN_STOP_SQL})) AS n_stop,
+             regexp_matches(d.text, '[一-鿿]') AS is_cjk
+      FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+    ), kept AS (
+      SELECT doc_id, n_tokens FROM feats
+      WHERE n_tokens >= 10
+        AND CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 12.0
+        AND NOT is_cjk
+        AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.05
+    )
+    SELECT CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END
+             AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM (SELECT doc_id, n_tokens,
+                 ((doc_id + 0) * 2654435761) % 4294967296 % 10000 AS b
+          FROM kept)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def x71_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.dedup import normalize_text
+    from super_store_datawarehouse_spark.operators.sampling import split_column
+    from super_store_datawarehouse_spark.operators.text import (
+        lang_id,
+        quality_keep,
+        token_count_ws,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = (
+        docs.groupBy(normalize_text(F.col("text")).alias("norm"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = (
+        docs.join(keepers, "doc_id")
+        .filter(quality_keep("text") & (lang_id("text") == "en"))
+        .select("doc_id", token_count_ws("text").alias("n_tokens"))
+    )
+    return (
+        kept.groupBy(split_column("doc_id").alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+# --------------------------------------------------------------------------
+# x72 — MapType round-trip: per-user event-type counts built into a map
+# column (map_from_entries over a sorted entry array), then consumed via
+# map_entries / element_at / size. The oracle verifies the same values
+# relationally — the map is the Spark-side data-shape under test, the
+# numbers must be engine-independent.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x72_map_column_roundtrip",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           COUNT(*) AS n_types,
+           string_agg(event_type || '=' || n, ',' ORDER BY event_type) AS summary,
+           COALESCE(MAX(CASE WHEN event_type = 'click' THEN n END), 0) AS clicks
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+)
+def x72_map_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.array_join(
+            F.transform(
+                F.map_entries("m"),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+            ),
+            ",",
+        ).alias("summary"),
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).cast("long").alias("clicks"),
+    ).orderBy("user_id")

@@ -321,3 +321,46 @@ def test_transform_with_state_totals_or_gated(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_restart_resumes_from_checkpoint_exactly_once(tmp_path, spark):
+    """File-source offsets live in the checkpoint: a stopped query that
+    restarts with the same checkpointLocation neither re-reads old files
+    (no duplicates) nor skips new ones (no loss)."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    cp = str(tmp_path / "cp")
+    os.makedirs(src)
+    spark.range(0, 100).withColumn("batch", F.lit(1)).coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    spark.range(100, 250).withColumn("batch", F.lit(2)).coalesce(1).write.parquet(
+        src + "/f2"
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("id long, batch int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == 250
+    # plant a new file, restart from the same checkpoint
+    spark.range(250, 300).withColumn("batch", F.lit(3)).coalesce(1).write.parquet(
+        src + "/f3"
+    )
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 300  # 250 old NOT reprocessed, 50 new not lost
+    assert got.select("id").distinct().count() == 300
