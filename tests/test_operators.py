@@ -931,3 +931,65 @@ def test_incremental_merge_handles_disjoint_and_overlapping_keys(spark):
         ).collect()
     }
     assert got == {"a": (2, 4, 1, 3), "b": (2, 12, 2, 10), "c": (1, 7, 7, 7)}
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(tmp_path, spark):
+    """partitionOverwriteMode=dynamic: rewriting one partition leaves
+    sibling partitions intact — the idempotent-backfill primitive (a
+    static overwrite would wipe the whole table root)."""
+    path = str(tmp_path / "by_day")
+    base = spark.createDataFrame(
+        [(1, "d1"), (2, "d1"), (3, "d2"), (4, "d3")], "id long, day string"
+    )
+    base.write.partitionBy("day").parquet(path)
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        fix = spark.createDataFrame([(30, "d2")], "id long, day string")
+        fix.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    got = {
+        (r["id"], r["day"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "d1"), (2, "d1"), (30, "d2"), (4, "d3")}
+
+
+def test_pandas_api_on_spark_matches_sql(spark):
+    """pyspark.pandas front-end compiles to the same engine: a pandas-
+    style groupby equals the SQL aggregation over identical data."""
+    import pyspark.pandas as ps
+
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from tests.conftest import TESTDATA_SF
+
+    sdf = load_table(spark, TESTDATA_SF, "orders").select(
+        "o_orderpriority", (F.round(F.col("o_totalprice") * 100)).cast("long").alias("cents")
+    )
+    psdf = sdf.pandas_api()
+    got = psdf.groupby("o_orderpriority")["cents"].sum().sort_index().to_dict()
+    want = {
+        r["o_orderpriority"]: r["s"]
+        for r in sdf.groupBy("o_orderpriority").agg(F.sum("cents").alias("s")).collect()
+    }
+    assert got == want
+
+
+def test_parameterized_sql_named_args(spark):
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from tests.conftest import TESTDATA_SF
+
+    load_table(spark, TESTDATA_SF, "orders").createOrReplaceTempView("orders_v")
+    got = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders_v WHERE o_orderpriority = :prio AND o_totalprice > :floor",
+        args={"prio": "1-URGENT", "floor": 1000.0},
+    ).first()["n"]
+    want = (
+        load_table(spark, TESTDATA_SF, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 1000.0))
+        .count()
+    )
+    assert got == want
