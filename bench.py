@@ -47,6 +47,7 @@ HEADLINE = [
     "x49_tfidf_top_terms",
     "x50_kmeans_clusters",
     "x54_gapfill_locf",
+    "x71_training_pipeline",
 ]
 
 

@@ -408,3 +408,37 @@ def simhash_portable(
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim.bitwiseOR(term)
     return agg.select(F.col("sid").alias(id_col), sim.alias("simhash"))
+
+
+def minhash_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures over a portable polynomial shingle hash —
+    the auditable twin of ``minhash_signatures`` (which uses xxhash64
+    and is therefore only rows-only checkable; same relationship as
+    ``simhash_portable`` to ``simhash64``).
+
+    Shingle string → (h·31 + ascii) fold mod 2³¹ → per-permutation
+    (aᵢ·h + bᵢ) mod 2³¹ (coefficients < 2³¹ keep every product inside
+    int64) → MIN per document. Every step replays in any SQL engine;
+    x73 verifies all ``num_hashes`` signature components bit-for-bit.
+    """
+    sh = word_shingles(df, text_col, id_col, n=n, hashed=False)
+    codes = F.transform(F.split("shingle", ""), lambda ch: F.ascii(ch).cast("long"))
+    hs = F.aggregate(
+        codes,
+        F.lit(7).cast("long"),
+        lambda h, c: (h * 31 + c) % F.lit(1 << 31),
+    )
+    feats = sh.withColumn("hs", hs)
+    coeffs = _minhash_coeffs(num_hashes, seed=seed)
+    mins = [
+        F.min((F.col("hs") * a + b) % F.lit(1 << 31)).alias(f"m{j:02d}")
+        for j, (a, b) in enumerate(coeffs)
+    ]
+    return feats.groupBy("sid").agg(*mins).withColumnRenamed("sid", id_col)

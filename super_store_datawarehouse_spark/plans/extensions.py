@@ -2808,3 +2808,51 @@ def x72_map_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("summary"),
         F.coalesce(F.element_at("m", "click"), F.lit(0)).cast("long").alias("clicks"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# x73 — portable MinHash: all 16 signature components verified
+# bit-for-bit (polynomial shingle hash → affine permutations mod 2³¹ →
+# per-doc MIN), closing the auditability gap of xxhash-based x03 the
+# same way x39 does for SimHash.
+# --------------------------------------------------------------------------
+from super_store_datawarehouse_spark.operators.dedup import (  # noqa: E402
+    _minhash_coeffs as _x73_coeffs,
+)
+
+_X73_MINS = ", ".join(
+    f"MIN((hs * {a} + {b}) % 2147483648) AS m{j:02d}"
+    for j, (a, b) in enumerate(_x73_coeffs(16, seed=42))
+)
+
+
+@harness_query(
+    "x73_minhash_portable",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS l
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(l[i:i+2], ' ') AS shingle
+      FROM w CROSS JOIN range(1, 10000) r(i)
+      WHERE i <= len(l) - 2
+    ), h AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split_regex(shingle, ''),
+                                ch -> CAST(ascii(ch) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % 2147483648) AS hs
+      FROM sh
+    )
+    SELECT doc_id, {_X73_MINS}
+    FROM h GROUP BY doc_id
+    """,
+)
+def x73_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.dedup import minhash_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_portable(docs, n=3, num_hashes=16)

@@ -63,3 +63,46 @@ def test_salted_count_distinct_is_exact(spark, rows, n_buckets):
     for k, v in rows:
         want.setdefault(k, set()).add(v)
     assert got == {k: len(vs) for k, vs in want.items()}
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-1000, 1000)), min_size=1, max_size=16
+    ),
+    cut=st.integers(0, 16),
+)
+def test_incremental_merge_equals_full_for_any_split(spark, rows, cut):
+    """For ANY split point of the input, merging the two halves' partial
+    aggregates equals aggregating the whole — the associativity the
+    incremental-maintenance operator depends on."""
+    from super_store_datawarehouse_spark.operators.incremental import (
+        build_partials,
+        merge_partials,
+    )
+
+    cut = min(cut, len(rows))
+    schema = "k long, v long"
+    specs = {
+        "n": ("count", "v"),
+        "s": ("sum", "v"),
+        "mn": ("min", "v"),
+        "mx": ("max", "v"),
+    }
+    full_df = spark.createDataFrame(rows, schema)
+    a = rows[:cut] or [(99, 0)]  # createDataFrame rejects empty lists;
+    b = rows[cut:] or [(99, 0)]  # pad both sides with a sentinel key
+    pad = [(99, 0)] if (not rows[:cut] or not rows[cut:]) else []
+    merged = merge_partials(
+        build_partials(spark.createDataFrame(a, schema), ["k"], specs),
+        build_partials(spark.createDataFrame(b, schema), ["k"], specs),
+        ["k"],
+        specs,
+    )
+    full = build_partials(spark.createDataFrame(rows + pad, schema), ["k"], specs)
+    as_map = lambda df: {r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in df.collect()}  # noqa: E731
+    got, want = as_map(merged), as_map(full)
+    if pad:
+        # drop the sentinel key before comparing real aggregates
+        got.pop(99, None), want.pop(99, None)
+    assert got == want
