@@ -41,8 +41,9 @@ BASELINE = {  # round-1 final, sf0.1, min-of-2 warm runs (BASELINE.md)
     "x49_tfidf_top_terms": 1.02,
     "x50_kmeans_clusters": 3.00,
     "x54_gapfill_locf": 0.44,
+    "x71_training_pipeline": 0.78,
 }
-BASELINE_TOTAL = 19.805
+BASELINE_TOTAL = 20.585
 
 PER_QUERY_FACTOR = 1.8
 PER_QUERY_ABS_FLOOR = 0.4  # sec — ignore noise blips on sub-second queries
