@@ -2856,3 +2856,56 @@ def x73_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return minhash_portable(docs, n=3, num_hashes=16)
+
+
+# --------------------------------------------------------------------------
+# x74 — NULL-semantics battery: null-safe equality (<=> ≡ IS NOT
+# DISTINCT FROM), NULLIF, NVL2/IF-NULL branching, COALESCE chains, and
+# count(col) vs count(*) asymmetry — pinned on rows where valid_to of
+# the SCD-style lead() is NULL (current rows), the place engines
+# disagree most often.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x74_null_semantics",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS tus,
+             lead(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000) AS next_tus
+      FROM events WHERE user_id < 20
+    )
+    SELECT user_id,
+           COUNT(*) AS n_rows,
+           COUNT(next_tus) AS n_nonnull,
+           count_if(next_tus IS NOT DISTINCT FROM NULL) AS n_null_safe,
+           CAST(SUM(COALESCE(next_tus - tus, -1)) AS BIGINT) AS gap_sum_with_sentinel,
+           count_if(NULLIF(next_tus, tus) IS NULL) AS n_nullif_hits,
+           CAST(SUM(CASE WHEN next_tus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nvl2_like
+    FROM seq GROUP BY 1 ORDER BY 1
+    """,
+)
+def x74_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select("user_id", F.unix_micros("ts").alias("tus"))
+    )
+    w = Window.partitionBy("user_id").orderBy("tus")
+    seq = seq.withColumn("next_tus", F.lead("tus").over(w))
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("next_tus").alias("n_nonnull"),
+            F.count_if(F.col("next_tus").eqNullSafe(F.lit(None).cast("long"))).alias(
+                "n_null_safe"
+            ),
+            F.sum(
+                F.coalesce(F.col("next_tus") - F.col("tus"), F.lit(-1))
+            ).alias("gap_sum_with_sentinel"),
+            F.count_if(
+                F.nullif(F.col("next_tus"), F.col("tus")).isNull()
+            ).alias("n_nullif_hits"),
+            F.sum(F.nvl2(F.col("next_tus"), F.lit(1), F.lit(0))).alias("n_nvl2_like"),
+        )
+        .orderBy("user_id")
+    )

@@ -1839,3 +1839,39 @@ def q46_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("yr", "qtr", "g_yr", "g_qtr", "n_orders", "revenue")
         .orderBy("g_yr", "g_qtr", F.asc_nulls_first("yr"), F.asc_nulls_first("qtr"))
     )
+
+
+# --------------------------------------------------------------------------
+# q47 — TPC-H Q6 shape (forecast revenue change): pure scan-side
+# conjunctive predicate + single agg — the canonical predicate-pushdown
+# / whole-stage-codegen benchmark (every filter reaches the parquet
+# reader; see PLANS.md for the PushedFilters evidence on q35).
+# --------------------------------------------------------------------------
+@harness_query(
+    "q47_forecast_revenue_change",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS revenue_delta
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q47_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    sd = F.col("l_shipdate").cast("date")
+    return (
+        l.filter(
+            (sd >= "1996-01-01")
+            & (sd < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            money_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue_delta"),
+        )
+    )
