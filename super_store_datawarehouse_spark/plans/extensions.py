@@ -2909,3 +2909,101 @@ def x74_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x75 — equi-depth (decile) histogram: ntile over a total order (cents
+# + key tiebreak so ranks are engine-independent), per-bin count and
+# exact edges — the complement of x60's fixed-width bins.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x75_equidepth_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c, o_orderkey,
+             ntile(10) OVER (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey)
+               AS decile
+      FROM orders
+    )
+    SELECT decile, COUNT(*) AS n,
+           CAST(MIN(c) AS BIGINT) AS lo_cents, CAST(MAX(c) AS BIGINT) AS hi_cents
+    FROM t GROUP BY 1 ORDER BY 1
+    """,
+)
+def x75_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        cents(F.col("o_totalprice")).alias("c"), "o_orderkey"
+    )
+    w = Window.orderBy("c", "o_orderkey")
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c").alias("lo_cents"),
+            F.max("c").alias("hi_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# x76 — complex-event sequence detection: users completing
+# view → click → purchase with each step ≤ 24 h after the previous —
+# two chained interval semi-joins (the x22 range-join pattern) and a
+# min per user; timestamps compare as integer micros throughout. This
+# is MATCH_RECOGNIZE-lite expressed relationally.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x76_event_sequence_detection",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events
+    ), qual_click AS (
+      SELECT DISTINCT c.user_id, c.tus
+      FROM e c
+      WHERE c.event_type = 'click'
+        AND EXISTS (SELECT 1 FROM e v
+                    WHERE v.user_id = c.user_id AND v.event_type = 'view'
+                      AND v.tus < c.tus AND c.tus - v.tus <= 86400000000)
+    ), qual_purchase AS (
+      SELECT p.user_id, MIN(p.tus) AS first_complete_us
+      FROM e p
+      WHERE p.event_type = 'purchase'
+        AND EXISTS (SELECT 1 FROM qual_click c
+                    WHERE c.user_id = p.user_id
+                      AND c.tus < p.tus AND p.tus - c.tus <= 86400000000)
+      GROUP BY 1
+    )
+    SELECT user_id, first_complete_us FROM qual_purchase ORDER BY user_id
+    """,
+)
+def x76_event_sequence_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    step_us = 86400000000
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_uid"), F.col("tus").alias("v_tus")
+    )
+    clicks = e.filter(F.col("event_type") == "click")
+    qual_click = clicks.join(
+        views,
+        (clicks.user_id == views.v_uid)
+        & (views.v_tus < clicks.tus)
+        & (clicks.tus - views.v_tus <= step_us),
+        "left_semi",
+    ).select(F.col("user_id").alias("c_uid"), F.col("tus").alias("c_tus"))
+    purchases = e.filter(F.col("event_type") == "purchase")
+    return (
+        purchases.join(
+            qual_click,
+            (purchases.user_id == qual_click.c_uid)
+            & (qual_click.c_tus < purchases.tus)
+            & (purchases.tus - qual_click.c_tus <= step_us),
+            "left_semi",
+        )
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("first_complete_us"))
+        .orderBy("user_id")
+    )

@@ -1875,3 +1875,100 @@ def q47_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue_delta"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q48 — TPC-H Q11 shape (important inventory share): per-(nation, part)
+# shipped value vs a scalar-subquery global threshold — partsupp is
+# derived from lineitem⋈supplier (schema has no partsupp table). The
+# HAVING threshold (0.01% of global) is exact: both sides integer
+# cents, scaled by 10000 instead of divided.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q48_important_part_value",
+    oracle="""
+    WITH pv AS (
+      SELECT s.s_nationkey, l.l_partkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(SUM(value_cents) AS BIGINT) AS t FROM pv
+    )
+    SELECT pv.s_nationkey, pv.l_partkey, pv.value_cents
+    FROM pv CROSS JOIN tot
+    WHERE pv.value_cents * 10000 > tot.t
+    ORDER BY pv.value_cents DESC, pv.s_nationkey, pv.l_partkey
+    """,
+)
+def q48_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pv = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_partkey")
+        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("value_cents"))
+    )
+    tot = pv.agg(F.sum("value_cents").alias("t"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 10000 > F.col("t"))
+        .select("s_nationkey", "l_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "s_nationkey", "l_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q49 — TPC-H Q20 shape (suppliers with significant share of a part's
+# volume): suppliers shipping > 20% of a red part's total quantity —
+# the correlated "excess availability" predicate restated in exact
+# integers (5·supp_qty > part_qty).
+# --------------------------------------------------------------------------
+@harness_query(
+    "q49_dominant_part_suppliers",
+    oracle="""
+    WITH red AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+    ), per_supp AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+      FROM lineitem l JOIN red r ON l.l_partkey = r.p_partkey
+      GROUP BY 1, 2
+    ), per_part AS (
+      SELECT l_partkey, CAST(SUM(supp_qty) AS BIGINT) AS part_qty
+      FROM per_supp GROUP BY 1
+    )
+    SELECT s.s_name, ps.l_partkey, ps.supp_qty, pp.part_qty
+    FROM per_supp ps
+    JOIN per_part pp ON ps.l_partkey = pp.l_partkey
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    WHERE 5 * ps.supp_qty > pp.part_qty
+    ORDER BY s.s_name, ps.l_partkey
+    """,
+)
+def q49_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_supp = (
+        l.join(F.broadcast(red), l.l_partkey == red.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("supp_qty"))
+    )
+    per_part = per_supp.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    return (
+        per_supp.join(F.broadcast(per_part.withColumnRenamed("l_partkey", "pk")),
+                      F.col("l_partkey") == F.col("pk"))
+        .filter(5 * F.col("supp_qty") > F.col("part_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "l_partkey", "supp_qty", "part_qty")
+        .orderBy("s_name", "l_partkey")
+    )
