@@ -1,0 +1,72 @@
+"""Plan-shape guards: pin the physical-plan structures the engine's
+scale story depends on (broadcasts chosen, filters pushed, partial
+aggregation, top-k via TakeOrderedAndProject, no stray SortMergeJoin
+in broadcast-sized joins). A perf regression usually shows up here
+before it shows up in bench numbers."""
+
+from __future__ import annotations
+
+import pytest
+
+from super_store_datawarehouse_spark.sources.testdata import load_table  # noqa: F401
+from tests.conftest import TESTDATA_SF
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    from super_store_datawarehouse_spark.plans import HARNESS
+    from super_store_datawarehouse_spark.plans import extensions as _x  # noqa: F401
+    from super_store_datawarehouse_spark.plans import harness as _h  # noqa: F401
+
+    def plan_of(name: str) -> str:
+        df = HARNESS[name][0](spark, TESTDATA_SF)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_q01_broadcasts_dim_and_takes_ordered_topk(plans):
+    p = plans("q01_top_parts_by_quantity")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p  # LIMIT+ORDER BY never global-sorts
+
+
+def test_q47_pushes_scan_predicates(plans):
+    p = plans("q47_forecast_revenue_change")
+    # the predicate set reaches the FileScan node (DataFilters in the
+    # executedPlan toString; shows as PushedFilters in explain-formatted)
+    scan_line = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    assert "DataFilters: [" in scan_line
+    assert "l_shipdate" in scan_line and "l_quantity" in scan_line
+
+
+def test_q02_aggregates_partially_before_exchange(plans):
+    p = plans("q02_pricing_summary")
+    # plan text prints top-down: final HashAggregate, then the shuffle,
+    # then the partial HashAggregate below it (map-side combine)
+    shuffle_at = p.index("Exchange hashpartitioning")
+    assert "HashAggregate" in p[shuffle_at:]
+    assert "HashAggregate" in p[:shuffle_at]
+
+
+def test_q39_eight_table_join_is_all_broadcast(plans):
+    p = plans("q39_market_share")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 6
+
+
+def test_x62_pagerank_iterations_are_broadcast_only(plans):
+    p = plans("x62_trade_pagerank")
+    assert "SortMergeJoin" not in p
+
+
+def test_x01_dedup_scans_only_needed_columns(plans):
+    p = plans("x01_dedup_exact")
+    # ReadSchema pruned to the two referenced columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}
