@@ -993,3 +993,21 @@ def test_parameterized_sql_named_args(spark):
         .count()
     )
     assert got == want
+
+
+def test_percentile_approx_within_rank_error_of_exact(spark):
+    """percentile_approx(accuracy=a) guarantees rank error ≤ n/a; check
+    the approximate median's RANK (not value) against that bound."""
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from tests.conftest import TESTDATA_SF
+
+    o = load_table(spark, TESTDATA_SF, "orders").select(
+        (F.round(F.col("o_totalprice") * 100)).cast("long").alias("c")
+    )
+    n = o.count()
+    accuracy = 100
+    approx = o.agg(
+        F.percentile_approx("c", F.lit(0.5), F.lit(accuracy)).alias("m")
+    ).first()["m"]
+    rank_of_approx = o.filter(F.col("c") <= approx).count()
+    assert abs(rank_of_approx - n / 2) <= n / accuracy + 1
