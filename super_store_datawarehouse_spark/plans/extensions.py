@@ -3007,3 +3007,126 @@ def x76_event_sequence_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("tus").alias("first_complete_us"))
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x77 — rolling 7-day distinct users per day: exact sliding
+# count-distinct via a bounded day×day interval join (distinct (day,
+# user) first, so the join fans out over at most 7 small daily sets).
+# At 100 TB the exact form stays viable because the join is on the
+# pre-aggregated day grain; the approximate path is per-day HLL
+# sketches merged over the window (x30's operator).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x77_rolling_7d_distinct_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM du
+    )
+    SELECT days.d,
+           COUNT(DISTINCT du.user_id) AS users_7d
+    FROM days JOIN du
+      ON du.d <= days.d AND du.d > days.d - INTERVAL 7 DAY
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def x77_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct().withColumnRenamed("d", "day")
+    return (
+        days.join(
+            du,
+            (du.d <= days.day) & (du.d > F.date_sub(days.day, 7)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select(F.col("day").alias("d"), "users_7d")
+        .orderBy("d")
+    )
+
+
+# --------------------------------------------------------------------------
+# x78 — market-basket pair mining: co-occurring part pairs within an
+# order (self-join bounded by order size, canonical a<b ordering),
+# support counts, top pairs. The scale knob is the per-order fan-out
+# (k²/2 for a k-line order) — real baskets are short, and a length cap
+# before the self-join bounds the worst case.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x78_part_pair_support",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def x78_part_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# x79 — month-over-month revenue deltas: lag over the monthly rollup;
+# delta stays in integer cents, pct change is one exact IEEE division
+# over two exact ints (NULL for the first month on both engines).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x79_mom_revenue_change",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT month, rev_cents,
+           rev_cents - lag(rev_cents) OVER (ORDER BY month) AS delta_cents,
+           CAST(rev_cents - lag(rev_cents) OVER (ORDER BY month) AS DOUBLE)
+             / CAST(lag(rev_cents) OVER (ORDER BY month) AS DOUBLE) AS pct_change
+    FROM m ORDER BY month
+    """,
+)
+def x79_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .alias("month")
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "month",
+        "rev_cents",
+        (F.col("rev_cents") - prev).alias("delta_cents"),
+        ((F.col("rev_cents") - prev).cast("double") / prev.cast("double")).alias(
+            "pct_change"
+        ),
+    ).orderBy("month")
