@@ -3130,3 +3130,81 @@ def x79_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_change"
         ),
     ).orderBy("month")
+
+
+# --------------------------------------------------------------------------
+# x80 — conditional aggregate over a trailing ROWS frame: purchases
+# among each user's last-5 events (count_if inside a bounded window),
+# tie-broken by event_id so frames are engine-identical.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x80_trailing_purchase_density",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS purchases_in_last5
+    FROM events WHERE user_id < 10
+    ORDER BY user_id, event_id
+    """,
+)
+def x80_trailing_purchase_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.count_if(F.col("event_type") == "purchase")
+            .over(w)
+            .alias("purchases_in_last5"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x81 — event-type transition matrix: per-user consecutive event pairs
+# (lead over event time) counted into from→to cells with row-normalized
+# probability — first-order Markov statistics as one window + one agg;
+# the probability is one exact IEEE division of two exact counts.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x81_event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+             ) AS to_type
+      FROM events
+    ), cells AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
+             AS p
+    FROM cells ORDER BY from_type, to_type
+    """,
+)
+def x81_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cells = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    row_tot = Window.partitionBy("from_type")
+    return cells.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(row_tot).cast("double")).alias("p"),
+    ).orderBy("from_type", "to_type")
