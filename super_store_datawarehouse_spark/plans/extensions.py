@@ -2538,7 +2538,7 @@ def x66_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS bottom_order,
            bool_and(o_totalprice > 0) AS all_positive,
            bool_or(o_totalprice > 400000) AS any_jumbo,
-           count_if(o_orderstatus = 'F') AS n_finished
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished
     FROM orders GROUP BY 1 ORDER BY 1
     """,
 )
@@ -2876,9 +2876,9 @@ def x73_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            COUNT(*) AS n_rows,
            COUNT(next_tus) AS n_nonnull,
-           count_if(next_tus IS NOT DISTINCT FROM NULL) AS n_null_safe,
+           CAST(count_if(next_tus IS NOT DISTINCT FROM NULL) AS BIGINT) AS n_null_safe,
            CAST(SUM(COALESCE(next_tus - tus, -1)) AS BIGINT) AS gap_sum_with_sentinel,
-           count_if(NULLIF(next_tus, tus) IS NULL) AS n_nullif_hits,
+           CAST(count_if(NULLIF(next_tus, tus) IS NULL) AS BIGINT) AS n_nullif_hits,
            CAST(SUM(CASE WHEN next_tus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nvl2_like
     FROM seq GROUP BY 1 ORDER BY 1
     """,

@@ -925,9 +925,9 @@ def q24_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q25_pivot_status_by_year",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS order_year,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_O,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_F,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_P
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_P
     FROM orders
     GROUP BY year(o_orderdate)
     ORDER BY order_year
