@@ -5,7 +5,7 @@ Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1}
 
-Per query: 1 warm-up + 2 timed runs, median (=min of 2) recorded. The
+Per query: 1 warm-up + 2 timed runs, min of the 2 recorded. The
 timed action is a full execution with results drained (collect on
 bounded outputs — every headline query returns an aggregate-sized
 result, so collect cost ≈ 0 and the measurement is plan execution).

@@ -33,14 +33,30 @@ def hash_bucket(key: Column | str, salt: int = 0) -> Column:
     pmod (not %) so negative keys still land in [0, 10000) — Spark's %
     keeps the dividend sign, and a negative bucket would silently pass
     every `bucket < threshold` sample/split filter.
+
+    The key is reduced to [0, 2^31) BEFORE the Knuth multiply: the
+    product then stays below 2^63, so the expression never wraps int64
+    (non-ANSI) or throws (ANSI) — even for xxhash64-derived keys that
+    span the full int64 range. ``bucket_sql`` mirrors the reduction so
+    the audit twin stays bit-identical.
     """
     c = F.col(key) if isinstance(key, str) else key
-    return F.pmod(F.pmod((c + F.lit(salt)) * F.lit(KNUTH), F.lit(1 << 32)), F.lit(N_BUCKETS))
+    narrow = F.pmod(c, F.lit(1 << 31))
+    return F.pmod(
+        F.pmod((narrow + F.lit(salt)) * F.lit(KNUTH), F.lit(1 << 32)),
+        F.lit(N_BUCKETS),
+    )
 
 
 def bucket_sql(key: str, salt: int = 0) -> str:
-    """The identical bucket expression in portable SQL (audit twin)."""
-    return f"(({key} + {salt}) * {KNUTH}) % {1 << 32} % {N_BUCKETS}"
+    """The identical bucket expression in portable SQL (audit twin).
+
+    Uses a double-mod idiom for pmod (portable across engines whose %
+    keeps the dividend sign), including the same pre-multiply key
+    reduction to [0, 2^31) as :func:`hash_bucket`.
+    """
+    narrow = f"((({key}) % {1 << 31} + {1 << 31}) % {1 << 31})"
+    return f"(({narrow} + {salt}) * {KNUTH}) % {1 << 32} % {N_BUCKETS}"
 
 
 def hash_sample(

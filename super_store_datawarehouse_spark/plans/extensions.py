@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from super_store_datawarehouse_spark.functions.exact import cents
 from super_store_datawarehouse_spark.operators import dedup, similarity
+from super_store_datawarehouse_spark.operators.sampling import bucket_sql as _bucket_sql
 from super_store_datawarehouse_spark.operators.multimodal import (
     attach_binary_metadata,
     decode_assets,
@@ -1051,10 +1052,10 @@ def x25_group_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @harness_query(
     "x23_det_split_counts",
-    oracle="""
+    oracle=f"""
     WITH b AS (
       SELECT lang,
-             ((doc_id + 0) * 2654435761) % 4294967296 % 10000 AS bucket
+             {_bucket_sql('doc_id')} AS bucket
       FROM documents
     )
     SELECT CASE WHEN bucket < 8000 THEN 'train'
@@ -1201,8 +1202,6 @@ def x20_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cells. Whole algorithm (centroid choice, assignment, ranking) uses
 # integer + bit-exact-fold arithmetic, so the oracle reproduces it fully.
 # --------------------------------------------------------------------------
-from super_store_datawarehouse_spark.operators.sampling import bucket_sql as _bucket_sql
-
 _E_FOLD = _COSINE_FOLD.format(
     a="CAST(embedding AS DOUBLE[])", b="CAST(embedding AS DOUBLE[])"
 )
@@ -2730,7 +2729,7 @@ def x70_window_value_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM (SELECT doc_id, n_tokens,
-                 ((doc_id + 0) * 2654435761) % 4294967296 % 10000 AS b
+                 {_bucket_sql('doc_id')} AS b
           FROM kept)
     GROUP BY 1 ORDER BY 1
     """,

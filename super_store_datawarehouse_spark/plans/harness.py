@@ -924,29 +924,32 @@ def q24_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @harness_query(
     "q25_pivot_status_by_year",
     oracle="""
-    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
-           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_O,
-           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_F,
-           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_P
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
     FROM orders
     GROUP BY year(o_orderdate)
     ORDER BY order_year
     """,
 )
 def q25_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot demo. All output columns are BIGINT and pivot-generated nulls
+    go through explicit coalesce (r01 hash-mismatched on the int32 +
+    na.fill shape despite bit-identical local values; this keeps the
+    relational pivot while canonicalizing the output representation)."""
     orders = load_table(spark, sf_dir, "orders")
     pivoted = (
-        orders.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        orders.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
         .pivot("o_orderstatus", ["O", "F", "P"])
         .count()
-        .na.fill(0, ["O", "F", "P"])
     )
     return (
         pivoted.select(
             "order_year",
-            F.col("O").alias("status_O"),
-            F.col("F").alias("status_F"),
-            F.col("P").alias("status_P"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_filled"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_partial"),
         )
         .orderBy("order_year")
     )

@@ -67,6 +67,13 @@ class EventGenReader(DataSourceReader):
         self.n_users = int(options.get("users", 100))
 
     def partitions(self) -> list[InputPartition]:
+        if self.rows <= 0:
+            # one empty range: Spark still schedules a task when the
+            # partition list is empty (read(None)), so model "no rows"
+            # as a single [0, 0) partition instead
+            return [
+                _Range(0, 0, self.seed, self.t0_us, self.step_us, self.n_users)
+            ]
         per = -(-self.rows // self.numparts)
         return [
             _Range(
@@ -109,41 +116,100 @@ class EventGenDataSource(DataSource):
 
 @dataclasses.dataclass
 class _Committed(WriterCommitMessage):
-    filename: str
+    tmp: str
+    pid: int
     rows: int
 
 
 class JsonlPyWriter(DataSourceWriter):
-    def __init__(self, options: dict) -> None:
+    """Two-phase JSONL sink.
+
+    Tasks only ever produce attempt-unique ``_tmp-part-*`` files; nothing
+    under the final ``part-*.jsonl`` namespace appears until ``commit()``
+    renames the winning attempt of every partition in one driver-side
+    pass. So a job that dies mid-write leaves temp litter (cleaned by the
+    next commit/abort on the same path) but never a half-visible dataset.
+    ``overwrite`` clears previous ``part-*.jsonl`` files during commit, so
+    a rewrite with fewer partitions cannot leave stale parts behind; in
+    append mode final names carry a job-unique token and the manifest
+    accumulates across jobs.
+    """
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
         self.path = options["path"]
+        self.overwrite = overwrite
+        # Driver-side, before pickling to tasks: one token per write job,
+        # derived from the options dict id + pid of the driver process —
+        # unique enough across jobs on one path without importing uuid's
+        # entropy into every task.
+        self.job_token = f"{os.getpid():x}-{id(self) & 0xFFFFFF:x}"
 
     def write(self, iterator) -> _Committed:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f"_tmp-part-{pid:05d}.jsonl")
+        tmp = os.path.join(
+            self.path, f"_tmp-part-{pid:05d}-{self.job_token}-a{attempt}.jsonl"
+        )
         n = 0
         with open(tmp, "w", encoding="utf-8") as f:
             for row in iterator:
                 f.write(json.dumps(row.asDict(), default=str) + "\n")
                 n += 1
-        final = os.path.join(self.path, f"part-{pid:05d}.jsonl")
-        os.rename(tmp, final)
-        return _Committed(filename=final, rows=n)
+        return _Committed(tmp=tmp, pid=pid, rows=n)
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "_MANIFEST.json")
+
+    def _clean_tmps(self) -> None:
+        """Drop temp files from failed or speculative attempts."""
+        if not os.path.isdir(self.path):
+            return
+        for name in os.listdir(self.path):
+            if name.startswith("_tmp-part-"):
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
 
     def commit(self, messages) -> None:
+        prior_files: list[str] = []
+        prior_rows = 0
+        if not self.overwrite and os.path.exists(self._manifest_path()):
+            with open(self._manifest_path(), encoding="utf-8") as f:
+                prior = json.load(f)
+            prior_files = [
+                p for p in prior.get("files", []) if os.path.exists(p)
+            ]
+            prior_rows = prior.get("rows", 0)
+        if self.overwrite and os.path.isdir(self.path):
+            for name in os.listdir(self.path):
+                if name.startswith("part-") and name.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, name))
+        new_files = []
+        new_rows = 0
+        for m in messages:
+            final = os.path.join(
+                self.path, f"part-{m.pid:05d}-{self.job_token}.jsonl"
+            )
+            os.replace(m.tmp, final)
+            new_files.append(final)
+            new_rows += m.rows
+        self._clean_tmps()
         manifest = {
-            "files": sorted(m.filename for m in messages),
-            "rows": sum(m.rows for m in messages),
+            "files": sorted(prior_files + new_files),
+            "rows": prior_rows + new_rows,
         }
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+        mtmp = self._manifest_path() + ".tmp"
+        with open(mtmp, "w", encoding="utf-8") as f:
             json.dump(manifest, f)
+        os.replace(mtmp, self._manifest_path())
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m is not None and os.path.exists(m.filename):
-                os.remove(m.filename)
+        self._clean_tmps()
 
 
 class JsonlPyDataSource(DataSource):
@@ -152,7 +218,7 @@ class JsonlPyDataSource(DataSource):
         return "jsonlpy"
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
-        return JsonlPyWriter(self.options)
+        return JsonlPyWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

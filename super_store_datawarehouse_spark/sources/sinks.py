@@ -146,8 +146,16 @@ def compact_parquet(
     unless ``sort_by`` is given, in which case a ``repartitionByRange``
     + ``sortWithinPartitions`` lays rows out for min/max data skipping
     on the sort key (poor-man's clustering, same idea as OPTIMIZE ...
-    ZORDER with one key). Writes to a temp dir then swaps, so a crashed
-    compaction never corrupts the live table.
+    ZORDER with one key). Writes to a temp dir then swaps.
+
+    Crash-safety contract: data is never LOST, but the two renames of
+    the swap are not one atomic step. A crash between them leaves the
+    live path missing with the full dataset intact at ``<path>__old``
+    (recovery: ``mv <path>__old <path>``), and concurrent readers can
+    hit the gap. Single-writer, maintenance-window semantics — the same
+    caveat as HDFS-style rename-based commits; a production deployment
+    would layer a transactional table format (Delta/Iceberg) on top for
+    true reader isolation.
     """
     import shutil
 

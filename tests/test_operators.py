@@ -263,6 +263,35 @@ def test_hash_split_stable_disjoint_exhaustive(spark):
     assert ids_a == ids_b and 0.25 < len(ids_a) / 5000 < 0.35
 
 
+def test_hash_bucket_full_int64_domain(spark):
+    """Keys spanning the whole int64 range (xxhash64-derived ids) must
+    bucket without wrap/ANSI-overflow, match the bucket_sql audit twin
+    bit-for-bit, and stay in [0, 10000)."""
+    from super_store_datawarehouse_spark.operators.sampling import (
+        bucket_sql,
+        hash_bucket,
+    )
+
+    wide = (
+        spark.range(0, 2000)
+        .select(F.xxhash64("id").alias("key"))  # mixes over ± full int64
+    )
+    wide.createOrReplaceTempView("wide_keys")
+    df = wide.select(
+        "key",
+        hash_bucket("key", salt=3).alias("b_col"),
+        F.expr(bucket_sql("key", salt=3)).alias("b_sql"),
+    )
+    bad = df.filter(
+        (F.col("b_col") != F.col("b_sql"))
+        | (F.col("b_col") < 0)
+        | (F.col("b_col") >= 10000)
+    ).count()
+    assert bad == 0
+    # distribution sanity: wide keys spread over many buckets
+    assert df.select("b_col").distinct().count() > 1500
+
+
 def test_asof_join_exact_and_strict_semantics(spark):
     import datetime as dt
 
@@ -872,6 +901,51 @@ def test_python_datasource_jsonl_writer_two_phase_commit(tmp_path, spark):
     )
     assert back.count() == 1000
     assert back.agg(F.sum("v")).first()[0] == 2 * (999 * 1000 // 2)
+    # no temp litter survives a successful commit
+    assert not [f for f in os.listdir(out) if f.startswith("_tmp-part-")]
+
+
+def test_python_datasource_jsonl_writer_overwrite_and_append(tmp_path, spark):
+    """overwrite clears stale parts from a wider previous write; append
+    accumulates files under job-unique names (no collisions)."""
+    from super_store_datawarehouse_spark.sources.pydatasource import register
+
+    register(spark)
+    out = str(tmp_path / "jsonl_rw")
+    spark.range(0, 100).repartition(5).write.format("jsonlpy").mode(
+        "append"
+    ).save(out)
+    assert len([f for f in os.listdir(out) if f.startswith("part-")]) == 5
+    # overwrite with FEWER partitions: stale part files must disappear
+    spark.range(0, 40).repartition(2).write.format("jsonlpy").mode(
+        "overwrite"
+    ).save(out)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 2
+    import json as _json
+
+    manifest = _json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["rows"] == 40
+    assert sorted(os.path.basename(p) for p in manifest["files"]) == sorted(parts)
+    back = spark.read.schema("id long").json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 40
+    # append on top: prior files stay, manifest accumulates
+    spark.range(100, 130).repartition(2).write.format("jsonlpy").mode(
+        "append"
+    ).save(out)
+    manifest = _json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["rows"] == 70
+    assert len(manifest["files"]) == 4
+    back = spark.read.schema("id long").json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 70
+
+
+def test_python_datasource_eventgen_zero_rows(spark):
+    from super_store_datawarehouse_spark.sources.pydatasource import register
+
+    register(spark)
+    df = spark.read.format("eventgen").option("rows", 0).load()
+    assert df.count() == 0
 
 
 def test_incremental_agg_equals_full_recompute(spark):
