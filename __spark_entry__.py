@@ -38,10 +38,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: builder for name, (builder, _) in HARNESS.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Name-sorted so the tier-1 set (q01-q50: reference parity + the
+    flagship training-data operators) leads the dict deterministically;
+    the x-series extensions follow.
+    """
+    return {
+        name: builder
+        for name, (builder, _) in sorted(HARNESS.items())
+    }
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each SQL-expressible query."""
-    return {name: sql for name, (_, sql) in HARNESS.items() if sql is not None}
+    return {
+        name: sql
+        for name, (_, sql) in sorted(HARNESS.items())
+        if sql is not None
+    }

@@ -33,21 +33,21 @@ HEADLINE = [
     "q12_top_parts_concat_by_brand",
     "q18_cumulative_monthly_revenue",
     "q23_orders_above_average",
-    "x01_dedup_exact",
-    "x02_ngram_jaccard_pairs",
-    "x03_minhash_lsh_pairs",
-    "x05_ann_bruteforce_topk",
-    "x10_events_hourly",
-    "x11_sessionize",
-    "x16_embedding_near_dup",
-    "x17_ann_lsh_topk",
-    "x21_asof_click_attribution",
-    "x22_range_join_next24h",
-    "x25_group_median_price",
-    "x49_tfidf_top_terms",
-    "x50_kmeans_clusters",
-    "x54_gapfill_locf",
-    "x71_training_pipeline",
+    "q14_dedup_exact",
+    "q17_ngram_jaccard_pairs",
+    "q19_minhash_lsh_pairs",
+    "q20_ann_bruteforce_topk",
+    "q21_events_hourly",
+    "q22_sessionize",
+    "q34_embedding_near_dup",
+    "q35_ann_lsh_topk",
+    "q37_asof_click_attribution",
+    "q38_range_join_next24h",
+    "q40_group_median_price",
+    "q44_tfidf_top_terms",
+    "q45_kmeans_clusters",
+    "q46_gapfill_locf",
+    "q49_training_pipeline",
 ]
 
 

@@ -26,22 +26,22 @@ BASELINE = {  # round-1 final, sf0.1, min-of-2 warm runs (BASELINE.md)
     "q12_top_parts_concat_by_brand": 0.79,
     "q18_cumulative_monthly_revenue": 0.50,
     "q23_orders_above_average": 0.52,
-    "x01_dedup_exact": 0.28,
-    "x02_ngram_jaccard_pairs": 1.72,
-    "x03_minhash_lsh_pairs": 1.21,
-    "x05_ann_bruteforce_topk": 0.44,
-    "x10_events_hourly": 0.32,
-    "x11_sessionize": 0.41,
-    "x16_embedding_near_dup": 0.87,
-    "x17_ann_lsh_topk": 0.79,
-    "x21_asof_click_attribution": 0.45,
-    "x22_range_join_next24h": 0.63,
-    "x25_group_median_price": 0.98,
+    "q14_dedup_exact": 0.28,
+    "q17_ngram_jaccard_pairs": 1.72,
+    "q19_minhash_lsh_pairs": 1.21,
+    "q20_ann_bruteforce_topk": 0.44,
+    "q21_events_hourly": 0.32,
+    "q22_sessionize": 0.41,
+    "q34_embedding_near_dup": 0.87,
+    "q35_ann_lsh_topk": 0.79,
+    "q37_asof_click_attribution": 0.45,
+    "q38_range_join_next24h": 0.63,
+    "q40_group_median_price": 0.98,
     # added to the headline set later in round 1 (min of 2 full runs)
-    "x49_tfidf_top_terms": 1.02,
-    "x50_kmeans_clusters": 3.00,
-    "x54_gapfill_locf": 0.44,
-    "x71_training_pipeline": 0.78,
+    "q44_tfidf_top_terms": 1.02,
+    "q45_kmeans_clusters": 3.00,
+    "q46_gapfill_locf": 0.44,
+    "q49_training_pipeline": 0.78,
 }
 BASELINE_TOTAL = 20.585
 

@@ -39,7 +39,7 @@ EN_STOP_SQL = "('the','a','an','of','and','to','in','is','it','that')"
 # x01 — exact deduplication: hash groupBy on normalized text.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x01_dedup_exact",
+    "q14_dedup_exact",
     oracle="""
     SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text,
            MIN(doc_id) AS keep_id,
@@ -48,7 +48,7 @@ EN_STOP_SQL = "('the','a','an','of','and','to','in','is','it','that')"
     GROUP BY 1
     """,
 )
-def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q14_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs)
 
@@ -57,7 +57,7 @@ def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x02 — exact n-gram Jaccard similarity join (near-dup baseline).
 # --------------------------------------------------------------------------
 @harness_query(
-    "x02_ngram_jaccard_pairs",
+    "q17_ngram_jaccard_pairs",
     oracle="""
     WITH w AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
@@ -79,7 +79,7 @@ def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE 1000 * n_inter >= 200 * (sa.n_shingles + sb.n_shingles - n_inter)
     """,
 )
-def x02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q17_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
 
@@ -88,8 +88,8 @@ def x02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x03/x04 — sketch-based near-dup (rows-only: xxhash64 has no SQL twin;
 # unit tests check recall against the exact x02 result).
 # --------------------------------------------------------------------------
-@harness_query("x03_minhash_lsh_pairs")
-def x03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@harness_query("q19_minhash_lsh_pairs")
+def q19_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=0.2)
 
@@ -112,7 +112,7 @@ _COSINE_FOLD = (
 
 
 @harness_query(
-    "x05_ann_bruteforce_topk",
+    "q20_ann_bruteforce_topk",
     oracle=f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -132,7 +132,7 @@ _COSINE_FOLD = (
     SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
     """,
 )
-def x05_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q20_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.brute_force_topk(emb, queries, k=5)
@@ -142,7 +142,7 @@ def x05_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x06 — language-ID heuristic (CJK char class + stopword density).
 # --------------------------------------------------------------------------
 @harness_query(
-    "x06_lang_id",
+    "q07_lang_id",
     oracle=f"""
     WITH feats AS (
       SELECT doc_id, lang,
@@ -160,7 +160,7 @@ def x05_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM feats
     """,
 )
-def x06_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q07_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.text import stopword_ratio
 
     docs = load_table(spark, sf_dir, "documents")
@@ -176,7 +176,7 @@ def x06_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x07 — quality scoring components + keep/drop classification.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x07_quality_scores",
+    "q09_quality_scores",
     oracle=f"""
     WITH t AS (
       SELECT doc_id, text,
@@ -196,7 +196,7 @@ def x06_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t
     """,
 )
-def x07_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q09_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.text import quality_keep
 
     docs = load_table(spark, sf_dir, "documents")
@@ -216,7 +216,7 @@ def x07_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x08 — token counting (whitespace + BPE-ish regex) aggregated per source.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x08_token_counts_by_source",
+    "q10_token_counts_by_source",
     oracle=f"""
     SELECT source,
            COUNT(*) AS n_docs,
@@ -227,7 +227,7 @@ def x07_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY source
     """,
 )
-def x08_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.text import token_count_ws
 
     docs = load_table(spark, sf_dir, "documents")
@@ -247,7 +247,7 @@ def x08_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-agnostic, unlike xxhash), bucketed to count prefix collisions.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x09_poly_fingerprint",
+    "q13_poly_fingerprint",
     oracle="""
     WITH fp AS (
       SELECT doc_id,
@@ -262,7 +262,7 @@ def x08_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fp GROUP BY fingerprint
     """,
 )
-def x09_poly_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_poly_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", poly_fingerprint("text", 64).alias("fingerprint"))
@@ -276,7 +276,7 @@ def x09_poly_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming job in streaming/jobs.py; F.window ↔ date_trunc for 1h).
 # --------------------------------------------------------------------------
 @harness_query(
-    "x10_events_hourly",
+    "q21_events_hourly",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
@@ -286,7 +286,7 @@ def x09_poly_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1, 2
     """,
 )
-def x10_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q21_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -304,7 +304,7 @@ def x10_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (SURVEY guide "Common OLAP patterns"; 30-minute inactivity gap).
 # --------------------------------------------------------------------------
 @harness_query(
-    "x11_sessionize",
+    "q22_sessionize",
     oracle="""
     WITH ordered AS (
       SELECT user_id, ts, event_id,
@@ -321,7 +321,7 @@ def x10_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id
     """,
 )
-def x11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q22_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_sec = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
@@ -345,7 +345,7 @@ def x11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the metadata pass; decode dims replicate the fake's integer arithmetic.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x12_binary_assets",
+    "q33_binary_assets",
     oracle="""
     SELECT doc_id AS asset_id,
            CAST(length(text) AS BIGINT) AS byte_len,
@@ -355,7 +355,7 @@ def x11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def x12_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q33_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = texts_as_assets(docs)
     meta = attach_binary_metadata(assets)
@@ -458,7 +458,7 @@ def x15_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the >= threshold cut selects identical pair sets in both engines.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x16_embedding_near_dup",
+    "q34_embedding_near_dup",
     oracle=f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -472,7 +472,7 @@ def x15_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE cosine >= 0.40
     """,
 )
-def x16_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_pairs(emb, threshold=0.40)
 
@@ -483,8 +483,8 @@ def x16_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact x05 result). The scale path for x05: bucket equi-join instead of
 # the all-pairs product.
 # --------------------------------------------------------------------------
-@harness_query("x17_ann_lsh_topk")
-def x17_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@harness_query("q35_ann_lsh_topk")
+def q35_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_topk(emb, queries, k=5)
@@ -687,7 +687,7 @@ _X39_COMPOSE = " + ".join(
 
 
 @harness_query(
-    "x39_simhash_portable",
+    "q41_simhash_portable",
     oracle=f"""
     WITH w AS (
       SELECT DISTINCT doc_id, word FROM (
@@ -708,7 +708,7 @@ _X39_COMPOSE = " + ".join(
     SELECT doc_id, {_X39_COMPOSE} AS simhash FROM b
     """,
 )
-def x39_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q41_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_portable(docs)
 
@@ -1004,7 +1004,7 @@ def x30_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same way in both engines, unlike engine-specific quantile interpolation.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x25_group_median_price",
+    "q40_group_median_price",
     oracle="""
     WITH c AS (
       SELECT l_returnflag,
@@ -1022,7 +1022,7 @@ def x30_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l_returnflag
     """,
 )
-def x25_group_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q40_group_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     c = li.select("l_returnflag", cents("l_extendedprice").alias("cents"))
     w = Window.partitionBy("l_returnflag")
@@ -1051,7 +1051,7 @@ def x25_group_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reproducibility of the sample membership.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x23_det_split_counts",
+    "q39_det_split_counts",
     oracle=f"""
     WITH b AS (
       SELECT lang,
@@ -1065,7 +1065,7 @@ def x25_group_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
-def x23_det_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q39_det_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.sampling import split_column
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1110,7 +1110,7 @@ def x24_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same user. DuckDB's native ASOF JOIN is the oracle.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x21_asof_click_attribution",
+    "q37_asof_click_attribution",
     oracle="""
     SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -1118,7 +1118,7 @@ def x24_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
 )
-def x21_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q37_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.temporal import asof_join
 
     events = load_table(spark, sf_dir, "events")
@@ -1137,7 +1137,7 @@ def x21_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # following 24 hours. The oracle is the plain inequality join.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x22_range_join_next24h",
+    "q38_range_join_next24h",
     oracle="""
     SELECT s.event_id, s.user_id, s.ts,
            COUNT(e.event_id) AS n_next_24h
@@ -1148,7 +1148,7 @@ def x21_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s.event_id, s.user_id, s.ts
     """,
 )
-def x22_range_join_next24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q38_range_join_next24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.temporal import interval_join
 
     events = load_table(spark, sf_dir, "events")
@@ -1176,7 +1176,7 @@ def x22_range_join_next24h(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from payload byte length, so the fan-out is SQL-verifiable.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x20_frame_sample",
+    "q36_frame_sample",
     oracle="""
     WITH n AS (
       SELECT doc_id AS asset_id,
@@ -1189,7 +1189,7 @@ def x22_range_join_next24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM n, UNNEST(range(0, n_frames)) AS t(f)
     """,
 )
-def x20_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q36_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.multimodal import sample_frames
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1208,7 +1208,7 @@ _E_FOLD = _COSINE_FOLD.format(
 
 
 @harness_query(
-    "x41_ivf_ann_topk",
+    "q42_ivf_ann_topk",
     oracle=f"""
     WITH e0 AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt({_E_FOLD}) AS nrm
@@ -1255,7 +1255,7 @@ _E_FOLD = _COSINE_FOLD.format(
     SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
     """,
 )
-def x41_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q42_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(emb, queries, k=5, centroid_fraction=0.03, nprobe=2)
@@ -1416,7 +1416,7 @@ def x45_stopwords_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Edges = the x02 n-gram Jaccard pairs at threshold 0.2.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x46_dedup_clusters",
+    "q43_dedup_clusters",
     oracle="""
     WITH RECURSIVE w AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
@@ -1450,7 +1450,7 @@ def x45_stopwords_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d LEFT JOIN comp c USING (doc_id)
     """,
 )
-def x46_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q43_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.graph import dedup_by_components
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1561,7 +1561,7 @@ def x48_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # → broadcast of the tiny df table back onto tf → per-doc window.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x49_tfidf_top_terms",
+    "q44_tfidf_top_terms",
     oracle="""
     WITH toks AS (
       SELECT doc_id, w AS word FROM (
@@ -1588,7 +1588,7 @@ def x48_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id, rnk
     """,
 )
-def x49_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q44_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.text import words
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1619,7 +1619,7 @@ def x49_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # literal centroids; one (d+1)-aggregate reduce per iteration).
 # --------------------------------------------------------------------------
 @harness_query(
-    "x50_kmeans_clusters",
+    "q45_kmeans_clusters",
     oracle="""
     WITH q AS (
       SELECT vec_id,
@@ -1657,7 +1657,7 @@ def x49_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM a2 GROUP BY cluster ORDER BY cluster
     """,
 )
-def x50_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q45_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.clustering import kmeans_quantized
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1833,7 +1833,7 @@ def x53_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # epoch-micros BIGINT to dodge engine timestamp stringification.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x54_gapfill_locf",
+    "q46_gapfill_locf",
     oracle="""
     WITH ev AS (
       SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
@@ -1857,7 +1857,7 @@ def x53_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1, 2
     """,
 )
-def x54_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q46_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") < 10)
@@ -2208,7 +2208,7 @@ def x61_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nodes with no in-edges keep the teleport mass via left join.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x62_trade_pagerank",
+    "q47_trade_pagerank",
     oracle="""
     WITH edges AS (
       SELECT nc.n_nationkey AS src, ns.n_nationkey AS dst, COUNT(*) AS w
@@ -2243,7 +2243,7 @@ def x61_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY rank_ppm DESC, nationkey
     """,
 )
-def x62_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q47_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -2306,7 +2306,7 @@ def x62_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pure window ordering, exact. Timestamps travel as epoch micros.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x63_scd2_intervals",
+    "q48_scd2_intervals",
     oracle="""
     WITH src AS (
       SELECT user_id, epoch_ns(ts) // 1000 AS tus,
@@ -2327,7 +2327,7 @@ def x62_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, valid_from_us
     """,
 )
-def x63_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q48_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") < 5)
@@ -2702,7 +2702,7 @@ def x70_window_value_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # without materialization between them.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x71_training_pipeline",
+    "q49_training_pipeline",
     oracle=f"""
     WITH keepers AS (
       SELECT MIN(doc_id) AS doc_id
@@ -2734,7 +2734,7 @@ def x70_window_value_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1 ORDER BY 1
     """,
 )
-def x71_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q49_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.dedup import normalize_text
     from super_store_datawarehouse_spark.operators.sampling import split_column
     from super_store_datawarehouse_spark.operators.text import (
@@ -2826,7 +2826,7 @@ _X73_MINS = ", ".join(
 
 
 @harness_query(
-    "x73_minhash_portable",
+    "q50_minhash_portable",
     oracle=f"""
     WITH w AS (
       SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
@@ -2850,7 +2850,7 @@ _X73_MINS = ", ".join(
     FROM h GROUP BY doc_id
     """,
 )
-def x73_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q50_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.dedup import minhash_portable
 
     docs = load_table(spark, sf_dir, "documents")

@@ -255,7 +255,7 @@ def q06_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # via the role-playing Calendar self-join); etl.py:953-957 shipping_delay.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q07_shipping_delay_by_priority",
+    "x82_shipping_delay_by_priority",
     oracle="""
     SELECT o.o_orderpriority,
            CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))) AS DOUBLE)
@@ -266,7 +266,7 @@ def q06_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o.o_orderpriority
     """,
 )
-def q07_shipping_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x82_shipping_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
@@ -331,7 +331,7 @@ def q08_dup_merge_weighted_discount(spark: SparkSession, sf_dir: str) -> DataFra
 # scan (PushedFilters), so the window only sorts one month of data.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q09_rows_frame_running",
+    "x83_rows_frame_running",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_returnflag,
            CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) OVER (
@@ -343,7 +343,7 @@ def q08_dup_merge_weighted_discount(spark: SparkSession, sf_dir: str) -> DataFra
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
     """,
 )
-def q09_rows_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x83_rows_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     price_cents = cents("l_extendedprice")
     w = (
@@ -373,7 +373,7 @@ def q09_rows_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 # never over the fact table.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q10_nation_share_of_total",
+    "x84_nation_share_of_total",
     oracle="""
     WITH agg AS (
       SELECT n.n_name, SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_cents
@@ -391,7 +391,7 @@ def q09_rows_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_name
     """,
 )
-def q10_nation_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x84_nation_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -542,7 +542,7 @@ def q12_top_parts_concat_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame
 # Reference: etl.py:77-80 (keep groups with count > 1); etl.ipynb:1159.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q13_busy_suppliers",
+    "x85_busy_suppliers",
     oracle="""
     SELECT l_suppkey, COUNT(*) AS n_lines,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
@@ -552,7 +552,7 @@ def q12_top_parts_concat_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame
     ORDER BY l_suppkey
     """,
 )
-def q13_busy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x85_busy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_suppkey")
@@ -571,13 +571,13 @@ def q13_busy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every dimension's row set).
 # --------------------------------------------------------------------------
 @harness_query(
-    "q14_distinct_segment_nation",
+    "x86_distinct_segment_nation",
     oracle="""
     SELECT DISTINCT c_mktsegment, c_nationkey
     FROM customer
     """,
 )
-def q14_distinct_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x86_distinct_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     return customer.select("c_mktsegment", "c_nationkey").distinct()
 
@@ -640,7 +640,7 @@ def q16_unreferenced_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (document zipWithIndex for 100 TB-scale dims).
 # --------------------------------------------------------------------------
 @harness_query(
-    "q17_nation_surrogate_keys",
+    "x87_nation_surrogate_keys",
     oracle="""
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_name) AS BIGINT) AS nation_sk,
            n_name, n_nationkey
@@ -648,7 +648,7 @@ def q16_unreferenced_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY nation_sk
     """,
 )
-def q17_nation_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x87_nation_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         nation.select(
@@ -712,7 +712,7 @@ def q18_cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFram
 # Reference: etl.ipynb:1229-1232 (grouped nunique data-quality checks).
 # --------------------------------------------------------------------------
 @harness_query(
-    "q19_active_customers_per_nation",
+    "x88_active_customers_per_nation",
     oracle="""
     SELECT n.n_name,
            CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active_customers,
@@ -724,7 +724,7 @@ def q18_cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     ORDER BY n.n_name
     """,
 )
-def q19_active_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x88_active_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -747,7 +747,7 @@ def q19_active_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFra
 # disagree on doubles like 2.675 — averages stay as exact-cents quotients.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q20_monthly_order_volume",
+    "x89_monthly_order_volume",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS order_year,
            concat(CAST(year(o_orderdate) AS VARCHAR), '-',
@@ -760,7 +760,7 @@ def q19_active_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFra
     ORDER BY year_month
     """,
 )
-def q20_monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x89_monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.functions.exact import money_avg
     from super_store_datawarehouse_spark.functions.scalars import year_month_label
 
@@ -791,7 +791,7 @@ def q20_monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # State ⋈ Region walks). All dims broadcast → zero shuffle on the fact side.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q21_revenue_by_region",
+    "x90_revenue_by_region",
     oracle="""
     SELECT r.r_name,
            CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue,
@@ -804,7 +804,7 @@ def q20_monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY r.r_name
     """,
 )
-def q21_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x90_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -828,7 +828,7 @@ def q21_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark has substring_index verbatim; DuckDB's twin is split_part.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q22_part_name_first_word",
+    "x91_part_name_first_word",
     oracle="""
     SELECT split_part(p_name, ' ', 1) AS first_word,
            COUNT(*) AS n_parts,
@@ -838,7 +838,7 @@ def q21_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY first_word
     """,
 )
-def q22_part_name_first_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x91_part_name_first_word(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return (
         part.groupBy(F.substring_index("p_name", " ", 1).alias("first_word"))
@@ -1230,7 +1230,7 @@ def q32_moving_average_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quarter, not seven years.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q33_late_shipment_priority",
+    "x92_late_shipment_priority",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_late_orders
     FROM orders o
@@ -1244,7 +1244,7 @@ def q32_moving_average_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority
     """,
 )
-def q33_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x92_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("od")
     ).filter((F.col("od") >= "1996-01-01") & (F.col("od") < "1996-04-01"))
@@ -1265,7 +1265,7 @@ def q33_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the end so the percentage is engine-exact.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q34_promo_revenue_share",
+    "x93_promo_revenue_share",
     oracle="""
     SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                      THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
@@ -1279,7 +1279,7 @@ def q33_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND CAST(l.l_shipdate AS DATE) < DATE '1996-04-01'
     """,
 )
-def q34_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x93_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -1305,7 +1305,7 @@ def q34_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the classic predicate-pushdown stress test.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q35_banded_revenue",
+    "x94_banded_revenue",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
            CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0
@@ -1316,7 +1316,7 @@ def q34_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 50)
     """,
 )
-def q35_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x94_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     band = (
@@ -1341,7 +1341,7 @@ def q35_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DataFrame twin of a correlated MIN subquery.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q36_cheapest_line_per_brand",
+    "x95_cheapest_line_per_brand",
     oracle="""
     SELECT p_brand, l_orderkey, l_linenumber, l_extendedprice AS min_price
     FROM (
@@ -1352,7 +1352,7 @@ def q35_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
 )
-def q36_cheapest_line_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x95_cheapest_line_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
@@ -1380,7 +1380,7 @@ def q36_cheapest_line_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the dormancy test is an anti-join against the filtered orders scan.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q37_dormant_rich_customers",
+    "x96_dormant_rich_customers",
     oracle="""
     WITH stats AS (
       SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS total_cents,
@@ -1403,7 +1403,7 @@ def q36_cheapest_line_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     """,
 )
-def q37_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x96_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
@@ -1439,7 +1439,7 @@ def q37_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast), disjunctive nation-pair predicate, yearly rollup.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q38_bilateral_trade_volume",
+    "x97_bilateral_trade_volume",
     oracle="""
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS BIGINT) AS l_year,
@@ -1456,7 +1456,7 @@ def q37_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
 )
-def q38_bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x97_bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -1490,7 +1490,7 @@ def q38_bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact cent sums → single IEEE division, bit-exact.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q39_market_share",
+    "x98_market_share",
     oracle="""
     WITH vol AS (
       SELECT CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS BIGINT) AS o_year,
@@ -1513,7 +1513,7 @@ def q38_bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM vol GROUP BY 1 ORDER BY 1
     """,
 )
-def q39_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x98_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1566,7 +1566,7 @@ def q39_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table in this schema). Margin stays in integer cents end-to-end.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q40_margin_by_nation_year",
+    "x99_margin_by_nation_year",
     oracle="""
     SELECT n.n_name AS nation,
            CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS BIGINT) AS o_year,
@@ -1581,7 +1581,7 @@ def q39_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2 ORDER BY 1, 2 DESC
     """,
 )
-def q40_margin_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x99_margin_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     p = (
         load_table(spark, sf_dir, "part")
@@ -1612,7 +1612,7 @@ def q40_margin_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the counts — two aggregations at different grains.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q41_customer_order_distribution",
+    "x100_customer_order_distribution",
     oracle="""
     WITH per_cust AS (
       SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
@@ -1623,7 +1623,7 @@ def q40_margin_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_cust GROUP BY 1 ORDER BY custdist DESC, c_count DESC
     """,
 )
-def q41_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x100_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     per_cust = (
@@ -1646,7 +1646,7 @@ def q41_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
 # same scan, broadcast back (no correlated per-row subquery execution).
 # --------------------------------------------------------------------------
 @harness_query(
-    "q42_small_quantity_revenue",
+    "x101_small_quantity_revenue",
     oracle="""
     WITH perpart AS (
       SELECT l_partkey, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
@@ -1659,7 +1659,7 @@ def q41_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     WHERE 5 * CAST(l.l_quantity AS BIGINT) * pp.n < pp.sum_qty
     """,
 )
-def q42_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x101_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     perpart = l.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1685,7 +1685,7 @@ def q42_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rollup output is tiny → broadcast into the enrichment joins.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q43_large_volume_orders",
+    "x102_large_volume_orders",
     oracle="""
     WITH big AS (
       SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
@@ -1702,7 +1702,7 @@ def q42_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 50
     """,
 )
-def q43_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x102_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -1733,7 +1733,7 @@ def q43_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate over an aggregate, exact cents so "equals max" is safe).
 # --------------------------------------------------------------------------
 @harness_query(
-    "q44_top_revenue_suppliers",
+    "x103_top_revenue_suppliers",
     oracle="""
     WITH rev AS (
       SELECT l_suppkey,
@@ -1750,7 +1750,7 @@ def q43_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY s.s_suppkey
     """,
 )
-def q44_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x103_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     sd = F.col("l_shipdate").cast("date")
@@ -1776,7 +1776,7 @@ def q44_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # triple — a distinct-then-count at a coarser grain.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q45_supplier_count_by_part_attrs",
+    "x104_supplier_count_by_part_attrs",
     oracle="""
     SELECT p.p_brand, p.p_type, p.p_size,
            COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
@@ -1787,7 +1787,7 @@ def q44_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
 )
-def q45_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x104_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = (
         load_table(spark, sf_dir, "part")
@@ -1810,7 +1810,7 @@ def q45_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFr
 # monthly-sales query, Data_Analysis.ipynb Q10).
 # --------------------------------------------------------------------------
 @harness_query(
-    "q46_time_hierarchy_rollup",
+    "x105_time_hierarchy_rollup",
     oracle="""
     SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
            CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
@@ -1823,7 +1823,7 @@ def q45_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFr
     ORDER BY g_yr, g_qtr, yr NULLS FIRST, qtr NULLS FIRST
     """,
 )
-def q46_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x105_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
     return (
@@ -1851,7 +1851,7 @@ def q46_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reader; see PLANS.md for the PushedFilters evidence on q35).
 # --------------------------------------------------------------------------
 @harness_query(
-    "q47_forecast_revenue_change",
+    "x106_forecast_revenue_change",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
            CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0
@@ -1863,7 +1863,7 @@ def q46_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_quantity < 24
     """,
 )
-def q47_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x106_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     sd = F.col("l_shipdate").cast("date")
     return (
@@ -1888,7 +1888,7 @@ def q47_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cents, scaled by 10000 instead of divided.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q48_important_part_value",
+    "x107_important_part_value",
     oracle="""
     WITH pv AS (
       SELECT s.s_nationkey, l.l_partkey,
@@ -1904,7 +1904,7 @@ def q47_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY pv.value_cents DESC, pv.s_nationkey, pv.l_partkey
     """,
 )
-def q48_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x107_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
@@ -1930,7 +1930,7 @@ def q48_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integers (5·supp_qty > part_qty).
 # --------------------------------------------------------------------------
 @harness_query(
-    "q49_dominant_part_suppliers",
+    "x108_dominant_part_suppliers",
     oracle="""
     WITH red AS (
       SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
@@ -1951,7 +1951,7 @@ def q48_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY s.s_name, ps.l_partkey
     """,
 )
-def q49_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x108_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     red = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%red%"))

@@ -33,7 +33,7 @@ def test_q01_broadcasts_dim_and_takes_ordered_topk(plans):
 
 
 def test_q47_pushes_scan_predicates(plans):
-    p = plans("q47_forecast_revenue_change")
+    p = plans("x106_forecast_revenue_change")
     # the predicate set reaches the FileScan node (DataFilters in the
     # executedPlan toString; shows as PushedFilters in explain-formatted)
     scan_line = next(l for l in p.splitlines() if "FileScan parquet" in l)
@@ -51,18 +51,18 @@ def test_q02_aggregates_partially_before_exchange(plans):
 
 
 def test_q39_eight_table_join_is_all_broadcast(plans):
-    p = plans("q39_market_share")
+    p = plans("x98_market_share")
     assert "SortMergeJoin" not in p
     assert p.count("BroadcastHashJoin") >= 6
 
 
 def test_x62_pagerank_iterations_are_broadcast_only(plans):
-    p = plans("x62_trade_pagerank")
+    p = plans("q47_trade_pagerank")
     assert "SortMergeJoin" not in p
 
 
 def test_x01_dedup_scans_only_needed_columns(plans):
-    p = plans("x01_dedup_exact")
+    p = plans("q14_dedup_exact")
     # ReadSchema pruned to the two referenced columns
     import re
 
