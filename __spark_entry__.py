@@ -27,6 +27,7 @@ from super_store_datawarehouse_spark.plans import harness as _harness  # noqa: E
 
 try:  # extensions are additive; never break the parity surface
     from super_store_datawarehouse_spark.plans import extensions as _extensions  # noqa: E402,F401
+    from super_store_datawarehouse_spark.plans import pipeline_ops as _pipeline_ops  # noqa: E402,F401
 except ImportError:
     pass
 

@@ -110,6 +110,49 @@ def update_centroids(
     return [(cid, by_cid.get(cid, cvec)) for cid, cvec in prev]
 
 
+def assign_clusters_np(
+    qdf: DataFrame, centroids: list[tuple[int, list[int]]], qcol: str = "q"
+) -> DataFrame:
+    """Arrow-vectorized assignment twin of :func:`assign_clusters`.
+
+    The expression-tree version evaluates a k×d literal fold per row in
+    the interpreted expression engine (higher-order functions are not
+    whole-stage-codegen), which dominates wall-clock for d≥64. This path
+    moves the same integer arithmetic into one numpy batch op per Arrow
+    batch: dist² = Σ(q−c)² over int64, argmin ties to the lowest
+    centroid id (np.argmin returns the first minimum ⇒ same
+    tie-breaking, because centroids are ordered by cid). Bit-identical
+    to the SQL twin — ``test_kmeans_assignment_paths_identical`` proves
+    it on every call path.
+    """
+    import numpy as np
+
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    order = np.argsort(cids, kind="stable")
+    cids = cids[order]
+    cmat = np.array([centroids[i][1] for i in order], dtype=np.int64)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in qdf.schema.fields
+    ) + ", cluster long, dist2 long"
+    other_cols = [f.name for f in qdf.schema.fields]
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.stack(pdf[qcol].to_numpy()).astype(np.int64)  # N×d
+            diff = q[:, None, :] - cmat[None, :, :]              # N×k×d
+            d2 = np.einsum("nkd,nkd->nk", diff, diff)            # int64 exact
+            best = d2.argmin(axis=1)
+            pdf = pdf[other_cols].copy()
+            pdf["cluster"] = cids[best]
+            pdf["dist2"] = d2[np.arange(len(best)), best]
+            yield pdf
+
+    return qdf.mapInPandas(part, schema=out_schema)
+
+
 def kmeans_quantized(
     emb: DataFrame,
     k: int = 8,
@@ -117,11 +160,18 @@ def kmeans_quantized(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "numpy",
 ) -> DataFrame:
     """Lloyd's k-means, ``iters`` assignment passes with ``iters - 1``
     centroid updates between them; returns per-point (id, cluster,
     dist2) from the final assignment. Deterministic: seeds are the k
-    lowest ids, all arithmetic integer."""
+    lowest ids, all arithmetic integer.
+
+    ``impl='numpy'`` (default) runs assignment through the Arrow-batch
+    vectorized path; ``impl='sql'`` uses the pure-expression twin. Both
+    produce bit-identical results (integer arithmetic, same tie-breaks).
+    """
+    assign = assign_clusters_np if impl == "numpy" else assign_clusters
     # Iterative working set: cache the quantized vectors so each
     # assignment/update pass reads memory, not the source scan (at 100 TB
     # re-scanning per iteration would dominate; MLlib caches likewise).
@@ -130,8 +180,8 @@ def kmeans_quantized(
     ).persist()
     seed_rows = qdf.orderBy(id_col).limit(k).collect()
     centroids = [(i, list(row["q"])) for i, row in enumerate(seed_rows)]
-    assigned = assign_clusters(qdf, centroids)
+    assigned = assign(qdf, centroids)
     for _ in range(iters - 1):
         centroids = update_centroids(assigned, centroids)
-        assigned = assign_clusters(qdf, centroids)
+        assigned = assign(qdf, centroids)
     return assigned.select(id_col, "cluster", "dist2")

@@ -442,3 +442,58 @@ def minhash_portable(
         for j, (a, b) in enumerate(coeffs)
     ]
     return feats.groupBy("sid").agg(*mins).withColumnRenamed("sid", id_col)
+
+
+def cross_split_contamination(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    train_split: str = "train",
+    eval_splits: tuple[str, ...] = ("val", "test"),
+    salt: int = 0,
+) -> DataFrame:
+    """Train→eval contamination report: for every eval document, how many
+    of its word n-gram shingles also occur anywhere in the train split.
+
+    The standard pre-training hygiene check (the same shape as GPT-3's
+    13-gram and PaLM's 8-gram eval-overlap audits): held-out documents
+    whose shingles leak from the training set overstate model quality.
+    Splits come from :func:`operators.sampling.split_column` so the
+    check composes with the engine's deterministic splitter.
+
+    Plan shape: shingle-explode both sides once, distinct the train
+    shingle set (heavy side, shuffle on shingle), left-join eval
+    shingles against it, count hits per doc. At corpus scale the join
+    key should be ``hashed=True`` (8-byte keys); here it stays the
+    string so an external engine can audit the exact result.
+
+    Returns (doc_id, split, n_shingles, n_contaminated, contamination)
+    for every eval doc that has at least one shingle, contamination =
+    n_contaminated / n_shingles as double.
+    """
+    from super_store_datawarehouse_spark.operators.sampling import split_column
+
+    tagged = df.withColumn("split", split_column(id_col, salt=salt))
+    sh = word_shingles(tagged, text_col, id_col, n).join(
+        tagged.select(F.col(id_col).alias("sid"), "split"), "sid"
+    )
+    train_shingles = (
+        sh.filter(F.col("split") == train_split).select("shingle").distinct()
+    )
+    eval_sh = sh.filter(F.col("split").isin(*eval_splits))
+    hits = eval_sh.join(
+        train_shingles.withColumn("hit", F.lit(1)), "shingle", "left"
+    )
+    return (
+        hits.groupBy(F.col("sid").alias(id_col), "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.col("n_contaminated").cast("double")
+            / F.col("n_shingles").cast("double"),
+        )
+    )

@@ -27,36 +27,37 @@ KNUTH = 2654435761  # 2^32 / phi, the classic multiplicative-hash constant
 N_BUCKETS = 10_000
 
 
-def hash_bucket(key: Column | str, salt: int = 0) -> Column:
-    """Deterministic bucket in [0, 10000) from an integer key column.
-
-    pmod (not %) so negative keys still land in [0, 10000) — Spark's %
-    keeps the dividend sign, and a negative bucket would silently pass
-    every `bucket < threshold` sample/split filter.
+def knuth_hash(key: Column | str, salt: int = 0) -> Column:
+    """Portable multiplicative hash to [0, 2^32) from an integer key.
 
     The key is reduced to [0, 2^31) BEFORE the Knuth multiply: the
     product then stays below 2^63, so the expression never wraps int64
     (non-ANSI) or throws (ANSI) — even for xxhash64-derived keys that
-    span the full int64 range. ``bucket_sql`` mirrors the reduction so
-    the audit twin stays bit-identical.
+    span the full int64 range. ``knuth_sql`` mirrors the reduction so
+    the audit twin stays bit-identical. pmod (not %) so negative keys
+    reduce into the positive range — Spark's % keeps the dividend sign.
     """
     c = F.col(key) if isinstance(key, str) else key
     narrow = F.pmod(c, F.lit(1 << 31))
-    return F.pmod(
-        F.pmod((narrow + F.lit(salt)) * F.lit(KNUTH), F.lit(1 << 32)),
-        F.lit(N_BUCKETS),
-    )
+    return F.pmod((narrow + F.lit(salt)) * F.lit(KNUTH), F.lit(1 << 32))
+
+
+def knuth_sql(key: str, salt: int = 0) -> str:
+    """The identical [0, 2^32) hash in portable SQL (audit twin); the
+    double-mod idiom is pmod for engines whose % keeps the dividend
+    sign."""
+    narrow = f"((({key}) % {1 << 31} + {1 << 31}) % {1 << 31})"
+    return f"(({narrow} + {salt}) * {KNUTH}) % {1 << 32}"
+
+
+def hash_bucket(key: Column | str, salt: int = 0) -> Column:
+    """Deterministic bucket in [0, 10000): :func:`knuth_hash` mod 10⁴."""
+    return F.pmod(knuth_hash(key, salt), F.lit(N_BUCKETS))
 
 
 def bucket_sql(key: str, salt: int = 0) -> str:
-    """The identical bucket expression in portable SQL (audit twin).
-
-    Uses a double-mod idiom for pmod (portable across engines whose %
-    keeps the dividend sign), including the same pre-multiply key
-    reduction to [0, 2^31) as :func:`hash_bucket`.
-    """
-    narrow = f"((({key}) % {1 << 31} + {1 << 31}) % {1 << 31})"
-    return f"(({narrow} + {salt}) * {KNUTH}) % {1 << 32} % {N_BUCKETS}"
+    """The identical bucket expression in portable SQL (audit twin)."""
+    return f"{knuth_sql(key, salt)} % {N_BUCKETS}"
 
 
 def hash_sample(
@@ -132,3 +133,123 @@ def stratified_hash_sample(
         expr = F.when(cond, lim) if expr is None else expr.when(cond, lim)
     threshold = expr.otherwise(thr) if expr is not None else thr
     return df.filter(bucket < threshold)
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    order_col: str,
+) -> DataFrame:
+    """Exact probability-proportional-to-size (PPS) systematic sample.
+
+    Classic survey-sampling design (Madow 1949): lay the items on a line
+    where item i occupies the half-open interval
+    [cum_before_i, cum_before_i + w_i) of total integer weight W, then
+    select the items containing the k evenly spaced probes
+    o_j = trunc((2j+1)·W / 2k), j = 0..k-1. Inclusion probability is
+    exactly min(1, k·w/W) — items heavier than W/k can be hit by more
+    than one probe (the output keeps one row per (item, probe), so
+    multiplicity is visible to the caller).
+
+    All arithmetic is int64 (weights must already be integer, e.g.
+    cents), so membership is bit-reproducible on any engine — unlike
+    the usual exp/log A-Res scoring, whose transcendental calls are not
+    guaranteed identical across engines' libm.
+
+    Scale: the global running sum is a single-partition window — fine
+    into the tens of millions of rows; beyond that, compute per-range
+    partial sums with ``repartitionByRange(order_col)`` + one tiny
+    driver-side prefix pass, and the probe join is a broadcast of k
+    rows either way. The probes are joined with a range predicate
+    (BroadcastNestedLoopJoin on a k-row side).
+    """
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lined = df.withColumn("cum_hi", F.sum(weight_col).over(w_cum)).withColumn(
+        "cum_lo", F.col("cum_hi") - F.col(weight_col)
+    )
+    total = df.agg(F.sum(weight_col).alias("W"))
+    spark = df.sparkSession
+    probes = (
+        spark.range(k)
+        .withColumnRenamed("id", "probe_idx")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "probe",
+            F.expr(f"((2 * probe_idx + 1) * W) div {2 * k}").cast("long"),
+        )
+        .select("probe_idx", "probe")
+    )
+    return lined.join(
+        F.broadcast(probes),
+        (probes.probe >= lined.cum_lo) & (probes.probe < lined.cum_hi),
+    ).drop("cum_hi")
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str,
+) -> DataFrame:
+    """Assign documents to fixed token-budget packs (context windows).
+
+    Streaming-fill packing: documents are laid out in ``order_col``
+    order and pack p covers token interval [p·budget, (p+1)·budget); a
+    document belongs to the pack where it starts (``offset_in_pack`` =
+    start offset; a document may run past the boundary — the caller
+    splits or truncates). This is the deterministic, closed-form
+    packing (pack = cum_before div budget) — greedy no-split bin
+    packing is inherently sequential and lives in
+    ``applyInPandasWithState`` territory instead.
+
+    Same single-partition-window scale caveat (and same two-phase fix)
+    as :func:`pps_systematic_sample`.
+    """
+    from pyspark.sql import Window
+
+    w_before = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w_before), F.lit(0))
+    return (
+        df.withColumn("cum_before", cum_before)
+        .withColumn("pack_id", F.expr(f"cum_before div {budget}"))
+        .withColumn("offset_in_pack", F.col("cum_before") % budget)
+        .drop("cum_before")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 64,
+    salt: int = 0,
+) -> DataFrame:
+    """Reproducible global shuffle for training-data ordering.
+
+    Every row gets (shard, pos): shard = knuth_hash % n_shards, pos =
+    rank of (hash, key) within the shard. The full ordering is a pure
+    function of (keys, salt) — identical on any cluster size, any
+    partitioning, any engine (``knuth_sql`` twin). Readers stream
+    shards in shard/pos order; re-salting gives a fresh epoch
+    permutation without rewriting data.
+
+    The per-shard rank is a window over the shard partition — shards
+    bound the window memory (W/n_shards rows each), so pick n_shards ≈
+    cluster cores × small constant at scale.
+    """
+    from pyspark.sql import Window
+
+    h = knuth_hash(key_col, salt)
+    win = Window.partitionBy("shard").orderBy("shuffle_hash", key_col)
+    return (
+        df.withColumn("shuffle_hash", h)
+        .withColumn("shard", F.pmod(F.col("shuffle_hash"), F.lit(n_shards)))
+        .withColumn("pos", F.row_number().over(win) - 1)
+    )

@@ -74,6 +74,19 @@ def test_kmeans_improves_or_holds_total_distance(spark):
     assert three <= one + 64 * 5
 
 
+def test_kmeans_assignment_paths_identical(spark):
+    """numpy (Arrow-batch) and SQL (expression) assignment paths must be
+    bit-identical — clusters, dist2, everything."""
+    emb = load_table(spark, TESTDATA_SF, "embeddings")
+    a = sorted(
+        map(tuple, kmeans_quantized(emb, k=7, iters=2, impl="numpy").collect())
+    )
+    b = sorted(
+        map(tuple, kmeans_quantized(emb, k=7, iters=2, impl="sql").collect())
+    )
+    assert a == b
+
+
 def test_trunc_div_matches_engines():
     assert _trunc_div(7, 2) == 3
     assert _trunc_div(-7, 2) == -3  # python -7 // 2 would be -4

@@ -1085,3 +1085,101 @@ def test_percentile_approx_within_rank_error_of_exact(spark):
     ).first()["m"]
     rank_of_approx = o.filter(F.col("c") <= approx).count()
     assert abs(rank_of_approx - n / 2) <= n / accuracy + 1
+
+
+def test_pps_systematic_sample_probe_semantics(spark):
+    """Each of the k probes lands in exactly one item's interval; items
+    heavier than W/k can take multiple probes (multiplicity = how many
+    evenly spaced probes their interval spans)."""
+    from super_store_datawarehouse_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    rows = [(1, 10), (2, 10), (3, 940), (4, 20), (5, 20)]  # W=1000
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = pps_systematic_sample(df, "w", k=10, order_col="id").collect()
+    assert len(got) == 10  # one row per probe, always
+    by_id = {}
+    for r in got:
+        by_id[r["id"]] = by_id.get(r["id"], 0) + 1
+    # item 3 holds 94% of the weight -> floor/ceil of 9.4 probes
+    assert by_id[3] in (9, 10)
+    assert sum(by_id.values()) == 10
+    # deterministic under repartitioning
+    again = pps_systematic_sample(
+        df.repartition(7), "w", k=10, order_col="id"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_invariants(spark):
+    from super_store_datawarehouse_spark.operators.sampling import pack_sequences
+
+    df = spark.range(0, 200).select(
+        F.col("id"), (F.pmod(F.col("id") * 37, F.lit(400)) + 1).alias("toks")
+    )
+    packed = pack_sequences(df, "toks", budget=1000, order_col="id").collect()
+    assert len(packed) == 200
+    total = sum(r["toks"] for r in packed)
+    # offsets stay inside the budget; pack_id nondecreasing in id order
+    assert all(0 <= r["offset_in_pack"] < 1000 for r in packed)
+    in_order = sorted(packed, key=lambda r: r["id"])
+    assert all(
+        a["pack_id"] <= b["pack_id"] for a, b in zip(in_order, in_order[1:])
+    )
+    # last pack's id == floor((total - last toks)/budget): layout is gapless
+    last = in_order[-1]
+    assert last["pack_id"] == (total - last["toks"]) // 1000
+
+
+def test_deterministic_shuffle_dense_and_stable(spark):
+    from super_store_datawarehouse_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "k")
+    a = deterministic_shuffle(df, "k", n_shards=8, salt=5).collect()
+    # dense pos 0..n-1 per shard
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))
+    assert sum(len(v) for v in by_shard.values()) == 3000
+    # pure function of (key, salt): identical under different partitioning
+    b = deterministic_shuffle(df.repartition(11), "k", n_shards=8, salt=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # new salt = new permutation
+    c = deterministic_shuffle(df, "k", n_shards=8, salt=6).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_cross_split_contamination_known_overlap(spark):
+    """Craft ids whose split labels are known (via split_column) and texts
+    with a planted train->test shingle leak."""
+    from super_store_datawarehouse_spark.operators.dedup import (
+        cross_split_contamination,
+    )
+    from super_store_datawarehouse_spark.operators.sampling import split_column
+
+    base = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    labeled = {r["doc_id"]: r["s"] for r in
+               base.withColumn("s", split_column("doc_id")).collect()}
+    train_id = next(i for i, s in labeled.items() if s == "train")
+    test_id = next(i for i, s in labeled.items() if s == "test")
+    clean_id = next(
+        i for i, s in labeled.items() if s == "test" and i != test_id
+    )
+    rows = [
+        (train_id, "alpha beta gamma delta epsilon zeta"),
+        (test_id, "alpha beta gamma delta nothing else here"),
+        (clean_id, "totally different words entirely unique tokens"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_contaminated"])
+        for r in cross_split_contamination(df, n=3).collect()
+    }
+    # leaky doc: shares 'alpha beta gamma'+'beta gamma delta' 3-gram shingles
+    assert got[test_id][0] == 5 and got[test_id][1] == 2
+    assert got[clean_id] == (4, 0)
