@@ -215,3 +215,44 @@ def x112_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# x113 — recursive CTE (Spark 4 WITH RECURSIVE): traverse the implicit
+# binary tree parent(k) = k div 2 over supplier keys from the root and
+# report per-depth node counts. Iterative traversal expressed in pure
+# declarative SQL on BOTH engines — the recursion text is identical
+# modulo the integer-division spelling (Spark `div`, DuckDB `//`).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x113_recursive_supplier_tree",
+    oracle="""
+    WITH RECURSIVE tree(s_suppkey, depth) AS (
+      SELECT s_suppkey, 0 AS depth FROM supplier WHERE s_suppkey = 1
+      UNION ALL
+      SELECT s.s_suppkey, t.depth + 1
+      FROM supplier s JOIN tree t ON s.s_suppkey // 2 = t.s_suppkey
+      WHERE s.s_suppkey > 1
+    )
+    SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum
+    FROM tree GROUP BY depth ORDER BY depth
+    """,
+)
+def x113_recursive_supplier_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "supplier_rec_x113"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE tree(s_suppkey, depth) AS (
+          SELECT s_suppkey, 0 AS depth FROM supplier_rec_x113 WHERE s_suppkey = 1
+          UNION ALL
+          SELECT s.s_suppkey, t.depth + 1
+          FROM supplier_rec_x113 s JOIN tree t ON s.s_suppkey div 2 = t.s_suppkey
+          WHERE s.s_suppkey > 1
+        )
+        SELECT depth, COUNT(*) AS n_nodes,
+               CAST(SUM(s_suppkey) AS BIGINT) AS key_sum
+        FROM tree GROUP BY depth ORDER BY depth
+        """
+    )

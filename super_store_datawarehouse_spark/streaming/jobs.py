@@ -157,6 +157,56 @@ def purchase_click_join_stream(
     return spark.table(name)
 
 
+def purchase_click_left_join_stream(
+    spark: SparkSession, sf_dir: str, lookback: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase, with its preceding
+    clicks when they exist and NULL click columns when none arrived.
+
+    Outer stream-stream joins need both the watermarks and the event-time
+    range condition (otherwise the unmatched side could never be declared
+    final); a purchase emits its NULL row only once the watermark passes
+    ``p_ts`` + lookback, so end-of-stream tests must push the watermark
+    past the data (plant a later file) before asserting unmatched rows.
+    State size stays bounded exactly as in the inner variant.
+    """
+    base = read_events_stream(spark, sf_dir)
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 minute")
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 minute")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select(
+        "purchase_id", F.col("p_user").alias("user_id"), "p_ts", "click_id", "c_ts"
+    )
+    name = f"pc_ljoin_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def hourly_counts_to_parquet(
     spark: SparkSession, sf_dir: str, out_dir: str, watermark: str = "2 hours"
 ) -> int:

@@ -1183,3 +1183,41 @@ def test_cross_split_contamination_known_overlap(spark):
     # leaky doc: shares 'alpha beta gamma'+'beta gamma delta' 3-gram shingles
     assert got[test_id][0] == 5 and got[test_id][1] == 2
     assert got[clean_id] == (4, 0)
+
+
+def test_xml_source_roundtrip(tmp_path, spark):
+    """Spark 4 ships the XML source natively: write rows out, read them
+    back with rowTag addressing, schema preserved."""
+    out = str(tmp_path / "xmlout")
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", None)],
+        "id long, name string, score double",
+    )
+    df.write.format("xml").option("rootTag", "rows").option(
+        "rowTag", "row"
+    ).save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema("id long, name string, score double")
+        .load(out)
+    )
+    assert sorted(map(tuple, back.collect())) == [
+        (1, "alpha", 1.5),
+        (2, "beta", None),
+    ]
+
+
+def test_avro_source_or_gated(tmp_path, spark):
+    """spark-avro is an external JVM module; exercise it when deployed,
+    otherwise assert the engine fails loudly (not silently) without it."""
+    out = str(tmp_path / "avroout")
+    df = spark.range(0, 10).withColumn("v", F.col("id") * 3)
+    try:
+        df.write.format("avro").save(out)
+    except Exception as ex:  # noqa: BLE001
+        assert "avro" in str(ex).lower()
+        pytest.skip("spark-avro jar not deployed in this container")
+    back = spark.read.format("avro").load(out)
+    assert back.count() == 10
+    assert back.agg(F.sum("v")).first()[0] == 3 * 45

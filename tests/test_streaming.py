@@ -364,3 +364,68 @@ def test_stream_restart_resumes_from_checkpoint_exactly_once(tmp_path, spark):
     got = spark.read.parquet(sink)
     assert got.count() == 300  # 250 old NOT reprocessed, 50 new not lost
     assert got.select("id").distinct().count() == 300
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(tmp_path, spark):
+    """Left-outer stream-stream join: purchases with no click in the
+    lookback hour must emit NULL click columns once the watermark passes
+    their expiry — driven here by planting a later sentinel file that
+    advances the watermark past all real data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        purchase_click_left_join_stream,
+    )
+
+    base_ns = 1_700_000_000_000_000_000
+    MIN = 60_000_000_000  # one minute in ns
+
+    def table(rows):  # rows: (event_id, minutes_offset, user, type)
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [base_ns + r[1] * MIN for r in rows], pa.timestamp("ns")
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+
+    # user 1: click at t+0, purchase at t+10  -> matched
+    # user 2: purchase at t+10, click AFTER it -> unmatched (left row, NULL)
+    # user 3: purchase at t+10, no clicks at all -> unmatched
+    pq.write_table(
+        table(
+            [
+                (100, 0, 1, "click"),
+                (101, 10, 1, "purchase"),
+                (200, 10, 2, "purchase"),
+                (201, 20, 2, "click"),
+                (300, 10, 3, "purchase"),
+            ]
+        ),
+        tmp_path / "events.parquet",
+    )
+    # sentinel file, far future. The join's eviction watermark is the MIN
+    # of both sides' watermarks, and each side computes its watermark
+    # AFTER its event_type filter — so the file carries one far-future
+    # click AND one far-future purchase (disjoint users, so they add no
+    # real matches; the sentinel purchase itself stays unfinalized).
+    pq.write_table(
+        table([(998, 24 * 60 * 7, 98, "purchase"), (999, 24 * 60 * 7, 99, "click")]),
+        tmp_path / "events2.parquet",
+    )
+
+    out = [
+        r
+        for r in purchase_click_left_join_stream(spark, str(tmp_path)).collect()
+        if r["purchase_id"] < 900
+    ]
+    got = {(r["purchase_id"], r["click_id"]) for r in out}
+    assert (101, 100) in got                      # matched pair
+    assert (200, None) in got and (300, None) in got  # finalized NULL rows
+    assert len([r for r in out if r["purchase_id"] == 101]) == 1
