@@ -179,6 +179,115 @@ def minhash_signatures(
     )
 
 
+def _exact_jaccard_on_candidates(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle-Jaccard verification bounded to a candidate-pair
+    frame (id_a, id_b). ``sh`` is (sid, shingle) with either string or
+    pre-hashed shingles; the integer threshold compare keeps membership
+    bit-exact. Shared by every LSH front end."""
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sh_a = sh.select(F.col("sid").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("sid").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("sid").alias("id_a"), F.col("n_shingles").alias("sz_a"))
+    sz_b = sizes.select(F.col("sid").alias("id_b"), F.col("n_shingles").alias("sz_b"))
+    thr_num, thr_den = _ratio_as_ints(threshold)
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        .filter(thr_den * F.col("n_inter") >= thr_num * F.col("n_union"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double") / F.col("n_union").cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def md5_hash31(col: Column) -> Column:
+    """Portable 31-bit string hash: first 8 hex chars of md5 → int,
+    reduced mod 2³¹. md5 is bit-identical in every engine and stays on
+    the JVM fast path in Spark (unlike per-character fold UDF-ish
+    hashes), so this is the key that makes *fully oracled* LSH cheap."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % F.lit(
+        1 << 31
+    )
+
+
+MD5_HASH31_SQL = (
+    "(CAST(('0x' || substring(md5({s}), 1, 8)) AS BIGINT) % 2147483648)"
+)
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+    seed: int = 42,
+) -> DataFrame:
+    """Fully portable MinHash+LSH near-dup join: md5-based shingle hash,
+    (a·h+b) mod 2³¹ permutations, polynomial band buckets, exact Jaccard
+    verification — every step replays bit-for-bit in any SQL engine, so
+    the ENTIRE sketch pipeline (not just the signatures) carries a value
+    oracle. Same plan shape and asymptotics as :func:`minhash_lsh_pairs`
+    (the xxhash64 fast path); md5 costs ~2× xxhash64 per shingle, which
+    disappears under the explode+join that dominates at scale.
+    """
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(df, text_col, id_col, n, hashed=False).cache()
+    base = md5_hash31(F.col("shingle"))
+    feats = sh.withColumn("hs", base)
+    coeffs = _minhash_coeffs(num_hashes, seed=seed)
+    mins = [
+        F.min((F.col("hs") * a + b) % F.lit(1 << 31)).alias(f"m{j:02d}")
+        for j, (a, b) in enumerate(coeffs)
+    ]
+    sig = feats.groupBy("sid").agg(*mins)
+
+    def band_bucket(b: int) -> Column:
+        acc: Column = F.col(f"m{b * rows_per_band:02d}")
+        for r in range(1, rows_per_band):
+            acc = (acc * 31 + F.col(f"m{b * rows_per_band + r:02d}")) % F.lit(
+                1 << 31
+            )
+        return acc
+
+    band_rows = sig.select(
+        "sid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_bucket(b).alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("sid", "bb.band", "bb.bucket")
+    cand = (
+        band_rows.alias("x")
+        .join(band_rows.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.sid") < F.col("y.sid"))
+        .select(F.col("x.sid").alias("id_a"), F.col("y.sid").alias("id_b"))
+        .distinct()
+    )
+    return _exact_jaccard_on_candidates(cand, sh, threshold)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -230,30 +339,8 @@ def minhash_lsh_pairs(
 
     # Exact verification bounded to the candidate set — the whole point of
     # LSH is that the quadratic similarity join never materializes; the
-    # shingle join below fans out per (candidate, shared shingle) only.
-    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sh_a = sh.select(F.col("sid").alias("id_a"), "shingle")
-    sh_b = sh.select(F.col("sid").alias("id_b"), "shingle")
-    inter = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sz_a = sizes.select(F.col("sid").alias("id_a"), F.col("n_shingles").alias("sz_a"))
-    sz_b = sizes.select(F.col("sid").alias("id_b"), F.col("n_shingles").alias("sz_b"))
-    thr_num, thr_den = _ratio_as_ints(threshold)
-    return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-        .filter(thr_den * F.col("n_inter") >= thr_num * F.col("n_union"))
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("n_inter").cast("double") / F.col("n_union").cast("double")).alias("jaccard"),
-        )
-    )
+    # shingle join inside fans out per (candidate, shared shingle) only.
+    return _exact_jaccard_on_candidates(cand, sh, threshold)
 
 
 # -- SimHash -----------------------------------------------------------------

@@ -85,11 +85,81 @@ def q17_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x03/x04 — sketch-based near-dup (rows-only: xxhash64 has no SQL twin;
-# unit tests check recall against the exact x02 result).
+# q19 — MinHash+LSH near-dup join, FULLY oracled: md5-based 31-bit
+# shingle hash + (a·h+b) mod 2³¹ permutations + polynomial band buckets
+# + exact-Jaccard verification, every stage bit-replayable in DuckDB.
+# The xxhash64 fast path stays available as x114 (rows-only).
+# x04 — SimHash variant (rows-only; x73/q41 carry the portable twins).
 # --------------------------------------------------------------------------
-@harness_query("q19_minhash_lsh_pairs")
+from super_store_datawarehouse_spark.operators.dedup import (  # noqa: E402
+    MD5_HASH31_SQL,
+    _minhash_coeffs as _mh_coeffs,
+)
+
+_Q19_MINS = ", ".join(
+    f"MIN((hs * {a} + {b}) % 2147483648) AS m{j:02d}"
+    for j, (a, b) in enumerate(_mh_coeffs(16, seed=42))
+)
+def _q19_bucket_sql(b: int) -> str:
+    acc = f"m{b * 4:02d}"
+    for r in range(1, 4):
+        acc = f"(({acc}) * 31 + m{b * 4 + r:02d}) % 2147483648"
+    return acc
+
+
+_Q19_BANDS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, {_q19_bucket_sql(b)} AS bucket FROM sig"
+    for b in range(4)
+)
+
+
+@harness_query(
+    "q19_minhash_lsh_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS l
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle
+      FROM w CROSS JOIN range(1, 10000) r(i)
+      WHERE i <= len(l) - 2
+    ), h AS (
+      SELECT doc_id, shingle, {MD5_HASH31_SQL.format(s='shingle')} AS hs
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, {_Q19_MINS} FROM h GROUP BY doc_id
+    ), bandrows AS (
+      {_Q19_BANDS}
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bandrows x JOIN bandrows y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE)
+             / CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 1000 * n_inter >= 200 * (sa.n_shingles + sb.n_shingles - n_inter)
+    """,
+)
 def q19_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_md5(docs, threshold=0.2)
+
+
+@harness_query("x114_minhash_lsh_xxhash")
+def x114_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=0.2)
 

@@ -1221,3 +1221,24 @@ def test_avro_source_or_gated(tmp_path, spark):
     back = spark.read.format("avro").load(out)
     assert back.count() == 10
     assert back.agg(F.sum("v")).first()[0] == 3 * 45
+
+
+def test_minhash_lsh_md5_recall_vs_exact(spark, docs):
+    """The fully-oracled md5 LSH path: exact-verified (no false
+    positives by construction) and high recall vs the exact join."""
+    from super_store_datawarehouse_spark.operators.dedup import (
+        minhash_lsh_pairs_md5,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_md5(docs, threshold=0.2).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.8
