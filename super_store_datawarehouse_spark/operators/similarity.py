@@ -128,14 +128,17 @@ def _scramble_sign(p: int, d: int) -> int:
 
 
 def _all_table_signatures(n_planes: int, n_tables: int, dim: int):
-    """Arrow-vectorized signature UDF: one numpy matmul per batch computes
-    every table's signature at once, replacing n_tables×n_planes Catalyst
-    fold expressions (which dominate both codegen and per-row cost).
+    """Arrow-vectorized signature UDF: vectorized over rows and planes,
+    but accumulated dimension-by-dimension in ascending order — each
+    projection is therefore the exact left-to-right IEEE fold
+    Σ_d (v_d · s_d), bit-identical to ``hyperplane_signature``'s
+    Catalyst fold AND to a SQL engine's list_reduce fold. That exactness
+    is what lets the whole LSH pipeline carry a value oracle (q35): a
+    blas matmul would sum in an unspecified order and flip sign bits on
+    projections near 0.
 
     The ±1 plane matrix is generated on the driver from the same
-    deterministic scramble as ``hyperplane_signature``; signatures agree
-    except when a projection sits exactly at 0 under one float-summation
-    order and not the other (immaterial for an approximate sketch).
+    deterministic scramble as ``hyperplane_signature``.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -152,8 +155,11 @@ def _all_table_signatures(n_planes: int, n_tables: int, dim: int):
     def sigs(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        m = np.stack(v.to_numpy())  # (rows, dim)
-        bits = (m @ planes) > 0  # (rows, n_tables*n_planes)
+        m = np.stack(v.to_numpy()).astype(np.float64)  # (rows, dim)
+        proj = np.zeros((len(v), planes.shape[1]), dtype=np.float64)
+        for d in range(planes.shape[0]):  # ordered fold: d ascending
+            proj += m[:, d : d + 1] * planes[d : d + 1, :]
+        bits = proj > 0  # (rows, n_tables*n_planes)
         per_table = bits.reshape(len(v), -1, n_planes) @ powers  # (rows, n_tables)
         return pd.Series(list(per_table.astype(np.int64)))
 

@@ -553,7 +553,80 @@ def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact x05 result). The scale path for x05: bucket equi-join instead of
 # the all-pairs product.
 # --------------------------------------------------------------------------
-@harness_query("q35_ann_lsh_topk")
+def _q35_oracle() -> str:
+    """Full value oracle for multi-table hyperplane LSH: the signature
+    UDF accumulates projections dimension-ascending, which is exactly a
+    left-to-right list_reduce fold — so DuckDB replays every sign bit,
+    every bucket, every candidate, and the exact cosine re-rank."""
+    from super_store_datawarehouse_spark.operators.similarity import (
+        _scramble_sign,
+    )
+
+    n_planes, n_tables, dim = 4, 16, 64
+
+    def fold(col: str, t: int, p: int) -> str:
+        signs = ",".join(
+            "1.0" if _scramble_sign(t * 1024 + p, d) > 0 else "-1.0"
+            for d in range(dim)
+        )
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),"
+            f" i -> {col}[i] * ([{signs}])[i])), (acc, x) -> acc + x)"
+        )
+
+    sig_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN {fold('v', t, p)} > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(n_planes)
+        )
+        + f") AS sig{t:02d}"
+        for t in range(n_tables)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, sig{t:02d} AS sig FROM sigs"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH e0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt({_E_FOLD2}) AS nrm
+      FROM embeddings
+    ), e AS (SELECT * FROM e0 WHERE nrm > 0),
+    sigs AS (
+      SELECT vec_id, {sig_cols} FROM e
+    ), bandrows AS (
+      {band_union}
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bandrows q
+      JOIN bandrows c ON c.tbl = q.tbl AND c.sig = q.sig
+      WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_COSINE_FOLD.format(a='qe.v', b='ce.v')} / (qe.nrm * ce.nrm)
+               AS cosine
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ce ON ce.vec_id = cand.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+    FROM ranked WHERE rank <= 5
+    """
+
+
+_E_FOLD2 = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, len(v)+1),"
+    " i -> v[i]*v[i])), (acc, x) -> acc + x)"
+)
+
+
+@harness_query("q35_ann_lsh_topk", oracle=_q35_oracle())
 def q35_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)

@@ -256,3 +256,49 @@ def x113_recursive_supplier_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tree GROUP BY depth ORDER BY depth
         """
     )
+
+
+# --------------------------------------------------------------------------
+# x115 — custom aggregate via GROUPED_AGG pandas UDF (SURVEY §2.9 UDAF
+# surface): per-flag median absolute deviation of line prices, plus a
+# companion pandas-UDAF count in the same agg() (Spark forbids mixing
+# GROUPED_AGG UDFs with JVM aggregates). The UDF is selection-based
+# (order-independent), so the DuckDB two-pass median formulation
+# verifies it exactly.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x115_mad_udaf_by_flag",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag, median(cents) AS med FROM c GROUP BY 1
+    )
+    SELECT c.l_returnflag,
+           median(abs(c.cents - m.med)) AS mad_cents,
+           COUNT(*) AS n_rows
+    FROM c JOIN m USING (l_returnflag)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def x115_mad_udaf_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.functions.udafs import (
+        count_udaf,
+        mad_cents_udaf,
+    )
+
+    mad = mad_cents_udaf()
+    cnt = count_udaf()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", cents(F.col("l_extendedprice")).alias("cents")
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            mad(F.col("cents")).alias("mad_cents"),
+            cnt(F.col("cents")).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
