@@ -1975,3 +1975,127 @@ def x108_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "l_partkey", "supp_qty", "part_qty")
         .orderBy("s_name", "l_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# x116 — TPC-H Q12 shape (shipping-mode priority audit): conditional
+# priority counts per lineitem category over a one-year ship window.
+# The driver schema has no l_shipmode/l_commitdate, so the "mode" axis
+# is l_linestatus and the date predicate sits on l_shipdate — the Q12
+# essence (fact⋈orders, CASE-split counts of urgent vs other order
+# priorities, date-window pushdown) is preserved.
+# Scale: predicate pushes to the parquet scan; orders side is the
+# shuffle-free broadcast probe only if small — here orders is the BIG
+# side, so the join shuffles on orderkey while counts pre-aggregate
+# map-side.
+# Reference anchor: Data_Analysis.ipynb conditional aggregation cells
+# (CASE WHEN inside SUM, e.g. raw lines 470-520).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x116_linestatus_priority_counts",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def x116_linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sd = F.col("l_shipdate").cast("date")
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((sd >= "1996-01-01") & (sd < "1997-01-01"))
+        .select("l_orderkey", "l_linestatus")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# x117 — TPC-H Q21 shape (suppliers who kept orders waiting): for
+# multi-supplier orders, find the supplier whose line was the ONLY late
+# one — EXISTS(another supplier's line) AND NOT EXISTS(another
+# supplier's LATE line). "Late" is restated on the driver schema as
+# shipped >60 days after order date (no l_receiptdate/l_commitdate).
+# Shape parity: two correlated self-joins on the fact table (one semi,
+# one anti), dim broadcast, top-k count ranking — the classic Q21 plan.
+# Scale: lineitem self-joins shuffle on l_orderkey (the natural
+# co-partition key); both EXISTS sides reduce to semi/anti joins, so no
+# row explosion; supplier/nation broadcast.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x117_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 25
+    """,
+)
+def x117_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 60)
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l2 = l.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        late.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
