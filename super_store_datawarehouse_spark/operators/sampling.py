@@ -253,3 +253,54 @@ def deterministic_shuffle(
         .withColumn("shard", F.pmod(F.col("shuffle_hash"), F.lit(n_shards)))
         .withColumn("pos", F.row_number().over(win) - 1)
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM 2007): weighted
+    sampling without replacement with an unbiased subset-sum estimator.
+
+    Each item draws u_i = (knuth_hash(key)+0.5) / 2^32 ∈ (0,1) and gets
+    priority q_i = w_i / u_i. The sample is the k highest-priority
+    items; τ = the (k+1)-th highest priority; each sampled item carries
+    the estimator ŵ_i = max(w_i, τ), which is unbiased for any subset
+    sum — the textbook way to answer weighted GROUP BY queries from a
+    fixed-size sample.
+
+    Exactness: u is (int + 0.5) divided by a power of two (both exact
+    in float64) and q is ONE correctly-rounded IEEE division of exact
+    inputs — so priorities, the top-k cut, τ, and ŵ are bit-identical
+    on any engine, unlike exp/log A-Res scoring (libm-dependent).
+
+    Scale: selection of the global top-(k+1) is expressed as an
+    orderBy().limit(k+1) — Spark runs it as TakeOrderedAndProject
+    (per-partition partial top-k, merge on driver), no global sort, no
+    single-partition window. τ then broadcasts back onto the k winners.
+    """
+    u = (knuth_hash(key_col, salt).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 32)
+    )
+    scored = df.withColumn("priority", F.col(weight_col).cast("double") / u)
+    top = scored.orderBy(F.desc("priority"), key_col).limit(k + 1)
+    tau = top.agg(F.min("priority").alias("tau"))
+    return (
+        top.orderBy(F.desc("priority"), key_col)
+        .limit(k)
+        .crossJoin(F.broadcast(tau))
+        .withColumn(
+            "w_hat", F.greatest(F.col(weight_col).cast("double"), F.col("tau"))
+        )
+    )
+
+
+def priority_sql(weight: str, key: str, salt: int = 0) -> str:
+    """Portable SQL twin of the priority expression (audit/oracle)."""
+    return (
+        f"CAST({weight} AS DOUBLE) / "
+        f"((CAST({knuth_sql(key, salt)} AS DOUBLE) + 0.5) / {float(1 << 32)})"
+    )

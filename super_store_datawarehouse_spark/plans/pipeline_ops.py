@@ -25,6 +25,7 @@ from super_store_datawarehouse_spark.functions.exact import cents
 from super_store_datawarehouse_spark.operators.sampling import (
     bucket_sql,
     knuth_sql,
+    priority_sql,
 )
 from super_store_datawarehouse_spark.plans.registry import harness_query
 from super_store_datawarehouse_spark.sources.testdata import load_table
@@ -503,3 +504,45 @@ def x120_arrow_batch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_batch,
         "l_orderkey long, l_linenumber int, revenue_cents long",
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+# --------------------------------------------------------------------------
+# x121 — priority sampling (Duffield–Lund–Thorup): fixed-size weighted
+# sample of orders with the unbiased max(w, τ) subset-sum estimator.
+# Priorities are one exact IEEE division of hash-derived exact doubles,
+# so the top-k cut, τ, and every estimator value replay bit-for-bit in
+# DuckDB — a weighted sampler an external engine can audit.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x121_priority_sample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS w_cents,
+             {{PRIORITY}} AS priority
+      FROM (SELECT o_orderkey, o_totalprice FROM orders)
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY priority DESC, o_orderkey) AS rn
+      FROM scored
+    ), tau AS (
+      SELECT MIN(priority) AS tau FROM ranked WHERE rn <= 41
+    )
+    SELECT o_orderkey, w_cents, priority,
+           GREATEST(CAST(w_cents AS DOUBLE), tau) AS w_hat
+    FROM ranked, tau
+    WHERE rn <= 40
+    ORDER BY o_orderkey
+    """.replace(
+        "{PRIORITY}", priority_sql("CAST(ROUND(o_totalprice * 100) AS BIGINT)", "o_orderkey", 7)
+    ),
+)
+def x121_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sampling import priority_sample
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("w_cents")
+    )
+    picked = priority_sample(orders, "w_cents", "o_orderkey", k=40, salt=7)
+    return picked.select("o_orderkey", "w_cents", "priority", "w_hat").orderBy(
+        "o_orderkey"
+    )
