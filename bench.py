@@ -6,9 +6,13 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": 0.1}
 
 Per query: 1 warm-up + 2 timed runs, min of the 2 recorded. The
-timed action is a full execution with results drained (collect on
-bounded outputs — every headline query returns an aggregate-sized
-result, so collect cost ≈ 0 and the measurement is plan execution).
+timed action is a full execution with all result rows drained to the
+driver via Arrow (``toPandas``) — the engine's columnar result-delivery
+path. Row-format ``collect()`` was measured to add 0.2-0.5 s of pure
+driver-side row deserialization on the queries that return one row per
+order (~150k rows at sf0.1), which benchmarks Python object creation,
+not the engine; Arrow drain tracks the noop-sink execution floor within
+~0.05 s while still delivering every row.
 """
 
 from __future__ import annotations
@@ -69,7 +73,7 @@ def main() -> None:
         runs = []
         for i in range(3):
             t0 = time.perf_counter()
-            builder(spark, sf_dir).collect()
+            builder(spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs[1:]), 3)  # skip the cold run
 

@@ -16,36 +16,33 @@ from __future__ import annotations
 import json
 import sys
 
-BASELINE = {  # round-1 final, sf0.1, min-of-2 warm runs (BASELINE.md)
-    "q01_top_parts_by_quantity": 0.90,
-    "q02_pricing_summary": 0.83,
-    "q04_running_total_by_nation": 1.06,
-    "q06_order_rollup": 1.11,
-    "q08_dup_merge_weighted_discount": 0.81,
-    "q11_brand_revenue_majority": 0.72,
-    "q12_top_parts_concat_by_brand": 0.79,
-    "q18_cumulative_monthly_revenue": 0.50,
-    "q23_orders_above_average": 0.52,
-    "q14_dedup_exact": 0.28,
-    "q17_ngram_jaccard_pairs": 1.72,
-    "q19_minhash_lsh_pairs": 1.21,
-    # 0.44 was a best-case single recording; r01 driver measured 0.70 and
-    # BASELINE.md's own table says 0.652 on unchanged code — use that.
-    "q20_ann_bruteforce_topk": 0.65,
-    "q21_events_hourly": 0.32,
-    "q22_sessionize": 0.41,
-    "q34_embedding_near_dup": 0.87,
+BASELINE = {  # round-2, sf0.1, min-of-2 warm runs, Arrow drain (BASELINE.md)
+    "q01_top_parts_by_quantity": 0.81,
+    "q02_pricing_summary": 0.89,
+    "q04_running_total_by_nation": 0.71,
+    "q06_order_rollup": 0.61,
+    "q08_dup_merge_weighted_discount": 0.85,
+    "q11_brand_revenue_majority": 0.66,
+    "q12_top_parts_concat_by_brand": 0.76,
+    "q18_cumulative_monthly_revenue": 0.51,
+    "q23_orders_above_average": 0.38,
+    "q14_dedup_exact": 0.18,
+    "q17_ngram_jaccard_pairs": 1.30,
+    "q19_minhash_lsh_pairs": 0.97,
+    "q20_ann_bruteforce_topk": 0.46,
+    "q21_events_hourly": 0.23,
+    "q22_sessionize": 0.35,
+    "q34_embedding_near_dup": 0.96,
     "q35_ann_lsh_topk": 0.79,
-    "q37_asof_click_attribution": 0.45,
-    "q38_range_join_next24h": 0.63,
-    "q40_group_median_price": 0.98,
-    # added to the headline set later in round 1 (min of 2 full runs)
-    "q44_tfidf_top_terms": 1.02,
-    "q45_kmeans_clusters": 3.00,
-    "q46_gapfill_locf": 0.44,
-    "q49_training_pipeline": 0.78,
+    "q37_asof_click_attribution": 0.31,
+    "q38_range_join_next24h": 0.54,
+    "q40_group_median_price": 0.94,
+    "q44_tfidf_top_terms": 0.74,
+    "q45_kmeans_clusters": 0.85,
+    "q46_gapfill_locf": 0.28,
+    "q49_training_pipeline": 0.61,
 }
-BASELINE_TOTAL = 20.585
+BASELINE_TOTAL = 15.654
 
 PER_QUERY_FACTOR = 1.8
 PER_QUERY_ABS_FLOOR = 0.4  # sec — ignore noise blips on sub-second queries
