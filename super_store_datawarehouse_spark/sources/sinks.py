@@ -153,9 +153,10 @@ def compact_parquet(
     live path missing with the full dataset intact at ``<path>__old``
     (recovery: ``mv <path>__old <path>``), and concurrent readers can
     hit the gap. Single-writer, maintenance-window semantics — the same
-    caveat as HDFS-style rename-based commits; a production deployment
-    would layer a transactional table format (Delta/Iceberg) on top for
-    true reader isolation.
+    caveat as HDFS-style rename-based commits. For true reader
+    isolation use ``sources.translog.txn_compact`` on a manifest-gated
+    table (this engine's minimal transactional format) or a full table
+    format (Delta/Iceberg).
     """
     import shutil
 

@@ -1,0 +1,248 @@
+"""Minimal transactional table format: manifest-gated parquet.
+
+Fixes the one real durability gap the round-1 review found: rename-based
+swaps (``sinks.compact_parquet``, ``streaming.jobs.stream_upserts_to_parquet``)
+have a window where a crash strands the live directory or concurrent
+readers see a half-swapped table. The cure is the same one Delta Lake /
+Iceberg use (public designs; see the Delta Lake VLDB'20 paper): data
+files are immutable and *invisible until a manifest commits them*, and a
+commit is a single atomic filesystem primitive.
+
+Layout of a transactional table at ``path``::
+
+    path/
+      _log/v00000001.json   <- manifest: list of data files + op metadata
+      _log/v00000002.json
+      data/<batch-uuid>/part-*.parquet
+
+Protocol:
+
+- **Write**: stage the DataFrame as parquet under ``data/<uuid>/`` (a
+  crash here leaves orphan files no reader ever sees), then commit a
+  manifest whose ``files`` list is [new files] (mode="overwrite") or
+  [previous snapshot's files + new files] (mode="append").
+- **Commit**: the manifest is written to a temp name, then linked to
+  ``v{N}.json`` via ``os.link`` — which *fails* (EEXIST) instead of
+  silently replacing when another writer took version N first. On
+  collision the committer re-resolves the head version and retries, so
+  concurrent blind appends both land (optimistic concurrency, same
+  loop Delta's commit protocol runs against the log store).
+- **Read**: resolve the newest ``v*.json`` (or an explicit ``version``
+  — time travel), then ``spark.read.parquet(*files)``. Readers never
+  lock: any manifest they resolve points only at immutable files that
+  stay on disk until ``txn_vacuum`` drops versions.
+- **Compaction** (`txn_compact`): read snapshot, rewrite clustered,
+  commit as overwrite. Readers mid-flight keep the old manifest's
+  files; there is no gap, crash leaves at worst orphan staged files.
+
+At 100 TB the same protocol holds — the manifest lists O(files) paths
+(Delta checkpoints solve the long-log problem; out of scope here), data
+writes are fully parallel Spark jobs, and the only serial step is one
+O(1) link syscall per commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG = "_log"
+_DATA = "data"
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, _LOG)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"v{version:08d}.json")
+
+
+def txn_versions(path: str) -> list[int]:
+    """All committed versions, ascending. Empty list = no table yet."""
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def _snapshot_files(path: str, version: int | None) -> tuple[int | None, list[str]]:
+    """(resolved version, absolute data-file paths) for a snapshot."""
+    versions = txn_versions(path)
+    if not versions:
+        return None, []
+    v = version if version is not None else versions[-1]
+    if v not in versions:
+        raise ValueError(f"version {v} not in {path}: have {versions}")
+    m = _read_manifest(path, v)
+    return v, [os.path.join(path, rel) for rel in m["files"]]
+
+
+def _stage(df: DataFrame, path: str) -> list[str]:
+    """Write df as an immutable staged batch; return repo-relative file paths."""
+    batch = uuid.uuid4().hex
+    batch_dir = os.path.join(path, _DATA, batch)
+    df.write.mode("error").parquet(batch_dir)
+    rels = []
+    for f in sorted(os.listdir(batch_dir)):
+        if f.endswith(".parquet"):
+            rels.append(os.path.join(_DATA, batch, f))
+    return rels
+
+
+def _commit(path: str, files: list[str], op: str, expect_head: int | None) -> int:
+    """Atomically publish a manifest; returns the committed version.
+
+    ``os.link(tmp, final)`` is the commit point: it either creates the
+    version file or raises FileExistsError — never replaces. Appends
+    retry on collision after merging the new head's file list; an
+    overwrite that collides retries as a plain last-writer-wins
+    overwrite of the newer head (same semantics as Spark's
+    ``mode("overwrite")``).
+    """
+    log_dir = _log_dir(path)
+    os.makedirs(log_dir, exist_ok=True)
+    head = expect_head
+    new_files = list(files)
+    while True:
+        version = (head or 0) + 1
+        manifest = {"version": version, "op": op, "files": new_files}
+        tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, _manifest_path(path, version))
+            os.unlink(tmp)
+            return version
+        except FileExistsError:
+            os.unlink(tmp)
+            current = txn_versions(path)[-1]
+            if op == "append" and expect_head is not None:
+                # merge: keep our new data files, re-base on the new head
+                staged_only = [f for f in files if f not in _read_manifest(path, expect_head).get("files", [])] if expect_head else files
+                head_files = _read_manifest(path, current)["files"]
+                new_files = head_files + [f for f in staged_only if f not in head_files]
+            head = current
+
+
+def txn_write(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Transactionally write ``df`` to the table at ``path``.
+
+    mode="append" adds the batch to the current snapshot; "overwrite"
+    replaces the snapshot (old files stay for time travel until
+    ``txn_vacuum``). Returns the committed version number.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    head, head_files = _snapshot_files(path, None)
+    staged = _stage(df, path)
+    if mode == "append":
+        rel_head = [os.path.relpath(f, path) for f in head_files]
+        return _commit(path, rel_head + staged, "append", head)
+    return _commit(path, staged, "overwrite", head)
+
+
+def txn_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read (newest version, or time travel to ``version``)."""
+    v, files = _snapshot_files(path, version)
+    if v is None:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    if not files:  # an overwrite of an empty frame is legal
+        raise ValueError(f"version {v} of {path} lists no files")
+    return spark.read.parquet(*files)
+
+
+def txn_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    version_col: str,
+) -> int:
+    """MERGE: latest-wins upsert committed as one atomic overwrite —
+    the transactional twin of ``operators.cdc.apply_upserts`` (and of
+    ``sinks.merge_into_delta`` for runtimes without delta-spark)."""
+    from super_store_datawarehouse_spark.operators.cdc import apply_upserts
+
+    if txn_versions(path):
+        state = txn_read(spark, path)
+    else:
+        state = updates.limit(0)
+    merged = apply_upserts(state, updates, key_cols, version_col)
+    return txn_write(merged, path, mode="overwrite")
+
+
+def txn_compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Atomic small-file compaction: rewrite the current snapshot into
+    ~``target_file_mb`` files (optionally range-clustered on
+    ``sort_by`` for min/max skipping) and commit it as an overwrite.
+    Concurrent readers are never disturbed — they hold a manifest whose
+    files remain on disk; a crash mid-rewrite leaves only orphan staged
+    files. This supersedes ``sinks.compact_parquet``'s rename swap for
+    tables that can adopt the ``_log/`` layout."""
+    _, files = _snapshot_files(path, None)
+    total = sum(os.path.getsize(f) for f in files)
+    n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
+    df = txn_read(spark, path)
+    if sort_by:
+        out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.coalesce(n_files)
+    return txn_write(out, path, mode="overwrite")
+
+
+def txn_vacuum(path: str, keep_versions: int = 1) -> int:
+    """Garbage-collect: retain the newest ``keep_versions`` manifests,
+    delete older manifests plus any data file none of the retained
+    manifests reference (including orphans from crashed writes).
+    Returns the number of data files deleted. Time travel is only
+    possible within the retained window afterwards."""
+    versions = txn_versions(path)
+    if not versions:
+        return 0
+    keep = versions[-max(1, keep_versions):]
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(path, v)["files"])
+    for v in versions:
+        if v not in keep:
+            os.unlink(_manifest_path(path, v))
+    removed = 0
+    data_root = os.path.join(path, _DATA)
+    if os.path.isdir(data_root):
+        for batch in os.listdir(data_root):
+            bdir = os.path.join(data_root, batch)
+            for f in list(os.listdir(bdir)):
+                rel = os.path.join(_DATA, batch, f)
+                if rel not in live:
+                    os.unlink(os.path.join(bdir, f))
+                    if f.endswith(".parquet"):
+                        removed += 1
+            if not os.listdir(bdir):
+                os.rmdir(bdir)
+    return removed

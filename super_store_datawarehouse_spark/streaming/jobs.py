@@ -365,6 +365,38 @@ def stream_upserts_to_parquet(
     return batches["n"]
 
 
+def stream_upserts_to_txn(
+    spark: SparkSession, src_dir: str, table_dir: str
+) -> int:
+    """Streaming CDC into the transactional table format
+    (``sources.translog``): each micro-batch MERGEs into the table via
+    ``txn_upsert`` — one atomic manifest commit per batch, so readers
+    never observe a half-swapped state directory (the isolation gap
+    ``stream_upserts_to_parquet``'s rmtree+replace swap leaves open) and
+    every batch boundary is a time-travelable version. Returns the
+    number of micro-batches merged.
+    """
+    from super_store_datawarehouse_spark.sources.translog import txn_upsert
+
+    ev = read_events_stream(spark, src_dir).select(
+        "user_id", "event_type", "value", F.col("event_id").alias("version")
+    )
+    batches = {"n": 0}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        txn_upsert(
+            batch_df.sparkSession, batch_df, table_dir, ["user_id"], "version"
+        )
+        batches["n"] += 1
+
+    q = ev.writeStream.outputMode("append").foreachBatch(merge_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return batches["n"]
+
+
 def session_counts_stream(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -260,6 +260,56 @@ def test_stream_upserts_converge_to_batch_latest(tmp_path, spark):
     assert got == want
 
 
+def test_stream_upserts_to_txn_atomic_versions(tmp_path, spark):
+    """Transactional CDC sink: converges to batch latest-per-user like
+    the parquet-swap sink, but each micro-batch is one atomic manifest
+    commit — versions 1..n_batches are all time-travelable."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from super_store_datawarehouse_spark.sources.translog import (
+        txn_read,
+        txn_versions,
+    )
+    from super_store_datawarehouse_spark.streaming.jobs import stream_upserts_to_txn
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            str(tmp_path / f"part{i}"), mode="overwrite"
+        )
+        part = [f for f in os.listdir(tmp_path / f"part{i}") if f.endswith(".parquet")][0]
+        os.rename(tmp_path / f"part{i}" / part, os.path.join(src, f"events{i}.parquet"))
+
+    table = str(tmp_path / "state")
+    n_batches = stream_upserts_to_txn(spark, src, table)
+    assert n_batches == 3
+    assert txn_versions(table) == [1, 2, 3]
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    want = {
+        (r["user_id"], r["version"])
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", F.col("event_id").alias("version"))
+        .collect()
+    }
+    got = {
+        (r["user_id"], r["version"])
+        for r in txn_read(spark, table).select("user_id", "version").collect()
+    }
+    assert got == want
+    # intermediate versions are complete snapshots, not deltas
+    assert txn_read(spark, table, version=1).count() <= txn_read(
+        spark, table, version=3
+    ).count()
+
+
 def test_session_window_stream_equals_batch(spark):
     """Streaming session_window (incremental state-store merge) drains
     to exactly the batch sessionization of the same data (x26)."""

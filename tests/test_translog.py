@@ -1,0 +1,126 @@
+"""Transactional table format (sources/translog.py): atomic commits,
+snapshot isolation, time travel, upsert, compaction, vacuum, and
+crash-orphan invisibility."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from super_store_datawarehouse_spark.sources.translog import (
+    _stage,
+    txn_compact,
+    txn_read,
+    txn_upsert,
+    txn_vacuum,
+    txn_versions,
+    txn_write,
+)
+
+
+def test_append_overwrite_and_time_travel(tmp_path, spark):
+    path = str(tmp_path / "t")
+    v1 = txn_write(spark.range(0, 10).withColumn("v", F.col("id") * 2), path)
+    v2 = txn_write(spark.range(10, 15).withColumn("v", F.col("id") * 2), path)
+    assert (v1, v2) == (1, 2)
+    assert txn_read(spark, path).count() == 15
+    assert txn_read(spark, path, version=1).count() == 10
+    v3 = txn_write(
+        spark.range(100, 103).withColumn("v", F.lit(0).cast("long")),
+        path,
+        mode="overwrite",
+    )
+    assert v3 == 3
+    assert sorted(r.id for r in txn_read(spark, path).collect()) == [100, 101, 102]
+    # time travel across the overwrite still sees the old snapshot
+    assert txn_read(spark, path, version=2).count() == 15
+
+
+def test_uncommitted_staged_files_are_invisible(tmp_path, spark):
+    path = str(tmp_path / "t")
+    txn_write(spark.range(0, 5), path)
+    # simulate a writer that crashed after staging, before commit
+    _stage(spark.range(1000, 2000), path)
+    assert txn_read(spark, path).count() == 5
+    # vacuum removes the orphans
+    removed = txn_vacuum(path)
+    assert removed > 0
+    assert txn_read(spark, path).count() == 5
+
+
+def test_commit_collision_retries_blind_append(tmp_path, spark):
+    """Two appends racing for the same version must both land."""
+    from super_store_datawarehouse_spark.sources import translog
+
+    path = str(tmp_path / "t")
+    txn_write(spark.range(0, 5), path)
+
+    original = translog._commit
+    state = {"injected": False}
+
+    def racing_commit(p, files, op, expect_head):
+        if not state["injected"]:
+            state["injected"] = True
+            # another appender lands version expect_head+1 first (its
+            # manifest, like any append, carries the prior snapshot's files)
+            prior = translog._read_manifest(p, expect_head)["files"]
+            original(p, prior, "append", expect_head)
+        return original(p, files, op, expect_head)
+
+    translog._commit = racing_commit
+    try:
+        txn_write(spark.range(5, 9), path)
+    finally:
+        translog._commit = original
+    # both the interloper (v2) and our append (v3) committed
+    assert txn_versions(path) == [1, 2, 3]
+    assert txn_read(spark, path).count() == 9
+
+
+def test_txn_upsert_latest_wins(tmp_path, spark):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k int, payload string, version int"
+    )
+    txn_upsert(spark, base, path, ["k"], "version")
+    updates = spark.createDataFrame(
+        [(2, "b2", 2), (3, "c", 2)], "k int, payload string, version int"
+    )
+    txn_upsert(spark, updates, path, ["k"], "version")
+    got = {r.k: r.payload for r in txn_read(spark, path).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_compact_preserves_rows_and_old_readers(tmp_path, spark):
+    path = str(tmp_path / "t")
+    for i in range(4):
+        txn_write(spark.range(i * 100, (i + 1) * 100).repartition(8), path)
+    before = txn_read(spark, path)
+    n_files_before = len(before.inputFiles())
+    snapshot_version = txn_versions(path)[-1]
+    v = txn_compact(spark, path, target_file_mb=512)
+    after = txn_read(spark, path)
+    assert after.count() == 400
+    assert len(after.inputFiles()) < n_files_before
+    # a reader pinned to the pre-compaction snapshot is undisturbed
+    assert txn_read(spark, path, version=snapshot_version).count() == 400
+    assert v == snapshot_version + 1
+
+
+def test_vacuum_retention_drops_history_not_head(tmp_path, spark):
+    path = str(tmp_path / "t")
+    txn_write(spark.range(0, 50).repartition(4), path)
+    txn_write(spark.range(0, 10), path, mode="overwrite")
+    removed = txn_vacuum(path, keep_versions=1)
+    assert removed >= 1  # v1's files are unreferenced by the overwrite
+    assert txn_versions(path) == [2]
+    assert txn_read(spark, path).count() == 10
+    with pytest.raises(ValueError):
+        txn_read(spark, path, version=1)
+
+
+def test_read_missing_table_raises(tmp_path, spark):
+    with pytest.raises(FileNotFoundError):
+        txn_read(spark, str(tmp_path / "nope"))
