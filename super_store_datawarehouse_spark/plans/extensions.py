@@ -3350,3 +3350,247 @@ def x81_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(row_tot).cast("double")).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+# --------------------------------------------------------------------------
+# x122 — repetition-based quality filters (Gopher §A1.1 / C4-style): per
+# document, word count, distinct-word count, the modal word and its
+# count, repetition and top-word-share ratios in exact integer per-mille
+# (truncating div — identical across engines), and the keep/drop verdict
+# a pretraining pipeline would apply. Distributed shape: one explode →
+# two partial-aggregating groupBys on doc_id (co-partitioned after the
+# first shuffle); no Python in the hot path.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x122_repetition_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w != ''
+    ), base AS (
+      SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT w) AS n_distinct
+      FROM toks GROUP BY 1
+    ), cnt AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), top AS (
+      SELECT doc_id, w AS top_word, c AS top_n,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, w) AS rn
+      FROM cnt
+    )
+    SELECT b.doc_id AS doc_id, b.n_words, b.n_distinct, t.top_word,
+           CAST(t.top_n AS BIGINT) AS top_n,
+           (1000 * (b.n_words - b.n_distinct)) // b.n_words AS rep_permille,
+           (1000 * t.top_n) // b.n_words AS top_share_permille,
+           ((1000 * (b.n_words - b.n_distinct)) // b.n_words < 600
+            AND (1000 * t.top_n) // b.n_words < 200
+            AND b.n_words BETWEEN 10 AND 1000) AS keep
+    FROM base b JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1
+    ORDER BY doc_id
+    """,
+)
+def x122_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    base = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("w").alias("n_distinct"),
+    )
+    cnt = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    rn = Window.partitionBy("doc_id").orderBy(F.desc("c"), "w")
+    top = (
+        cnt.withColumn("rn", F.row_number().over(rn))
+        .filter("rn = 1")
+        .select("doc_id", F.col("w").alias("top_word"), F.col("c").alias("top_n"))
+    )
+    rep = F.expr("(1000 * (n_words - n_distinct)) div n_words")
+    share = F.expr("(1000 * top_n) div n_words")
+    return (
+        base.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            "top_word",
+            "top_n",
+            rep.alias("rep_permille"),
+            share.alias("top_share_permille"),
+            (
+                (rep < 600)
+                & (share < 200)
+                & F.col("n_words").between(10, 1000)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x123 — interval union / merge-overlapping (gaps-and-islands over real
+# intervals): each event opens a 30-minute validity window; overlapping
+# windows per user merge into islands (the classic cumulative-max
+# technique: an interval starts a new island iff its start exceeds the
+# running max end of every earlier interval). All arithmetic in integer
+# epoch-micros, so island boundaries are engine-exact. Window ordering
+# carries event_id as tiebreaker — equal timestamps can't reorder the
+# running max between engines. Scale: one shuffle on user_id; windows
+# and the final groupBy reuse that partitioning.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x123_interval_merge_islands",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (
+                 PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) IS NULL
+               OR s > MAX(e) OVER (
+                 PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               )
+             THEN 1 ELSE 0 END AS new_island,
+             event_id
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(s) AS island_start_us, MAX(e) AS island_end_us,
+           MAX(e) - MIN(s) AS duration_us
+    FROM islands GROUP BY 1, 2
+    ORDER BY user_id, island
+    """,
+)
+def x123_interval_merge_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(1800000000)).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("user_id", "island")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("s").alias("island_start_us"),
+            F.max("e").alias("island_end_us"),
+            (F.max("e") - F.min("s")).alias("duration_us"),
+        )
+        .orderBy("user_id", "island")
+    )
+
+
+# --------------------------------------------------------------------------
+# x124 — triangle counting on the undirected nation trade graph (same
+# edge derivation as q47's PageRank): symmetrize to canonical a<b
+# edges, then the standard two-join enumeration e1(a,b) ⋈ e2(b,c) ⋈
+# e3(a,c) counts each triangle exactly once (a<b<c). Per-nation output:
+# how many triangles each nation participates in. Scale: the canonical
+# orientation means every triangle is generated once, not six times —
+# the join fan-out is the count itself; at 100 TB the edge list (not
+# the facts) is what's joined, and it's dimension-sized here. Degree
+# ordering (orienting edges low-degree→high-degree) is the classic
+# skew fix when the graph is power-law.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x124_trade_triangles",
+    oracle="""
+    WITH trade AS (
+      SELECT DISTINCT nc.n_nationkey AS cn, ns.n_nationkey AS sn
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      WHERE nc.n_nationkey != ns.n_nationkey
+    ), edges AS (
+      SELECT DISTINCT LEAST(cn, sn) AS a, GREATEST(cn, sn) AS b FROM trade
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), members AS (
+      SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+    )
+    SELECT n.n_nationkey AS nationkey, n.n_name,
+           CAST(COALESCE(m.cnt, 0) AS BIGINT) AS triangles
+    FROM nation n LEFT JOIN (
+      SELECT id, COUNT(*) AS cnt FROM members GROUP BY 1
+    ) m ON n.n_nationkey = m.id
+    ORDER BY triangles DESC, nationkey
+    """,
+)
+def x124_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    trade = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("cn"), F.col("s_nationkey").alias("sn")
+        )
+        .filter("cn != sn")
+        .distinct()
+    )
+    edges = trade.select(
+        F.least("cn", "sn").alias("a"), F.greatest("cn", "sn").alias("b")
+    ).distinct()
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    members = (
+        tri.select(F.col("x").alias("id"))
+        .unionAll(tri.select(F.col("y").alias("id")))
+        .unionAll(tri.select(F.col("z").alias("id")))
+    )
+    per_node = members.groupBy("id").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        F.broadcast(nation)
+        .join(per_node, nation.n_nationkey == per_node.id, "left")
+        .select(
+            F.col("n_nationkey").alias("nationkey"),
+            "n_name",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("triangles"),
+        )
+        .orderBy(F.desc("triangles"), "nationkey")
+    )
