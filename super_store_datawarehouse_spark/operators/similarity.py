@@ -372,3 +372,105 @@ def quantize_int8(
             ).alias("qvec"),
         )
     )
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Left-to-right squared-L2 fold — engine-exact like :func:`dot`."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    codebook_buckets: int = 300,
+    salt: int = 13,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011): split each
+    vector into ``m`` subspaces, encode every corpus vector as its
+    nearest sampled codeword per subspace, and answer queries with
+    asymmetric distance computation (ADC) — the query stays exact, the
+    corpus collapses to m small codes.
+
+    Scale story (the reason PQ exists): after one encode pass the
+    corpus is m ints per vector (codes), so candidate scoring reads a
+    few bytes/vector instead of the raw embeddings, and the per-query
+    work is |codebook|·d (distance tables, broadcast) plus an integer
+    join on the codes. Here the codebooks come from a deterministic
+    hash-bucket sample (audit-reproducible, like IVF's centroids);
+    production would Lloyd-refine them (operators/clustering.py shows
+    the oracled iteration technique).
+
+    Exactness: per-subspace distances are left-to-right squared-L2
+    folds; the ADC total folds the m per-subspace distances in subspace
+    order (sorted array, not a float groupBy-SUM whose order AQE could
+    change) — every float op is a fixed IEEE tree, bit-identical in the
+    DuckDB oracle.
+    """
+    from super_store_datawarehouse_spark.operators.sampling import hash_bucket
+
+    d_probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if d_probe % m:
+        raise ValueError(f"dim {d_probe} not divisible by m={m}")
+    sd = d_probe // m
+
+    e = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sampled = e.filter(hash_bucket(F.col("vid"), salt) < codebook_buckets)
+    # codebook: (j, code, cv) — one sub-vector per subspace per sample
+    sub = sampled.select(
+        F.col("vid").alias("code"),
+        F.posexplode(
+            F.array(*[F.slice("v", j * sd + 1, sd) for j in range(m)])
+        ).alias("j", "cv"),
+    )
+
+    def sub_dist(vcol: Column) -> Column:
+        # distance of the row's j-th sub-vector to the codeword
+        return sq_l2(F.slice(vcol, F.col("j") * sd + 1, sd), F.col("cv"))
+
+    enc_w = Window.partitionBy("vid", "j").orderBy("dist", "code")
+    codes = (
+        e.join(F.broadcast(sub))
+        .withColumn("dist", sub_dist(F.col("v")))
+        .withColumn("rn", F.row_number().over(enc_w))
+        .filter("rn = 1")
+        .select("vid", "j", "code")
+    )
+    dtab = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .join(F.broadcast(sub))
+        .select(
+            "query_id", "j", "code", sub_dist(F.col("qv")).alias("d")
+        )
+    )
+    approx = (
+        codes.join(dtab, ["j", "code"])
+        .filter(F.col("query_id") != F.col("vid"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.array_sort(F.collect_list(F.struct("j", "d"))).alias("parts"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                "parts", F.lit(0.0), lambda acc, s: acc + s["d"]
+            ).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        approx.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist")
+    )

@@ -3594,3 +3594,66 @@ def x124_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("triangles"), "nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# x125 — product-quantization ANN (Jégou et al. 2011): m=4 subspaces of
+# 16 dims, codebooks from the deterministic hash-bucket sample (same
+# audit-reproducible device as q42's IVF centroids), asymmetric distance
+# computation via a broadcast per-query distance table joined to the
+# integer code table. The ADC total folds per-subspace distances in
+# subspace order — never a float groupBy-SUM — so the whole pipeline
+# (encode, tables, ranking) is bit-exact against the oracle.
+# --------------------------------------------------------------------------
+_SQOFF_FOLD = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 17),"
+    " i -> ({a}[{off} + i] - {b}[i]) * ({a}[{off} + i] - {b}[i]))),"
+    " (acc, x) -> acc + x)"
+)
+
+
+@harness_query(
+    "x125_pq_ann_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cb AS (
+      SELECT vid AS code, v FROM e WHERE {_bucket_sql('vid', 13)} < 300
+    ), sub AS (
+      SELECT cb.code, j.j, cb.v[j.j*16+1 : j.j*16+16] AS cv
+      FROM cb CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+    ), codes AS (
+      SELECT vid, j, code FROM (
+        SELECT e.vid, s.j, s.code,
+               ROW_NUMBER() OVER (PARTITION BY e.vid, s.j
+                 ORDER BY {_SQOFF_FOLD.format(a='e.v', off='s.j*16', b='s.cv')} ASC,
+                          s.code) AS rn
+        FROM e CROSS JOIN sub s
+      ) WHERE rn = 1
+    ), dtab AS (
+      SELECT q.vid AS query_id, s.j, s.code,
+             {_SQOFF_FOLD.format(a='q.v', off='s.j*16', b='s.cv')} AS d
+      FROM e q CROSS JOIN sub s
+      WHERE q.vid < 10
+    ), approx AS (
+      SELECT d.query_id, c.vid AS neighbor_id,
+             list_reduce(list_prepend(0.0, list(d.d ORDER BY d.j)),
+                         (acc, x) -> acc + x) AS adist
+      FROM codes c JOIN dtab d ON d.j = c.j AND d.code = c.code
+      WHERE d.query_id != c.vid
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id, adist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adist, neighbor_id) AS BIGINT) AS rank
+      FROM approx
+    )
+    SELECT query_id, neighbor_id, rank, adist FROM ranked WHERE rank <= 5
+    """,
+)
+def x125_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_topk(
+        emb, queries, k=5, m=4, codebook_buckets=300, salt=13
+    )

@@ -1242,3 +1242,42 @@ def test_minhash_lsh_md5_recall_vs_exact(spark, docs):
     assert lsh <= exact
     if exact:
         assert len(lsh & exact) / len(exact) >= 0.8
+
+
+def test_pq_full_codebook_degenerates_to_exact_l2(spark):
+    """Product quantization with every vector sampled into the codebook
+    encodes each sub-vector as itself, so ADC distance == exact squared
+    L2 and PQ top-k must equal the exact L2 top-k. (On the synthetic
+    random vectors a *sampled* codebook has near-chance recall — that's
+    a property of quantizing isotropic noise, not a bug; the oracle
+    verifies the pipeline bit-exactly either way.)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.operators.similarity import pq_topk, sq_l2
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from tests.conftest import TESTDATA_SF
+
+    emb = load_table(spark, TESTDATA_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in pq_topk(emb, queries, k=5, codebook_buckets=10_000).collect()
+    }
+
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    scored = (
+        e.join(q, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sq_l2(F.col("qv"), F.col("v")).alias("d"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter("rank <= 5")
+        .collect()
+    }
+    assert got == want
