@@ -41,11 +41,20 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Columnar scan; schema comes from parquet.
 
-    The events table is written with TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects; read nanos as long (runtime-settable legacy
-    conf, so this works in any caller's session) and convert to a
-    microsecond TimestampType with integer DIV — double arithmetic would
-    lose precision above 2^53 ns.
+    The driver owns /root/testdata and has regenerated it with different
+    physical types for ``events.ts`` across rounds (TIMESTAMP(NANOS), then
+    plain ``timestamp[us]``). Rather than hard-coding one shape, dispatch
+    on the schema Spark actually infers:
+
+    * ``LongType``   — legacy NANOS file read via ``nanosAsLong``; convert
+      with integer DIV (doubles lose precision above 2^53 ns).
+    * ``TimestampNTZType`` — plain micros; cast to TIMESTAMP. The session
+      TZ is pinned to UTC (session.py), so wall-clock values are identical
+      and downstream watermarks/windows (which require LTZ) work.
+    * ``TimestampType`` — already the shape we want; pass through.
+
+    Any other type is a driver-side regeneration we haven't seen: fail
+    loudly with the observed schema instead of mis-converting.
     """
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
     cached = _TABLE_CACHE.get(key)
@@ -54,12 +63,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
+        # Runtime-settable legacy conf: lets a TIMESTAMP(NANOS) file load
+        # (as long) in any caller's session; harmless for micros files.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+            )
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif isinstance(ts_type, T.TimestampType):
+            pass
+        else:
+            raise TypeError(
+                f"events.ts has unexpected type {ts_type}; "
+                f"full schema: {df.schema.simpleString()} — update "
+                "load_table's dispatch for this new testdata shape"
+            )
     else:
         df = spark.read.parquet(path)
     _TABLE_CACHE[key] = df

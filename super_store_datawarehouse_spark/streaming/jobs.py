@@ -19,10 +19,16 @@ from super_store_datawarehouse_spark.functions.exact import cents
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-based stream over the events table (nanos ts → TimestampType).
+    """File-based stream over the events table, ts normalized to TIMESTAMP.
 
     maxFilesPerTrigger=1 keeps micro-batches realistic in tests; the
     schema comes from a cheap static read of the same parquet.
+
+    ``withWatermark``/``session_window`` require an LTZ TimestampType, so
+    the same schema dispatch as sources/testdata.py runs here: nanos-as-
+    long files get integer DIV conversion, TIMESTAMP_NTZ files (the shape
+    the driver writes as of round 3) are cast — identical wall-clock under
+    the UTC session TZ.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = (
@@ -37,12 +43,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
-    # the driver table stores TIMESTAMP(NANOS) which nanosAsLong surfaces
-    # as bigint; re-planted test files may already carry a real timestamp
-    if dict(stream.dtypes)["ts"] == "bigint":
+    ts_dtype = dict(stream.dtypes)["ts"]
+    if ts_dtype == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
         )
+    elif ts_dtype == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
