@@ -392,6 +392,7 @@ def pq_topk(
     salt: int = 13,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al., PAMI 2011): split each
     vector into ``m`` subspaces, encode every corpus vector as its
@@ -399,14 +400,15 @@ def pq_topk(
     asymmetric distance computation (ADC) — the query stays exact, the
     corpus collapses to m small codes.
 
-    Scale story (the reason PQ exists): after one encode pass the
-    corpus is m ints per vector (codes), so candidate scoring reads a
-    few bytes/vector instead of the raw embeddings, and the per-query
-    work is |codebook|·d (distance tables, broadcast) plus an integer
-    join on the codes. Here the codebooks come from a deterministic
-    hash-bucket sample (audit-reproducible, like IVF's centroids);
-    production would Lloyd-refine them (operators/clustering.py shows
-    the oracled iteration technique).
+    **Exact-ADC baseline, not the scale path**: this variant scores
+    every (query, corpus) pair — the ADC join materializes
+    |corpus|·|queries|·m rows, fine as the oracle twin at test scale
+    but a full cross-materialization on a real corpus. Production runs
+    :func:`pq_ivf_topk`, which bounds candidates by IVF cells first
+    (IVFADC), keeping the identical per-pair arithmetic. The codebooks
+    come from a deterministic hash-bucket sample (audit-reproducible,
+    like IVF's centroids); production would Lloyd-refine them
+    (operators/clustering.py shows the oracled iteration technique).
 
     Exactness: per-subspace distances are left-to-right squared-L2
     folds; the ADC total folds the m per-subspace distances in subspace
@@ -416,10 +418,60 @@ def pq_topk(
     """
     from super_store_datawarehouse_spark.operators.sampling import hash_bucket
 
-    d_probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
-    if d_probe % m:
-        raise ValueError(f"dim {d_probe} not divisible by m={m}")
-    sd = d_probe // m
+    if dim is None:
+        # Declared dim beats a driver-side probe: at 100 TB a .first()
+        # here is a whole job before planning even starts.
+        raise ValueError(
+            "pass dim= explicitly (the embedding length; e.g. dim=64 for "
+            "the testdata embeddings table)"
+        )
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+
+    codes, dtab = _pq_codes_and_dtab(
+        corpus, queries, m, sd, codebook_buckets, salt, vec_col, id_col
+    )
+    approx = (
+        codes.join(dtab, ["j", "code"])
+        .filter(F.col("query_id") != F.col("vid"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.array_sort(F.collect_list(F.struct("j", "d"))).alias("parts"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                "parts", F.lit(0.0), lambda acc, s: acc + s["d"]
+            ).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        approx.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist")
+    )
+
+
+def _pq_codes_and_dtab(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int,
+    sd: int,
+    codebook_buckets: int,
+    salt: int,
+    vec_col: str,
+    id_col: str,
+):
+    """Shared PQ machinery: the integer code table for the corpus and the
+    per-query ADC distance tables.
+
+    codes: (vid, j, code) — one encode pass over the corpus (linear; the
+    whole point of PQ is that this is the only corpus-wide vector read).
+    dtab:  (query_id, j, code, d) — |queries|·m·|codebook| rows, the
+    classic per-query lookup tables; the codebook side is broadcast.
+    """
+    from super_store_datawarehouse_spark.operators.sampling import hash_bucket
 
     e = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
@@ -451,14 +503,68 @@ def pq_topk(
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
         .join(F.broadcast(sub))
-        .select(
-            "query_id", "j", "code", sub_dist(F.col("qv")).alias("d")
-        )
+        .select("query_id", "j", "code", sub_dist(F.col("qv")).alias("d"))
+    )
+    return codes, dtab
+
+
+def pq_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    dim: int | None = None,
+    codebook_buckets: int = 300,
+    salt: int = 13,
+    centroid_fraction: float = 0.03,
+    nprobe: int = 2,
+    centroid_salt: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-restricted product quantization — the composition real PQ
+    deployments run (IVFADC in Jégou et al., PAMI 2011 §V).
+
+    :func:`pq_topk` scores every (query, corpus) pair — correct as the
+    ADC oracle baseline, but the join materializes |corpus|·|queries|·m
+    rows, which is exactly the scan PQ exists to avoid. Here the
+    candidate set is bounded FIRST by the IVF coarse quantizer
+    (:func:`ivf_assign`): corpus vectors live in one cell, a query
+    probes its ``nprobe`` nearest cells, and ADC runs only on the
+    cell-joined candidates — per-query work drops from O(|corpus|) to
+    O(|corpus|·nprobe/n_centroids) expected, and every shuffle is an
+    equi-join on (centroid_id) or (query_id, j, code).
+
+    All arithmetic (centroid cosine folds, per-subspace squared-L2,
+    subspace-ordered ADC total) is the same fixed IEEE fold tree as the
+    component operators, so the full composition is bit-exact against
+    the SQL oracle.
+    """
+    if dim is None:
+        raise ValueError("pass dim= explicitly (the embedding length)")
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+
+    cents = ivf_centroids(corpus, centroid_fraction, id_col, salt=centroid_salt)
+    c_assign = ivf_assign(corpus, cents, 1, id_col, vec_col, "neighbor_id")
+    q_assign = ivf_assign(queries, cents, nprobe, id_col, vec_col, "query_id")
+    # candidate pairs: bounded by cell co-membership, never corpus×queries
+    cand = (
+        q_assign.join(c_assign, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        # nprobe probes can reach the same neighbor through two cells
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+    codes, dtab = _pq_codes_and_dtab(
+        corpus, queries, m, sd, codebook_buckets, salt, vec_col, id_col
     )
     approx = (
-        codes.join(dtab, ["j", "code"])
-        .filter(F.col("query_id") != F.col("vid"))
-        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        cand.join(codes, cand["neighbor_id"] == codes["vid"])
+        .join(dtab, ["query_id", "j", "code"])
+        .groupBy("query_id", "neighbor_id")
         .agg(F.array_sort(F.collect_list(F.struct("j", "d"))).alias("parts"))
         .select(
             "query_id",

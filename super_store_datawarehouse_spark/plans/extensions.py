@@ -410,12 +410,13 @@ def q22_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x12 — multimodal plumbing: binary payloads with JVM-side metadata and the
+# x129 (was q33 r1-r2; driver slot rotated to IVF-bounded PQ ANN) —
+# multimodal plumbing: binary payloads with JVM-side metadata and the
 # (fake) distributed decoder. sha256 is engine-agnostic → full oracle for
 # the metadata pass; decode dims replicate the fake's integer arithmetic.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q33_binary_assets",
+    "x129_binary_assets",
     oracle="""
     SELECT doc_id AS asset_id,
            CAST(length(text) AS BIGINT) AS byte_len,
@@ -425,7 +426,7 @@ def q22_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def q33_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x129_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = texts_as_assets(docs)
     meta = attach_binary_metadata(assets)
@@ -3353,7 +3354,8 @@ def x81_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x122 — repetition-based quality filters (Gopher §A1.1 / C4-style): per
+# q32 (x122 until r3; promoted to a driver slot) — repetition-based quality
+# filters (Gopher §A1.1 / C4-style): per
 # document, word count, distinct-word count, the modal word and its
 # count, repetition and top-word-share ratios in exact integer per-mille
 # (truncating div — identical across engines), and the keep/drop verdict
@@ -3362,7 +3364,7 @@ def x81_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first shuffle); no Python in the hot path.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x122_repetition_quality",
+    "q32_repetition_quality",
     oracle="""
     WITH toks AS (
       SELECT doc_id, w FROM (
@@ -3389,7 +3391,7 @@ def x81_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
 )
-def x122_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q32_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
@@ -3655,5 +3657,104 @@ def x125_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.pq_topk(
-        emb, queries, k=5, m=4, codebook_buckets=300, salt=13
+        emb, queries, k=5, m=4, codebook_buckets=300, salt=13, dim=64
+    )
+
+
+# --------------------------------------------------------------------------
+# q33 — IVFADC: product quantization with the candidate set bounded by the
+# IVF coarse quantizer (Jégou et al. 2011 §V) — the composition real PQ
+# deployments run. x125 is the unbounded ADC baseline (corpus×queries);
+# here candidates come from cell co-membership (corpus assigned to 1 cell,
+# queries probe 2), so ADC touches O(|corpus|·nprobe/n_cells) pairs and
+# every shuffle is an equi-join. Same fixed IEEE fold trees throughout, so
+# the full composition — centroids, assignment, encode, distance tables,
+# ADC ranking — is value-oracled end to end.
+# --------------------------------------------------------------------------
+@harness_query(
+    "q33_pq_ivf_ann_topk",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt({_E_FOLD}) AS nrm
+      FROM embeddings
+    ), e AS (SELECT * FROM e0 WHERE nrm > 0),
+    cent AS (
+      SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+      FROM e WHERE {_bucket_sql('vec_id', 7)} < 300
+    ),
+    ca AS (
+      SELECT neighbor_id, centroid_id FROM (
+        SELECT e.vec_id AS neighbor_id, cent.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COSINE_FOLD.format(a='e.v', b='cent.cv')} / (e.nrm * cent.cnrm) DESC,
+                          cent.centroid_id) AS rn
+        FROM e CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    qa AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT e.vec_id AS query_id, cent.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COSINE_FOLD.format(a='e.v', b='cent.cv')} / (e.nrm * cent.cnrm) DESC,
+                          cent.centroid_id) AS rn
+        FROM e CROSS JOIN cent
+        WHERE e.vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT qa.query_id, ca.neighbor_id
+      FROM qa JOIN ca ON ca.centroid_id = qa.centroid_id
+      WHERE qa.query_id != ca.neighbor_id
+    ),
+    pe AS (
+      SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cb AS (
+      SELECT vid AS code, v FROM pe WHERE {_bucket_sql('vid', 13)} < 300
+    ), sub AS (
+      SELECT cb.code, j.j, cb.v[j.j*16+1 : j.j*16+16] AS cv
+      FROM cb CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+    ), codes AS (
+      SELECT vid, j, code FROM (
+        SELECT pe.vid, s.j, s.code,
+               ROW_NUMBER() OVER (PARTITION BY pe.vid, s.j
+                 ORDER BY {_SQOFF_FOLD.format(a='pe.v', off='s.j*16', b='s.cv')} ASC,
+                          s.code) AS rn
+        FROM pe CROSS JOIN sub s
+      ) WHERE rn = 1
+    ), dtab AS (
+      SELECT q.vid AS query_id, s.j, s.code,
+             {_SQOFF_FOLD.format(a='q.v', off='s.j*16', b='s.cv')} AS d
+      FROM pe q CROSS JOIN sub s
+      WHERE q.vid < 10
+    ), approx AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_reduce(list_prepend(0.0, list(d.d ORDER BY d.j)),
+                         (acc, x) -> acc + x) AS adist
+      FROM cand
+      JOIN codes c ON c.vid = cand.neighbor_id
+      JOIN dtab d ON d.query_id = cand.query_id AND d.j = c.j AND d.code = c.code
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id, adist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adist, neighbor_id) AS BIGINT) AS rank
+      FROM approx
+    )
+    SELECT query_id, neighbor_id, rank, adist FROM ranked WHERE rank <= 5
+    """,
+)
+def q33_pq_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_ivf_topk(
+        emb,
+        queries,
+        k=5,
+        m=4,
+        dim=64,
+        codebook_buckets=300,
+        salt=13,
+        centroid_fraction=0.03,
+        nprobe=2,
+        centroid_salt=7,
     )

@@ -882,11 +882,12 @@ def q23_orders_above_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q24 — CUBE with grouping labels (SURVEY §2.4 note: cube/grouping-sets as
+# x126 (was q24 r1-r2; driver slot rotated to sequence packing — COVERAGE.md
+# §rotation) — CUBE with grouping labels (SURVEY §2.4 note: cube/grouping-sets as
 # Catalyst bonuses beyond the reference's ROLLUP-only surface).
 # --------------------------------------------------------------------------
 @harness_query(
-    "q24_cube_flag_status",
+    "x126_cube_flag_status",
     oracle="""
     SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS return_flag,
            CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS line_status,
@@ -897,7 +898,7 @@ def q23_orders_above_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY return_flag, line_status
     """,
 )
-def q24_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x126_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
@@ -917,12 +918,13 @@ def q24_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q25 — pivot: order counts per year × status (SURVEY §4 "free Catalyst
+# x127 (was q25 r1-r2; driver slot rotated to contamination audit) — pivot:
+# order counts per year × status (SURVEY §4 "free Catalyst
 # bonus"; pivot/unpivot from the PySpark surface). Oracle = conditional
 # aggregation; nulls filled to 0 to match COUNT(CASE ...) semantics.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q25_pivot_status_by_year",
+    "x127_pivot_status_by_year",
     oracle="""
     SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
            CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
@@ -933,7 +935,7 @@ def q24_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY order_year
     """,
 )
-def q25_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x127_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot demo. All output columns are BIGINT and pivot-generated nulls
     go through explicit coalesce (r01 hash-mismatched on the int32 +
     na.fill shape despite bit-identical local values; this keeps the
@@ -1184,13 +1186,14 @@ def q31_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
-# q32 — bounded sliding frame: 7-day moving average of daily revenue
+# x128 (was q32 r1-r2; driver slot rotated to repetition quality) —
+# bounded sliding frame: 7-day moving average of daily revenue
 # (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) plus FIRST_VALUE anchoring.
 # Rounds out the frame-spec surface: W2 default RANGE, W3 unbounded ROWS,
 # and here a bounded ROWS frame.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q32_moving_average_revenue",
+    "x128_moving_average_revenue",
     oracle="""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
@@ -1205,7 +1208,7 @@ def q31_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
     ORDER BY order_date
     """,
 )
-def q32_moving_average_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x128_moving_average_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         F.sum(cents("o_totalprice")).alias("cents")
@@ -1223,7 +1226,7 @@ def q32_moving_average_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q33 — TPC-H Q4 shape: existential semi-join. Orders in a quarter that
+# x92 — TPC-H Q4 shape: existential semi-join. Orders in a quarter that
 # have at least one line shipped >30 days after ordering, counted by
 # priority. Spark plans the EXISTS as a left-semi hash join; the date
 # filter sits on the scan (PushedFilters) so the probe side is one

@@ -87,13 +87,13 @@ def x109_pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x110 — context-window packing (operators/sampling.py pack_sequences):
+# q24 (x110 until r3; promoted to a driver slot) — context-window packing (operators/sampling.py pack_sequences):
 # documents in doc_id order fill 2048-token packs; per-pack doc/token
 # counts. pack = cum_before div budget is closed-form, so the whole
 # layout is one window + one aggregate.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x110_sequence_packing",
+    "q24_sequence_packing",
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, len({_WS_SQL.format(t='text')}) AS n_tokens
@@ -113,7 +113,7 @@ def x109_pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1 ORDER BY pack_id
     """,
 )
-def x110_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.sampling import pack_sequences
     from super_store_datawarehouse_spark.operators.text import token_count_ws
 
@@ -133,13 +133,14 @@ def x110_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x111 — train→eval n-gram contamination audit (operators/dedup.py
+# q25 (x111 until r3; promoted to a driver slot) — train→eval n-gram
+# contamination audit (operators/dedup.py
 # cross_split_contamination): the GPT-3/PaLM-style eval-overlap check,
 # composed with the deterministic splitter so the whole audit is
 # reproducible end to end.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x111_cross_split_contamination",
+    "q25_contamination_audit",
     oracle=f"""
     WITH tagged AS (
       SELECT doc_id, text, {_split_case('doc_id')} AS split
@@ -165,7 +166,7 @@ def x110_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY e.doc_id
     """,
 )
-def x111_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q25_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.dedup import (
         cross_split_contamination,
     )

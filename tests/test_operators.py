@@ -1244,6 +1244,39 @@ def test_minhash_lsh_md5_recall_vs_exact(spark, docs):
         assert len(lsh & exact) / len(exact) >= 0.8
 
 
+def test_pq_ivf_all_probes_degenerates_to_unbounded_adc(spark):
+    """IVFADC with every cell probed admits every candidate pair, so it
+    must return exactly the unbounded-ADC baseline's top-k: the IVF
+    restriction only ever *removes* candidates, and with nprobe >= the
+    centroid count it removes none. Pins the candidate-join rewrite
+    (cand -> codes -> dtab) to the baseline's (codes x dtab) semantics."""
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.operators.similarity import (
+        pq_ivf_topk,
+        pq_topk,
+    )
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from tests.conftest import TESTDATA_SF
+
+    emb = load_table(spark, TESTDATA_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    kw = dict(k=5, m=4, dim=64, codebook_buckets=300, salt=13)
+    baseline = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adist)
+        for r in pq_topk(emb, queries, **kw).collect()
+    }
+    # centroid_fraction=1.0 puts every (nonzero) vector in its own cell;
+    # nprobe >= |centroids| probes them all
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adist)
+        for r in pq_ivf_topk(
+            emb, queries, centroid_fraction=1.0, nprobe=10**6, **kw
+        ).collect()
+    }
+    assert got == baseline
+
+
 def test_pq_full_codebook_degenerates_to_exact_l2(spark):
     """Product quantization with every vector sampled into the codebook
     encodes each sub-vector as itself, so ADC distance == exact squared
@@ -1262,7 +1295,7 @@ def test_pq_full_codebook_degenerates_to_exact_l2(spark):
     queries = emb.filter(F.col("vec_id") < 5)
     got = {
         (r.query_id, r.rank): r.neighbor_id
-        for r in pq_topk(emb, queries, k=5, codebook_buckets=10_000).collect()
+        for r in pq_topk(emb, queries, k=5, codebook_buckets=10_000, dim=64).collect()
     }
 
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
