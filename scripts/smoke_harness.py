@@ -26,6 +26,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from super_store_datawarehouse_spark.session import get_spark  # noqa: E402
 
 
+def smoke(queries, spark, sf_dir: str, verbose: bool = True) -> list[str]:
+    """Probe each (name → builder) with ``.limit(1).count()``; return the
+    names that raised. limit(1).count() forces analysis + one task
+    without a full materialization, so AnalysisExceptions and most
+    runtime type errors surface at negligible cost."""
+    failures: list[str] = []
+    for name, fn in queries.items():
+        t = time.time()
+        try:
+            fn(spark, sf_dir).limit(1).count()
+            if verbose:
+                print(f"  ok   {name}  ({time.time() - t:.2f}s)")
+        except Exception:
+            failures.append(name)
+            if verbose:
+                print(f"  FAIL {name}")
+                traceback.print_exc()
+    return failures
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     only: list[str] | None = None
@@ -44,20 +64,8 @@ def main() -> int:
             k: v for k, v in queries.items() if any(k.startswith(p) for p in only)
         }
 
-    failures: list[str] = []
     t0 = time.time()
-    for name, fn in queries.items():
-        t = time.time()
-        try:
-            # limit(1).count() forces analysis + one task without a full
-            # materialization; it catches AnalysisExceptions and most
-            # runtime type errors at negligible cost.
-            fn(spark, sf_dir).limit(1).count()
-            print(f"  ok   {name}  ({time.time() - t:.2f}s)")
-        except Exception:
-            failures.append(name)
-            print(f"  FAIL {name}")
-            traceback.print_exc()
+    failures = smoke(queries, spark, sf_dir)
     print(
         f"{len(queries) - len(failures)}/{len(queries)} queries smoke-pass "
         f"in {time.time() - t0:.1f}s on {sf_dir}"

@@ -148,18 +148,31 @@ def compact_parquet(
     on the sort key (poor-man's clustering, same idea as OPTIMIZE ...
     ZORDER with one key). Writes to a temp dir then swaps.
 
-    Crash-safety contract: data is never LOST, but the two renames of
-    the swap are not one atomic step. A crash between them leaves the
-    live path missing with the full dataset intact at ``<path>__old``
-    (recovery: ``mv <path>__old <path>``), and concurrent readers can
-    hit the gap. Single-writer, maintenance-window semantics — the same
-    caveat as HDFS-style rename-based commits. For true reader
-    isolation use ``sources.translog.txn_compact`` on a manifest-gated
-    table (this engine's minimal transactional format) or a full table
-    format (Delta/Iceberg).
+    Crash-safety contract: POSIX has no atomic directory swap, so the
+    two renames are not one step — but every crash point is now
+    mechanically recoverable, and recovery is AUTOMATIC: this function
+    (and :func:`recover_compact`, exported for ops/readers) first
+    repairs any half-finished swap it finds. The protocol:
+
+    1. write compacted copy to ``<path>__compacting`` (Spark emits
+       ``_SUCCESS`` last, so a complete tmp is detectable)
+    2. ``rename(path, <path>__old)``
+    3. ``rename(tmp, path)``
+    4. ``rmtree(old)``
+
+    Crash during 1: live table untouched; stale tmp removed on next run.
+    Crash between 2 and 3: live path briefly missing, but tmp is known-
+    complete (it carries ``_SUCCESS``; step 2 only runs after the write
+    finished) → recovery adopts tmp as the new live. Crash between 3
+    and 4: table already live → recovery clears the leftover old copy.
+    Concurrent readers can still hit the 2→3 gap (single-writer,
+    maintenance-window semantics); for true reader isolation use
+    ``sources.translog.txn_compact`` on a manifest-gated table or a full
+    table format (Delta/Iceberg).
     """
     import shutil
 
+    recover_compact(path)
     total = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
@@ -181,3 +194,44 @@ def compact_parquet(
     return sum(
         1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
     )
+
+
+def recover_compact(path: str) -> str | None:
+    """Repair a ``compact_parquet`` swap interrupted at any crash point,
+    leaving ``path`` a complete, readable table. Idempotent; safe to call
+    when no compaction ever ran. Returns a short action string for
+    logging, or None if nothing needed repair.
+
+    Decision table (tmp = ``<path>__compacting``, old = ``<path>__old``):
+
+    * live exists → any tmp/old leftovers are strictly redundant copies
+      (pre-swap write, or post-swap cleanup crash): delete them.
+    * live missing, tmp complete (``_SUCCESS`` present) → the crash hit
+      between the two renames; the compacted copy is whole: adopt it.
+    * live missing, tmp absent/incomplete, old exists → the crash hit
+      mid-write or the tmp shape is untrustworthy: restore old.
+    """
+    import shutil
+
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(path):
+        action = None
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+            action = "removed stale tmp"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+            action = (action + " and old" ) if action else "removed leftover old"
+        return action
+    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        return "adopted completed compaction"
+    if os.path.exists(old):
+        os.rename(old, path)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        return "restored pre-compaction table"
+    return None

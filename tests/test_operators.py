@@ -83,6 +83,48 @@ def test_lsh_topk_overlaps_bruteforce(spark):
     assert len(approx & exact) / len(exact) >= 0.5
 
 
+def test_load_table_events_ts_all_physical_shapes(tmp_path, spark):
+    """The driver owns /root/testdata and has already regenerated events.ts
+    once (TIMESTAMP(NANOS) in r1-r2 → plain timestamp[us] in r3, which
+    Spark reads as TIMESTAMP_NTZ). load_table must normalize every shape
+    it has ever seen — int64 nanos, NTZ micros, LTZ micros — to identical
+    TIMESTAMP values, and refuse (loudly) any shape it has not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+
+    def write_events(name, arr):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table({"event_id": pa.array([1, 2], pa.int64()), "ts": arr}),
+            d / "events.parquet",
+        )
+        return str(d)
+
+    shapes = {
+        "nanos_int64": pa.array([m * 1000 for m in micros], pa.int64()),
+        "ntz_micros": pa.array(micros, pa.timestamp("us")),
+        "ltz_micros": pa.array(micros, pa.timestamp("us", tz="UTC")),
+    }
+    seen = {}
+    for label, arr in shapes.items():
+        df = load_table(spark, write_events(label, arr), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", label
+        seen[label] = sorted(
+            r[0] for r in df.select(F.unix_micros("ts")).collect()
+        )
+    assert seen["nanos_int64"] == seen["ntz_micros"] == seen["ltz_micros"] == sorted(micros)
+
+    # an unseen shape (string ts) must fail loudly, not mis-convert
+    bad = write_events("bad_shape", pa.array(["2024-01-01", "2024-01-02"]))
+    with pytest.raises(TypeError, match="unexpected type"):
+        load_table(spark, bad, "events")
+
+
 def test_partitioned_write_prunes_scan(tmp_path, spark):
     from super_store_datawarehouse_spark.sources.sinks import write_partitioned
 
@@ -727,6 +769,93 @@ def test_compact_parquet_reduces_files_and_preserves_rows(tmp_path, spark):
     assert got.agg(F.sum("id")).first()[0] == 10_000 * 9_999 // 2
 
 
+def test_compact_parquet_crash_injection_recovers_at_every_point(tmp_path, spark, monkeypatch):
+    """Kill the swap at each crash point; the table must stay readable
+    with the full row count after recovery (which compact_parquet runs
+    automatically on its next invocation)."""
+    import shutil
+
+    from super_store_datawarehouse_spark.sources import sinks
+    from super_store_datawarehouse_spark.sources.sinks import (
+        compact_parquet,
+        recover_compact,
+    )
+
+    def fresh(name):
+        path = str(tmp_path / name)
+        spark.range(0, 5_000).withColumn("v", F.col("id") % 31).repartition(
+            10
+        ).write.parquet(path)
+        return path
+
+    def assert_whole(path):
+        got = spark.read.parquet(path)
+        assert got.count() == 5_000
+        assert got.agg(F.sum("id")).first()[0] == 5_000 * 4_999 // 2
+
+    class Boom(RuntimeError):
+        pass
+
+    # crash point A: between rename(path, old) and rename(tmp, path) —
+    # live path missing, completed tmp present
+    path = fresh("crash_a")
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def rename_die_second(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise Boom()
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", rename_die_second)
+    try:
+        compact_parquet(spark, path, target_file_mb=128)
+    except Boom:
+        pass
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert not os.path.exists(path)  # the gap is real...
+    assert recover_compact(path) == "adopted completed compaction"
+    assert_whole(path)  # ...and recovery closes it with the compacted copy
+    assert not os.path.exists(path + "__old")
+
+    # crash point B: during the tmp write (no _SUCCESS) with live renamed
+    # away — contrived ordering, but recovery must prefer old over a
+    # half-written tmp
+    path = fresh("crash_b")
+    real_rename(path, path + "__old")
+    os.makedirs(path + "__compacting")  # incomplete: no _SUCCESS
+    assert recover_compact(path) == "restored pre-compaction table"
+    assert_whole(path)
+    assert not os.path.exists(path + "__compacting")
+
+    # crash point C: after the swap, before rmtree(old) — next
+    # compact_parquet self-heals and still compacts
+    path = fresh("crash_c")
+    real_rmtree = shutil.rmtree
+
+    def rmtree_die(p, *a, **kw):
+        if p == path + "__old":
+            raise Boom()
+        real_rmtree(p, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", rmtree_die)
+    try:
+        compact_parquet(spark, path, target_file_mb=128)
+    except Boom:
+        pass
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    assert_whole(path)  # live already swapped in
+    assert os.path.exists(path + "__old")
+    n = compact_parquet(spark, path, target_file_mb=128)  # self-heals
+    assert n >= 1
+    assert not os.path.exists(path + "__old")
+    assert_whole(path)
+
+    # no-op path: nothing to repair
+    assert recover_compact(str(tmp_path / "never_compacted")) is None
+
+
 def test_compact_parquet_sorted_layout_enables_skipping(tmp_path, spark):
     from super_store_datawarehouse_spark.sources.sinks import compact_parquet
 
@@ -1314,3 +1443,41 @@ def test_pq_full_codebook_degenerates_to_exact_l2(spark):
         .collect()
     }
     assert got == want
+
+
+def test_smoke_harness_catches_deliberately_broken_query(spark):
+    """The end-of-round smoke gate must actually fail on a query that
+    raises at analysis time (the exact failure mode of the r2 events
+    regression) — and pass the good ones alongside it."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from smoke_harness import smoke
+
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from tests.conftest import TESTDATA_SF
+
+    def good(sp, sf_dir):
+        return load_table(sp, sf_dir, "nation").select("n_name")
+
+    def broken_analysis(sp, sf_dir):
+        # resolves lazily to a missing column — raises only when probed
+        return load_table(sp, sf_dir, "nation").select("no_such_column")
+
+    def broken_runtime(sp, sf_dir):
+        # the error must sit on the count path (a filter): column pruning
+        # would skip a merely-projected error expression entirely
+        def boom(x):
+            raise ValueError("boom")
+
+        return load_table(sp, sf_dir, "nation").filter(
+            F.udf(boom, "boolean")("n_name")
+        )
+
+    failures = smoke(
+        {"ok_q": good, "bad_analysis": broken_analysis, "bad_runtime": broken_runtime},
+        spark,
+        TESTDATA_SF,
+        verbose=False,
+    )
+    assert failures == ["bad_analysis", "bad_runtime"]
