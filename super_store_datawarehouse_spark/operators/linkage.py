@@ -1,0 +1,75 @@
+"""Record linkage: blocked fuzzy matching on string keys.
+
+The naive formulation — every left row against every right row with an
+edit-distance filter — is a cross join: O(|L|·|R|) comparisons, dead at
+any scale. The standard fix (Fellegi-Sunter era onward) is *blocking*:
+an equi-joinable surrogate key cheap enough that true matches almost
+always share it, so the quadratic comparison runs only within blocks.
+Here the block key is the first character, with a length-band residual
+predicate; both sides shuffle once on the block key and Catalyst plans
+a plain hash/sort-merge equi-join. Skewed blocks (one hot first letter)
+can be composed with ``operators.skew`` salting like any other skewed
+equi-join.
+
+Everything is built-in expressions (``levenshtein``, ``substring``,
+``length``) — JVM codegen, no Python in the hot path — and DuckDB has
+the same functions with identical semantics, so linkage results are
+fully value-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def blocked_fuzzy_link(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    max_dist: int = 2,
+    len_band: int = 2,
+    best_only: bool = True,
+) -> DataFrame:
+    """Link each left row to right rows within ``max_dist`` edit distance,
+    comparing only candidates that share a block (same first character,
+    length within ``len_band``).
+
+    Returns (left_id, left_text, right_id, right_text, dist[, match_rank]);
+    with ``best_only`` a deterministic top-1 per left row (min distance,
+    ties by right text then right id).
+
+    Recall contract: a true match is missed only if the edit touched the
+    first character or changed the length beyond the band — the classic
+    blocking trade-off; run a second pass with a different block key
+    (e.g. last character) and union for higher recall.
+    """
+    l = left.select(
+        F.col(left_id).alias("l_id"),
+        F.col(left_text).alias("l_text"),
+        F.substring(left_text, 1, 1).alias("blk"),
+        F.length(left_text).alias("l_len"),
+    )
+    r = right.select(
+        F.col(right_id).alias("r_id"),
+        F.col(right_text).alias("r_text"),
+        F.substring(right_text, 1, 1).alias("blk"),
+        F.length(right_text).alias("r_len"),
+    )
+    cand = (
+        l.join(r, "blk")
+        .filter(F.abs(F.col("l_len") - F.col("r_len")) <= len_band)
+        .withColumn("dist", F.levenshtein("l_text", "r_text"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    if not best_only:
+        return cand.select("l_id", "l_text", "r_id", "r_text", "dist")
+    w = Window.partitionBy("l_id").orderBy("dist", "r_text", "r_id")
+    return (
+        cand.withColumn("match_rank", F.row_number().over(w))
+        .filter(F.col("match_rank") == 1)
+        .select("l_id", "l_text", "r_id", "r_text", "dist")
+    )

@@ -3758,3 +3758,108 @@ def q33_pq_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2,
         centroid_salt=7,
     )
+
+
+# --------------------------------------------------------------------------
+# x130 — Z-order (Morton) key computation, the layout device behind
+# operators/layout.py cluster_by_zorder (Delta OPTIMIZE...ZORDER's core).
+# Pure shift/and/sum integer arithmetic on two key columns; per-bucket
+# count + sum + min/max pin every interleaved key value against the
+# oracle, whose SQL comes from the SAME generator (layout.zorder_sql) so
+# implementation and oracle cannot drift.
+# --------------------------------------------------------------------------
+from super_store_datawarehouse_spark.operators.layout import (  # noqa: E402
+    zorder_key,
+    zorder_sql,
+)
+
+_Z_SQL = zorder_sql(["(l_partkey % 65536)", "(l_suppkey % 65536)"])
+
+
+@harness_query(
+    "x130_zorder_buckets",
+    oracle=f"""
+    WITH z AS (
+      SELECT {_Z_SQL} AS zkey FROM lineitem
+    )
+    SELECT CAST(zkey // 134217728 AS BIGINT) AS z_bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(zkey) AS BIGINT) AS zkey_sum,
+           CAST(MIN(zkey) AS BIGINT) AS zkey_min,
+           CAST(MAX(zkey) AS BIGINT) AS zkey_max
+    FROM z GROUP BY 1 ORDER BY z_bucket
+    """,
+)
+def x130_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    zk = zorder_key(F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536)
+    return (
+        li.select(zk.alias("zkey"))
+        .groupBy(F.expr("zkey div 134217728").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("zkey").alias("zkey_sum"),
+            F.min("zkey").alias("zkey_min"),
+            F.max("zkey").alias("zkey_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# x131 — blocked fuzzy record linkage (operators/linkage.py): a "dirty"
+# feed derived by deterministically dropping each name's 4th character
+# links back to the clean part catalog through first-char blocking, a
+# length band, and levenshtein <= 2, keeping the best match per dirty
+# row. Blocking turns the cross join into an equi-join — the Fellegi-
+# Sunter-era device that makes linkage run at corpus scale. levenshtein/
+# substring/length agree between Spark and DuckDB, so match choice and
+# distance are fully value-oracled.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x131_fuzzy_linkage",
+    oracle="""
+    WITH clean AS (
+      SELECT DISTINCT p_name FROM part
+    ), dirty AS (
+      SELECT p_partkey AS dirty_id,
+             substr(p_name, 1, 3) || substr(p_name, 5) AS dirty_name
+      FROM part WHERE p_partkey % 3 = 0
+    ), cand AS (
+      SELECT d.dirty_id, d.dirty_name, c.p_name AS matched_name,
+             levenshtein(d.dirty_name, c.p_name) AS dist
+      FROM dirty d JOIN clean c
+        ON substr(d.dirty_name, 1, 1) = substr(c.p_name, 1, 1)
+       AND abs(len(d.dirty_name) - len(c.p_name)) <= 2
+      WHERE levenshtein(d.dirty_name, c.p_name) <= 2
+    ), best AS (
+      SELECT dirty_id, dirty_name, matched_name, CAST(dist AS INT) AS dist,
+             ROW_NUMBER() OVER (PARTITION BY dirty_id
+               ORDER BY dist, matched_name) AS rn
+      FROM cand
+    )
+    SELECT dirty_id, dirty_name, matched_name, dist
+    FROM best WHERE rn = 1 ORDER BY dirty_id
+    """,
+)
+def x131_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.linkage import blocked_fuzzy_link
+
+    part = load_table(spark, sf_dir, "part")
+    clean = part.select("p_name").distinct().withColumn("cid", F.lit(0))
+    dirty = part.filter(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.concat(
+            F.substring("p_name", 1, 3), F.expr("substring(p_name, 5)")
+        ).alias("dirty_name"),
+    )
+    linked = blocked_fuzzy_link(
+        dirty, clean, "dirty_id", "dirty_name", "cid", "p_name",
+        max_dist=2, len_band=2,
+    )
+    return linked.select(
+        F.col("l_id").alias("dirty_id"),
+        F.col("l_text").alias("dirty_name"),
+        F.col("r_text").alias("matched_name"),
+        F.col("dist").alias("dist"),
+    ).orderBy("dirty_id")

@@ -404,6 +404,85 @@ def stream_upserts_to_txn(
     return batches["n"]
 
 
+def stream_lsh_dedup_to_txn(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    threshold: float = 0.2,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> int:
+    """Streaming near-dup detection: each micro-batch of documents folds
+    into the incremental MinHash-LSH index (``operators.dedup
+    .lsh_index_update``) and the verified dup pairs append to a
+    transactional pairs table. The crawl-pipeline shape: dedup every
+    snapshot against the accumulated corpus in O(batch), never
+    re-joining the world.
+
+    State (band index + shingle store) and output all live as
+    ``sources.translog`` tables under ``out_dir``; each batch appends
+    only the DELTAS (new band rows, new shingles, new pairs), so
+    checkpoint cost is O(batch) regardless of corpus size. The three
+    appends are separate manifest commits: a crash between them followed
+    by a replay re-emits that batch's rows (at-least-once; pairs are
+    deterministic, so readers dedupe with ``dropDuplicates`` — or compare
+    the txn versions). Returns the number of micro-batches processed.
+    """
+    import os as _os
+
+    from super_store_datawarehouse_spark.operators.dedup import (
+        LshIndexState,
+        lsh_index_update,
+    )
+    from super_store_datawarehouse_spark.sources.translog import (
+        txn_read,
+        txn_versions,
+        txn_write,
+    )
+
+    schema = (
+        spark.read.option("pathGlobFilter", "documents*.parquet")
+        .parquet(src_dir)
+        .schema
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(src_dir)
+    )
+    bands_p = _os.path.join(out_dir, "band_rows")
+    sh_p = _os.path.join(out_dir, "shingles")
+    pairs_p = _os.path.join(out_dir, "pairs")
+    batches = {"n": 0}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        state = None
+        if txn_versions(bands_p):
+            state = LshIndexState(txn_read(sess, bands_p), txn_read(sess, sh_p))
+        pairs, new_state = lsh_index_update(
+            state,
+            batch_df,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+        # pairs first: they are derivable from (index ∪ delta) state, so
+        # a crash before the state appends replays into identical pairs
+        txn_write(pairs, pairs_p, "append")
+        txn_write(new_state.delta_band_rows, bands_p, "append")
+        txn_write(new_state.delta_shingles, sh_p, "append")
+        batches["n"] += 1
+
+    q = stream.writeStream.outputMode("append").foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return batches["n"]
+
+
 def session_counts_stream(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

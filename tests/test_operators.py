@@ -1481,3 +1481,110 @@ def test_smoke_harness_catches_deliberately_broken_query(spark):
         verbose=False,
     )
     assert failures == ["bad_analysis", "bad_runtime"]
+
+
+def test_zorder_layout_narrows_file_ranges_on_both_columns(tmp_path, spark):
+    """Z-order clustering must leave every file's min/max window narrow on
+    BOTH key columns simultaneously — the property that lets parquet
+    row-group stats prune two-column predicate mixes. A single-key sort
+    gives one narrow column and one full-range column; z-order gives
+    sqrt-ish windows on each."""
+    import pyarrow.parquet as pq
+
+    from super_store_datawarehouse_spark.operators.layout import cluster_by_zorder
+
+    n = 40_000
+    # two independent-ish uniform dimensions
+    df = spark.range(0, n).select(
+        ((F.col("id") * 7919) % 1024).alias("a"),
+        ((F.col("id") * 104729) % 1024).alias("b"),
+    )
+    path = str(tmp_path / "zordered")
+    cluster_by_zorder(df, path, ["a", "b"], n_files=16, bits=10)
+
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert back.agg(F.sum("a"), F.sum("b")).first() == df.agg(
+        F.sum("a"), F.sum("b")
+    ).first()
+
+    spans = {"a": [], "b": []}
+    files = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+    assert len(files) >= 8
+    for f in files:
+        md = pq.read_metadata(os.path.join(path, f))
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for col in ("a", "b"):
+            ci = schema_names.index(col)
+            lo = min(md.row_group(g).column(ci).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(ci).statistics.max for g in range(md.num_row_groups))
+            spans[col].append((hi - lo) / 1024.0)
+    # 16 z-segments over a 2-D space ≈ 4x4 quadrants: each file should span
+    # well under the full range on BOTH dims (coalesce layout spans ~1.0)
+    for col in ("a", "b"):
+        avg_span = sum(spans[col]) / len(spans[col])
+        assert avg_span < 0.6, (col, spans[col])
+
+
+def test_blocked_fuzzy_link_matches_and_blocking_tradeoff(spark):
+    from super_store_datawarehouse_spark.operators.linkage import blocked_fuzzy_link
+
+    clean = spark.createDataFrame(
+        [(1, "widget"), (2, "gadget"), (3, "sprocket")], ["cid", "name"]
+    )
+    dirty = spark.createDataFrame(
+        [
+            (10, "widgt"),     # 1 deletion -> widget
+            (11, "gadget"),    # exact -> gadget
+            (12, "sprocket_x"),  # 2 inserts -> sprocket (len band edge)
+            (13, "xwidget"),   # first char changed: blocked out by design
+            (14, "zzzzz"),     # no match within distance
+        ],
+        ["did", "name"],
+    )
+    got = {
+        r.l_id: (r.r_id, r.dist)
+        for r in blocked_fuzzy_link(
+            dirty, clean, "did", "name", "cid", "name", max_dist=2, len_band=2
+        ).collect()
+    }
+    assert got == {10: (1, 1), 11: (2, 0), 12: (3, 2)}
+    # 13 shares no block (first char differs) and 14 exceeds max_dist —
+    # the documented blocking trade-off, not silent wrong answers
+    assert 13 not in got and 14 not in got
+
+
+def test_incremental_lsh_index_equals_one_shot(spark, docs):
+    """Folding the corpus into the LSH index over two batches must emit
+    exactly the one-shot minhash_lsh_pairs result — same pairs, same
+    exact-Jaccard values — because every hash in the pipeline is
+    deterministic. This is the property that lets a crawl pipeline dedup
+    each snapshot against the accumulated corpus in O(batch) instead of
+    re-joining the world."""
+    from super_store_datawarehouse_spark.operators.dedup import (
+        lsh_index_update,
+        minhash_lsh_pairs,
+    )
+
+    want = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in minhash_lsh_pairs(docs, threshold=0.2).collect()
+    }
+
+    state = None
+    got = {}
+    for batch in (
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ):
+        pairs, state = lsh_index_update(state, batch, threshold=0.2)
+        for r in pairs.collect():
+            assert (r.id_a, r.id_b) not in got, "pair emitted twice"
+            got[(r.id_a, r.id_b)] = round(r.jaccard, 9)
+    assert got == want
+    assert want, "trivially-empty comparison"
+
+    # a third, empty update emits nothing and leaves the index usable
+    empty = docs.filter(F.lit(False))
+    pairs, state = lsh_index_update(state, empty, threshold=0.2)
+    assert pairs.count() == 0

@@ -479,3 +479,42 @@ def test_stream_stream_left_outer_join_emits_unmatched(tmp_path, spark):
     assert (101, 100) in got                      # matched pair
     assert (200, None) in got and (300, None) in got  # finalized NULL rows
     assert len([r for r in out if r["purchase_id"] == 101]) == 1
+
+
+def test_stream_lsh_dedup_matches_one_shot(tmp_path, spark):
+    """Documents arriving as three micro-batches must yield exactly the
+    one-shot minhash_lsh_pairs result in the transactional pairs table —
+    the streaming face of the incremental-index ≡ one-shot identity."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.operators.dedup import minhash_lsh_pairs
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from super_store_datawarehouse_spark.sources.translog import txn_read
+    from super_store_datawarehouse_spark.streaming.jobs import stream_lsh_dedup_to_txn
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200).cache()
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(tmp_path / f"p{i}"), mode="overwrite"
+        )
+        part = [f for f in os.listdir(tmp_path / f"p{i}") if f.endswith(".parquet")][0]
+        os.rename(tmp_path / f"p{i}" / part, os.path.join(src, f"documents{i}.parquet"))
+
+    out = str(tmp_path / "lsh")
+    n = stream_lsh_dedup_to_txn(spark, src, out, threshold=0.2)
+    assert n == 3
+
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in txn_read(spark, os.path.join(out, "pairs")).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in minhash_lsh_pairs(docs, threshold=0.2).collect()
+    }
+    assert got == want
+    assert want, "trivially-empty comparison"
