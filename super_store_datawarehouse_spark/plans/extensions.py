@@ -1167,6 +1167,13 @@ def x30_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q40_group_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact group median, window formulation: one hash shuffle on the
+    group key. With only 3 groups the per-group sort is single-threaded —
+    measurably optimal at bench scale (no second exchange, no Python),
+    but the sort funnel is the known few-groups scale ceiling;
+    x133_selection_median runs the identical selection through
+    operators/selection.py's range-partitioned parallel ranking, the
+    formulation that spreads the same sort across the cluster."""
     li = load_table(spark, sf_dir, "lineitem")
     c = li.select("l_returnflag", cents("l_extendedprice").alias("cents"))
     w = Window.partitionBy("l_returnflag")
@@ -3863,3 +3870,120 @@ def x131_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_text").alias("matched_name"),
         F.col("dist").alias("dist"),
     ).orderBy("dirty_id")
+
+
+# --------------------------------------------------------------------------
+# x132 — k-NN label-vote audit: classify each query vector by the
+# majority label of its exact top-5 cosine neighbors and score agreement
+# with its own label, per label — the standard label-noise / split-purity
+# probe a training pipeline runs over an embedded corpus. Composes the
+# oracled brute-force top-k with a deterministic mode (count desc, label
+# asc) so the whole audit is value-verified; at scale the ANN variants
+# (q33/q35/q42) slot in for the exact top-k with the same vote logic.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x132_knn_label_vote",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt({_COSINE_FOLD.format(a='CAST(embedding AS DOUBLE[])', b='CAST(embedding AS DOUBLE[])')}) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label AS own_label, v AS qv, nrm AS qnrm
+      FROM e WHERE vec_id < 100
+    ), scored AS (
+      SELECT q.query_id, q.own_label, e.vec_id AS neighbor_id, e.label AS n_label,
+             {_COSINE_FOLD.format(a='qv', b='v')} / (q.qnrm * e.nrm) AS cosine
+      FROM q JOIN e ON e.vec_id != q.query_id
+    ), ranked AS (
+      -- tie-break by neighbor_id, matching brute_force_topk exactly
+      SELECT query_id, own_label, n_label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ), votes AS (
+      SELECT query_id, own_label, n_label, COUNT(*) AS n_votes
+      FROM ranked WHERE rank <= 5
+      GROUP BY 1, 2, 3
+    ), winner AS (
+      SELECT query_id, own_label, n_label AS voted_label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY n_votes DESC, n_label) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT own_label AS label,
+           COUNT(*) AS n_queries,
+           CAST(SUM(CASE WHEN voted_label = own_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree
+    FROM winner GROUP BY own_label ORDER BY label
+    """,
+)
+def x132_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)
+    topk = similarity.brute_force_topk(emb, queries, k=5)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(labels, topk["neighbor_id"] == labels["vec_id"])
+        .groupBy("query_id", F.col("label").alias("n_label"))
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), "n_label")
+    winner = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("query_id", F.col("n_label").alias("voted_label"))
+    )
+    own = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("own_label")
+    )
+    return (
+        winner.join(own, "query_id")
+        .groupBy(F.col("own_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                F.when(F.col("voted_label") == F.col("own_label"), 1).otherwise(0)
+            ).cast("long").alias("n_agree"),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# x133 — parallel ranked selection (operators/selection.py): the same
+# exact group median as q40, computed with ONE range exchange + a
+# map-only Arrow local-rank pass + broadcast offsets instead of a
+# 3-partition window sort. q40's window is faster at bench scale (no
+# Python, no second pass) but funnels all rows of a group into one task;
+# this formulation is the few-groups scale path — identical middle
+# elements, so the q40 oracle verifies it verbatim.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x133_selection_median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS median_price,
+           MAX(n) AS n_rows
+    FROM c
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def x133_selection_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.selection import (
+        grouped_median_cents,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select("l_returnflag", cents("l_extendedprice").alias("cents"))
+    return grouped_median_cents(c, "l_returnflag", "cents").orderBy("l_returnflag")

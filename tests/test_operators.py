@@ -1588,3 +1588,34 @@ def test_incremental_lsh_index_equals_one_shot(spark, docs):
     empty = docs.filter(F.lit(False))
     pairs, state = lsh_index_update(state, empty, threshold=0.2)
     assert pairs.count() == 0
+
+
+def test_grouped_ranks_equals_window_ranks(spark):
+    """Parallel ranked selection must assign the same rank multiset per
+    (group, value) as the plain window — including duplicate values and
+    ranks carried across Arrow batch boundaries (forced tiny batches)."""
+    from pyspark.sql import Window
+
+    from super_store_datawarehouse_spark.operators.selection import grouped_ranks
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        df = spark.range(0, 3_000).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            ((F.col("id") * 7919) % 500).alias("v"),  # many duplicate values
+        )
+        got = grouped_ranks(df, "g", "v")
+        w = Window.partitionBy("g").orderBy("v")
+        want = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
+
+        def key(rows):
+            return sorted((r.g, r.v, r.rn, r.n) for r in rows)
+
+        # ties may order differently between the two formulations, but the
+        # (group, value, rank) multiset — hence any selection by rank — must
+        # agree exactly
+        assert key(got.collect()) == key(want.collect())
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
