@@ -462,6 +462,7 @@ def _pq_codes_and_dtab(
     salt: int,
     vec_col: str,
     id_col: str,
+    sub: DataFrame | None = None,
 ):
     """Shared PQ machinery: the integer code table for the corpus and the
     per-query ADC distance tables.
@@ -470,20 +471,15 @@ def _pq_codes_and_dtab(
     whole point of PQ is that this is the only corpus-wide vector read).
     dtab:  (query_id, j, code, d) — |queries|·m·|codebook| rows, the
     classic per-query lookup tables; the codebook side is broadcast.
-    """
-    from super_store_datawarehouse_spark.operators.sampling import hash_bucket
 
+    Pass ``sub`` to encode against a prebuilt (code, j, cv) codebook
+    (e.g. the Lloyd-refined one from :func:`pq_refined_codebook`).
+    """
     e = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    sampled = e.filter(hash_bucket(F.col("vid"), salt) < codebook_buckets)
-    # codebook: (j, code, cv) — one sub-vector per subspace per sample
-    sub = sampled.select(
-        F.col("vid").alias("code"),
-        F.posexplode(
-            F.array(*[F.slice("v", j * sd + 1, sd) for j in range(m)])
-        ).alias("j", "cv"),
-    )
+    if sub is None:
+        sub = _pq_sampled_codebook(e, m, sd, codebook_buckets, salt)
 
     def sub_dist(vcol: Column) -> Column:
         # distance of the row's j-th sub-vector to the codeword
@@ -506,6 +502,158 @@ def _pq_codes_and_dtab(
         .select("query_id", "j", "code", sub_dist(F.col("qv")).alias("d"))
     )
     return codes, dtab
+
+
+def _pq_sampled_codebook(
+    e: DataFrame, m: int, sd: int, codebook_buckets: int, salt: int
+) -> DataFrame:
+    """Initial PQ codebook: one sub-vector per subspace per hash-sampled
+    corpus vector — (code, j, cv<array<double>>)."""
+    from super_store_datawarehouse_spark.operators.sampling import hash_bucket
+
+    sampled = e.filter(hash_bucket(F.col("vid"), salt) < codebook_buckets)
+    return sampled.select(
+        F.col("vid").alias("code"),
+        F.posexplode(
+            F.array(*[F.slice("v", j * sd + 1, sd) for j in range(m)])
+        ).alias("j", "cv"),
+    )
+
+
+def int_sq_l2(a: Column, b: Column) -> Column:
+    """Integer squared-L2 fold — order-free (integer addition is
+    associative/commutative), so unlike :func:`sq_l2` it is exact under
+    ANY evaluation order or partitioning."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+
+
+def pq_refined_codebook(
+    corpus: DataFrame,
+    m: int = 4,
+    dim: int | None = None,
+    codebook_buckets: int = 300,
+    salt: int = 13,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One integer-quantized Lloyd step per subspace over the sampled PQ
+    codebook — the quality upgrade real PQ training runs (Jégou et al.
+    train per-subspace k-means; this is one exact, oracle-replayable
+    iteration of it using the same arithmetic contract as
+    ``operators/clustering.py``).
+
+    Sub-vectors quantize to trunc(v·scale) int64; assignment is integer
+    squared-L2 with ties to the lowest code id; the refined codeword is
+    the truncating-div component mean, de-quantized as ``s div n /
+    scale`` — every step bit-identical in DuckDB, so downstream ADC on
+    the refined codebook stays fully value-oracled. Codes that attract
+    no vectors drop out (deterministically on both engines).
+
+    Plan shape: one broadcast-codebook join + window for assignment (the
+    same shape as PQ encoding itself), one component-explode groupBy for
+    the means — all equi-keyed, linear in corpus size.
+    """
+    if dim is None:
+        raise ValueError("pass dim= explicitly (the embedding length)")
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+
+    e = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    quant = F.transform(F.col("cv"), lambda x: (x * scale).cast("long"))
+    qsub = e.select(
+        "vid",
+        F.posexplode(
+            F.array(*[F.slice("v", j * sd + 1, sd) for j in range(m)])
+        ).alias("j", "cv"),
+    ).select("vid", "j", quant.alias("qv"))
+    cb0 = _pq_sampled_codebook(e, m, sd, codebook_buckets, salt).select(
+        "code", "j", quant.alias("qc")
+    )
+    w = Window.partitionBy("vid", "j").orderBy("d", "code")
+    assigned = (
+        qsub.join(F.broadcast(cb0), "j")
+        .withColumn("d", int_sq_l2(F.col("qv"), F.col("qc")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vid", "j", "code", "qv")
+    )
+    comp = assigned.select(
+        "j", "code", F.posexplode("qv").alias("i", "val")
+    )
+    sums = comp.groupBy("j", "code", "i").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        sums.groupBy("j", "code")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", F.expr("s div n").alias("c")))
+            ).alias("parts")
+        )
+        .select(
+            "code",
+            "j",
+            F.transform(
+                F.col("parts"), lambda s: s["c"].cast("double") / scale
+            ).alias("cv"),
+        )
+    )
+
+
+def pq_topk_refined(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    dim: int | None = None,
+    codebook_buckets: int = 300,
+    salt: int = 13,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ ADC top-k against the Lloyd-refined codebook: identical join
+    topology to :func:`pq_topk` (encode + broadcast distance tables),
+    only the codewords change — demonstrating that codebook training
+    slots into the pipeline without touching its scale shape."""
+    if dim is None:
+        raise ValueError("pass dim= explicitly (the embedding length)")
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+    sub = pq_refined_codebook(
+        corpus, m, dim, codebook_buckets, salt, scale, vec_col, id_col
+    )
+    codes, dtab = _pq_codes_and_dtab(
+        corpus, queries, m, sd, codebook_buckets, salt, vec_col, id_col, sub=sub
+    )
+    approx = (
+        codes.join(dtab, ["j", "code"])
+        .filter(F.col("query_id") != F.col("vid"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.array_sort(F.collect_list(F.struct("j", "d"))).alias("parts"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                "parts", F.lit(0.0), lambda acc, s: acc + s["d"]
+            ).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        approx.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist")
+    )
 
 
 def pq_ivf_topk(

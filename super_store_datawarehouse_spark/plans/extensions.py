@@ -3987,3 +3987,79 @@ def x133_selection_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     c = li.select("l_returnflag", cents("l_extendedprice").alias("cents"))
     return grouped_median_cents(c, "l_returnflag", "cents").orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# x134 — Lloyd-refined PQ (operators/similarity.py pq_topk_refined): one
+# integer-quantized Lloyd step trains the sampled codebook (assignment by
+# integer squared-L2, trunc-div component means — the q45 arithmetic
+# contract), then ADC runs against the refined codewords. Proves codebook
+# TRAINING slots into the PQ pipeline with the same join topology and
+# stays end-to-end value-oracled: quantize → assign → means → de-quantize
+# → encode → distance tables → ranked ADC, every step bit-identical.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x134_pq_refined_topk",
+    oracle=f"""
+    WITH pe AS (
+      SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), jj AS (SELECT unnest(range(0, 4)) AS j),
+    qsub AS (
+      SELECT vid, jj.j,
+             list_transform(pe.v[jj.j*16+1 : jj.j*16+16],
+                            x -> CAST(trunc(x * 1000) AS BIGINT)) AS qv
+      FROM pe CROSS JOIN jj
+    ), cb0 AS (
+      SELECT vid AS code, j, qv AS qc FROM qsub WHERE {_bucket_sql('vid', 13)} < 300
+    ), assigned AS (
+      SELECT q.vid, q.j, c.code, q.qv,
+             list_sum(list_transform(list_zip(q.qv, c.qc),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+      FROM qsub q JOIN cb0 c ON c.j = q.j
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vid, q.j ORDER BY d, c.code) = 1
+    ), comp AS (
+      SELECT j, code, i.i, qv[i.i] AS val
+      FROM assigned CROSS JOIN (SELECT unnest(range(1, 17)) AS i) i
+    ), sums AS (
+      SELECT j, code, i, COUNT(*) AS n, SUM(val) AS s
+      FROM comp GROUP BY 1, 2, 3
+    ), sub AS (
+      SELECT code, j,
+             list(CAST(CAST(trunc(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE) / 1000
+                  ORDER BY i) AS cv
+      FROM sums GROUP BY 1, 2
+    ), codes AS (
+      SELECT vid, j, code FROM (
+        SELECT pe.vid, s.j, s.code,
+               ROW_NUMBER() OVER (PARTITION BY pe.vid, s.j
+                 ORDER BY {_SQOFF_FOLD.format(a='pe.v', off='s.j*16', b='s.cv')} ASC,
+                          s.code) AS rn
+        FROM pe CROSS JOIN sub s
+      ) WHERE rn = 1
+    ), dtab AS (
+      SELECT q.vid AS query_id, s.j, s.code,
+             {_SQOFF_FOLD.format(a='q.v', off='s.j*16', b='s.cv')} AS d
+      FROM pe q CROSS JOIN sub s
+      WHERE q.vid < 10
+    ), approx AS (
+      SELECT d.query_id, c.vid AS neighbor_id,
+             list_reduce(list_prepend(0.0, list(d.d ORDER BY d.j)),
+                         (acc, x) -> acc + x) AS adist
+      FROM codes c JOIN dtab d ON d.j = c.j AND d.code = c.code
+      WHERE d.query_id != c.vid
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id, adist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adist, neighbor_id) AS BIGINT) AS rank
+      FROM approx
+    )
+    SELECT query_id, neighbor_id, rank, adist FROM ranked WHERE rank <= 5
+    """,
+)
+def x134_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_topk_refined(
+        emb, queries, k=5, m=4, dim=64, codebook_buckets=300, salt=13, scale=1000
+    )

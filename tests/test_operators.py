@@ -1619,3 +1619,45 @@ def test_grouped_ranks_equals_window_ranks(spark):
         assert key(got.collect()) == key(want.collect())
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_pq_refined_codebook_reduces_quantization_error(spark):
+    """One Lloyd step must not worsen total quantization error: for every
+    (vector, subspace), distance to the nearest refined codeword summed
+    over the corpus <= the same sum against the raw sampled codebook
+    (small slack absorbs the trunc-div integer rounding of the means)."""
+    from super_store_datawarehouse_spark.operators.similarity import (
+        _pq_sampled_codebook,
+        pq_refined_codebook,
+        sq_l2,
+    )
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from tests.conftest import TESTDATA_SF
+
+    emb = load_table(spark, TESTDATA_SF, "embeddings")
+    m, sd = 4, 16
+    e = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    subvecs = e.select(
+        "vid",
+        F.posexplode(
+            F.array(*[F.slice("v", j * sd + 1, sd) for j in range(m)])
+        ).alias("j", "sv"),
+    )
+
+    def total_err(sub):
+        d = (
+            subvecs.join(sub, "j")
+            .withColumn("d", sq_l2(F.col("sv"), F.col("cv")))
+            .groupBy("vid", "j")
+            .agg(F.min("d").alias("best"))
+        )
+        return d.agg(F.sum("best")).first()[0]
+
+    sub0 = _pq_sampled_codebook(e, m, sd, codebook_buckets=300, salt=13)
+    sub1 = pq_refined_codebook(emb, m=m, dim=64, codebook_buckets=300, salt=13)
+    err0, err1 = total_err(sub0), total_err(sub1)
+    assert err1 <= err0 * 1.001, (err0, err1)
+    assert err1 < err0, "refinement should strictly improve on random samples"
