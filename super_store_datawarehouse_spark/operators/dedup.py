@@ -508,6 +508,72 @@ def embedding_near_dup_pairs(
     return probe.mapInPandas(score, "id_a long, id_b long, cosine double")
 
 
+def semantic_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with k-means, then compute exact cosine pairs
+    only *within* each cluster.
+
+    This is the scale-path composition of two already-exact primitives:
+    the integer-quantized Lloyd assignment (operators/clustering.py) and
+    the left-to-right-fold cosine (same arithmetic as
+    :func:`embedding_near_dup_pairs`). Candidate generation drops from
+    O(n²) to Σ|cluster|² — with k sized so clusters hold ~1/k of the
+    corpus, that is an n²/k reduction while staying fully value-oracled
+    (both stages are deterministic integer / fold arithmetic). In a
+    100 TB deployment k grows with the corpus (k ≈ n / target cluster
+    size, thousands+), keeping per-cluster pair blocks bounded and the
+    cluster-key shuffle well spread; k=8 here mirrors the oracled q45
+    configuration.
+
+    Pairs whose true cosine crosses ``threshold`` but whose members land
+    in different clusters are missed — that is SemDeDup's documented
+    approximation, and exactly why the within-cluster stage can afford
+    to be exact.
+    """
+    from super_store_datawarehouse_spark.operators.clustering import (
+        kmeans_quantized,
+    )
+    from super_store_datawarehouse_spark.operators.similarity import dot
+
+    assigned = kmeans_quantized(
+        df, k=k, iters=iters, scale=scale, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("vid"), "cluster")
+    e = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .filter(F.col("nrm") > 0)
+        .join(assigned, "vid")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            (
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def simhash_portable(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:

@@ -1769,9 +1769,7 @@ def q44_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/clustering.py for the scale design (map-only assignment with
 # literal centroids; one (d+1)-aggregate reduce per iteration).
 # --------------------------------------------------------------------------
-@harness_query(
-    "q45_kmeans_clusters",
-    oracle="""
+_KMEANS_A2_CTES = """
     WITH q AS (
       SELECT vec_id,
              list_transform(embedding,
@@ -1803,7 +1801,13 @@ def q44_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist2
       FROM q CROSS JOIN cent2f s
       QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist2, s.cid) = 1
-    )
+    )"""
+
+
+@harness_query(
+    "q45_kmeans_clusters",
+    oracle=_KMEANS_A2_CTES
+    + """
     SELECT cluster, COUNT(*) AS n_points, CAST(SUM(dist2) AS BIGINT) AS total_dist2
     FROM a2 GROUP BY cluster ORDER BY cluster
     """,
@@ -4062,4 +4066,172 @@ def x134_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.pq_topk_refined(
         emb, queries, k=5, m=4, dim=64, codebook_buckets=300, salt=13, scale=1000
+    )
+
+
+# --------------------------------------------------------------------------
+# x135 — SemDeDup semantic deduplication (Abbas et al. 2023): k-means
+# buckets the embedding space, exact cosine runs only within clusters —
+# candidates drop from O(n²) to Σ|cluster|² while BOTH stages stay
+# value-oracled: the assignment replays q45's integer-quantized Lloyd
+# CTEs verbatim, the cosine is the q34 left-to-right fold.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x135_semantic_dedup_pairs",
+    oracle=_KMEANS_A2_CTES
+    + f"""
+    , e AS (
+      SELECT a2.vec_id AS vid, a2.cluster,
+             CAST(embedding AS DOUBLE[]) AS v,
+             sqrt({_COSINE_FOLD.format(a='CAST(embedding AS DOUBLE[])', b='CAST(embedding AS DOUBLE[])')}) AS nrm
+      FROM embeddings JOIN a2 ON embeddings.vec_id = a2.vec_id
+    )
+    SELECT cluster, id_a, id_b, cosine FROM (
+      SELECT a.cluster, a.vid AS id_a, b.vid AS id_b,
+             {_COSINE_FOLD.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) AS cosine
+      FROM e a JOIN e b ON a.cluster = b.cluster AND a.vid < b.vid
+      WHERE a.nrm > 0 AND b.nrm > 0
+    ) WHERE cosine >= 0.35
+    """,
+)
+def x135_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_near_dup_pairs(emb, threshold=0.35, k=8, iters=2)
+
+
+# --------------------------------------------------------------------------
+# x136 — Bloom runtime-filter join (operators/runtime_filter.py): the
+# sketch prunes probe rows before the shuffle; no false negatives + real
+# join after = final result bit-identical to the plain join, so the
+# oracle is simply the unfiltered join. The build side (one nation's
+# suppliers, ~4% of keys) is exactly the selective-dim shape where
+# dynamic filtering pays at 100 TB: ~96% of lineitem dies map-side.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x136_bloom_filter_join",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'FRANCE'
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY s.s_suppkey
+    """,
+)
+def x136_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.runtime_filter import bloom_join
+
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "FRANCE")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        (cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_cents"),
+    )
+    joined = bloom_join(li, supp, on="s_suppkey", how="inner")
+    return (
+        joined.groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum("rev_cents").cast("double") / 100.0).alias("revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# x137 — BM25 top-k retrieval (Robertson-Sparck-Jones, k1=1.2 b=0.75) in
+# fixed-point integer arithmetic so the score — and therefore the
+# ranking — is bit-exact cross-engine: idf uses the RSJ odds ratio
+# (N-df+0.5)/(df+0.5) scaled ×1000 in place of its log (log is
+# transcendental; trunc(log(x)·1e6) can straddle an ULP between libm
+# implementations), tf-saturation and length-normalization are scaled
+# trunc-divs. Shape: posting-list tf agg → tiny df/const broadcasts back
+# onto tf → one per-doc sum — two hash aggs and a broadcast, the same
+# 100 TB plan as TF-IDF (q44).
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("query", "join", "filter")
+
+
+@harness_query(
+    "x137_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, w AS word FROM (
+        SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM toks
+      WHERE word IN {str(tuple(_BM25_TERMS))} GROUP BY 1, 2
+    ), dfw AS (
+      SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+    ), c2 AS (
+      SELECT n, (sumdl * 1000) // n AS avgdl_s FROM (
+        SELECT (SELECT COUNT(*) FROM documents) AS n,
+               (SELECT SUM(dl) FROM dl) AS sumdl
+      )
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM(
+               (((((c2.n - dfw.df) * 1000 + 500) * 1000) // (dfw.df * 1000 + 500))
+                * tf.tf * 2200)
+               // (tf.tf * 1000
+                   + (1200 * (250 + (750000 * dl.dl) // c2.avgdl_s)) // 1000)
+             ) AS BIGINT) AS score_micro
+      FROM tf JOIN dl USING (doc_id) JOIN dfw USING (word) CROSS JOIN c2
+      GROUP BY tf.doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, score_micro
+    FROM scored QUALIFY rank <= 10 ORDER BY rank
+    """,
+)
+def x137_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(words("text")).alias("word"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfw = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    consts = (
+        docs.agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(dl.agg(F.sum("dl").alias("sumdl")))
+        .withColumn("avgdl_s", F.expr("(sumdl * 1000) div n"))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfw), "word")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "score_term",
+            F.expr(
+                "(((((n - df) * 1000 + 500) * 1000) div (df * 1000 + 500))"
+                " * tf * 2200)"
+                " div (tf * 1000"
+                "      + (1200 * (250 + (750000 * dl) div avgdl_s)) div 1000)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("score_term").alias("score_micro"))
+    )
+    w = Window.orderBy(F.desc("score_micro"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score_micro")
+        .orderBy("rank")
     )

@@ -1661,3 +1661,70 @@ def test_pq_refined_codebook_reduces_quantization_error(spark):
     err0, err1 = total_err(sub0), total_err(sub1)
     assert err1 <= err0 * 1.001, (err0, err1)
     assert err1 < err0, "refinement should strictly improve on random samples"
+
+
+def test_semantic_dedup_subset_of_bruteforce(spark):
+    """Cluster-bounded pairs are exactly the brute-force pairs whose
+    members share a k-means cluster — no extras, correct cosines."""
+    from super_store_datawarehouse_spark.operators.clustering import kmeans_quantized
+    from super_store_datawarehouse_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semantic_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sem = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_near_dup_pairs(emb, threshold=0.3, k=4).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    cluster = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_quantized(emb, k=4, iters=2).collect()
+    }
+    expected = {
+        pair for pair in brute if cluster[pair[0]] == cluster[pair[1]]
+    }
+    assert set(sem) == expected
+    assert all(sem[p] == brute[p] for p in sem)
+
+
+def test_bloom_filter_no_false_negatives_and_prunes(spark):
+    from super_store_datawarehouse_spark.operators.runtime_filter import (
+        bloom_prefilter,
+        build_bloom,
+    )
+
+    build = spark.range(0, 200).withColumnRenamed("id", "k")
+    probe = spark.range(0, 20000).withColumnRenamed("id", "k")
+    bloom = build_bloom(build, "k")
+    kept = {r["k"] for r in bloom_prefilter(probe, "k", bloom).collect()}
+    # no false negatives: every build key survives
+    assert set(range(200)) <= kept
+    # the sketch actually prunes: default sizing targets ~0.05% FPR
+    assert len(kept) < 200 + 100
+
+
+def test_bloom_join_equals_plain_join(spark):
+    from super_store_datawarehouse_spark.operators.runtime_filter import bloom_join
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_quantity"
+    )
+    supp = (
+        spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+        .filter(F.col("s_nationkey") == 3)
+        .select("s_suppkey", "s_name")
+    )
+    got = sorted(
+        (r["s_suppkey"], r["l_quantity"], r["s_name"])
+        for r in bloom_join(li, supp, on="s_suppkey").collect()
+    )
+    want = sorted(
+        (r["s_suppkey"], r["l_quantity"], r["s_name"])
+        for r in li.join(supp, "s_suppkey").collect()
+    )
+    assert got == want and len(got) > 0
