@@ -128,6 +128,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact *asymmetric* n-gram containment join: |src ∩ dst| / |src|.
+
+    Jaccard misses quote/subset relationships — a short document fully
+    copied into a long one has low Jaccard (the union is dominated by
+    the long side) but containment ≈ 1 from the short side. This is the
+    standard second axis of near-dup mining (Broder's containment, the
+    basis of quote/boilerplate detection in corpus curation).
+
+    Same shuffle shape as :func:`ngram_jaccard_pairs` — one shingle
+    self-equi-join — but each unordered intersection row fans out to the
+    two directed pairs, each thresholded against its own source size
+    (integer compare; the emitted score is a single exact division).
+    """
+    sh = word_shingles(df, text_col, id_col, n, hashed=True).cache()
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    left = sh.select(F.col("sid").alias("id_a"), "shingle")
+    right = sh.select(F.col("sid").alias("id_b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    directed = inter.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("id_src"), F.col("id_b").alias("id_dst")),
+                F.struct(F.col("id_b").alias("id_src"), F.col("id_a").alias("id_dst")),
+            )
+        ).alias("p"),
+        "n_inter",
+    ).select("p.id_src", "p.id_dst", "n_inter")
+    sz = sizes.select(F.col("sid").alias("id_src"), F.col("n_shingles").alias("sz_src"))
+    thr_num, thr_den = _ratio_as_ints(threshold)
+    return (
+        directed.join(sz, "id_src")
+        .filter(thr_den * F.col("n_inter") >= thr_num * F.col("sz_src"))
+        .select(
+            "id_src",
+            "id_dst",
+            (
+                F.col("n_inter").cast("double") / F.col("sz_src").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
 def _ratio_as_ints(threshold: float, den: int = 1000) -> tuple[int, int]:
     return round(threshold * den), den
 

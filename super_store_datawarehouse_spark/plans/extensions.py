@@ -4235,3 +4235,140 @@ def x137_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "doc_id", "score_micro")
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# x138 — asymmetric n-gram containment |src∩dst|/|src| (Broder): the
+# quote/subset axis Jaccard misses. One shingle self-equi-join (the q17
+# shuffle), each unordered pair fanned to its two directions, integer
+# threshold per source size.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x138_ngram_containment_pairs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), directed AS (
+      SELECT id_a AS id_src, id_b AS id_dst, n_inter FROM inter
+      UNION ALL
+      SELECT id_b AS id_src, id_a AS id_dst, n_inter FROM inter
+    )
+    SELECT id_src, id_dst,
+           CAST(n_inter AS DOUBLE) / CAST(s.n_shingles AS DOUBLE) AS containment
+    FROM directed d JOIN sizes s ON s.doc_id = d.id_src
+    WHERE 1000 * n_inter >= 350 * s.n_shingles
+    """,
+)
+def x138_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(docs, threshold=0.35)
+
+
+# --------------------------------------------------------------------------
+# x139 — per-source quota cap: corpus curation's "max M documents per
+# domain", ranked so the cap keeps the best rows (here longest text,
+# ties to lowest id). One window over the source key — at 100 TB the
+# rank-and-filter runs entirely inside each source partition, and
+# skew-prone mega-domains are exactly what the cap bounds downstream.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x139_source_quota_cap",
+    oracle="""
+    SELECT source, rnk, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS BIGINT) AS rnk
+      FROM documents
+    ) WHERE rnk <= 10
+    ORDER BY source, rnk
+    """,
+)
+def x139_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("source", "rnk", "doc_id", "n_chars")
+        .orderBy("source", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# x140 — cross-document repeated n-gram score: the flag stage of exact
+# substring deduplication (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better") — for each document, the fraction
+# of its 5-gram positions whose shingle also occurs in some *other*
+# document. Positional (non-distinct) shingles; the per-shingle
+# distinct-doc count comes from one hash agg and broadcasts back onto
+# the positions.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x140_repeated_ngram_score",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ), pos AS (
+      SELECT doc_id, i AS pos, array_to_string(ws[i:i+4], ' ') AS shingle
+      FROM w, UNNEST(range(1, len(ws) - 3)) AS t(i)
+    ), docs_per AS (
+      SELECT shingle, COUNT(DISTINCT doc_id) AS n_docs FROM pos GROUP BY 1
+    )
+    SELECT p.doc_id,
+           COUNT(*) AS n_pos,
+           CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+           CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS repeated_frac
+    FROM pos p JOIN docs_per d USING (shingle)
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def x140_repeated_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = 5
+    pos = (
+        docs.select("doc_id", words("text").alias("ws"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                # sequence(1, 0) would descend, not be empty — guard short docs
+                F.expr(
+                    f"if(size(ws) >= {n},"
+                    f" transform(sequence(1, size(ws) - {n - 1}),"
+                    f" i -> array_join(slice(ws, i, {n}), ' ')),"
+                    f" array())"
+                )
+            ).alias("p0", "shingle"),
+        )
+        .withColumn("pos", (F.col("p0") + 1).cast("long"))
+        .drop("p0")
+    )
+    docs_per = pos.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        pos.join(docs_per, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_repeated"),
+        )
+        .withColumn(
+            "repeated_frac",
+            F.col("n_repeated").cast("double") / F.col("n_pos").cast("double"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1728,3 +1728,22 @@ def test_bloom_join_equals_plain_join(spark):
         for r in li.join(supp, "s_suppkey").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_ngram_containment_asymmetric(spark):
+    """A short doc fully quoted inside a long one: containment is 1.0
+    from the short side, < 1 from the long side (the axis Jaccard
+    misses)."""
+    from super_store_datawarehouse_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " zeta eta theta iota kappa lam mu"
+    df = spark.createDataFrame([(1, short), (2, long_)], ["doc_id", "text"])
+    rows = {
+        (r["id_src"], r["id_dst"]): r["containment"]
+        for r in ngram_containment_pairs(df, threshold=0.1).collect()
+    }
+    assert rows[(1, 2)] == 1.0
+    assert 0 < rows[(2, 1)] < 1.0
