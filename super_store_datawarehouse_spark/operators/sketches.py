@@ -1,0 +1,109 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005) over token streams.
+
+The canonical sublinear frequency estimator for heavy-hitter style
+questions at corpus scale: d×W counters regardless of input size, so
+the distributed build is one hash-agg shuffle whose key space is at
+most d·W cells — at 100 TB the sketch stays a few KB while exact
+per-token counts would shuffle the full vocabulary. Counter updates
+are additions, which makes partial sketches *exactly* mergeable
+(map-side combine does most of the work); the point estimate is the
+minimum over the d matched counters and is one-sided: est ≥ true
+always, est ≤ true + εN with probability 1−δ for ε=e/W, δ=e^(−d).
+
+Portability: tokens hash through the same (h·31 + ascii) % 2³¹
+polynomial fold used by ``minhash_portable`` (operators/dedup.py), and
+rows use affine (aᵢ·h + bᵢ) % 2³¹ % W maps with coefficients from the
+shared ``_minhash_coeffs`` generator — every step replays in any SQL
+engine, so the sketch contents AND the estimates are value-oracled
+(x141), not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from super_store_datawarehouse_spark.operators.dedup import _minhash_coeffs
+
+CMS_MOD = 1 << 31
+
+
+def poly_word_hash(col: Column | str) -> Column:
+    """Portable polynomial hash of a token: fold (h·31 + ascii(ch)) % 2³¹
+    seeded at 7 — identical to the shingle hash in minhash_portable."""
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes, F.lit(7).cast("long"), lambda h, x: (h * 31 + x) % F.lit(CMS_MOD)
+    )
+
+
+def cms_coeffs(depth: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Affine row-hash coefficients (aᵢ, bᵢ), both < 2³¹."""
+    return _minhash_coeffs(depth, seed=seed)
+
+
+def countmin_build(
+    tokens: DataFrame,
+    token_col: str = "word",
+    depth: int = 4,
+    width: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Build the sketch from a token *stream* (duplicates = counts).
+
+    Returns (r, pos, cnt) — at most depth·width rows. Cells never
+    touched are simply absent (an implicit zero).
+    """
+    coeffs = cms_coeffs(depth, seed)
+    hs = poly_word_hash(token_col)
+    cells = tokens.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("r"),
+                        (((hs * a + b) % CMS_MOD) % width).alias("pos"),
+                    )
+                    for r, (a, b) in enumerate(coeffs)
+                ]
+            )
+        ).alias("c")
+    ).select("c.r", "c.pos")
+    return cells.groupBy("r", "pos").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    token_col: str = "word",
+    depth: int = 4,
+    width: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Point-estimate each item's frequency: min over the d counters.
+
+    The sketch side is tiny (≤ depth·width rows) — broadcast it so the
+    estimate never shuffles the item table.
+    """
+    coeffs = cms_coeffs(depth, seed)
+    hs = poly_word_hash(token_col)
+    probes = items.select(
+        F.col(token_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("r"),
+                        (((hs * a + b) % CMS_MOD) % width).alias("pos"),
+                    )
+                    for r, (a, b) in enumerate(coeffs)
+                ]
+            )
+        ).alias("c"),
+    ).select(token_col, "c.r", "c.pos")
+    return (
+        probes.join(F.broadcast(sketch), ["r", "pos"], "left")
+        .groupBy(token_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )

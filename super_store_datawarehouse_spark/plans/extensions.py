@@ -4372,3 +4372,77 @@ def x140_repeated_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x141 — count-min sketch frequency estimation (operators/sketches.py):
+# d×W counters built with one bounded-key hash agg, estimates via
+# broadcast join + min-over-rows. Portable polynomial/affine hashing
+# makes sketch AND estimates value-oracled; the output pairs each
+# estimate with the exact count so the one-sided bound (est ≥ true) is
+# itself part of the verified result.
+# --------------------------------------------------------------------------
+from super_store_datawarehouse_spark.operators.sketches import (  # noqa: E402
+    cms_coeffs as _x141_coeffs,
+)
+
+_X141_D, _X141_W = 4, 64
+_X141_POLY = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT),"
+    " list_transform(string_split_regex(word, ''),"
+    " ch -> CAST(ascii(ch) AS BIGINT))),"
+    " (h, c) -> (h * 31 + c) % 2147483648)"
+)
+_X141_CELLS = "\n      UNION ALL ".join(
+    f"SELECT {r} AS r, ((hs * {a} + {b}) % 2147483648) % {_X141_W} AS pos FROM h"
+    for r, (a, b) in enumerate(_x141_coeffs(_X141_D, seed=7))
+)
+_X141_PROBES = "\n      UNION ALL ".join(
+    f"SELECT word, true_cnt, {r} AS r,"
+    f" ((hs * {a} + {b}) % 2147483648) % {_X141_W} AS pos FROM items"
+    for r, (a, b) in enumerate(_x141_coeffs(_X141_D, seed=7))
+)
+
+
+@harness_query(
+    "x141_countmin_freq",
+    oracle=f"""
+    WITH toks AS (
+      SELECT w AS word FROM (
+        SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ), h AS (
+      SELECT word, {_X141_POLY} AS hs FROM toks
+    ), cells AS (
+      {_X141_CELLS}
+    ), sketch AS (
+      SELECT r, pos, COUNT(*) AS cnt FROM cells GROUP BY 1, 2
+    ), items AS (
+      SELECT word, hs, COUNT(*) AS true_cnt FROM h GROUP BY 1, 2
+    ), probes AS (
+      {_X141_PROBES}
+    )
+    SELECT word, true_cnt, MIN(COALESCE(s.cnt, 0)) AS est_cnt
+    FROM probes p LEFT JOIN sketch s USING (r, pos)
+    GROUP BY word, true_cnt
+    ORDER BY word
+    """,
+)
+def x141_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+    from super_store_datawarehouse_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(words("text")).alias("word"))
+    sketch = countmin_build(toks, "word", depth=_X141_D, width=_X141_W)
+    items = toks.groupBy("word").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = countmin_estimate(sketch, items, "word", depth=_X141_D, width=_X141_W)
+    return (
+        items.join(est, "word")
+        .select("word", "true_cnt", "est_cnt")
+        .orderBy("word")
+    )

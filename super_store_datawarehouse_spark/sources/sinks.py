@@ -84,6 +84,25 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
+    """ORC sink (Spark-native, zero extra deps). ORC carries the same
+    columnar virtues as parquet — column pruning, predicate pushdown via
+    min/max stripe stats and bloom indexes — and is the interchange
+    format for Hive-lineage warehouses; an engine claiming "switch to
+    us" completeness needs both directions.
+    """
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC scan; filters/pruning push down exactly as with parquet
+    (verify via PushedFilters in the scan node)."""
+    return spark.read.orc(path)
+
+
 def delta_available() -> bool:
     """True when the delta-spark bindings are importable."""
     try:

@@ -1747,3 +1747,51 @@ def test_ngram_containment_asymmetric(spark):
     }
     assert rows[(1, 2)] == 1.0
     assert 0 < rows[(2, 1)] < 1.0
+
+
+def test_countmin_partition_invariant_and_one_sided(spark):
+    """CMS counters are additive, so the sketch is invariant to how the
+    token stream is partitioned, and every estimate upper-bounds the
+    true count."""
+    from super_store_datawarehouse_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    toks = spark.createDataFrame(
+        [(w,) for w in (["spark"] * 50 + ["duck"] * 20 + ["rare"] * 1)],
+        ["word"],
+    )
+    s1 = {(r["r"], r["pos"]): r["cnt"] for r in countmin_build(toks, "word").collect()}
+    s8 = {
+        (r["r"], r["pos"]): r["cnt"]
+        for r in countmin_build(toks.repartition(8), "word").collect()
+    }
+    assert s1 == s8
+    items = toks.distinct()
+    est = {
+        r["word"]: r["est_cnt"]
+        for r in countmin_estimate(countmin_build(toks, "word"), items, "word").collect()
+    }
+    true = {"spark": 50, "duck": 20, "rare": 1}
+    assert all(est[w] >= c for w, c in true.items())
+
+
+def test_orc_roundtrip_and_pushdown(tmp_path, spark):
+    """ORC write → read roundtrip preserves values; a filter on the read
+    side reaches the ORC scan as a pushed predicate."""
+    from super_store_datawarehouse_spark.sources.sinks import read_orc, write_orc
+
+    src = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    plan = (
+        back.filter(F.col("n_regionkey") == 2)
+        .select("n_name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan
