@@ -4446,3 +4446,189 @@ def x141_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "true_cnt", "est_cnt")
         .orderBy("word")
     )
+
+
+# --------------------------------------------------------------------------
+# x142 — arbitrary GROUPING SETS (beyond q03's ROLLUP and x126's CUBE):
+# the (status,flag) / (status) / () lattice with GROUPING() flags to
+# disambiguate natural NULLs — one pass, no self-union.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x142_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, l_returnflag,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(l_returnflag) AS g_flag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY GROUPING SETS ((o_orderstatus, l_returnflag), (o_orderstatus), ())
+    ORDER BY g_status, g_flag, o_orderstatus NULLS FIRST, l_returnflag NULLS FIRST
+    """,
+)
+def x142_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    gs = j.groupingSets(
+        [["o_orderstatus", "l_returnflag"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "l_returnflag",
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+    return gs.select(
+        "o_orderstatus", "l_returnflag", "g_status", "g_flag", "n_lines", "sum_qty"
+    ).orderBy(
+        "g_status",
+        "g_flag",
+        F.col("o_orderstatus").asc_nulls_first(),
+        F.col("l_returnflag").asc_nulls_first(),
+    )
+
+
+# --------------------------------------------------------------------------
+# x143 — set operators INTERSECT / EXCEPT (distinct semantics): customers
+# who bought in both halves of 1997 vs only in H1. Spark plans these as
+# aggregated semi/anti joins — same shuffle as a distinct + join.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x143_set_ops_customers",
+    oracle="""
+    WITH h1 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'
+    ), h2 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= DATE '1997-07-01' AND o_orderdate < DATE '1998-01-01'
+    ), both_halves AS (
+      SELECT o_custkey FROM h1 INTERSECT SELECT o_custkey FROM h2
+    ), only_h1 AS (
+      SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2
+    )
+    SELECT 'both' AS cohort, COUNT(*) AS n_customers FROM both_halves
+    UNION ALL
+    SELECT 'h1_only' AS cohort, COUNT(*) AS n_customers FROM only_h1
+    ORDER BY cohort
+    """,
+)
+def x143_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    h1 = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    h2 = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    both = h1.intersect(h2).agg(F.count(F.lit(1)).alias("n_customers")).select(
+        F.lit("both").alias("cohort"), "n_customers"
+    )
+    only1 = h1.exceptAll(h2).agg(F.count(F.lit(1)).alias("n_customers")).select(
+        F.lit("h1_only").alias("cohort"), "n_customers"
+    )
+    return both.unionAll(only1).orderBy("cohort")
+
+
+# --------------------------------------------------------------------------
+# x144 — ntile quartiles of customer spend + per-quartile aggregates:
+# the banding window missing from the x44 distribution set.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x144_ntile_spend_quartiles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+      FROM orders GROUP BY o_custkey
+    ), banded AS (
+      SELECT o_custkey, spend_cents,
+             ntile(4) OVER (ORDER BY spend_cents DESC, o_custkey) AS quartile
+      FROM spend
+    )
+    SELECT quartile, COUNT(*) AS n_customers,
+           CAST(MIN(spend_cents) AS BIGINT) AS min_cents,
+           CAST(MAX(spend_cents) AS BIGINT) AS max_cents,
+           CAST(SUM(spend_cents) AS BIGINT) AS total_cents
+    FROM banded GROUP BY quartile ORDER BY quartile
+    """,
+)
+def x144_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("spend_cents")
+    )
+    w = Window.orderBy(F.desc("spend_cents"), "o_custkey")
+    banded = spend.withColumn("quartile", F.ntile(4).over(w))
+    return (
+        banded.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("spend_cents").alias("min_cents"),
+            F.max("spend_cents").alias("max_cents"),
+            F.sum("spend_cents").alias("total_cents"),
+        )
+        .orderBy("quartile")
+    )
+
+
+# --------------------------------------------------------------------------
+# x145 — mean-pooled embeddings per bucket: element-wise vector mean via
+# posexplode → (bucket, dim) hash agg → ordered array rebuild. Sums run
+# over trunc(v·1e6) int64 components so the pooled vector is bit-exact
+# cross-engine (float sums would be partition-order-dependent). This is
+# the declarative, shuffle-scalable shape for embedding aggregation —
+# no collect_list of whole vectors, no driver math.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x145_meanpool_embeddings",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id % 10 AS bucket, i,
+             CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN range(1, 65) r(i)
+    ), agg AS (
+      SELECT bucket, i, COUNT(*) AS n, SUM(q) AS s FROM comp GROUP BY 1, 2
+    )
+    SELECT bucket,
+           CAST(MIN(n) AS BIGINT) AS n_vectors,
+           list(CAST(s AS BIGINT) // n ORDER BY i) AS mean_micro
+    FROM agg GROUP BY bucket ORDER BY bucket
+    """,
+)
+def x145_meanpool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        (F.col("vec_id") % 10).alias("bucket"),
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda v: (v.cast("double") * 1000000).cast("long"),
+            )
+        ).alias("i0", "q"),
+    ).withColumn("i", (F.col("i0") + 1).cast("long"))
+    agg = comp.groupBy("bucket", "i").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("q").alias("s")
+    )
+    return (
+        agg.withColumn("m", F.expr("s div n"))
+        .groupBy("bucket")
+        .agg(
+            F.min("n").alias("n_vectors"),
+            # ordered array rebuild: sort (i, m) structs, project m
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+            ).alias("mean_micro"),
+        )
+        .orderBy("bucket")
+    )
