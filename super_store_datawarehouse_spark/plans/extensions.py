@@ -4632,3 +4632,77 @@ def x145_meanpool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# x146 — dedup cluster representative selection: after connected
+# components (q43), keep the *best* member per cluster (longest text,
+# ties to lowest id) rather than the arbitrary min-id — the final
+# "which row survives" stage of a near-dup pipeline. One window inside
+# each component partition + one count agg.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x146_dedup_representatives",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE 1000 * n_inter >= 200 * (sa.n_shingles + sb.n_shingles - n_inter)
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ), reach AS (
+      SELECT u, u AS v FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ), comp AS (
+      SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+    ), members AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ), ranked AS (
+      SELECT component, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY component ORDER BY n_chars DESC, doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS n_members
+      FROM members
+    )
+    SELECT component, doc_id AS rep_id, n_chars AS rep_chars,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1 ORDER BY component
+    """,
+)
+def x146_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.graph import dedup_by_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    comp = dedup_by_components(docs, edges).select("doc_id", "component")
+    members = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    wc = Window.partitionBy("component")
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_id"),
+            F.col("n_chars").alias("rep_chars"),
+            "n_members",
+        )
+        .orderBy("component")
+    )

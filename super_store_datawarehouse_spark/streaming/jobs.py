@@ -404,6 +404,60 @@ def stream_upserts_to_txn(
     return batches["n"]
 
 
+def stream_countmin_to_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    depth: int = 4,
+    width: int = 64,
+) -> int:
+    """Maintain a count-min sketch over a token stream: each micro-batch
+    builds its own partial sketch and *adds* it into the persisted one.
+
+    This leans on the sketch's defining algebraic property — counters
+    are sums, so (sketch of A) + (sketch of B) == sketch of A∪B exactly,
+    whatever the batch boundaries. The streaming state is d×W counters
+    total regardless of stream length: the natural shape for "rolling
+    vocabulary frequencies over an unbounded crawl" where exact counts
+    would grow with the vocabulary. ``test_stream_countmin_equals_batch``
+    pins the batch≡stream identity. Returns micro-batches processed.
+    """
+    import shutil
+    import tempfile
+
+    from super_store_datawarehouse_spark.operators.sketches import countmin_build
+
+    ev = read_events_stream(spark, src_dir).select(
+        F.col("event_type").alias("word")
+    )
+    batches = {"n": 0}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = countmin_build(batch_df, "word", depth=depth, width=width)
+        if os.path.isdir(out_dir):
+            state = batch_df.sparkSession.read.parquet(out_dir)
+            merged = (
+                state.unionByName(delta)
+                .groupBy("r", "pos")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = delta
+        tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir))
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.replace(tmp, out_dir)
+        batches["n"] += 1
+
+    q = ev.writeStream.outputMode("append").foreachBatch(merge_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return batches["n"]
+
+
 def stream_lsh_dedup_to_txn(
     spark: SparkSession,
     src_dir: str,

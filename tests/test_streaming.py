@@ -518,3 +518,43 @@ def test_stream_lsh_dedup_matches_one_shot(tmp_path, spark):
     }
     assert got == want
     assert want, "trivially-empty comparison"
+
+
+def test_stream_countmin_equals_batch(tmp_path, spark):
+    """CMS additivity under micro-batching: streaming the events in 3
+    batches and summing partial sketches yields exactly the sketch built
+    in one batch pass."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.operators.sketches import countmin_build
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        stream_countmin_to_parquet,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            str(tmp_path / f"part{i}"), mode="overwrite"
+        )
+        part = [f for f in os.listdir(tmp_path / f"part{i}") if f.endswith(".parquet")][0]
+        os.rename(tmp_path / f"part{i}" / part, os.path.join(src, f"events{i}.parquet"))
+
+    out = str(tmp_path / "sketch")
+    n_batches = stream_countmin_to_parquet(spark, src, out)
+    assert n_batches == 3
+
+    got = {
+        (r["r"], r["pos"]): r["cnt"] for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["r"], r["pos"]): r["cnt"]
+        for r in countmin_build(
+            events.select(F.col("event_type").alias("word")), "word"
+        ).collect()
+    }
+    assert got == want
