@@ -106,7 +106,54 @@ def _stage(df: DataFrame, path: str) -> list[str]:
     return rels
 
 
-def _commit(path: str, files: list[str], op: str, expect_head: int | None) -> int:
+def _collect_stats(path: str, rels: list[str]) -> dict[str, dict[str, list]]:
+    """Per-file column min/max from the parquet footers (no data read).
+
+    Only JSON-safe scalar types (int/float/str) are recorded; columns
+    with missing or exotic stats are simply absent — readers treat
+    absence conservatively (file cannot be skipped on that column).
+    This is the manifest-level stats layer an Iceberg/Delta manifest
+    carries: at 100 TB it is what turns a selective scan into an
+    O(matching-files) read instead of an O(table) read.
+    """
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for rel in rels:
+        meta = pq.ParquetFile(os.path.join(path, rel)).metadata
+        cols: dict[str, list] = {}
+        for rg in range(meta.num_row_groups):
+            group = meta.row_group(rg)
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        continue
+                if not isinstance(mn, (int, float, str)):
+                    continue
+                name = col.path_in_schema
+                if name in cols:
+                    cols[name] = [min(cols[name][0], mn), max(cols[name][1], mx)]
+                else:
+                    cols[name] = [mn, mx]
+        if cols:
+            out[rel] = cols
+    return out
+
+
+def _commit(
+    path: str,
+    files: list[str],
+    op: str,
+    expect_head: int | None,
+    stats: dict[str, dict[str, list]] | None = None,
+) -> int:
     """Atomically publish a manifest; returns the committed version.
 
     ``os.link(tmp, final)`` is the commit point: it either creates the
@@ -120,9 +167,15 @@ def _commit(path: str, files: list[str], op: str, expect_head: int | None) -> in
     os.makedirs(log_dir, exist_ok=True)
     head = expect_head
     new_files = list(files)
+    new_stats = dict(stats or {})
     while True:
         version = (head or 0) + 1
-        manifest = {"version": version, "op": op, "files": new_files}
+        manifest = {
+            "version": version,
+            "op": op,
+            "files": new_files,
+            "stats": {f: new_stats[f] for f in new_files if f in new_stats},
+        }
         tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -138,8 +191,10 @@ def _commit(path: str, files: list[str], op: str, expect_head: int | None) -> in
             if op == "append" and expect_head is not None:
                 # merge: keep our new data files, re-base on the new head
                 staged_only = [f for f in files if f not in _read_manifest(path, expect_head).get("files", [])] if expect_head else files
-                head_files = _read_manifest(path, current)["files"]
+                head_m = _read_manifest(path, current)
+                head_files = head_m["files"]
                 new_files = head_files + [f for f in staged_only if f not in head_files]
+                new_stats = {**head_m.get("stats", {}), **new_stats}
             head = current
 
 
@@ -154,10 +209,13 @@ def txn_write(df: DataFrame, path: str, mode: str = "append") -> int:
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     head, head_files = _snapshot_files(path, None)
     staged = _stage(df, path)
+    stats = _collect_stats(path, staged)
     if mode == "append":
         rel_head = [os.path.relpath(f, path) for f in head_files]
-        return _commit(path, rel_head + staged, "append", head)
-    return _commit(path, staged, "overwrite", head)
+        if head is not None:
+            stats = {**_read_manifest(path, head).get("stats", {}), **stats}
+        return _commit(path, rel_head + staged, "append", head, stats)
+    return _commit(path, staged, "overwrite", head, stats)
 
 
 def txn_read(
@@ -170,6 +228,66 @@ def txn_read(
     if not files:  # an overwrite of an empty frame is legal
         raise ValueError(f"version {v} of {path} lists no files")
     return spark.read.parquet(*files)
+
+
+def txn_prune_files(
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Manifest-level file skipping: absolute paths of the snapshot's
+    files whose [min, max] for ``col`` overlaps [lo, hi] (either bound
+    may be None = unbounded), plus the snapshot's total file count.
+    Files without recorded stats for ``col`` are conservatively kept —
+    skipping is an optimization, never a correctness lever.
+    """
+    v, files = _snapshot_files(path, version)
+    if v is None:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    stats = _read_manifest(path, v).get("stats", {})
+    kept = []
+    for abs_f in files:
+        rel = os.path.relpath(abs_f, path)
+        mm = stats.get(rel, {}).get(col)
+        if mm is None:
+            kept.append(abs_f)
+            continue
+        mn, mx = mm
+        if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+            continue
+        kept.append(abs_f)
+    return kept, len(files)
+
+
+def txn_scan(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with manifest min/max file skipping on one column,
+    plus the residual row filter (skipping prunes whole files; rows
+    inside surviving files still need the predicate). Equivalent to
+    ``txn_read(...).filter(lo <= col <= hi)`` — only faster, because
+    non-overlapping files never reach the Spark scan at all.
+    """
+    from pyspark.sql import functions as F
+
+    kept, _ = txn_prune_files(path, col, lo, hi, version)
+    if not kept:
+        v, files = _snapshot_files(path, version)
+        # preserve schema via an empty read of any snapshot file
+        return spark.read.parquet(*files).limit(0).filter(F.lit(False))
+    df = spark.read.parquet(*kept)
+    if lo is not None:
+        df = df.filter(F.col(col) >= lo)
+    if hi is not None:
+        df = df.filter(F.col(col) <= hi)
+    return df
 
 
 def txn_upsert(

@@ -60,14 +60,14 @@ def test_commit_collision_retries_blind_append(tmp_path, spark):
     original = translog._commit
     state = {"injected": False}
 
-    def racing_commit(p, files, op, expect_head):
+    def racing_commit(p, files, op, expect_head, stats=None):
         if not state["injected"]:
             state["injected"] = True
             # another appender lands version expect_head+1 first (its
             # manifest, like any append, carries the prior snapshot's files)
             prior = translog._read_manifest(p, expect_head)["files"]
             original(p, prior, "append", expect_head)
-        return original(p, files, op, expect_head)
+        return original(p, files, op, expect_head, stats)
 
     translog._commit = racing_commit
     try:
@@ -124,3 +124,64 @@ def test_vacuum_retention_drops_history_not_head(tmp_path, spark):
 def test_read_missing_table_raises(tmp_path, spark):
     with pytest.raises(FileNotFoundError):
         txn_read(spark, str(tmp_path / "nope"))
+
+
+def test_txn_scan_stats_pruning_matches_full_filter(tmp_path, spark):
+    """Manifest min/max skipping: a range predicate reads only the
+    overlapping files, and the result is identical to filtering the full
+    snapshot."""
+    from super_store_datawarehouse_spark.sources.translog import (
+        txn_prune_files,
+        txn_scan,
+    )
+
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        txn_write(
+            spark.range(lo, lo + 100).withColumn("v", F.col("id") * 3).coalesce(1),
+            path,
+        )
+    kept, total = txn_prune_files(path, "id", 120, 180)
+    assert total == 3 and len(kept) == 1
+    got = sorted(r.id for r in txn_scan(spark, path, "id", 120, 180).collect())
+    want = sorted(
+        r.id for r in txn_read(spark, path).filter("id between 120 and 180").collect()
+    )
+    assert got == want and len(got) == 61
+    # unbounded side + conservative keep: no row lost under any bound mix
+    assert txn_scan(spark, path, "id", lo=250).count() == 50
+    assert txn_scan(spark, path, "id", hi=99).count() == 100
+
+
+def test_txn_stats_survive_compaction_and_upsert(tmp_path, spark):
+    """Stats are re-collected for every rewrite path (they all funnel
+    through txn_write), so skipping keeps working after compaction and
+    MERGE."""
+    from super_store_datawarehouse_spark.sources.translog import (
+        txn_prune_files,
+        txn_scan,
+    )
+
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        txn_write(
+            spark.range(lo, lo + 100)
+            .withColumn("v", F.col("id") * 3)
+            .withColumn("version", F.lit(1).cast("long"))
+            .coalesce(1),
+            path,
+        )
+    txn_compact(spark, path, target_file_mb=1, sort_by=["id"])
+    kept, total = txn_prune_files(path, "id", 0, 50)
+    assert len(kept) <= total  # stats present; pruning still legal
+    assert txn_scan(spark, path, "id", 0, 50).count() == 51
+    ups = (
+        spark.range(40, 60)
+        .withColumn("v", F.lit(-1).cast("long"))
+        .withColumn("version", F.lit(2).cast("long"))
+    )
+    txn_upsert(spark, ups, path, ["id"], "version")
+    assert txn_scan(spark, path, "id", 40, 59).count() == 20
+    assert (
+        txn_scan(spark, path, "id", 40, 59).filter("v = -1").count() == 20
+    )
