@@ -4706,3 +4706,151 @@ def x146_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# --------------------------------------------------------------------------
+# x147 — winsorization (percentile clipping) per group: the standard
+# robust-stats cleanup before training-set statistics. Bounds are
+# *nearest-rank* (discrete) percentiles — rank ceil(p·n) via integer
+# (p·n+99) div 100 — so p05/p95 are actual cent values and the whole
+# clip+sum stays in exact int64; interpolated quantile_cont bounds are
+# non-integer and round differently across engines (CAST truncates in
+# Spark, rounds in DuckDB), which is precisely the cross-engine edge
+# this formulation removes. The mean is one IEEE division at the end.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x147_winsorized_spend",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), ranked AS (
+      SELECT o_orderpriority, cents,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS r,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM c
+    ), pct AS (
+      SELECT o_orderpriority,
+             MIN(CASE WHEN r = (5 * n + 99) // 100 THEN cents END) AS p05,
+             MIN(CASE WHEN r = (95 * n + 99) // 100 THEN cents END) AS p95
+      FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT c.o_orderpriority,
+           COUNT(*) AS n_orders,
+           pct.p05 AS p05_cents, pct.p95 AS p95_cents,
+           CAST(SUM(GREATEST(pct.p05, LEAST(pct.p95, c.cents))) AS BIGINT) AS sum_clipped,
+           CAST(SUM(GREATEST(pct.p05, LEAST(pct.p95, c.cents))) AS DOUBLE)
+             / COUNT(*) AS winsorized_mean_cents
+    FROM c JOIN pct USING (o_orderpriority)
+    GROUP BY c.o_orderpriority, pct.p05, pct.p95
+    ORDER BY c.o_orderpriority
+    """,
+)
+def x147_winsorized_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderpriority", cents("o_totalprice").alias("cents")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents")
+    wg = Window.partitionBy("o_orderpriority")
+    ranked = c.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wg)
+    )
+    pct = ranked.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.expr("r = (5 * n + 99) div 100"), F.col("cents"))).alias("p05"),
+        F.min(F.when(F.expr("r = (95 * n + 99) div 100"), F.col("cents"))).alias("p95"),
+    )
+    clipped = c.join(F.broadcast(pct), "o_orderpriority").withColumn(
+        "clip", F.greatest("p05", F.least("p95", F.col("cents")))
+    )
+    return (
+        clipped.groupBy("o_orderpriority", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("clip").alias("sum_clipped"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("p05").alias("p05_cents"),
+            F.col("p95").alias("p95_cents"),
+            "sum_clipped",
+            (
+                F.col("sum_clipped").cast("double") / F.col("n_orders")
+            ).alias("winsorized_mean_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# x148 — cross-split embedding contamination: for every non-train
+# vector, its nearest train vector by cosine — the embedding-space twin
+# of q25's n-gram contamination audit (decontamination as run for LLM
+# eval suites). Splits come from the oracled deterministic hash
+# splitter (q39); cosines are the bit-exact fold, so the top-1 ranking
+# replays identically in DuckDB. Exact-baseline formulation; the
+# IVF/LSH modules bound the candidate set at production scale.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x148_cross_split_embedding_contamination",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             CASE WHEN bucket < 8000 THEN 'train'
+                  WHEN bucket < 9000 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(embedding AS DOUBLE[]) AS v,
+             sqrt({_COSINE_FOLD.format(a='CAST(embedding AS DOUBLE[])', b='CAST(embedding AS DOUBLE[])')}) AS nrm
+      FROM (SELECT *, {_bucket_sql('vec_id')} AS bucket FROM embeddings)
+    ), ev AS (
+      SELECT * FROM e WHERE split <> 'train' AND nrm > 0
+    ), tr AS (
+      SELECT * FROM e WHERE split = 'train' AND nrm > 0
+    ), scored AS (
+      SELECT ev.vec_id AS eval_id, ev.split, tr.vec_id AS train_id,
+             {_COSINE_FOLD.format(a='ev.v', b='tr.v')} / (ev.nrm * tr.nrm) AS cosine
+      FROM ev CROSS JOIN tr
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY eval_id ORDER BY cosine DESC, train_id
+      ) AS rn
+      FROM scored
+    )
+    SELECT eval_id, split, train_id, cosine FROM ranked WHERE rn = 1
+    ORDER BY eval_id
+    """,
+)
+def x148_cross_split_embedding_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sampling import split_column
+    from super_store_datawarehouse_spark.operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = (
+        emb.select(
+            "vec_id",
+            split_column("vec_id").alias("split"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .filter(F.col("nrm") > 0)
+    )
+    ev = e.filter(F.col("split") != "train").alias("ev")
+    tr = e.filter(F.col("split") == "train").alias("tr")
+    scored = ev.crossJoin(F.broadcast(tr)).select(
+        F.col("ev.vec_id").alias("eval_id"),
+        F.col("ev.split").alias("split"),
+        F.col("tr.vec_id").alias("train_id"),
+        (
+            dot(F.col("ev.v"), F.col("tr.v")) / (F.col("ev.nrm") * F.col("tr.nrm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("eval_id").orderBy(F.desc("cosine"), "train_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("eval_id", "split", "train_id", "cosine")
+        .orderBy("eval_id")
+    )
