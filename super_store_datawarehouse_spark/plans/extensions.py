@@ -4854,3 +4854,51 @@ def x148_cross_split_embedding_contamination(
         .select("eval_id", "split", "train_id", "cosine")
         .orderBy("eval_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x149 — event-transition mining (Markov path analysis): per user in
+# timestamp order (event_id tiebreak), count (prev → next) event-type
+# transitions, plus each transition's share of its source state's
+# outgoing edges in exact per-mille. One lag window inside each user
+# partition + one hash agg — row-cardinality work stays partitioned by
+# user at any scale.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x149_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ), trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ), outdeg AS (
+      SELECT prev_type, SUM(n_trans) AS n_out FROM trans GROUP BY 1
+    )
+    SELECT t.prev_type, t.next_type, t.n_trans,
+           CAST((t.n_trans * 1000) // o.n_out AS BIGINT) AS share_pm
+    FROM trans t JOIN outdeg o USING (prev_type)
+    ORDER BY t.prev_type, t.next_type
+    """,
+)
+def x149_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.withColumn("prev_type", F.lag("event_type").over(w))
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    outdeg = trans.groupBy("prev_type").agg(F.sum("n_trans").alias("n_out"))
+    return (
+        trans.join(F.broadcast(outdeg), "prev_type")
+        .withColumn("share_pm", F.expr("(n_trans * 1000) div n_out"))
+        .select("prev_type", "next_type", "n_trans", "share_pm")
+        .orderBy("prev_type", "next_type")
+    )
