@@ -4902,3 +4902,98 @@ def x149_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("prev_type", "next_type", "n_trans", "share_pm")
         .orderBy("prev_type", "next_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x150 — ANN recall evaluation: per query, how many of IVF's (q42)
+# top-5 appear in the exact brute-force (q20) top-5 — the standard
+# recall@k quality harness every ANN deployment runs. Both inputs are
+# deterministic oracled queries, so even the *evaluation* is value-
+# oracled: the SQL replays both constructions verbatim as prefixed CTEs
+# and joins them exactly as the Spark side joins the two operators.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x150_ann_recall_eval",
+    oracle=f"""
+    WITH be AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt({_E_FOLD}) AS nrm
+      FROM embeddings
+    ), bq AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM be WHERE vec_id < 10
+    ), bscored AS (
+      SELECT bq.query_id, be.vec_id AS neighbor_id,
+             {_COSINE_FOLD.format(a='qv', b='v')} / (bq.qnrm * be.nrm) AS cosine
+      FROM bq JOIN be ON be.vec_id != bq.query_id
+    ), btop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM bscored
+      ) WHERE rank <= 5
+    ), ie0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt({_E_FOLD}) AS nrm
+      FROM embeddings
+    ), ie AS (SELECT * FROM ie0 WHERE nrm > 0),
+    icent AS (
+      SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+      FROM ie WHERE {_bucket_sql('vec_id', 7)} < 300
+    ),
+    ica AS (
+      SELECT neighbor_id, centroid_id FROM (
+        SELECT ie.vec_id AS neighbor_id, icent.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY ie.vec_id
+                 ORDER BY {_COSINE_FOLD.format(a='ie.v', b='icent.cv')} / (ie.nrm * icent.cnrm) DESC,
+                          icent.centroid_id) AS rn
+        FROM ie CROSS JOIN icent
+      ) WHERE rn = 1
+    ),
+    iqa AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT ie.vec_id AS query_id, icent.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY ie.vec_id
+                 ORDER BY {_COSINE_FOLD.format(a='ie.v', b='icent.cv')} / (ie.nrm * icent.cnrm) DESC,
+                          icent.centroid_id) AS rn
+        FROM ie CROSS JOIN icent
+        WHERE ie.vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    iscored AS (
+      SELECT DISTINCT iqa.query_id, ica.neighbor_id,
+             {_COSINE_FOLD.format(a='qe.v', b='ce.v')} / (qe.nrm * ce.nrm) AS cosine
+      FROM iqa
+      JOIN ica ON ica.centroid_id = iqa.centroid_id
+      JOIN ie qe ON qe.vec_id = iqa.query_id
+      JOIN ie ce ON ce.vec_id = ica.neighbor_id
+      WHERE iqa.query_id != ica.neighbor_id
+    ),
+    itop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM iscored
+      ) WHERE rank <= 5
+    )
+    SELECT b.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST((COUNT(i.neighbor_id) * 1000) // 5 AS BIGINT) AS recall_pm
+    FROM btop b LEFT JOIN itop i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id ORDER BY b.query_id
+    """,
+)
+def x150_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute = q20_ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = (
+        q42_ivf_ann_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .withColumn("recall_pm", F.expr("(n_hits * 1000) div 5"))
+        .orderBy("query_id")
+    )
