@@ -4997,3 +4997,90 @@ def x150_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("recall_pm", F.expr("(n_hits * 1000) div 5"))
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x151 — MinHash estimation accuracy eval: for each exact-Jaccard pair
+# (q17 construction), the fraction of matching portable-MinHash
+# components (q50 construction) in per-mille next to the true Jaccard —
+# the dedup twin of x150's ANN recall eval. Both inputs are bit-exact
+# oracled machinery, so the sketch-accuracy measurement itself is
+# value-oracled.
+# --------------------------------------------------------------------------
+_X151_MATCHES = " + ".join(
+    f"CASE WHEN a.m{j:02d} = b.m{j:02d} THEN 1 ELSE 0 END" for j in range(16)
+)
+
+
+@harness_query(
+    "x151_minhash_estimate_eval",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b,
+             CAST(n_inter AS DOUBLE)
+               / CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE 1000 * n_inter >= 200 * (sa.n_shingles + sb.n_shingles - n_inter)
+    ), h AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split_regex(shingle, ''),
+                                ch -> CAST(ascii(ch) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % 2147483648) AS hs
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, {_X73_MINS}
+      FROM h GROUP BY doc_id
+    )
+    SELECT p.id_a, p.id_b, p.jaccard,
+           CAST({_X151_MATCHES} AS BIGINT) AS n_match,
+           CAST((({_X151_MATCHES}) * 1000) // 16 AS BIGINT) AS est_pm
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.id_a
+    JOIN sig b ON b.doc_id = p.id_b
+    ORDER BY p.id_a, p.id_b
+    """,
+)
+def x151_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.dedup import (
+        minhash_portable,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    sig = minhash_portable(docs, n=3, num_hashes=16)
+    a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"m{j:02d}").alias(f"a{j:02d}") for j in range(16)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"m{j:02d}").alias(f"b{j:02d}") for j in range(16)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{j:02d}") == F.col(f"b{j:02d}"), 1).otherwise(0)
+        for j in range(16)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_match", n_match.cast("long"))
+        .withColumn("est_pm", F.expr("(n_match * 1000) div 16"))
+        .select("id_a", "id_b", "jaccard", "n_match", "est_pm")
+        .orderBy("id_a", "id_b")
+    )

@@ -106,3 +106,64 @@ def test_incremental_merge_equals_full_for_any_split(spark, rows, cut):
         # drop the sentinel key before comparing real aggregates
         got.pop(99, None), want.pop(99, None)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "x"]),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_countmin_estimate_upper_bounds_truth(spark, words):
+    """For ANY token stream: est ≥ true for every token, and the sketch
+    total per row equals the stream length (counters are conservative
+    and additive)."""
+    from collections import Counter
+
+    from super_store_datawarehouse_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    toks = spark.createDataFrame([(w,) for w in words], ["word"])
+    sketch = countmin_build(toks, "word", depth=3, width=8)
+    per_row = Counter()
+    for r in sketch.collect():
+        per_row[r["r"]] += r["cnt"]
+    assert all(v == len(words) for v in per_row.values())
+    est = {
+        r["word"]: r["est_cnt"]
+        for r in countmin_estimate(
+            sketch, toks.distinct(), "word", depth=3, width=8
+        ).collect()
+    }
+    truth = Counter(words)
+    assert all(est[w] >= c for w, c in truth.items())
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=30),
+    probes=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=0, max_size=30),
+)
+def test_bloom_prefilter_never_drops_members(spark, keys, probes):
+    """For ANY build/probe sets: every probe row whose key is in the
+    build set survives the Bloom prefilter (no false negatives)."""
+    from super_store_datawarehouse_spark.operators.runtime_filter import (
+        bloom_prefilter,
+        build_bloom,
+    )
+
+    build = spark.createDataFrame([(k,) for k in keys], "k long")
+    probe = spark.createDataFrame([(p,) for p in probes], "k long") if probes else None
+    if probe is None:
+        return
+    bloom = build_bloom(build, "k", n_bits=1 << 12, n_hashes=3)
+    kept = [r["k"] for r in bloom_prefilter(probe, "k", bloom).collect()]
+    member = set(keys)
+    from collections import Counter
+
+    kept_c, want_c = Counter(kept), Counter(p for p in probes if p in member)
+    assert all(kept_c[k] >= c for k, c in want_c.items())
