@@ -133,7 +133,12 @@ def bloom_join(
     if how not in ("inner", "semi", "left_semi", "leftsemi"):
         raise ValueError(f"bloom_join supports inner/semi joins, not {how!r}")
     bloom = build_bloom(build, on, n_hashes=n_hashes)
-    return bloom_prefilter(probe, on, bloom).join(build, on, how)
+    # Pin the broadcast to the build side: the prefiltered probe comes out
+    # of mapInPandas with no size statistics, and Catalyst's default
+    # estimate can otherwise pick the PROBE as the broadcast side — fine
+    # at test scale, catastrophic at 100 TB where the prefiltered fact is
+    # still huge. The build side already fit in memory to build the bloom.
+    return bloom_prefilter(probe, on, bloom).join(F.broadcast(build), on, how)
 
 
 def runtime_filter_selectivity(col: Column) -> Column:

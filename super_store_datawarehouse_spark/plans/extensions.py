@@ -4104,7 +4104,7 @@ def x135_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch prunes probe rows before the shuffle; no false negatives + real
 # join after = final result bit-identical to the plain join, so the
 # oracle is simply the unfiltered join. The build side (one nation's
-# suppliers, ~4% of keys) is exactly the selective-dim shape where
+# suppliers, ~4% of keys (NATION_9)) is exactly the selective-dim shape where
 # dynamic filtering pays at 100 TB: ~96% of lineitem dies map-side.
 # --------------------------------------------------------------------------
 @harness_query(
@@ -4116,7 +4116,7 @@ def x135_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE n.n_name = 'FRANCE'
+    WHERE n.n_name = 'NATION_9'
     GROUP BY s.s_suppkey, s.s_name
     ORDER BY s.s_suppkey
     """,
@@ -4124,7 +4124,7 @@ def x135_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x136_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.runtime_filter import bloom_join
 
-    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "FRANCE")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
     supp = (
         load_table(spark, sf_dir, "supplier")
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))

@@ -1454,8 +1454,8 @@ def x96_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation ns ON s.s_nationkey = ns.n_nationkey
     JOIN nation nc ON c.c_nationkey = nc.n_nationkey
-    WHERE (ns.n_name = 'FRANCE' AND nc.n_name = 'GERMANY')
-       OR (ns.n_name = 'GERMANY' AND nc.n_name = 'FRANCE')
+    WHERE (ns.n_name = 'NATION_8' AND nc.n_name = 'NATION_9')
+       OR (ns.n_name = 'NATION_9' AND nc.n_name = 'NATION_8')
     GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
 )
@@ -1468,8 +1468,8 @@ def x97_bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
     nc = n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation"))
     pair = (
-        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
-    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        (F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_9")
+    ) | ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_8"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -1510,7 +1510,7 @@ def x97_bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
     )
     SELECT o_year,
-           CAST(SUM(CASE WHEN supp_nation = 'FRANCE' THEN rev_cents ELSE 0 END) AS DOUBLE)
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_8' THEN rev_cents ELSE 0 END) AS DOUBLE)
              / CAST(SUM(rev_cents) AS DOUBLE) AS mkt_share,
            CAST(SUM(rev_cents) AS DOUBLE) / 100.0 AS total_volume
     FROM vol GROUP BY 1 ORDER BY 1
@@ -1553,7 +1553,7 @@ def x98_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.sum(
-                    F.when(F.col("supp_nation") == "FRANCE", F.col("rev_cents")).otherwise(0)
+                    F.when(F.col("supp_nation") == "NATION_8", F.col("rev_cents")).otherwise(0)
                 ).cast("double")
                 / F.sum("rev_cents").cast("double")
             ).alias("mkt_share"),
