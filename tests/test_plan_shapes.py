@@ -70,3 +70,23 @@ def test_x01_dedup_scans_only_needed_columns(plans):
     assert m, p
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"doc_id", "text"}
+
+
+def test_x136_bloom_join_broadcasts_build_side(plans):
+    """The Bloom-prefiltered probe exits mapInPandas with no size stats;
+    the join must still broadcast the BUILD side (BuildRight under the
+    explicit hint), never the fact side."""
+    p = plans("x136_bloom_filter_join")
+    join_lines = [
+        ln for ln in p.splitlines()
+        if "BroadcastHashJoin [s_suppkey" in ln
+    ]
+    assert join_lines and all("BuildRight" in ln for ln in join_lines)
+    # the Arrow prefilter node exists and is NOT inside a broadcast:
+    assert "ArrowEvalPython" in p or "MapInPandas" in p
+
+
+def test_x141_countmin_estimate_broadcasts_sketch(plans):
+    """The d*W sketch is the broadcast side of the estimate join."""
+    p = plans("x141_countmin_freq")
+    assert "BroadcastHashJoin" in p
