@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # splitmix64 constants (Steele et al., public domain reference mixer).
@@ -139,8 +139,3 @@ def bloom_join(
     # at test scale, catastrophic at 100 TB where the prefiltered fact is
     # still huge. The build side already fit in memory to build the bloom.
     return bloom_prefilter(probe, on, bloom).join(F.broadcast(build), on, how)
-
-
-def runtime_filter_selectivity(col: Column) -> Column:
-    """Helper used by tests/diagnostics: fraction of rows surviving."""
-    return F.avg(F.when(col, 1.0).otherwise(0.0))
