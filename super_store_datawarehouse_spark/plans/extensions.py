@@ -5084,3 +5084,48 @@ def x151_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "jaccard", "n_match", "est_pm")
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# x152 — positional-index phrase search: occurrences of the exact
+# phrase "data query" via the positional postings join (w₁ at p, w₂ at
+# p+1, same doc) — the standard phrase-query plan over an inverted
+# index (x52/q44 cover the frequency side; this adds positions). The
+# per-term filters cut the postings before the join, so the join sides
+# are |postings(w₁)| and |postings(w₂)|, not the corpus.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x152_phrase_search",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, i AS pos, ws[i] AS word FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS ws
+        FROM documents
+      ), UNNEST(range(1, len(ws) + 1)) AS t(i)
+    )
+    SELECT a.doc_id, COUNT(*) AS n_occurrences
+    FROM pos a JOIN pos b
+      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.word = 'data' AND b.word = 'query'
+    GROUP BY a.doc_id ORDER BY a.doc_id
+    """,
+)
+def x152_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(words("text")).alias("p0", "word")
+    ).withColumn("pos", (F.col("p0") + 1).cast("long"))
+    a = pos.filter(F.col("word") == "data").select("doc_id", "pos")
+    b = pos.filter(F.col("word") == "query").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy("doc_id")
+    )
