@@ -5129,3 +5129,100 @@ def x152_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x153 — funnel time-to-convert: latency distribution of each funnel
+# transition (x47's strict-ordering stages), with the median as a
+# nearest-rank integer-microsecond statistic (same cross-engine-safe
+# formulation as x147) plus min/max/count. Everything stays in int64
+# epoch-micros end to end.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x153_funnel_latency",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events
+    ), v AS (
+      SELECT user_id, MIN(tus) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(tus) AS t_click
+      FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND tus > t_view GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(tus) AS t_purchase
+      FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND tus > t_click GROUP BY e.user_id
+    ), l AS (
+      SELECT 'view_to_click' AS transition, c.t_click - v.t_view AS lat_us
+      FROM c JOIN v USING (user_id)
+      UNION ALL
+      SELECT 'click_to_purchase' AS transition, p.t_purchase - c.t_click AS lat_us
+      FROM p JOIN c USING (user_id)
+    ), ranked AS (
+      SELECT transition, lat_us,
+             row_number() OVER (PARTITION BY transition ORDER BY lat_us) AS r,
+             COUNT(*) OVER (PARTITION BY transition) AS n
+      FROM l
+    )
+    SELECT transition,
+           CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(MIN(lat_us) AS BIGINT) AS min_us,
+           CAST(MAX(lat_us) AS BIGINT) AS max_us,
+           CAST(MIN(CASE WHEN r = (50 * n + 99) // 100 THEN lat_us END) AS BIGINT) AS median_us
+    FROM ranked GROUP BY transition ORDER BY transition
+    """,
+)
+def x153_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t_view"))
+    )
+    c = (
+        events.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("tus") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t_click"))
+    )
+    p = (
+        events.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("tus") > F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t_purchase"))
+    )
+    l = (
+        c.join(v, "user_id")
+        .select(
+            F.lit("view_to_click").alias("transition"),
+            (F.col("t_click") - F.col("t_view")).alias("lat_us"),
+        )
+        .unionByName(
+            p.join(c, "user_id").select(
+                F.lit("click_to_purchase").alias("transition"),
+                (F.col("t_purchase") - F.col("t_click")).alias("lat_us"),
+            )
+        )
+    )
+    w = Window.partitionBy("transition").orderBy("lat_us")
+    wg = Window.partitionBy("transition")
+    ranked = l.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wg)
+    )
+    return (
+        ranked.groupBy("transition")
+        .agg(
+            F.max("n").alias("n_users"),
+            F.min("lat_us").alias("min_us"),
+            F.max("lat_us").alias("max_us"),
+            F.min(
+                F.when(F.expr("r = (50 * n + 99) div 100"), F.col("lat_us"))
+            ).alias("median_us"),
+        )
+        .orderBy("transition")
+    )
