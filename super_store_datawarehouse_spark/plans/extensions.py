@@ -5226,3 +5226,65 @@ def x153_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("transition")
     )
+
+
+# --------------------------------------------------------------------------
+# x154 — event-rate anomaly detection: flag hours whose event count
+# exceeds the trailing-24h mean by 2σ, with the z-test algebraically
+# cleared of ALL floating point: (c−μ) > 2σ over the ROWS frame
+# rewrites to excess = c·n − s > 0 AND excess² > 4·(n·s2 − s²), pure
+# int64 on both engines (σ² = (n·s2 − s²)/n², μ = s/n). The trailing
+# moments come from one ROWS-frame window over the hourly rollup —
+# group-cardinality data, not row-cardinality.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x154_event_rate_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT hr, cnt,
+             COUNT(*)            OVER w AS n_prev,
+             COALESCE(SUM(cnt)       OVER w, 0) AS s,
+             COALESCE(SUM(cnt * cnt) OVER w, 0) AS s2
+      FROM hourly
+      WINDOW w AS (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hr, cnt,
+           CAST(n_prev AS BIGINT) AS n_prev,
+           CAST(cnt * n_prev - s AS BIGINT) AS excess_n,
+           (n_prev >= 12 AND cnt * n_prev - s > 0
+            AND (cnt * n_prev - s) * (cnt * n_prev - s)
+                > 4 * (n_prev * s2 - s * s)) AS is_anomaly
+    FROM m ORDER BY hr
+    """,
+)
+def x154_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("hr").rowsBetween(-24, -1)
+    m = (
+        hourly.withColumn("n_prev", F.count(F.lit(1)).over(w))
+        .withColumn("s", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .withColumn(
+            "s2", F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(w), F.lit(0))
+        )
+    )
+    return m.select(
+        "hr",
+        "cnt",
+        F.col("n_prev").cast("long").alias("n_prev"),
+        (F.col("cnt") * F.col("n_prev") - F.col("s")).alias("excess_n"),
+        (
+            (F.col("n_prev") >= 12)
+            & (F.col("cnt") * F.col("n_prev") - F.col("s") > 0)
+            & (
+                (F.col("cnt") * F.col("n_prev") - F.col("s"))
+                * (F.col("cnt") * F.col("n_prev") - F.col("s"))
+                > 4 * (F.col("n_prev") * F.col("s2") - F.col("s") * F.col("s"))
+            )
+        ).alias("is_anomaly"),
+    ).orderBy("hr")
