@@ -334,6 +334,42 @@ def txn_compact(
     return txn_write(out, path, mode="overwrite")
 
 
+def txn_diff_versions(path: str, v_old: int, v_new: int) -> dict:
+    """Describe what changed between two committed snapshots: file-level
+    churn, exact row-count delta, and schema drift (columns added /
+    removed / retyped) — the audit a pipeline runs before promoting a
+    new table version. Everything comes from manifests + parquet
+    footers; no Spark session and no data read.
+    """
+    import pyarrow.parquet as pq
+
+    _, files_old = _snapshot_files(path, v_old)
+    _, files_new = _snapshot_files(path, v_new)
+    so, sn = set(files_old), set(files_new)
+
+    def rows(files: list[str]) -> int:
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+    def schema(files: list[str]) -> dict[str, str]:
+        if not files:
+            return {}
+        s = pq.read_schema(files[0])
+        return {f.name: str(f.type) for f in s}
+
+    sch_o, sch_n = schema(files_old), schema(files_new)
+    return {
+        "files_added": len(sn - so),
+        "files_removed": len(so - sn),
+        "rows_old": rows(files_old),
+        "rows_new": rows(files_new),
+        "columns_added": sorted(set(sch_n) - set(sch_o)),
+        "columns_removed": sorted(set(sch_o) - set(sch_n)),
+        "columns_retyped": sorted(
+            c for c in set(sch_o) & set(sch_n) if sch_o[c] != sch_n[c]
+        ),
+    }
+
+
 def txn_vacuum(path: str, keep_versions: int = 1) -> int:
     """Garbage-collect: retain the newest ``keep_versions`` manifests,
     delete older manifests plus any data file none of the retained

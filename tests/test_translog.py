@@ -185,3 +185,24 @@ def test_txn_stats_survive_compaction_and_upsert(tmp_path, spark):
     assert (
         txn_scan(spark, path, "id", 40, 59).filter("v = -1").count() == 20
     )
+
+
+def test_txn_diff_versions_reports_churn_rows_and_schema_drift(tmp_path, spark):
+    from super_store_datawarehouse_spark.sources.translog import txn_diff_versions
+
+    path = str(tmp_path / "t")
+    txn_write(spark.range(0, 100).withColumn("v", F.col("id") * 2), path)       # v1
+    txn_write(spark.range(100, 130).withColumn("v", F.col("id") * 2), path)     # v2 append
+    txn_write(                                                                   # v3 overwrite, drift
+        spark.range(0, 50).withColumn("w", F.lit("x")),
+        path,
+        mode="overwrite",
+    )
+    d12 = txn_diff_versions(path, 1, 2)
+    assert d12["rows_old"] == 100 and d12["rows_new"] == 130
+    assert d12["files_added"] > 0 and d12["files_removed"] == 0
+    assert d12["columns_added"] == [] and d12["columns_removed"] == []
+    d23 = txn_diff_versions(path, 2, 3)
+    assert d23["rows_new"] == 50
+    assert d23["columns_added"] == ["w"] and d23["columns_removed"] == ["v"]
+    assert d23["files_removed"] > 0
