@@ -5288,3 +5288,50 @@ def x154_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_anomaly"),
     ).orderBy("hr")
+
+
+# --------------------------------------------------------------------------
+# x155 — token-budget corpus selection: fill a fixed token budget with
+# the best documents (quality rank = longest first, id ties), the
+# greedy prefix selection every "top-N-tokens" training-mix build uses.
+# One global rank window + running-sum frame over doc-cardinality
+# metadata (id, tokens) — never over text; budget cut in exact int64.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x155_token_budget_selection",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_chars, tokens,
+             CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk,
+             CAST(SUM(tokens) OVER (
+               ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT rnk, doc_id, tokens, cum_tokens
+    FROM ranked WHERE cum_tokens <= 20000 ORDER BY rnk
+    """,
+)
+def x155_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "n_chars", F.size(words("text")).cast("long").alias("tokens")
+    )
+    w = Window.orderBy(F.desc("n_chars"), "doc_id")
+    ranked = t.withColumn("rnk", F.row_number().over(w).cast("long")).withColumn(
+        "cum_tokens",
+        F.sum("tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        ranked.filter(F.col("cum_tokens") <= 20000)
+        .select("rnk", "doc_id", "tokens", "cum_tokens")
+        .orderBy("rnk")
+    )
