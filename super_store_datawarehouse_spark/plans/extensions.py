@@ -5335,3 +5335,108 @@ def x155_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rnk", "doc_id", "tokens", "cum_tokens")
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# x156 — repeat-purchase analysis: per customer, the gap to their
+# second order (lead over the per-customer date sequence, event_id-free
+# deterministic ordering by date + orderkey), rolled into the share of
+# customers who reorder within 30 days — integer day math end to end.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x156_repeat_purchase_30d",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS d,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS rn,
+             lead(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS next_d
+      FROM orders
+    ), firsts AS (
+      SELECT o_custkey,
+             CASE WHEN next_d IS NULL THEN NULL
+                  ELSE date_diff('day', d, next_d) END AS gap_days
+      FROM seq WHERE rn = 1
+    )
+    SELECT COUNT(*) AS n_customers,
+           CAST(SUM(CASE WHEN gap_days IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reordered,
+           CAST(SUM(CASE WHEN gap_days <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_30d,
+           CAST((SUM(CASE WHEN gap_days <= 30 THEN 1 ELSE 0 END) * 1000)
+                // COUNT(*) AS BIGINT) AS share_pm
+    FROM firsts
+    """,
+)
+def x156_repeat_purchase_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.row_number().over(w).alias("rn"),
+        F.lead(F.col("o_orderdate").cast("date")).over(w).alias("next_d"),
+    )
+    firsts = seq.filter(F.col("rn") == 1).select(
+        "o_custkey", F.datediff("next_d", "d").alias("gap_days")
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("gap_days").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reordered"),
+        F.sum(F.when(F.col("gap_days") <= 30, 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_30d"),
+    ).withColumn("share_pm", F.expr("(n_within_30d * 1000) div n_customers"))
+
+
+# --------------------------------------------------------------------------
+# x157 — supplier concentration (Herfindahl-Hirschman index) per part
+# type: HHI = Σ shareᵢ², computed over integer per-mille shares so the
+# index (0..1,000,000) is bit-exact. Two hash aggs (supplier volume,
+# type totals) + one broadcast join; the share square never leaves
+# int64 (≤ 1e6 per supplier, ≤ 1e12 summed).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x157_supplier_hhi",
+    oracle="""
+    WITH vol AS (
+      SELECT p.p_type, l.l_suppkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT p_type, CAST(SUM(cents) AS BIGINT) AS total_cents FROM vol GROUP BY 1
+    ), shares AS (
+      SELECT v.p_type, (v.cents * 1000) // t.total_cents AS share_pm
+      FROM vol v JOIN tot t USING (p_type)
+    )
+    SELECT p_type,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(share_pm * share_pm) AS BIGINT) AS hhi_ppm
+    FROM shares GROUP BY p_type ORDER BY p_type
+    """,
+)
+def x157_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("cents"))
+    )
+    tot = vol.groupBy("p_type").agg(F.sum("cents").alias("total_cents"))
+    shares = vol.join(F.broadcast(tot), "p_type").withColumn(
+        "share_pm", F.expr("(cents * 1000) div total_cents")
+    )
+    return (
+        shares.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("share_pm") * F.col("share_pm")).alias("hhi_ppm"),
+        )
+        .orderBy("p_type")
+    )
