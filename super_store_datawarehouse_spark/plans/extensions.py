@@ -5440,3 +5440,67 @@ def x157_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x158 — market-basket affinity: brand pairs co-occurring in the same
+# order, with support and an integer-ppm lift ((P(a,b)/(P(a)·P(b)))
+# scaled by the order count — bit-exact as (co·N·1e6) div (ca·cb)).
+# Distinct-brands-per-order first (bounded fanout), then the canonical
+# a<b self-join inside each order.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x158_brand_affinity",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob
+    ), brand_cnt AS (
+      SELECT p_brand, COUNT(*) AS c FROM ob GROUP BY 1
+    ), pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS support
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, support,
+           CAST((support * n.n_orders * 1000000) // (ca.c * cb.c) AS BIGINT) AS lift_ppm
+    FROM pairs
+    JOIN brand_cnt ca ON ca.p_brand = brand_a
+    JOIN brand_cnt cb ON cb.p_brand = brand_b
+    CROSS JOIN n
+    WHERE support >= 20
+    ORDER BY brand_a, brand_b
+    """,
+)
+def x158_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    brand_cnt = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 20)
+    )
+    ca = brand_cnt.select(F.col("p_brand").alias("brand_a"), F.col("c").alias("ca"))
+    cb = brand_cnt.select(F.col("p_brand").alias("brand_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .withColumn("lift_ppm", F.expr("(support * n_orders * 1000000) div (ca * cb)"))
+        .select("brand_a", "brand_b", "support", "lift_ppm")
+        .orderBy("brand_a", "brand_b")
+    )
