@@ -90,3 +90,27 @@ def test_x141_countmin_estimate_broadcasts_sketch(plans):
     """The d*W sketch is the broadcast side of the estimate join."""
     p = plans("x141_countmin_freq")
     assert "BroadcastHashJoin" in p
+
+
+def test_q19_lsh_has_no_cartesian_product(plans):
+    """MinHash-LSH must pair documents through the band-bucket equi-join
+    — a CartesianProduct/BroadcastNestedLoop anywhere means the sketch
+    degenerated to all-pairs."""
+    p = plans("q19_minhash_lsh_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q33_ivfadc_has_no_cartesian_product(plans):
+    """IVFADC's candidate generation must flow through the centroid
+    equi-join (cell-bounded), never a cross product against the corpus."""
+    p = plans("q33_pq_ivf_ann_topk")
+    assert "CartesianProduct" not in p
+
+
+def test_x135_semantic_dedup_pairs_join_on_cluster(plans):
+    """SemDeDup's pair join must be keyed on the k-means cluster (hash
+    join on cluster equality), not an unbounded inequality-only join."""
+    p = plans("x135_semantic_dedup_pairs")
+    assert "CartesianProduct" not in p
+    assert "cluster" in p
