@@ -410,6 +410,7 @@ def stream_countmin_to_parquet(
     out_dir: str,
     depth: int = 4,
     width: int = 64,
+    checkpoint: str | None = None,
 ) -> int:
     """Maintain a count-min sketch over a token stream: each micro-batch
     builds its own partial sketch and *adds* it into the persisted one.
@@ -419,8 +420,17 @@ def stream_countmin_to_parquet(
     whatever the batch boundaries. The streaming state is d×W counters
     total regardless of stream length: the natural shape for "rolling
     vocabulary frequencies over an unbounded crawl" where exact counts
-    would grow with the vocabulary. ``test_stream_countmin_equals_batch``
-    pins the batch≡stream identity. Returns micro-batches processed.
+    would grow with the vocabulary.
+
+    Exactly-once: an additive sink is NOT naturally idempotent —
+    foreachBatch is at-least-once, and replaying a batch after a crash
+    would double-add it. The sink therefore records the last applied
+    batch_id next to the sketch and skips batches at-or-below it (the
+    standard transactional-foreachBatch pattern), making restart from
+    ``checkpoint`` re-add nothing. ``test_stream_countmin_equals_batch``
+    pins batch≡stream; ``test_stream_countmin_restart_exactly_once``
+    pins the restart path. Returns micro-batches processed (skips
+    excluded).
     """
     import shutil
     import tempfile
@@ -431,8 +441,18 @@ def stream_countmin_to_parquet(
         F.col("event_type").alias("word")
     )
     batches = {"n": 0}
+    applied_marker = out_dir + ".applied_batch"
+
+    def last_applied() -> int:
+        try:
+            with open(applied_marker) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return -1
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_applied():
+            return  # replayed batch: already folded into the sketch
         delta = countmin_build(batch_df, "word", depth=depth, width=width)
         if os.path.isdir(out_dir):
             state = batch_df.sparkSession.read.parquet(out_dir)
@@ -448,9 +468,15 @@ def stream_countmin_to_parquet(
         if os.path.isdir(out_dir):
             shutil.rmtree(out_dir)
         os.replace(tmp, out_dir)
+        with open(applied_marker + ".tmp", "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(applied_marker + ".tmp", applied_marker)
         batches["n"] += 1
 
-    q = ev.writeStream.outputMode("append").foreachBatch(merge_batch).start()
+    writer = ev.writeStream.outputMode("append").foreachBatch(merge_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
     try:
         q.processAllAvailable()
     finally:

@@ -558,3 +558,48 @@ def test_stream_countmin_equals_batch(tmp_path, spark):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_countmin_restart_exactly_once(tmp_path, spark):
+    """Restarting the checkpointed CMS stream after new files arrive
+    adds only the new data — no double-count of already-applied batches,
+    even though the additive sink is not naturally idempotent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.operators.sketches import countmin_build
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        stream_countmin_to_parquet,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def plant(i):
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            str(tmp_path / f"part{i}"), mode="overwrite"
+        )
+        part = [f for f in os.listdir(tmp_path / f"part{i}") if f.endswith(".parquet")][0]
+        os.rename(tmp_path / f"part{i}" / part, os.path.join(src, f"events{i}.parquet"))
+
+    plant(0)
+    plant(1)
+    out = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    n1 = stream_countmin_to_parquet(spark, src, out, checkpoint=ckpt)
+    assert n1 >= 1
+    plant(2)  # new arrival between runs
+    n2 = stream_countmin_to_parquet(spark, src, out, checkpoint=ckpt)
+    assert n2 >= 1
+
+    got = {(r["r"], r["pos"]): r["cnt"] for r in spark.read.parquet(out).collect()}
+    want = {
+        (r["r"], r["pos"]): r["cnt"]
+        for r in countmin_build(
+            events.select(F.col("event_type").alias("word")), "word"
+        ).collect()
+    }
+    assert got == want
