@@ -5504,3 +5504,109 @@ def x158_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("brand_a", "brand_b", "support", "lift_ppm")
         .orderBy("brand_a", "brand_b")
     )
+
+
+# --------------------------------------------------------------------------
+# x159 — corpus-frequency quality proxy: each document's mean token
+# corpus-frequency in ppm — the integer-exact stand-in for a unigram
+# LM score (rare-token-heavy docs ⇒ low score ⇒ OCR noise / gibberish
+# candidates; common-token walls score high). Two hash aggs (corpus
+# term counts, per-doc fold) + one broadcast of the term table.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x159_corpus_freq_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, w AS word FROM (
+        SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ), tot AS (
+      SELECT COUNT(*) AS n_total FROM toks
+    ), freq AS (
+      SELECT word, COUNT(*) AS cnt FROM toks GROUP BY 1
+    ), scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM((f.cnt * 1000000) // tot.n_total) AS BIGINT) AS sum_freq_ppm
+      FROM toks t JOIN freq f USING (word) CROSS JOIN tot
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(sum_freq_ppm // n_tokens AS BIGINT) AS mean_token_freq_ppm
+    FROM scored ORDER BY doc_id
+    """,
+)
+def x159_corpus_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(words("text")).alias("word"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        toks.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.expr("(cnt * 1000000) div n_total")).alias("sum_freq_ppm"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            F.expr("sum_freq_ppm div n_tokens").alias("mean_token_freq_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x160 — embedding-health audit: per id-bucket, zero-vector count and
+# the min/max/total of the quantized squared norm (trunc(v·1000)² sums,
+# pure int64) — the pre-flight data-quality pass before any ANN/dedup
+# job consumes an embedding table.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x160_embedding_health",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, vec_id % 10 AS bucket,
+             list_sum(list_transform(embedding,
+               v -> CAST(trunc(CAST(v AS DOUBLE) * 1000) AS BIGINT)
+                    * CAST(trunc(CAST(v AS DOUBLE) * 1000) AS BIGINT))) AS qnorm2
+      FROM embeddings
+    )
+    SELECT bucket,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN qnorm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(MIN(qnorm2) AS BIGINT) AS min_qnorm2,
+           CAST(MAX(qnorm2) AS BIGINT) AS max_qnorm2
+    FROM q GROUP BY bucket ORDER BY bucket
+    """,
+)
+def x160_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.clustering import quantize_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = quantize_vec(F.col("embedding"), 1000)
+    q = emb.select(
+        (F.col("vec_id") % 10).alias("bucket"),
+        F.aggregate(
+            qv, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("qnorm2"),
+    )
+    return (
+        q.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("qnorm2") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero"),
+            F.min("qnorm2").alias("min_qnorm2"),
+            F.max("qnorm2").alias("max_qnorm2"),
+        )
+        .orderBy("bucket")
+    )
