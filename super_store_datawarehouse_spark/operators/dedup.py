@@ -21,7 +21,7 @@ from __future__ import annotations
 import random
 from typing import NamedTuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from super_store_datawarehouse_spark.operators.text import words
@@ -124,6 +124,85 @@ def ngram_jaccard_pairs(
             "id_a",
             "id_b",
             (F.col("n_inter").cast("double") / F.col("n_union").cast("double")).alias("jaccard"),
+        )
+    )
+
+
+def ppjoin_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard join with prefix filtering (PPJoin-style, Chaudhuri
+    et al. 2006 / Xiao et al. 2008) — the *lossless* scale path for
+    exact set similarity, complementing MinHash-LSH's approximate one.
+
+    Plain shingle self-joins (:func:`ngram_jaccard_pairs`) fan out on
+    the corpus's hottest shingles — exactly the keys that explode at
+    100 TB. Prefix filtering orders each document's shingles rarest
+    first (global df ascending) and generates candidates only from the
+    first ``|s| − ⌈t·|s|⌉ + 1`` of them: any pair with Jaccard ≥ t must
+    share at least one prefix shingle (pigeonhole on the ⌈t·|s|⌉
+    overlap requirement), so the hot tail of every document is excluded
+    from the join with zero recall loss. Candidates then get the exact
+    intersection count and threshold check.
+
+    Output is provably identical to ``ngram_jaccard_pairs`` at the same
+    threshold — the harness exploits that: x161's oracle is the plain
+    q17 construction, so the value-hash match proves the pruning
+    lossless. ``test_ppjoin_equals_plain_and_prunes`` additionally pins
+    that the candidate set is strictly smaller.
+    """
+    sh = word_shingles(df, text_col, id_col, n, hashed=True).cache()
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+
+    thr_num, thr_den = _ratio_as_ints(threshold)
+    # prefix_len = s - ceil(t*s) + 1, with ceil(t*s) in integers
+    prefix_len = F.expr(
+        f"n_shingles - (({thr_num} * n_shingles + {thr_den} - 1) div {thr_den}) + 1"
+    )
+    w = Window.partitionBy("sid").orderBy("df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "sid")
+        .withColumn("pos", F.row_number().over(w))
+    )
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select("sid", "shingle")
+    cand = (
+        prefix.select(F.col("sid").alias("id_a"), "shingle")
+        .join(prefix.select(F.col("sid").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verification restricted to the candidate pairs: expand the
+    # a-side shingles per pair, then equi-join the b-side on BOTH keys
+    # (id_b, shingle) so the match never materializes sh_a × sh_b
+    inter = (
+        cand.join(sh.select(F.col("sid").alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh.select(F.col("sid").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("sid").alias("id_a"), F.col("n_shingles").alias("sz_a"))
+    sz_b = sizes.select(F.col("sid").alias("id_b"), F.col("n_shingles").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        .filter(thr_den * F.col("n_inter") >= thr_num * F.col("n_union"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double") / F.col("n_union").cast("double")
+            ).alias("jaccard"),
         )
     )
 

@@ -5610,3 +5610,39 @@ def x160_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# x161 — prefix-filtered exact Jaccard (PPJoin-style): candidates come
+# only from each document's rarest ⌈(1−t)·|s|⌉+1 shingles (pigeonhole:
+# a ≥t pair must share a prefix shingle), excluding the hot tail from
+# the join with zero recall loss. The oracle is deliberately the PLAIN
+# q17 construction — the value-hash match is the proof that the
+# pruning is lossless.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x161_ppjoin_jaccard_pairs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 1000 * n_inter >= 200 * (sa.n_shingles + sb.n_shingles - n_inter)
+    """,
+)
+def x161_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ppjoin_jaccard_pairs(docs, threshold=0.2)

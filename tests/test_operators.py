@@ -1795,3 +1795,60 @@ def test_orc_roundtrip_and_pushdown(tmp_path, spark):
         .toString()
     )
     assert "PushedFilters: [" in plan and "n_regionkey" in plan
+
+
+def test_ppjoin_equals_plain_and_prunes(spark, docs):
+    """Prefix filtering is lossless (same pairs, same jaccard as the
+    plain join) while generating strictly fewer candidates than the
+    all-shared-shingle pair set."""
+    from super_store_datawarehouse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ppjoin_jaccard_pairs,
+        word_shingles,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ppjoin_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert got == want and len(got) > 0
+
+    sh = word_shingles(docs, hashed=True)
+    left = sh.select(F.col("sid").alias("id_a"), "shingle")
+    right = sh.select(F.col("sid").alias("id_b"), "shingle")
+    all_pairs = (
+        left.join(right, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    # rebuild the candidate count the operator generates internally
+    from pyspark.sql import Window
+
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("sid").orderBy("df", "shingle")
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "sid")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.expr("n_shingles - ((200 * n_shingles + 999) div 1000) + 1")
+        )
+        .select("sid", "shingle")
+    )
+    cand = (
+        prefix.select(F.col("sid").alias("id_a"), "shingle")
+        .join(prefix.select(F.col("sid").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    assert cand < all_pairs
