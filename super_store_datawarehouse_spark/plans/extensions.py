@@ -5646,3 +5646,106 @@ def x160_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x161_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ppjoin_jaccard_pairs(docs, threshold=0.2)
+
+
+# --------------------------------------------------------------------------
+# x162 — truncation-loss report: what a context-window cut at K=64
+# tokens costs each source — docs affected, tokens kept vs lost, loss
+# per-mille — the standard pre-training budget diagnostic (pairs with
+# q24's packing, which avoids exactly this loss). Integer end to end.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x162_truncation_loss",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS tokens
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN tokens > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(LEAST(tokens, 64)) AS BIGINT) AS kept_tokens,
+           CAST(SUM(tokens - LEAST(tokens, 64)) AS BIGINT) AS lost_tokens,
+           CAST((SUM(tokens - LEAST(tokens, 64)) * 1000) // SUM(tokens) AS BIGINT) AS loss_pm
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def x162_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", F.size(words("text")).cast("long").alias("tokens"))
+    kept = F.least(F.col("tokens"), F.lit(64))
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("tokens") > 64, 1).otherwise(0))
+            .cast("long")
+            .alias("n_truncated"),
+            F.sum("tokens").alias("total_tokens"),
+            F.sum(kept).alias("kept_tokens"),
+            F.sum(F.col("tokens") - kept).alias("lost_tokens"),
+        )
+        .withColumn("loss_pm", F.expr("(lost_tokens * 1000) div total_tokens"))
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# x163 — cross-source duplication matrix: which feeds copy from which —
+# near-dup pairs (the oracled q17 Jaccard construction; this corpus has
+# no exact duplicates, q14 proves it) rolled up by unordered source
+# pair, split into cross-source vs same-source counts.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x163_cross_source_dup_matrix",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE 1000 * n_inter >= 200 * (sa.n_shingles + sb.n_shingles - n_inter)
+    )
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           COUNT(*) AS n_dup_pairs,
+           (LEAST(da.source, db.source) = GREATEST(da.source, db.source)) AS same_source
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2, 4 ORDER BY 1, 2
+    """,
+)
+def x163_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .withColumn("same_source", F.col("source_a") == F.col("source_b"))
+        .orderBy("source_a", "source_b")
+    )
