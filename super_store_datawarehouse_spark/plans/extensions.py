@@ -5749,3 +5749,64 @@ def x163_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("same_source", F.col("source_a") == F.col("source_b"))
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# x164 — dedup cluster-size distribution: how big the near-dup clusters
+# are (singletons vs pathological mega-clusters — the histogram every
+# dedup report leads with, and the early-warning for a threshold set
+# too low). Component sizes from the q43 closure → size histogram.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x164_dup_cluster_size_hist",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE 1000 * n_inter >= 200 * (sa.n_shingles + sb.n_shingles - n_inter)
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ), reach AS (
+      SELECT u, u AS v FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ), comp AS (
+      SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+    ), members AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ), csize AS (
+      SELECT component, COUNT(*) AS cluster_size FROM members GROUP BY component
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM csize GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def x164_dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.graph import dedup_by_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    comp = dedup_by_components(docs, edges).select("doc_id", "component")
+    csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        csize.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn("n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("long"))
+        .select("cluster_size", "n_clusters", "n_docs")
+        .orderBy("cluster_size")
+    )
