@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -89,14 +90,66 @@ class EventGenReader(DataSourceReader):
 
     def read(self, part: _Range):
         for i in range(part.start, part.end):
-            h = splitmix64(part.seed * 0x100000001 + i)
-            yield (
-                i,
-                part.t0_us + i * part.step_us + (h >> 48) % part.step_us,
-                h % part.n_users,
-                EVENT_TYPES[(h >> 16) % len(EVENT_TYPES)],
-                ((h >> 24) % 100000) / 100.0,
-            )
+            yield _event_row(part.seed, i, part.t0_us, part.step_us, part.n_users)
+
+
+def _event_row(seed: int, i: int, t0_us: int, step_us: int, n_users: int):
+    """Row i as a pure function of (seed, i) — shared by the batch reader
+    and the stream reader so batch ≡ stream by construction."""
+    h = splitmix64(seed * 0x100000001 + i)
+    return (
+        i,
+        t0_us + i * step_us + (h >> 48) % step_us,
+        h % n_users,
+        EVENT_TYPES[(h >> 16) % len(EVENT_TYPES)],
+        ((h >> 24) % 100000) / 100.0,
+    )
+
+
+class EventGenStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of eventgen (``SimpleDataSourceStreamReader``).
+
+    The offset is simply the next row counter, so every micro-batch is a
+    deterministic [start, end) slice of the same counter-hash stream the
+    batch reader produces: ``read`` advances by ``batch_rows`` per
+    trigger until the configured ``rows`` cap, and ``readBetweenOffsets``
+    replays any committed range bit-identically after a restart — the
+    replayability contract Structured Streaming recovery requires, free
+    here because rows are pure functions of (seed, i).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.rows = int(options.get("rows", 1000))
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.seed = int(options.get("seed", 42))
+        self.t0_us = int(options.get("start_us", 1704067200000000))
+        self.step_us = int(options.get("step_us", 1000000))
+        self.n_users = int(options.get("users", 100))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _slice(self, start: int, end: int):
+        # a list_iterator, not a generator: Spark requires an iterator
+        # here AND pickles it into the driver-side cache for replays —
+        # list iterators pickle (list + position), generators cannot
+        return iter(
+            [
+                _event_row(self.seed, i, self.t0_us, self.step_us, self.n_users)
+                for i in range(start, end)
+            ]
+        )
+
+    def read(self, start: dict):
+        s = int(start["i"])
+        e = min(s + self.batch_rows, self.rows)
+        return self._slice(s, e), {"i": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._slice(int(start["i"]), int(end["i"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the stream is synthesized, not buffered
 
 
 class EventGenDataSource(DataSource):
@@ -112,6 +165,9 @@ class EventGenDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return EventGenReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "EventGenStreamReader":
+        return EventGenStreamReader(self.options)
 
 
 @dataclasses.dataclass

@@ -603,3 +603,42 @@ def test_stream_countmin_restart_exactly_once(tmp_path, spark):
         ).collect()
     }
     assert got == want
+
+
+def test_pydatasource_stream_equals_batch(tmp_path, spark):
+    """The Python streaming source (SimpleDataSourceStreamReader) emits,
+    across all micro-batches, exactly the rows the batch reader
+    produces for the same (seed, rows) — offsets are row counters over
+    a counter-hash stream, so batch == stream by construction."""
+    from super_store_datawarehouse_spark.sources.pydatasource import register
+
+    register(spark)
+    out = str(tmp_path / "rows")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("eventgen")
+        .option("rows", 500)
+        .option("batch_rows", 120)
+        .option("seed", 7)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.format("eventgen")
+            .option("rows", 500)
+            .option("seed", 7)
+            .load()
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 500
