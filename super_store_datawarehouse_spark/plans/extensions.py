@@ -5810,3 +5810,98 @@ def x164_dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_size", "n_clusters", "n_docs")
         .orderBy("cluster_size")
     )
+
+
+# --------------------------------------------------------------------------
+# x165 — source × language balance report: observed vs expected-under-
+# independence cell counts (expected in exact micro-units, deviation
+# signed micro) — the mix-monitoring crosstab a curation pipeline
+# watches when a feed's language distribution drifts. Pure integer.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x165_source_lang_balance",
+    oracle="""
+    WITH o AS (
+      SELECT source, lang, COUNT(*) AS observed FROM documents GROUP BY 1, 2
+    ), rt AS (
+      SELECT source, SUM(observed) AS row_tot FROM o GROUP BY 1
+    ), ct AS (
+      SELECT lang, SUM(observed) AS col_tot FROM o GROUP BY 1
+    ), n AS (
+      SELECT SUM(observed) AS n_total FROM o
+    )
+    SELECT o.source, o.lang, o.observed,
+           CAST((rt.row_tot * ct.col_tot * 1000000) // n.n_total AS BIGINT) AS expected_micro,
+           CAST(o.observed * 1000000
+                - (rt.row_tot * ct.col_tot * 1000000) // n.n_total AS BIGINT) AS deviation_micro
+    FROM o JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n
+    ORDER BY o.source, o.lang
+    """,
+)
+def x165_source_lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("observed"))
+    rt = o.groupBy("source").agg(F.sum("observed").alias("row_tot"))
+    ct = o.groupBy("lang").agg(F.sum("observed").alias("col_tot"))
+    n = o.agg(F.sum("observed").alias("n_total"))
+    return (
+        o.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "expected_micro", F.expr("(row_tot * col_tot * 1000000) div n_total")
+        )
+        .withColumn(
+            "deviation_micro", F.expr("observed * 1000000 - expected_micro")
+        )
+        .select("source", "lang", "observed", "expected_micro", "deviation_micro")
+        .orderBy("source", "lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# x166 — event-value quartiles per event type: nearest-rank quartiles
+# over integer cents (the x147 formulation), completing the events
+# family's order-statistics coverage.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x166_event_value_quartiles",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+    ), ranked AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MIN(CASE WHEN r = (25 * n + 99) // 100 THEN cents END) AS BIGINT) AS p25_cents,
+           CAST(MIN(CASE WHEN r = (50 * n + 99) // 100 THEN cents END) AS BIGINT) AS p50_cents,
+           CAST(MIN(CASE WHEN r = (75 * n + 99) // 100 THEN cents END) AS BIGINT) AS p75_cents
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x166_event_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    c = events.select("event_type", cents("value").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wg = Window.partitionBy("event_type")
+    ranked = c.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wg)
+    )
+    def at(p):
+        return F.min(
+            F.when(F.expr(f"r = ({p} * n + 99) div 100"), F.col("cents"))
+        )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            at(25).alias("p25_cents"),
+            at(50).alias("p50_cents"),
+            at(75).alias("p75_cents"),
+        )
+        .orderBy("event_type")
+    )
