@@ -5905,3 +5905,136 @@ def x166_event_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x167 — semi-supervised label propagation on the nation trade graph
+# (the third iterative-graph operator beside PageRank q47 and connected
+# components q43): seed 1-in-5 nations with their region id, then two
+# unrolled rounds of weighted majority vote over trade-volume edges —
+# integer cent weights, argmax ties to the lowest label, so both
+# rounds replay exactly in SQL. Per-round cost is one edge-join + one
+# hash agg; labels table stays n_nations rows.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x167_label_propagation",
+    oracle="""
+    WITH vol AS (
+      SELECT s.s_nationkey AS u, c.c_nationkey AS v,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE s.s_nationkey != c.c_nationkey
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT u, v, w FROM vol UNION ALL SELECT v AS u, u AS v, w FROM vol
+      ) GROUP BY 1, 2
+    ), seeds AS (
+      SELECT n_nationkey AS node,
+             CASE WHEN n_nationkey % 5 = 0 THEN n_regionkey END AS label
+      FROM nation
+    ), vote1 AS (
+      SELECT e.u AS node, s.label, CAST(SUM(e.w) AS BIGINT) AS tot
+      FROM edges e JOIN seeds s ON s.node = e.v
+      WHERE s.label IS NOT NULL
+      GROUP BY 1, 2
+    ), new1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY tot DESC, label) AS rn
+        FROM vote1
+      ) WHERE rn = 1
+    ), l1 AS (
+      SELECT s.node,
+             COALESCE(s.label, n1.label) AS label,
+             CASE WHEN s.label IS NOT NULL THEN 0
+                  WHEN n1.label IS NOT NULL THEN 1 END AS labeled_at
+      FROM seeds s LEFT JOIN new1 n1 ON n1.node = s.node
+    ), vote2 AS (
+      SELECT e.u AS node, l.label, CAST(SUM(e.w) AS BIGINT) AS tot
+      FROM edges e JOIN l1 l ON l.node = e.v
+      WHERE l.label IS NOT NULL
+      GROUP BY 1, 2
+    ), new2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY tot DESC, label) AS rn
+        FROM vote2
+      ) WHERE rn = 1
+    )
+    SELECT l1.node AS nation_key,
+           CAST(COALESCE(l1.label, n2.label) AS BIGINT) AS label,
+           CAST(COALESCE(l1.labeled_at,
+                         CASE WHEN n2.label IS NOT NULL THEN 2 END) AS BIGINT) AS labeled_at
+    FROM l1 LEFT JOIN new2 n2 ON n2.node = l1.node
+    ORDER BY nation_key
+    """,
+)
+def x167_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v")
+        )
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("w"))
+    )
+    edges = (
+        vol.unionByName(vol.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    seeds = nation.select(
+        F.col("n_nationkey").alias("node"),
+        F.when(F.col("n_nationkey") % 5 == 0, F.col("n_regionkey")).alias("label"),
+    )
+
+    def vote(labels: DataFrame) -> DataFrame:
+        lab = labels.filter(F.col("label").isNotNull()).select(
+            F.col("node").alias("v"), "label"
+        )
+        v = (
+            edges.join(F.broadcast(lab), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.sum("w").alias("tot"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("tot"), "label")
+        return (
+            v.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+
+    new1 = vote(seeds)
+    l1 = seeds.join(new1, "node", "left").select(
+        "node",
+        F.coalesce("label", "new_label").alias("label"),
+        F.when(F.col("label").isNotNull(), 0)
+        .when(F.col("new_label").isNotNull(), 1)
+        .alias("labeled_at"),
+    )
+    new2 = vote(l1)
+    return (
+        l1.join(new2, "node", "left")
+        .select(
+            F.col("node").alias("nation_key"),
+            F.coalesce("label", "new_label").cast("long").alias("label"),
+            F.coalesce(
+                "labeled_at", F.when(F.col("new_label").isNotNull(), 2)
+            )
+            .cast("long")
+            .alias("labeled_at"),
+        )
+        .orderBy("nation_key")
+    )
