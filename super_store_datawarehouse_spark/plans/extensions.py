@@ -6038,3 +6038,93 @@ def x167_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_key")
     )
+
+
+# --------------------------------------------------------------------------
+# x168 — bounded shortest path: cheapest ≤2-hop route between nation
+# pairs over inverse-volume trade costs (cost = 1e12 div volume_cents,
+# so thick trade links are cheap — integer throughout). One self-join
+# on the intermediate node computes the 2-hop relaxation; LEAST with
+# the direct edge finishes the bounded Bellman-Ford step. The k-hop
+# unrolling pattern scales to any fixed diameter as k-1 self-joins.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x168_cheapest_trade_route",
+    oracle="""
+    WITH vol AS (
+      SELECT s.s_nationkey AS u, c.c_nationkey AS v,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE s.s_nationkey != c.c_nationkey
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT u, v, 1000000000000 // CAST(SUM(w) AS BIGINT) AS cost FROM (
+        SELECT u, v, w FROM vol UNION ALL SELECT v AS u, u AS v, w FROM vol
+      ) GROUP BY u, v
+    ), two_hop AS (
+      SELECT a.u, b.v, MIN(a.cost + b.cost) AS cost2
+      FROM edges a JOIN edges b ON a.v = b.u AND a.u != b.v
+      GROUP BY a.u, b.v
+    ), best AS (
+      SELECT COALESCE(e.u, t.u) AS u, COALESCE(e.v, t.v) AS v,
+             CAST(LEAST(COALESCE(e.cost, t.cost2), COALESCE(t.cost2, e.cost)) AS BIGINT) AS best_cost,
+             (t.cost2 IS NOT NULL AND (e.cost IS NULL OR t.cost2 < e.cost)) AS via_hop
+      FROM edges e FULL OUTER JOIN two_hop t ON t.u = e.u AND t.v = e.v
+    )
+    SELECT u AS src, v AS dst, best_cost, via_hop
+    FROM best WHERE u < v AND u < 5
+    ORDER BY src, dst
+    """,
+)
+def x168_cheapest_trade_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v")
+        )
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("w"))
+    )
+    edges = (
+        vol.unionByName(vol.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .groupBy("u", "v")
+        .agg(F.expr("1000000000000 div sum(w)").alias("cost"))
+    )
+    a = edges.select(F.col("u"), F.col("v").alias("m"), F.col("cost").alias("ca"))
+    b = edges.select(F.col("u").alias("m"), F.col("v"), F.col("cost").alias("cb"))
+    two_hop = (
+        a.join(b, "m")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min(F.col("ca") + F.col("cb")).alias("cost2"))
+    )
+    best = (
+        edges.join(two_hop, ["u", "v"], "full_outer")
+        .select(
+            "u",
+            "v",
+            F.least(
+                F.coalesce("cost", "cost2"), F.coalesce("cost2", "cost")
+            ).alias("best_cost"),
+            (
+                F.col("cost2").isNotNull()
+                & (F.col("cost").isNull() | (F.col("cost2") < F.col("cost")))
+            ).alias("via_hop"),
+        )
+    )
+    return (
+        best.filter((F.col("u") < F.col("v")) & (F.col("u") < 5))
+        .select(
+            F.col("u").alias("src"), F.col("v").alias("dst"), "best_cost", "via_hop"
+        )
+        .orderBy("src", "dst")
+    )
