@@ -6128,3 +6128,191 @@ def x168_cheapest_trade_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+# --------------------------------------------------------------------------
+# x169 — MMR diversity re-ranking (Carbonell & Goldstein 1998): from
+# each query's exact top-10, greedily select 3 results maximizing
+# λ·sim(q,d) − (1−λ)·max_sim(d, selected), λ=0.5 — the standard
+# redundancy-removal pass over a retrieval shortlist. Three unrolled
+# selections; every similarity is the bit-exact fold cosine and the
+# MMR combination is one fixed IEEE expression, so argmax ordering
+# (ties to lowest id) replays exactly. Candidate pair sims are
+# shortlist×shortlist per query — bounded by k², never the corpus.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x169_mmr_rerank",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt({_E_FOLD}) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_COSINE_FOLD.format(a='qv', b='v')} / (q.qnrm * e.nrm) AS cosine
+      FROM q JOIN e ON e.vec_id != q.query_id
+    ), cands AS (
+      SELECT query_id, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ), psim AS (
+      SELECT a.query_id, a.neighbor_id AS da, b.neighbor_id AS db,
+             {_COSINE_FOLD.format(a='ea.v', b='eb.v')} / (ea.nrm * eb.nrm) AS sim
+      FROM cands a
+      JOIN cands b ON b.query_id = a.query_id AND b.neighbor_id != a.neighbor_id
+      JOIN e ea ON ea.vec_id = a.neighbor_id
+      JOIN e eb ON eb.vec_id = b.neighbor_id
+    ), sel1 AS (
+      SELECT query_id, neighbor_id AS s1, cosine AS score1 FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM cands
+      ) WHERE rn = 1
+    ), r2 AS (
+      SELECT c.query_id, c.neighbor_id,
+             0.5 * c.cosine - 0.5 * p.sim AS score
+      FROM cands c
+      JOIN sel1 ON sel1.query_id = c.query_id
+      JOIN psim p ON p.query_id = c.query_id
+               AND p.da = c.neighbor_id AND p.db = sel1.s1
+      WHERE c.neighbor_id != sel1.s1
+    ), sel2 AS (
+      SELECT query_id, neighbor_id AS s2, score AS score2 FROM (
+        SELECT query_id, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rn
+        FROM r2
+      ) WHERE rn = 1
+    ), r3 AS (
+      SELECT c.query_id, c.neighbor_id,
+             0.5 * c.cosine - 0.5 * GREATEST(p1.sim, p2.sim) AS score
+      FROM cands c
+      JOIN sel1 ON sel1.query_id = c.query_id
+      JOIN sel2 ON sel2.query_id = c.query_id
+      JOIN psim p1 ON p1.query_id = c.query_id
+                AND p1.da = c.neighbor_id AND p1.db = sel1.s1
+      JOIN psim p2 ON p2.query_id = c.query_id
+                AND p2.da = c.neighbor_id AND p2.db = sel2.s2
+      WHERE c.neighbor_id NOT IN (sel1.s1, sel2.s2)
+    ), sel3 AS (
+      SELECT query_id, neighbor_id AS s3, score AS score3 FROM (
+        SELECT query_id, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rn
+        FROM r3
+      ) WHERE rn = 1
+    )
+    SELECT query_id, CAST(1 AS BIGINT) AS sel_rank, s1 AS doc_id, score1 AS mmr_score FROM sel1
+    UNION ALL
+    SELECT query_id, CAST(2 AS BIGINT), s2, score2 FROM sel2
+    UNION ALL
+    SELECT query_id, CAST(3 AS BIGINT), s3, score3 FROM sel3
+    ORDER BY query_id, sel_rank
+    """,
+)
+def x169_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cands = similarity.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    e = (
+        emb.select(
+            F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .filter(F.col("nrm") > 0)
+    )
+    ea = e.select(F.col("vec_id").alias("da"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("db"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    ca = cands.select("query_id", F.col("neighbor_id").alias("da"))
+    cb = cands.select("query_id", F.col("neighbor_id").alias("db"))
+    psim = (
+        ca.join(cb, "query_id")
+        .filter(F.col("da") != F.col("db"))
+        .join(F.broadcast(ea), "da")
+        .join(F.broadcast(eb), "db")
+        .select(
+            "query_id",
+            "da",
+            "db",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    sel1 = (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("s1"), F.col("cosine").alias("score1"))
+    )
+    r2 = (
+        cands.join(sel1, "query_id")
+        .filter(F.col("neighbor_id") != F.col("s1"))
+        .join(
+            psim.select("query_id", F.col("da").alias("neighbor_id"), F.col("db").alias("s1"), "sim"),
+            ["query_id", "neighbor_id", "s1"],
+        )
+        .withColumn("score", 0.5 * F.col("cosine") - 0.5 * F.col("sim"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    sel2 = (
+        r2.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("s2"), F.col("score").alias("score2"))
+    )
+    r3 = (
+        cands.join(sel1, "query_id")
+        .join(sel2, "query_id")
+        .filter(
+            (F.col("neighbor_id") != F.col("s1")) & (F.col("neighbor_id") != F.col("s2"))
+        )
+        .join(
+            psim.select("query_id", F.col("da").alias("neighbor_id"), F.col("db").alias("s1"), F.col("sim").alias("sim1")),
+            ["query_id", "neighbor_id", "s1"],
+        )
+        .join(
+            psim.select("query_id", F.col("da").alias("neighbor_id"), F.col("db").alias("s2"), F.col("sim").alias("sim2")),
+            ["query_id", "neighbor_id", "s2"],
+        )
+        .withColumn(
+            "score", 0.5 * F.col("cosine") - 0.5 * F.greatest("sim1", "sim2")
+        )
+    )
+    sel3 = (
+        r3.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("s3"), F.col("score").alias("score3"))
+    )
+    out = (
+        sel1.select(
+            "query_id",
+            F.lit(1).cast("long").alias("sel_rank"),
+            F.col("s1").alias("doc_id"),
+            F.col("score1").alias("mmr_score"),
+        )
+        .unionByName(
+            sel2.select(
+                "query_id",
+                F.lit(2).cast("long").alias("sel_rank"),
+                F.col("s2").alias("doc_id"),
+                F.col("score2").alias("mmr_score"),
+            )
+        )
+        .unionByName(
+            sel3.select(
+                "query_id",
+                F.lit(3).cast("long").alias("sel_rank"),
+                F.col("s3").alias("doc_id"),
+                F.col("score3").alias("mmr_score"),
+            )
+        )
+    )
+    return out.orderBy("query_id", "sel_rank")
