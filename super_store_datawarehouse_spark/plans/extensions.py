@@ -6316,3 +6316,61 @@ def x169_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("query_id", "sel_rank")
+
+
+# --------------------------------------------------------------------------
+# x170 — per-dimension embedding distribution audit: nearest-rank
+# quartiles of the quantized components for every dimension — the
+# whitening/clipping decision input that pairs with x160's norm audit.
+# posexplode → per-dim rank windows (64 partitions, embarrassingly
+# parallel) → the x147 nearest-rank idiom, integer end to end.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x170_embedding_dim_quartiles",
+    oracle="""
+    WITH comp AS (
+      SELECT i AS dim,
+             CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN range(1, 65) r(i)
+    ), ranked AS (
+      SELECT dim, q,
+             row_number() OVER (PARTITION BY dim ORDER BY q) AS r,
+             COUNT(*) OVER (PARTITION BY dim) AS n
+      FROM comp
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(MIN(CASE WHEN r = (25 * n + 99) // 100 THEN q END) AS BIGINT) AS p25_milli,
+           CAST(MIN(CASE WHEN r = (50 * n + 99) // 100 THEN q END) AS BIGINT) AS p50_milli,
+           CAST(MIN(CASE WHEN r = (75 * n + 99) // 100 THEN q END) AS BIGINT) AS p75_milli,
+           CAST(MIN(q) AS BIGINT) AS min_milli,
+           CAST(MAX(q) AS BIGINT) AS max_milli
+    FROM ranked GROUP BY dim ORDER BY dim
+    """,
+)
+def x170_embedding_dim_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.clustering import quantize_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode(quantize_vec(F.col("embedding"), 1000)).alias("d0", "q")
+    ).withColumn("dim", (F.col("d0") + 1).cast("long"))
+    w = Window.partitionBy("dim").orderBy("q")
+    wg = Window.partitionBy("dim")
+    ranked = comp.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wg)
+    )
+
+    def at(p):
+        return F.min(F.when(F.expr(f"r = ({p} * n + 99) div 100"), F.col("q")))
+
+    return (
+        ranked.groupBy("dim")
+        .agg(
+            at(25).alias("p25_milli"),
+            at(50).alias("p50_milli"),
+            at(75).alias("p75_milli"),
+            F.min("q").alias("min_milli"),
+            F.max("q").alias("max_milli"),
+        )
+        .orderBy("dim")
+    )
