@@ -33,13 +33,30 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     allow_exact: bool = True,
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` (strictly ``<`` when ``allow_exact=False``)
-    per key. Unmatched left rows keep NULL value columns (left join).
+    """As-of join (pandas ``merge_asof`` semantics, distributed).
 
-    Matched right columns come back prefixed ``asof_``.
+    ``direction="backward"`` (default): for each left row, the latest
+    right row with ``right_ts <= left_ts`` (strictly ``<`` when
+    ``allow_exact=False``) per key. ``direction="forward"``: the
+    earliest right row with ``right_ts >= left_ts`` (strictly ``>``
+    when ``allow_exact=False``). ``tolerance_us`` bounds the match gap
+    (``|right_ts - left_ts|`` in microseconds for timestamp columns,
+    raw units for numeric ts columns); out-of-tolerance matches come
+    back NULL, exactly like pandas. Unmatched left rows keep NULL value
+    columns (left join). Matched right columns return prefixed
+    ``asof_``.
+
+    Scale: still the one-shuffle union-and-window formulation — forward
+    direction just flips the window sort to descending, so per-key state
+    stays one right-row struct regardless of direction or tolerance.
+    Timestamp ties among right rows resolve deterministically to the
+    max ``__rval`` struct (backward) / min (forward).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
     out_cols = [right_ts] + [c for c in value_cols if c != right_ts]
 
@@ -58,12 +75,16 @@ def asof_join(
         F.lit(None).cast(r2.schema["__rval"].dataType).alias("__rval"),
         F.struct(*left.columns).alias("__lrow"),
     )
-    # side ordering decides same-instant visibility: right-before-left
-    # (allow_exact) or left-before-right (strict). __rval as a final key
-    # makes the surviving right row deterministic under timestamp ties.
+    # side ordering decides same-instant visibility: in the traversal
+    # order the right row must come first iff allow_exact. __rval as a
+    # final key makes the surviving right row deterministic under ties.
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__side").asc(), F.col("__rval").asc()]
+    else:
+        order = [F.col("__ts").desc(), F.col("__side").asc(), F.col("__rval").desc()]
     w = (
         Window.partitionBy("__key")
-        .orderBy("__ts", "__side", "__rval")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
@@ -71,10 +92,30 @@ def asof_join(
         .withColumn("__match", F.last("__rval", ignorenulls=True).over(w))
         .filter(F.col("__lrow").isNotNull())
     )
+    if tolerance_us is not None:
+        gap = _ts_gap_us(
+            F.col(f"__match.{right_ts}"), F.col("__ts"), matched.schema["__ts"].dataType
+        )
+        if direction == "backward":
+            gap = -gap
+        matched = matched.withColumn(
+            "__match",
+            F.when(gap <= F.lit(tolerance_us), F.col("__match")),
+        )
     return matched.select(
         "__lrow.*",
         *[F.col(f"__match.{c}").alias(f"asof_{c}") for c in out_cols],
     )
+
+
+def _ts_gap_us(right_ts_col, left_ts_col, ts_type):
+    """(right - left) in microseconds for timestamp columns, raw units
+    for numeric time axes — so tolerance works on either."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(right_ts_col) - F.unix_micros(left_ts_col)
+    return right_ts_col - left_ts_col
 
 
 def _struct_of(df: DataFrame):

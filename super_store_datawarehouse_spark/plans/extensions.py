@@ -6374,3 +6374,66 @@ def x170_embedding_dim_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --------------------------------------------------------------------------
+# x171 — forward as-of join with tolerance (pandas merge_asof parity,
+# distributed): for every view event, the *next* purchase by the same
+# user within 1 hour. Exercises operators.temporal.asof_join's
+# direction="forward" + tolerance_us path — still the one-shuffle
+# union-and-window plan, so it scales like a sort-merge join at 100 TB.
+# Oracle is the same formulation in ANSI window SQL (MIN over the
+# following frame, tolerance applied after the match).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x171_asof_forward_tolerance",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tus
+      FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT user_id, epoch_us(ts) AS tus FROM events
+      WHERE event_type = 'purchase'
+    ), un AS (
+      SELECT user_id, tus, 1 AS side, tus AS pts, NULL AS vid FROM p
+      UNION ALL
+      SELECT user_id, tus, 0 AS side, NULL AS pts, event_id AS vid FROM v
+    ), m AS (
+      SELECT user_id, tus, vid,
+             MIN(pts) OVER (PARTITION BY user_id ORDER BY tus, side
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_pts
+      FROM un
+    )
+    SELECT vid AS event_id, user_id, tus AS view_us,
+           CASE WHEN next_pts - tus <= 3600000000 THEN next_pts END
+             AS next_purchase_us
+    FROM m WHERE vid IS NOT NULL
+    """,
+)
+def x171_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("tus").alias("view_us")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("tus").alias("pus")
+    )
+    return asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="view_us",
+        right_ts="pus",
+        direction="forward",
+        tolerance_us=3_600_000_000,
+    ).select(
+        "event_id",
+        "user_id",
+        "view_us",
+        F.col("asof_pus").alias("next_purchase_us"),
+    )

@@ -363,6 +363,58 @@ def test_asof_join_exact_and_strict_semantics(spark):
     assert strict[2] is None             # equal instant excluded under strict
 
 
+def test_asof_join_forward_and_tolerance(spark):
+    import datetime as dt
+
+    from super_store_datawarehouse_spark.operators.temporal import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 1, t(10)), (2, 1, t(5)), (3, 1, t(40)), (4, 2, t(0))],
+        ["lid", "key", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 50.0), (1, t(12), 120.0), (1, t(30), 300.0)],
+        ["key", "ts", "px"],
+    )
+    fwd = {
+        r["lid"]: (r["asof_ts"], r["asof_px"])
+        for r in asof_join(
+            left, right, on="key", value_cols=["px"], direction="forward"
+        ).collect()
+    }
+    assert fwd[1] == (t(12), 120.0)      # earliest >= 10
+    assert fwd[2] == (t(5), 50.0)        # equal instant visible
+    assert fwd[3] == (None, None)        # nothing after 40
+    assert fwd[4] == (None, None)        # key 2 has no right rows
+    strict_fwd = {
+        r["lid"]: r["asof_px"]
+        for r in asof_join(
+            left, right, on="key", value_cols=["px"],
+            direction="forward", allow_exact=False,
+        ).collect()
+    }
+    assert strict_fwd[2] == 120.0        # equal instant excluded → next one
+    # tolerance nulls out-of-window matches in both directions
+    tol_fwd = {
+        r["lid"]: r["asof_px"]
+        for r in asof_join(
+            left, right, on="key", value_cols=["px"],
+            direction="forward", tolerance_us=3_000_000,
+        ).collect()
+    }
+    assert tol_fwd[1] == 120.0           # gap 2 s <= 3 s
+    assert tol_fwd[2] == 50.0            # gap 0
+    bwd_tol = {
+        r["lid"]: r["asof_px"]
+        for r in asof_join(
+            left, right, on="key", value_cols=["px"], tolerance_us=3_000_000
+        ).collect()
+    }
+    assert bwd_tol[1] is None            # latest <= 10 is t(5): gap 5 s > 3 s
+    assert bwd_tol[2] == 50.0            # gap 0
+
+
 def test_interval_join_boundary_inclusion(spark):
     import datetime as dt
 
