@@ -6437,3 +6437,90 @@ def x171_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_us",
         F.col("asof_pus").alias("next_purchase_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# x172 — C4-style boilerplate scrub (Raffel et al. 2020 §2.2 analog):
+# split each doc into non-overlapping 8-word chunks, count identical
+# chunks corpus-wide, drop every chunk that appears >= 3 times anywhere,
+# and reassemble the surviving text in order. Two shuffles total: one
+# window-count partitioned by chunk (no agg+join round trip), one
+# groupBy(doc_id) reassembly. At 100 TB the chunk key would pre-hash to
+# an 8-byte xxhash64 (as q19 does for shingles); kept as text here so
+# the DuckDB twin can value-oracle the whole pipeline.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x172_boilerplate_chunk_scrub",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(lst) AS w, generate_subscripts(lst, 1) AS i
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x <> '') AS lst
+            FROM documents)
+    ), chunks AS (
+      SELECT doc_id, (i - 1) // 8 AS cidx,
+             string_agg(w, ' ' ORDER BY i) AS chunk
+      FROM words GROUP BY doc_id, (i - 1) // 8
+    ), flagged AS (
+      SELECT doc_id, cidx, chunk,
+             COUNT(*) OVER (PARTITION BY chunk) AS cnt
+      FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           COALESCE(string_agg(CASE WHEN cnt < 3 THEN chunk END,
+                               ' ' ORDER BY cidx), '') AS clean_text
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x172_boilerplate_chunk_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != F.lit("")
+            )
+        ).alias("pos", "w"),
+    )
+    chunks = (
+        words.withColumn("cidx", F.expr("pos div 8"))
+        .groupBy("doc_id", "cidx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("chunk")
+        )
+    )
+    flagged = chunks.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("chunk"))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("cnt") >= 3, 1).otherwise(0)).alias("n_removed"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("cnt") < 3, F.struct("cidx", "chunk"))
+                            )
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
