@@ -20,7 +20,7 @@ wrap with the usual ((x % m) + m) % m when auditing signed keys.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 KNUTH = 2654435761  # 2^32 / phi, the classic multiplicative-hash constant
@@ -133,6 +133,36 @@ def stratified_hash_sample(
         expr = F.when(cond, lim) if expr is None else expr.when(cond, lim)
     threshold = expr.otherwise(thr) if expr is not None else thr
     return df.filter(bucket < threshold)
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    percent: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Exact-allocation stratified sampling: exactly ``n_h * percent //
+    100`` rows from every stratum (vs :func:`stratified_hash_sample`,
+    whose hash-threshold keeps a *binomial* count around the target
+    fraction). The rows kept are the lowest :func:`knuth_hash` ranks, so
+    the draw is deterministic, reproducible under reordering, and
+    auditable in SQL via :func:`knuth_sql`.
+
+    One shuffle on the stratum column (both windows share it). Skew
+    note: a single giant stratum serializes its rank scan; at 100 TB
+    pre-split hot strata on a hash prefix and take per-split quotas.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        knuth_hash(key_col, salt), F.col(key_col)
+    )
+    wg = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__r", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wg))
+        .filter(F.col("__r") <= F.expr(f"(__n * {int(percent)}) div 100"))
+        .drop("__r", "__n")
+    )
 
 
 def pps_systematic_sample(

@@ -6524,3 +6524,92 @@ def x172_boilerplate_chunk_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x173 — multilingual mixture reweighting (the alpha-smoothed sampling
+# of mBERT/XLM-R, alpha = 0.5): per-language natural share vs the
+# sqrt-smoothed share that upsamples tail languages, plus the resulting
+# integer quota out of a 10k-doc training budget. IEEE-754 sqrt is
+# correctly rounded, so floor(sqrt(bigint)) is engine-portable; all
+# shares are integer ppm. One tiny aggregate (|langs| rows) broadcast
+# back over itself — nothing here grows with corpus size.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x173_lang_alpha_resample",
+    oracle="""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ), s AS (
+      SELECT lang, cnt, CAST(FLOOR(SQRT(cnt)) AS BIGINT) AS sq FROM c
+    ), t AS (
+      SELECT CAST(SUM(sq) AS BIGINT) AS tot, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM s
+    )
+    SELECT s.lang, s.cnt AS n_docs,
+           CAST(s.cnt * 1000000 // t.n AS BIGINT) AS natural_ppm,
+           CAST(s.sq * 1000000 // t.tot AS BIGINT) AS alpha_ppm,
+           CAST((s.sq * 1000000 // t.tot) // 100 AS BIGINT) AS quota_10k
+    FROM s CROSS JOIN t ORDER BY s.lang
+    """,
+)
+def x173_lang_alpha_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("sq", F.floor(F.sqrt("cnt")).cast("long"))
+    )
+    t = s.agg(F.sum("sq").alias("tot"), F.sum("cnt").alias("n"))
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            F.col("cnt").alias("n_docs"),
+            F.expr("cnt * 1000000 div n").alias("natural_ppm"),
+            F.expr("sq * 1000000 div tot").alias("alpha_ppm"),
+            F.expr("(sq * 1000000 div tot) div 100").alias("quota_10k"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# x174 — exact-allocation stratified split: exactly n_h // 10 docs per
+# source (vs q39/x121's hash-threshold draws whose per-stratum counts
+# are binomial). operators/sampling.stratified_exact_sample keeps the
+# lowest knuth-hash ranks per stratum; the oracle replays the identical
+# hash in portable SQL, so membership — not just counts — is verified.
+# --------------------------------------------------------------------------
+from super_store_datawarehouse_spark.operators.sampling import (  # noqa: E402
+    knuth_sql as _knuth_sql,
+)
+
+_knuth_sql_docid = _knuth_sql("doc_id")
+
+
+@harness_query(
+    "x174_stratified_exact_split",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_knuth_sql_docid}, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked
+    WHERE r <= (n * 10) // 100
+    ORDER BY source, doc_id
+    """,
+)
+def x174_stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_exact_sample(
+        docs, key_col="doc_id", strata_col="source", percent=10
+    ).orderBy("source", "doc_id")

@@ -1904,3 +1904,27 @@ def test_ppjoin_equals_plain_and_prunes(spark, docs):
         .count()
     )
     assert cand < all_pairs
+
+
+def test_stratified_exact_sample_allocation(spark):
+    from super_store_datawarehouse_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    rows = [(i, "a" if i < 37 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    out = stratified_exact_sample(df, key_col="k", strata_col="s", percent=20)
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("k").alias("n")
+    ).collect()}
+    # exact floor allocation: 37*20//100 = 7, 63*20//100 = 12
+    assert counts == {"a": 7, "b": 12}
+    # deterministic: same draw twice, membership identical
+    a = {r["k"] for r in out.collect()}
+    b = {r["k"] for r in stratified_exact_sample(
+        df, key_col="k", strata_col="s", percent=20).collect()}
+    assert a == b
+    # different salt → (almost surely) different membership, same counts
+    c = {r["k"] for r in stratified_exact_sample(
+        df, key_col="k", strata_col="s", percent=20, salt=7).collect()}
+    assert len(c) == len(a) and c != a
