@@ -6613,3 +6613,143 @@ def x174_stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_exact_sample(
         docs, key_col="doc_id", strata_col="source", percent=10
     ).orderBy("source", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# x175 — token-count concentration (Gini) per source: the curation
+# metric for "is this source a few giant documents or many uniform
+# ones". Integer-exact via the rank formula
+#   G = (2*Σ i·x_i − (n+1)·Σx) / (n·Σx),  x ascending, i = 1..n
+# (tie order cannot change Σ i·x_i, so the row_number tie-break is
+# irrelevant). One shuffle on source; everything after the rank window
+# is a plain aggregate. All-ppm integers — hash-stable across engines.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x175_token_gini_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS x
+      FROM documents
+    ), ranked AS (
+      SELECT source, x,
+             row_number() OVER (PARTITION BY source ORDER BY x) AS i
+      FROM tok
+    ), g AS (
+      SELECT source, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(i * x) AS BIGINT) AS six
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n AS n_docs, sx AS total_tokens,
+           CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
+             AS gini_ppm
+    FROM g ORDER BY source
+    """,
+)
+def x175_token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != F.lit("")
+            )
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    ranked = tok.withColumn(
+        "i", F.row_number().over(Window.partitionBy("source").orderBy("x"))
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("i") * F.col("x")).alias("six"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("sx").alias("total_tokens"),
+            F.expr("(2 * six - (n + 1) * sx) * 1000000 div (n * sx)").alias(
+                "gini_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# x176 — bigram collocation mining: adjacent word pairs with support
+# >= 5, scored by integer-milli lift  cnt_xy·N_bi·1000 // (cnt_x·cnt_y)
+# where cnt_x / cnt_y count the word as bigram-first / bigram-second.
+# lead() over (doc_id, pos) forms the bigrams without a self-join; the
+# two vocab-sized marginal tables join back unhinted — AQE picks
+# broadcast vs shuffle from their actual size at runtime.
+# int64 headroom: cnt_xy·N_bi·1000 stays under 2^63 up to ~10^7·10^8
+# pair-corpus sizes; past that the same formula runs in decimal(38,0).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x176_bigram_colloc_lift",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(lst) AS w, generate_subscripts(lst, 1) AS i
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x <> '') AS lst
+            FROM documents)
+    ), bi AS (
+      SELECT doc_id, w AS w1,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM words
+    ), pairs AS (
+      SELECT w1, w2, COUNT(*) AS cnt FROM bi WHERE w2 IS NOT NULL
+      GROUP BY w1, w2
+    ), m1 AS (
+      SELECT w1, CAST(SUM(cnt) AS BIGINT) AS c1 FROM pairs GROUP BY w1
+    ), m2 AS (
+      SELECT w2, CAST(SUM(cnt) AS BIGINT) AS c2 FROM pairs GROUP BY w2
+    ), t AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_bi FROM pairs
+    )
+    SELECT w1, w2, cnt,
+           CAST(cnt * n_bi * 1000 // (c1 * c2) AS BIGINT) AS lift_milli
+    FROM pairs JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN t
+    WHERE cnt >= 5
+    ORDER BY lift_milli DESC, w1, w2 LIMIT 30
+    """,
+)
+def x176_bigram_colloc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != F.lit("")
+            )
+        ).alias("pos", "w"),
+    )
+    bi = words.select(
+        F.col("w").alias("w1"),
+        F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos")).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    pairs = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    m1 = pairs.groupBy("w1").agg(F.sum("cnt").alias("c1"))
+    m2 = pairs.groupBy("w2").agg(F.sum("cnt").alias("c2"))
+    t = pairs.agg(F.sum("cnt").alias("n_bi"))
+    return (
+        pairs.filter(F.col("cnt") >= 5)
+        .join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            F.expr("cnt * n_bi * 1000 div (c1 * c2)").alias("lift_milli"),
+        )
+        .orderBy(F.desc("lift_milli"), "w1", "w2")
+        .limit(30)
+    )
