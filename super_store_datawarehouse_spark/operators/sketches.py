@@ -107,3 +107,63 @@ def countmin_estimate(
         .groupBy(token_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
     )
+
+
+def misra_gries_candidates(
+    tokens: DataFrame, token_col: str = "word", k: int = 30
+) -> DataFrame:
+    """Per-partition Misra–Gries summaries (Misra & Gries 1982) — the
+    deterministic heavy-hitter sketch: k counters per partition, so the
+    full pass over an arbitrarily large token stream returns at most
+    k·num_partitions candidate rows.
+
+    Guarantee (mergeable-summaries, Agarwal et al. 2013): each
+    partition's summary undercounts any item by at most N_p/(k+1), so
+    every item with *global* count > N/(k+1) survives in at least one
+    partition (pigeonhole over the partials) — the union is a superset
+    of the true heavy hitters for ANY partitioning. Pair with an exact
+    semi-join recount (:func:`heavy_hitters_exact`) to get the precise
+    set + counts without ever shuffling the full vocabulary.
+
+    Arrow-batched: each batch folds in via pandas ``value_counts``
+    (weighted MG insert: add batch counts, then subtract the (k+1)-th
+    largest running count from everything and drop the non-positives —
+    the classic merge step, never a per-row Python loop).
+    """
+    import pandas as pd
+
+    out_schema = f"{token_col} string, mg_cnt long"
+
+    def summarize(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf[token_col].value_counts()
+            for w, c in vc.items():
+                counters[w] = counters.get(w, 0) + int(c)
+            if len(counters) > k:
+                kth = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    w: c - kth for w, c in counters.items() if c - kth > 0
+                }
+        yield pd.DataFrame(
+            {token_col: list(counters.keys()), "mg_cnt": list(counters.values())}
+        )
+
+    return tokens.select(token_col).mapInPandas(summarize, schema=out_schema)
+
+
+def heavy_hitters_exact(
+    tokens: DataFrame, token_col: str = "word", k: int = 30
+) -> DataFrame:
+    """Exact heavy hitters (count·(k+1) > N) at sketch cost: MG
+    candidates (tiny) → semi-join recount of candidates only → exact
+    threshold filter. The only full-data shuffle keys on the candidate
+    subset, never the whole vocabulary."""
+    cand = misra_gries_candidates(tokens, token_col, k).select(token_col).distinct()
+    total = tokens.count()
+    return (
+        tokens.join(F.broadcast(cand), token_col, "left_semi")
+        .groupBy(token_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * (k + 1) > F.lit(total))
+    )

@@ -6753,3 +6753,46 @@ def x176_bigram_colloc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_milli"), "w1", "w2")
         .limit(30)
     )
+
+
+# --------------------------------------------------------------------------
+# x177 — exact heavy hitters at sketch cost (Misra–Gries 1982 +
+# mergeable-summaries merge): per-partition k-counter MG summaries
+# (operators/sketches.py misra_gries_candidates, Arrow-batched weighted
+# inserts) are a guaranteed superset of every word with count >
+# N/(k+1); an exact semi-join recount of just the candidates then
+# yields the precise heavy-hitter set and counts — the only full-data
+# shuffle keys on the tiny candidate list, never the whole vocabulary.
+# The oracle computes the same set exactly; equality holds because the
+# superset guarantee is partitioning-independent.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x177_heavy_hitters_mg",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ), t AS (SELECT COUNT(*) AS n FROM words)
+    SELECT word, COUNT(*) AS cnt
+    FROM words CROSS JOIN t
+    GROUP BY word, t.n
+    HAVING COUNT(*) * 31 > t.n
+    ORDER BY word
+    """,
+)
+def x177_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != F.lit("")
+            )
+        ).alias("word")
+    )
+    words = words.localCheckpoint()  # one materialization feeds all 3 passes
+    return heavy_hitters_exact(words, "word", k=30).orderBy("word")

@@ -1928,3 +1928,25 @@ def test_stratified_exact_sample_allocation(spark):
     c = {r["k"] for r in stratified_exact_sample(
         df, key_col="k", strata_col="s", percent=20, salt=7).collect()}
     assert len(c) == len(a) and c != a
+
+
+def test_misra_gries_superset_and_exact_heavy_hitters(spark):
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.operators.sketches import (
+        heavy_hitters_exact,
+        misra_gries_candidates,
+    )
+
+    # adversarial stream: 2 genuine heavy items drowned in 50 singletons,
+    # spread over several partitions, with k far below the vocab size
+    rows = [("hot",)] * 40 + [("warm",)] * 25 + [(f"n{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, ["word"]).repartition(4)
+    n = len(rows)  # 115; threshold with k=3: count*4 > 115 → > 28.75
+    cand = {r["word"] for r in misra_gries_candidates(df, "word", k=3).collect()}
+    assert {"hot"} <= cand          # guaranteed: 40*4 > 115
+    assert len(cand) <= 3 * 4       # ≤ k counters per partition
+    hh = {r["word"]: r["cnt"] for r in heavy_hitters_exact(df, "word", k=3).collect()}
+    assert hh == {"hot": 40}        # warm: 25*4 = 100 < 115 → not a HH
+    # exactness: counts are true counts, not sketch estimates
+    assert hh["hot"] == df.filter(F.col("word") == "hot").count()
