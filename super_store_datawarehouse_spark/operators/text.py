@@ -242,3 +242,67 @@ def stopword_hits_by_lang(
         )
         .drop("stops")
     )
+
+
+def bpe_learn(
+    words: DataFrame,
+    word_col: str = "w",
+    freq_col: str = "freq",
+    n_merges: int = 3,
+):
+    """Learn the first ``n_merges`` byte-pair-encoding merges from a
+    (word, frequency) table — Sennrich et al. 2016's tokenizer-training
+    loop, distributed.
+
+    Each word becomes a symbol sequence encoded as a single string with
+    double-space separators and single-space padding (`` q  u  e  r  y ``).
+    Per merge round: one shuffle counts adjacent symbol pairs weighted
+    by word frequency, the driver takes the single winning pair (a
+    1-row collect — inherent to the algorithm, like k-means centroid
+    updates), and a literal ``replace`` applies the merge everywhere.
+    The delimiter scheme makes scanning left-to-right non-overlapping
+    replace IDENTICAL to reference BPE's greedy merge ("a a a" with
+    pair (a,a) → "(aa) a"), and replays bit-for-bit in any SQL engine.
+
+    Scale: state per round is the (shrinking) word table — never the
+    corpus — and each round is one hash-agg + one map. ``localCheckpoint``
+    caps the lineage across rounds. Returns (merges_df, final_seqs)
+    where merges_df has (merge_rank, left_sym, right_sym, pair_freq).
+    """
+    spark = words.sparkSession
+    seq = words.select(
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.split(F.col(word_col), ""), "  "),
+            F.lit(" "),
+        ).alias("s"),
+        F.col(freq_col).cast("long").alias("freq"),
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            seq.selectExpr("freq", "split(trim(s), '  ') AS sy")
+            .selectExpr(
+                "freq",
+                "explode(zip_with(sy, slice(sy, 2, size(sy)),"
+                " (l, r) -> struct(l, r))) AS p",
+            )
+            .filter("p.r IS NOT NULL")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((rank, l, r, cnt))
+        seq = seq.withColumn(
+            "s",
+            F.replace("s", F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")),
+        ).localCheckpoint()
+    merges_df = spark.createDataFrame(
+        merges, "merge_rank long, left_sym string, right_sym string, pair_freq long"
+    )
+    return merges_df, seq

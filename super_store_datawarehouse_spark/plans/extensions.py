@@ -6796,3 +6796,71 @@ def x177_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words = words.localCheckpoint()  # one materialization feeds all 3 passes
     return heavy_hitters_exact(words, "word", k=30).orderBy("word")
+
+
+# --------------------------------------------------------------------------
+# x178 — distributed BPE tokenizer induction (Sennrich et al. 2016):
+# learn the first 3 merges of a byte-pair encoding from corpus word
+# frequencies. operators/text.bpe_learn runs the train loop — per round
+# one weighted pair-count shuffle, a 1-row driver collect of the
+# winning pair (inherent, like k-means centroids), and a literal
+# replace whose double-space symbol encoding makes greedy left-to-right
+# merging bit-identical to reference BPE. The oracle unrolls the same 3
+# rounds as chained CTEs, so the merge table (pair choice AND weighted
+# frequency) is value-verified, not just row-counted.
+# --------------------------------------------------------------------------
+def _bpe_oracle(n_merges: int) -> str:
+    ctes = ["""
+    wf AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+      GROUP BY w
+    ), s0 AS (
+      SELECT ' ' || array_to_string(string_split_regex(w, ''), '  ') || ' ' AS s,
+             freq
+      FROM wf
+    )"""]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""
+    p{i} AS (
+      SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, unnest(list_zip(sy, sy[2:])) AS pr
+            FROM (SELECT freq, string_split(trim(s), '  ') AS sy FROM s{i-1}))
+      WHERE pr[2] IS NOT NULL
+      GROUP BY 1, 2
+    ), m{i} AS (
+      SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
+    ), s{i} AS (
+      SELECT replace(s, ' ' || m{i}.l || '  ' || m{i}.r || ' ',
+                        ' ' || m{i}.l || m{i}.r || ' ') AS s, freq
+      FROM s{i-1} CROSS JOIN m{i}
+    )""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym,"
+        f" cnt AS pair_freq FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH" + ",".join(ctes) + f"\n    {unions}\n    ORDER BY merge_rank"
+
+
+@harness_query("x178_bpe_merges", oracle=_bpe_oracle(3))
+def x178_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges, _ = bpe_learn(wf, word_col="w", freq_col="freq", n_merges=3)
+    return merges.orderBy("merge_rank")

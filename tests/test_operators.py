@@ -1950,3 +1950,22 @@ def test_misra_gries_superset_and_exact_heavy_hitters(spark):
     assert hh == {"hot": 40}        # warm: 25*4 = 100 < 115 → not a HH
     # exactness: counts are true counts, not sketch estimates
     assert hh["hot"] == df.filter(F.col("word") == "hot").count()
+
+
+def test_bpe_learn_matches_reference_greedy_semantics(spark):
+    from super_store_datawarehouse_spark.operators.text import bpe_learn
+
+    # vocabulary: "aaa" x5, "ab" x4, "ba" x3
+    # round 1 pairs: (a,a): 2*5=10, (a,b): 4, (b,a): 3 → merge (a,a), freq 10
+    # greedy: "a a a" → "(aa) a" (NOT "a (aa)")
+    # round 2 seqs: " aa  a "x5, " a  b "x4, " b  a "x3
+    #   pairs: (aa,a): 5, (a,b): 4, (b,a): 3 → merge (aa,a), freq 5
+    wf = spark.createDataFrame(
+        [("aaa", 5), ("ab", 4), ("ba", 3)], ["w", "freq"]
+    )
+    merges, seqs = bpe_learn(wf, n_merges=2)
+    rows = [(r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_freq"])
+            for r in merges.orderBy("merge_rank").collect()]
+    assert rows == [(1, "a", "a", 10), (2, "aa", "a", 5)]
+    final = sorted(r["s"] for r in seqs.collect())
+    assert final == [" a  b ", " aaa ", " b  a "]
