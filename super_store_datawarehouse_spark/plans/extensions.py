@@ -6864,3 +6864,195 @@ def x178_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges, _ = bpe_learn(wf, word_col="w", freq_col="freq", n_merges=3)
     return merges.orderBy("merge_rank")
+
+
+# --------------------------------------------------------------------------
+# x179 — point-in-time (PIT) lookup against an SCD2 dimension: for
+# every purchase, the version of the user's mutating attribute that was
+# valid at purchase time — the feature-store join that prevents feature
+# leakage in training sets. Change points come from the q48 lag-detect;
+# the lookup itself is operators/temporal.asof_join (backward), so PIT
+# costs one sort-merge-shaped shuffle, never an interval cross join.
+# Purchases before a user's first change point surface NULL (no
+# leakage from the future), and a purchase at exactly a change instant
+# sees the new value (allow_exact) — both pinned by the oracle.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x179_scd2_pit_lookup",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+      FROM events
+    ), changes AS (
+      SELECT user_id, tus, v_cents FROM (
+        SELECT user_id, tus, v_cents,
+               lag(v_cents) OVER (PARTITION BY user_id
+                                  ORDER BY tus, v_cents) AS prev_v
+        FROM src
+      ) WHERE prev_v IS NULL OR prev_v <> v_cents
+    ), probes AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+      WHERE event_type = 'purchase'
+    ), un AS (
+      SELECT user_id, tus, 0 AS side, v_cents, NULL AS event_id FROM changes
+      UNION ALL
+      SELECT user_id, tus, 1 AS side, NULL AS v_cents, event_id FROM probes
+    ), m AS (
+      SELECT user_id, tus, event_id,
+             last_value(v_cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, side, v_cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pit_v
+      FROM un
+    )
+    SELECT event_id, user_id, tus AS purchase_us, pit_v AS v_cents_at_purchase
+    FROM m WHERE event_id IS NOT NULL
+    ORDER BY event_id
+    """,
+)
+def x179_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    src = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "v_cents")
+    changes = (
+        src.withColumn("prev_v", F.lag("v_cents").over(w))
+        .filter(F.col("prev_v").isNull() | (F.col("prev_v") != F.col("v_cents")))
+        .select("user_id", "tus", "v_cents")
+    )
+    probes = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tus")
+    )
+    return (
+        asof_join(
+            probes,
+            changes,
+            on="user_id",
+            left_ts="tus",
+            right_ts="tus",
+            value_cols=["v_cents"],
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("tus").alias("purchase_us"),
+            F.col("asof_v_cents").alias("v_cents_at_purchase"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x180 — deterministic negative sampling for contrastive training:
+# every doc gets 3 cross-source negatives chosen by consistent-hash
+# ring successor (the memcached/Chord trick): place all docs on a
+# [0, 2^32) knuth-hash ring, and for each anchor take, per foreign
+# source, the candidate with the smallest ring position >= the anchor's
+# (wraparound via a +2^32 shadow copy), then keep the 3 globally
+# nearest by ring gap. Reproducible under any reordering/repartition,
+# no RNG state, and uniform-in-expectation because the hash scatters
+# both sides. The successor search is operators/temporal.asof_join
+# (direction="forward") on the ring axis — one sort-merge-shaped
+# shuffle keyed by source. Skew note: at billions of docs per source
+# you'd sub-bucket the ring (key by (src, pos >> 24)) with a boundary
+# carry; source-count keys are fine at this corpus shape.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x180_ring_negative_sampling",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, {_knuth_sql("doc_id")} AS h FROM documents
+    ), srcs AS (
+      SELECT DISTINCT source FROM documents
+    ), cand AS (
+      SELECT source AS src, h AS pos, doc_id FROM d
+      UNION ALL
+      SELECT source AS src, h + 4294967296 AS pos, doc_id FROM d
+    ), probes AS (
+      SELECT a.doc_id AS anchor_id, s.source AS src, a.h AS target
+      FROM d a JOIN srcs s ON s.source <> a.source
+    ), un AS (
+      SELECT src, pos, 1 AS side, NULL AS anchor_id FROM cand
+      UNION ALL
+      SELECT src, target AS pos, 0 AS side, anchor_id FROM probes
+    ), m AS (
+      SELECT src, pos, anchor_id,
+             MIN(CASE WHEN side = 1 THEN pos END) OVER (
+               PARTITION BY src ORDER BY pos, side
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_pos
+      FROM un
+    ), neg AS (
+      SELECT h.anchor_id, h.src, CAST(h.next_pos - h.pos AS BIGINT) AS gap,
+             MIN(c.doc_id) AS neg_doc_id
+      FROM (SELECT * FROM m WHERE anchor_id IS NOT NULL) h
+      JOIN cand c ON c.src = h.src AND c.pos = h.next_pos
+      GROUP BY h.anchor_id, h.src, h.next_pos, h.pos
+    ), ranked AS (
+      SELECT anchor_id, neg_doc_id, src AS neg_source, gap,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY gap, src) AS rn
+      FROM neg
+    )
+    SELECT anchor_id, neg_doc_id, neg_source, gap
+    FROM ranked WHERE rn <= 3
+    ORDER BY anchor_id, gap, neg_source
+    """,
+)
+def x180_ring_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sampling import knuth_hash
+    from super_store_datawarehouse_spark.operators.temporal import asof_join
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", knuth_hash("doc_id").alias("h"))
+        .localCheckpoint()  # hash once; feeds probes and both ring copies
+    )
+    srcs = d.select("source").distinct()
+    cand = d.select(
+        F.col("source").alias("src"), F.col("h").alias("pos"), "doc_id"
+    ).unionByName(
+        d.select(
+            F.col("source").alias("src"),
+            (F.col("h") + F.lit(1 << 32)).alias("pos"),
+            "doc_id",
+        )
+    )
+    probes = (
+        d.alias("a")
+        .join(F.broadcast(srcs).alias("s"), F.expr("s.source <> a.source"))
+        .select(
+            F.col("a.doc_id").alias("anchor_id"),
+            F.col("s.source").alias("src"),
+            F.col("a.h").alias("target"),
+        )
+    )
+    hits = asof_join(
+        probes,
+        cand,
+        on="src",
+        left_ts="target",
+        right_ts="pos",
+        value_cols=["doc_id"],
+        direction="forward",
+    )
+    ranked = hits.select(
+        "anchor_id",
+        F.col("asof_doc_id").alias("neg_doc_id"),
+        F.col("src").alias("neg_source"),
+        (F.col("asof_pos") - F.col("target")).alias("gap"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("anchor_id").orderBy("gap", "neg_source")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("anchor_id", "gap", "neg_source")
+    )
