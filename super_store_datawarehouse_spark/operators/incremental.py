@@ -73,3 +73,32 @@ def merge_partials(
             .alias(out)
         )
     return joined.select(*out_cols)
+
+
+def join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Incremental equi-join maintenance (the classic delta rule): when
+    A gains ``a_delta`` and B gains ``b_delta``,
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    — never a recompute of A ⋈ B. Insert-only deltas (append streams /
+    new partitions); pair with :mod:`cdc` upsert folding first if the
+    feed carries updates.
+
+    Scale: the big-side scans (A_old, B_old) each join against a DELTA,
+    so AQE broadcasts the delta side and neither old table shuffles;
+    the ΔA ⋈ ΔB term is delta-sized on both sides. Cost is proportional
+    to |Δ| · join fan-out, not |A| + |B|.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    return (
+        a_delta.join(b_old, on)
+        .unionByName(a_old.join(b_delta, on))
+        .unionByName(a_delta.join(b_delta, on))
+    )

@@ -7056,3 +7056,67 @@ def x180_ring_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("anchor_id", "gap", "neg_source")
     )
+
+
+# --------------------------------------------------------------------------
+# x181 — incremental join maintenance: the delta rule
+# Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB (operators/incremental.py
+# join_delta) applied to orders/lineitem snapshotted at date cutoffs.
+# Each old-side scan joins a delta (AQE broadcasts it), so maintenance
+# cost tracks |Δ|, not |A|+|B|. The oracle proves the algebra: full
+# new join EXCEPT full old join — identical rows, computed the
+# O(|A|+|B|) way the delta rule avoids. (o_orderkey, l_linenumber) is
+# unique per line, so set-EXCEPT is exact here.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x181_incremental_join_delta",
+    oracle="""
+    WITH a_all AS (
+      SELECT o_orderkey, epoch_us(o_orderdate) AS odate_us FROM orders
+    ), b_all AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             epoch_us(l_shipdate) AS sdate_us
+      FROM lineitem
+    ), a_old AS (
+      SELECT * FROM a_all WHERE odate_us < epoch_us(TIMESTAMP '2000-01-01')
+    ), b_old AS (
+      SELECT * FROM b_all WHERE sdate_us < epoch_us(TIMESTAMP '2000-06-01')
+    ), new_join AS (
+      SELECT a.o_orderkey, b.l_linenumber, a.odate_us, b.price_cents
+      FROM a_all a JOIN b_all b ON a.o_orderkey = b.l_orderkey
+    ), old_join AS (
+      SELECT a.o_orderkey, b.l_linenumber, a.odate_us, b.price_cents
+      FROM a_old a JOIN b_old b ON a.o_orderkey = b.l_orderkey
+    )
+    SELECT * FROM new_join
+    EXCEPT
+    SELECT * FROM old_join
+    ORDER BY o_orderkey, l_linenumber
+    """,
+)
+def x181_incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.incremental import join_delta
+
+    cut_a = F.unix_micros(F.lit("2000-01-01").cast("timestamp"))
+    cut_b = F.unix_micros(F.lit("2000-06-01").cast("timestamp"))
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("odate_us"),
+    )
+    b = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("sdate_us"),
+    )
+    delta = join_delta(
+        a.filter(F.col("odate_us") < cut_a),
+        a.filter(F.col("odate_us") >= cut_a),
+        b.filter(F.col("sdate_us") < cut_b),
+        b.filter(F.col("sdate_us") >= cut_b),
+        on="o_orderkey",
+    )
+    return delta.select(
+        "o_orderkey", "l_linenumber", "odate_us", "price_cents"
+    ).orderBy("o_orderkey", "l_linenumber")

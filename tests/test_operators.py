@@ -1969,3 +1969,23 @@ def test_bpe_learn_matches_reference_greedy_semantics(spark):
     assert rows == [(1, "a", "a", 10), (2, "aa", "a", 5)]
     final = sorted(r["s"] for r in seqs.collect())
     assert final == [" a  b ", " aaa ", " b  a "]
+
+
+def test_join_delta_equals_full_recompute_diff(spark):
+    from super_store_datawarehouse_spark.operators.incremental import join_delta
+
+    a_old = spark.createDataFrame([(1, "a1"), (2, "a2")], ["k", "av"])
+    a_delta = spark.createDataFrame([(2, "a2new"), (3, "a3")], ["k", "av"])
+    b_old = spark.createDataFrame([(1, "b1"), (3, "b3")], ["k", "bv"])
+    b_delta = spark.createDataFrame([(2, "b2")], ["k", "bv"])
+    delta = join_delta(a_old, a_delta, b_old, b_delta, on="k")
+    a_new, b_new = a_old.unionByName(a_delta), b_old.unionByName(b_delta)
+    expected = a_new.join(b_new, "k").exceptAll(a_old.join(b_old, "k"))
+    assert sorted(map(tuple, delta.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    # and the delta is non-trivial: all three terms contribute
+    got = sorted(map(tuple, delta.collect()))
+    assert (3, "a3", "b3") in got      # ΔA ⋈ B_old
+    assert (2, "a2", "b2") in got      # A_old ⋈ ΔB
+    assert (2, "a2new", "b2") in got   # ΔA ⋈ ΔB
