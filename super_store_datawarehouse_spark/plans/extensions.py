@@ -7120,3 +7120,134 @@ def x181_incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta.select(
         "o_orderkey", "l_linenumber", "odate_us", "price_cents"
     ).orderBy("o_orderkey", "l_linenumber")
+
+
+# --------------------------------------------------------------------------
+# x182 — histogram-sketch quantile accuracy eval (completes the
+# sketch-eval trio beside x150 ANN recall and x151 MinHash estimate):
+# a 64-bin equi-width histogram per event type — the constant-space
+# quantile sketch every engine ships as its cheap stats pass — is
+# evaluated against exact nearest-rank p50/p90. Bin assignment,
+# cumulative scan, and midpoint estimates are integer end-to-end, so
+# both engines agree bit-for-bit on estimate AND error. Histogram cost
+# at 100 TB: one shuffle to 64·|types| cells vs the full sort the
+# exact rank needs.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x182_histogram_quantile_eval",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), g AS (
+      SELECT event_type, MIN(cents) AS lo, MAX(cents) AS hi,
+             COUNT(*) AS n
+      FROM e GROUP BY event_type
+    ), binned AS (
+      SELECT e.event_type,
+             LEAST(63, (e.cents - g.lo) * 64 // (g.hi - g.lo + 1)) AS bin
+      FROM e JOIN g USING (event_type)
+    ), bc AS (
+      SELECT event_type, bin, COUNT(*) AS cnt
+      FROM binned GROUP BY event_type, bin
+    ), cum AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS c
+      FROM bc
+    ), est AS (
+      SELECT c.event_type,
+             CAST(MIN(CASE WHEN c.c >= (50 * g.n + 99) // 100 THEN c.bin END)
+                  AS BIGINT) AS b50,
+             CAST(MIN(CASE WHEN c.c >= (90 * g.n + 99) // 100 THEN c.bin END)
+                  AS BIGINT) AS b90
+      FROM cum c JOIN g USING (event_type) GROUP BY c.event_type
+    ), ranked AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS r
+      FROM e
+    ), tru AS (
+      SELECT r.event_type,
+             MIN(CASE WHEN r.r = (50 * g.n + 99) // 100 THEN r.cents END)
+               AS p50_true,
+             MIN(CASE WHEN r.r = (90 * g.n + 99) // 100 THEN r.cents END)
+               AS p90_true
+      FROM ranked r JOIN g USING (event_type) GROUP BY r.event_type
+    )
+    SELECT g.event_type,
+           t.p50_true,
+           CAST(g.lo + ((2 * e.b50 + 1) * (g.hi - g.lo + 1)) // 128 AS BIGINT)
+             AS p50_est,
+           t.p90_true,
+           CAST(g.lo + ((2 * e.b90 + 1) * (g.hi - g.lo + 1)) // 128 AS BIGINT)
+             AS p90_est
+    FROM g JOIN est e USING (event_type) JOIN tru t USING (event_type)
+    ORDER BY g.event_type
+    """,
+)
+def x182_histogram_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    g = e.groupBy("event_type").agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = e.join(F.broadcast(g), "event_type").select(
+        "event_type",
+        F.least(F.lit(63), F.expr("(cents - lo) * 64 div (hi - lo + 1)")).alias(
+            "bin"
+        ),
+    )
+    cum = (
+        binned.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "c",
+            F.sum("cnt").over(Window.partitionBy("event_type").orderBy("bin")),
+        )
+    )
+    est = (
+        cum.join(F.broadcast(g), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.expr("c >= (50 * n + 99) div 100"), F.col("bin")))
+            .cast("long")
+            .alias("b50"),
+            F.min(F.when(F.expr("c >= (90 * n + 99) div 100"), F.col("bin")))
+            .cast("long")
+            .alias("b90"),
+        )
+    )
+    ranked = e.withColumn(
+        "r", F.row_number().over(Window.partitionBy("event_type").orderBy("cents"))
+    )
+    tru = (
+        ranked.join(F.broadcast(g), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.expr("r = (50 * n + 99) div 100"), F.col("cents"))).alias(
+                "p50_true"
+            ),
+            F.min(F.when(F.expr("r = (90 * n + 99) div 100"), F.col("cents"))).alias(
+                "p90_true"
+            ),
+        )
+    )
+    return (
+        g.join(est, "event_type")
+        .join(tru, "event_type")
+        .select(
+            "event_type",
+            "p50_true",
+            F.expr("lo + ((2 * b50 + 1) * (hi - lo + 1)) div 128")
+            .cast("long")
+            .alias("p50_est"),
+            "p90_true",
+            F.expr("lo + ((2 * b90 + 1) * (hi - lo + 1)) div 128")
+            .cast("long")
+            .alias("p90_est"),
+        )
+        .orderBy("event_type")
+    )
