@@ -7251,3 +7251,126 @@ def x182_histogram_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x183 — trained-model scoring at scale: apply a linear quality
+# classifier (fixed micro-unit weights — stand-ins for a logistic
+# regression fit offline) to every document. Features (token count,
+# stopword ppm, type-token ppm) and the logit are integer end-to-end;
+# the decision is sign(logit), so no sigmoid and no floats — the
+# pattern for pushing a distilled quality filter over 100 TB as pure
+# whole-stage-codegen expressions, zero Python.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x183_quality_classifier",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(lst) AS BIGINT) AS tok_cnt,
+             CAST(len(list_filter(lst, x -> list_contains(
+               ['the','a','an','of','and','to','in','is','it','that'], x)))
+               AS BIGINT) AS stop_cnt,
+             CAST(len(list_distinct(lst)) AS BIGINT) AS distinct_cnt
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x <> '') AS lst
+            FROM documents)
+    ), s AS (
+      SELECT doc_id, tok_cnt,
+             stop_cnt * 1000000 // tok_cnt AS stop_ppm,
+             distinct_cnt * 1000000 // tok_cnt AS ttr_ppm
+      FROM f WHERE tok_cnt > 0
+    )
+    SELECT doc_id, tok_cnt, stop_ppm, ttr_ppm,
+           CAST(40000 * tok_cnt + ttr_ppm - 2 * stop_ppm - 1900000 AS BIGINT)
+             AS logit_micro,
+           (40000 * tok_cnt + ttr_ppm - 2 * stop_ppm - 1900000) > 0 AS keep
+    FROM s ORDER BY doc_id
+    """,
+)
+def x183_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stop = "array('the','a','an','of','and','to','in','is','it','that')"
+    f = docs.selectExpr(
+        "doc_id",
+        "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '') AS lst",
+    ).selectExpr(
+        "doc_id",
+        "cast(size(lst) AS bigint) AS tok_cnt",
+        f"cast(size(filter(lst, x -> array_contains({stop}, x))) AS bigint)"
+        " AS stop_cnt",
+        "cast(size(array_distinct(lst)) AS bigint) AS distinct_cnt",
+    )
+    s = f.filter("tok_cnt > 0").selectExpr(
+        "doc_id",
+        "tok_cnt",
+        "stop_cnt * 1000000 div tok_cnt AS stop_ppm",
+        "distinct_cnt * 1000000 div tok_cnt AS ttr_ppm",
+    )
+    return s.selectExpr(
+        "doc_id",
+        "tok_cnt",
+        "stop_ppm",
+        "ttr_ppm",
+        "40000 * tok_cnt + ttr_ppm - 2 * stop_ppm - 1900000 AS logit_micro",
+        "(40000 * tok_cnt + ttr_ppm - 2 * stop_ppm - 1900000) > 0 AS keep",
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x184 — curriculum ordering with source interleave: easy-to-hard
+# training order (token count ascending as the difficulty proxy)
+# round-robined across sources so no source dominates any window of
+# the stream — the standard data-ordering step before sequence
+# packing (q24). Two rank windows, no joins; the global position is a
+# total order both engines agree on exactly.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x184_curriculum_interleave",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS tok_cnt
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, tok_cnt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY tok_cnt, doc_id) AS rn
+      FROM tok
+    )
+    SELECT row_number() OVER (ORDER BY rn, source, doc_id) AS global_pos,
+           doc_id, source, tok_cnt, rn
+    FROM r ORDER BY global_pos
+    """,
+)
+def x184_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != F.lit("")
+            )
+        )
+        .cast("long")
+        .alias("tok_cnt"),
+    )
+    r = tok.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("tok_cnt", "doc_id")
+        ),
+    )
+    return r.select(
+        F.row_number()
+        .over(Window.orderBy("rn", "source", "doc_id"))
+        .cast("long")
+        .alias("global_pos"),
+        "doc_id",
+        "source",
+        "tok_cnt",
+        "rn",
+    ).orderBy("global_pos")

@@ -254,3 +254,29 @@ def recover_compact(path: str) -> str | None:
             shutil.rmtree(tmp)
         return "restored pre-compaction table"
     return None
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    metrics: dict | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Parquet write that returns pipeline metrics from the SAME job
+    that wrote the data (``df.observe`` / ``Observation``).
+
+    ``metrics`` maps output names to aggregate Columns (count/sum/min/
+    max/null-count style). The accumulator-backed observation rides the
+    write job, so at 100 TB you get row counts and checksums WITHOUT
+    the second full scan a follow-up ``.count()`` would cost — the
+    standard write-audit-publish pattern. Defaults to ``n_rows``.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    if metrics is None:
+        metrics = {"n_rows": F.count(F.lit(1))}
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed.write.mode(mode).parquet(path)
+    return dict(obs.get)

@@ -1989,3 +1989,25 @@ def test_join_delta_equals_full_recompute_diff(spark):
     assert (3, "a3", "b3") in got      # ΔA ⋈ B_old
     assert (2, "a2", "b2") in got      # A_old ⋈ ΔB
     assert (2, "a2new", "b2") in got   # ΔA ⋈ ΔB
+
+
+def test_write_with_metrics_observes_the_write_job(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.sources.sinks import write_with_metrics
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], ["k", "v"]
+    )
+    got = write_with_metrics(
+        df,
+        str(tmp_path / "t"),
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.sum(F.isnull("v").cast("long")),
+            "sum_k": F.sum("k"),
+        },
+    )
+    assert got == {"n_rows": 3, "n_null_v": 1, "sum_k": 6}
+    # and the data actually landed
+    assert spark.read.parquet(str(tmp_path / "t")).count() == 3
