@@ -167,3 +167,36 @@ def test_bloom_prefilter_never_drops_members(spark, keys, probes):
 
     kept_c, want_c = Counter(kept), Counter(p for p in probes if p in member)
     assert all(kept_c[k] >= c for k, c in want_c.items())
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(st.tuples(KEYS, TS), min_size=1, max_size=8),
+    right=st.lists(st.tuples(KEYS, TS, st.integers(0, 99)), min_size=0, max_size=8),
+    tol=st.sampled_from([None, 3_000_000, 10_000_000]),
+)
+def test_asof_forward_tolerance_matches_bruteforce(spark, left, right, tol):
+    from super_store_datawarehouse_spark.operators.temporal import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, _t(s)) for i, (k, s) in enumerate(left)], ["lid", "key", "ts"]
+    )
+    rdf = spark.createDataFrame(
+        [(k, _t(s), float(v)) for k, s, v in right],
+        "key int, ts timestamp, px double",
+    )
+    got = {
+        r["lid"]: r["asof_ts"]
+        for r in asof_join(
+            ldf, rdf, on="key", value_cols=["px"],
+            direction="forward", tolerance_us=tol,
+        ).collect()
+    }
+    assert set(got) == set(range(len(left)))
+    for i, (k, s) in enumerate(left):
+        cands = [_t(rs) for rk, rs, _ in right if rk == k and rs >= s]
+        want = min(cands) if cands else None
+        if want is not None and tol is not None:
+            if (want - _t(s)).total_seconds() * 1_000_000 > tol:
+                want = None
+        assert got[i] == want
