@@ -638,3 +638,102 @@ def user_totals_tws_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def stream_misra_gries_to_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    k: int = 8,
+    checkpoint: str | None = None,
+) -> int:
+    """Streaming heavy-hitter candidates: maintain a k-counter
+    Misra–Gries summary of the event-type stream across micro-batches
+    (the rolling "trending items" sketch).
+
+    Merge per batch = add the batch's exact counts into the persisted
+    summary, then subtract the (k+1)-th largest running count from
+    everything and drop the non-positives — the mergeable-summaries
+    merge (Agarwal et al. 2013). The persisted state is therefore <= k
+    rows FOREVER, and any item whose true stream count exceeds
+    N/(k+1) is guaranteed present regardless of batch boundaries
+    (same pigeonhole as the batch operator,
+    ``operators.sketches.misra_gries_candidates``).
+
+    Exactly-once: foreachBatch is at-least-once and this sink is
+    additive, so replays are excluded with the applied-batch marker —
+    the identical transactional pattern as ``stream_countmin_to_parquet``.
+    Returns micro-batches processed (skips excluded).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    ev = read_events_stream(spark, src_dir).select(
+        F.col("event_type").alias("word")
+    )
+    batches = {"n": 0}
+    applied_marker = out_dir + ".applied_batch"
+
+    def last_applied() -> int:
+        try:
+            with open(applied_marker) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_applied():
+            return
+        sess = batch_df.sparkSession
+        delta = batch_df.groupBy("word").agg(F.count(F.lit(1)).alias("mg_cnt"))
+        if os.path.isdir(out_dir):
+            state = sess.read.parquet(out_dir)
+            merged = (
+                state.unionByName(delta)
+                .groupBy("word")
+                .agg(F.sum("mg_cnt").alias("mg_cnt"))
+            )
+        else:
+            merged = delta
+        # trim to k counters: subtract the (k+1)-th largest (0 when the
+        # summary already fits), drop non-positives. The ranked frame is
+        # summary+batch-vocab sized — tiny — so the single-partition
+        # window is deliberate, not a scale hazard.
+        ranked = merged.withColumn(
+            "__rn",
+            F.row_number().over(Window.orderBy(F.desc("mg_cnt"), F.col("word"))),
+        )
+        kth = ranked.filter(F.col("__rn") == k + 1).select(
+            F.col("mg_cnt").alias("__kth")
+        )
+        trimmed = (
+            ranked.join(F.broadcast(kth), F.lit(True), "left")
+            .select(
+                "word",
+                (F.col("mg_cnt") - F.coalesce(F.col("__kth"), F.lit(0))).alias(
+                    "mg_cnt"
+                ),
+            )
+            .filter(F.col("mg_cnt") > 0)
+        )
+        tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir))
+        trimmed.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.replace(tmp, out_dir)
+        with open(applied_marker + ".tmp", "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(applied_marker + ".tmp", applied_marker)
+        batches["n"] += 1
+
+    writer = ev.writeStream.outputMode("append").foreachBatch(merge_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return batches["n"]

@@ -642,3 +642,56 @@ def test_pydatasource_stream_equals_batch(tmp_path, spark):
         )
     )
     assert got == want and len(got) == 500
+
+
+def test_stream_misra_gries_guarantee_and_restart(tmp_path, spark):
+    """Streaming MG summary: <= k rows of state forever, every true
+    heavy hitter (> N/(k+1)) survives arbitrary micro-batching, and a
+    checkpoint restart re-adds nothing (exactly-once marker)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        stream_misra_gries_to_parquet,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    # skew the stream: purchases replicated 4 extra times → 'purchase'
+    # holds ~40% of rows, far above the N/(k+1) threshold for k=3
+    skewed = events
+    for _ in range(4):
+        skewed = skewed.unionByName(events.filter(F.col("event_type") == "purchase"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        part_dir = tmp_path / f"part{i}"
+        skewed.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            str(part_dir), mode="overwrite"
+        )
+        part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        os.rename(part_dir / part, os.path.join(src, f"events{i}.parquet"))
+
+    out = str(tmp_path / "mg")
+    ckpt = str(tmp_path / "ckpt")
+    k = 3
+    assert stream_misra_gries_to_parquet(spark, src, out, k=k, checkpoint=ckpt) == 3
+
+    state = {r["word"]: r["mg_cnt"] for r in spark.read.parquet(out).collect()}
+    assert len(state) <= k
+    n = skewed.count()
+    true_counts = {
+        r["event_type"]: r["c"]
+        for r in skewed.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+    }
+    for word, cnt in true_counts.items():
+        if cnt * (k + 1) > n:
+            assert word in state            # guaranteed superset
+    for word, mg in state.items():
+        assert mg <= true_counts[word]      # MG never overcounts
+
+    # restart from the same checkpoint: no new batches, state unchanged
+    assert stream_misra_gries_to_parquet(spark, src, out, k=k, checkpoint=ckpt) == 0
+    state2 = {r["word"]: r["mg_cnt"] for r in spark.read.parquet(out).collect()}
+    assert state2 == state
