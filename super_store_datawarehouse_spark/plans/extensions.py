@@ -7374,3 +7374,89 @@ def x184_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok_cnt",
         "rn",
     ).orderBy("global_pos")
+
+
+# --------------------------------------------------------------------------
+# x185 — late-interaction retrieval (ColBERT MaxSim, Khattab & Zaharia
+# 2020): group the vector table into 8-token "documents" (vec_id div
+# 8), take the first two groups as queries, and score every doc by
+# Σ_{query token} max_{doc token} ⟨qt, dt⟩ — the multi-vector scoring
+# that beats single-vector retrieval on precision. Dot products run on
+# milli-quantized int64 components (trunc semantics shared by both
+# engines), so scores are integer-exact. Query side is tokens×dims
+# tiny → broadcast; the doc side streams through one shuffle per
+# reduction stage. Top-5 docs per query, deterministic ties.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x185_maxsim_late_interaction",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id // 8 AS gid, vec_id,
+             list_transform(embedding,
+                            x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+               AS q
+      FROM embeddings
+    ), qc AS (
+      SELECT gid AS qid, vec_id AS qt, i, q[i] AS x
+      FROM v CROSS JOIN range(1, 65) r(i) WHERE gid < 2
+    ), dc AS (
+      SELECT gid AS did, vec_id AS dt, i, q[i] AS x
+      FROM v CROSS JOIN range(1, 65) r(i) WHERE gid >= 2
+    ), dots AS (
+      SELECT qc.qid, qc.qt, dc.did, dc.dt,
+             CAST(SUM(qc.x * dc.x) AS BIGINT) AS dot
+      FROM qc JOIN dc USING (i)
+      GROUP BY 1, 2, 3, 4
+    ), best AS (
+      SELECT qid, qt, did, MAX(dot) AS m FROM dots GROUP BY 1, 2, 3
+    ), score AS (
+      SELECT qid, did, CAST(SUM(m) AS BIGINT) AS maxsim FROM best GROUP BY 1, 2
+    ), ranked AS (
+      SELECT qid, did, maxsim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY maxsim DESC, did) AS rank
+      FROM score
+    )
+    SELECT qid, CAST(rank AS BIGINT) AS rank, did, maxsim
+    FROM ranked WHERE rank <= 5 ORDER BY qid, rank
+    """,
+)
+def x185_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.expr("vec_id div 8").alias("gid"),
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1000).cast("long")
+        ).alias("q"),
+    )
+    qtok = v.filter(F.col("gid") < 2).select(
+        F.col("gid").alias("qid"), F.col("vec_id").alias("qt"), F.col("q").alias("qv")
+    )
+    dtok = v.filter(F.col("gid") >= 2).select(
+        F.col("gid").alias("did"), F.col("vec_id").alias("dt"), F.col("q").alias("dv")
+    )
+    dots = F.broadcast(qtok).crossJoin(dtok).select(
+        "qid",
+        "qt",
+        "did",
+        "dt",
+        F.aggregate(
+            F.zip_with("qv", "dv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+    )
+    best = dots.groupBy("qid", "qt", "did").agg(F.max("dot").alias("m"))
+    score = best.groupBy("qid", "did").agg(F.sum("m").alias("maxsim"))
+    ranked = score.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.desc("maxsim"), "did"))
+        .cast("long"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= 5)
+        .select("qid", "rank", "did", "maxsim")
+        .orderBy("qid", "rank")
+    )
