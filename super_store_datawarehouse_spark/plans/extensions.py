@@ -7460,3 +7460,118 @@ def x185_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "did", "maxsim")
         .orderBy("qid", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# x186 — materialized-view rollup answering (the aggregate-navigator
+# move every serious warehouse makes): a monthly revenue summary is the
+# "materialized view"; the yearly question is answered by re-aggregating
+# the MV's 12-rows-per-year instead of rescanning lineitem. Valid
+# because SUM/COUNT are distributive over the month→year rollup —
+# the oracle computes yearly straight from the fact table, so the
+# equality IS the rewrite-correctness proof. At 100 TB this turns a
+# fact-table scan into a summary-table scan thousands of times smaller.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x186_mv_rollup_answer",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS rev_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY 1 ORDER BY yr
+    """,
+)
+def x186_mv_rollup_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # the "materialized view": monthly grain, distributive measures only
+    mv_monthly = (
+        li.select(
+            F.year(F.col("l_shipdate")).cast("long").alias("yr"),
+            F.month(F.col("l_shipdate")).alias("mo"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("yr", "mo")
+        .agg(
+            F.sum("cents").alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    # yearly answer served FROM the MV (no fact-table access)
+    return (
+        mv_monthly.groupBy("yr")
+        .agg(
+            F.sum("rev_cents").alias("rev_cents"),
+            F.sum("n_lines").alias("n_lines"),
+        )
+        .orderBy("yr")
+    )
+
+
+# --------------------------------------------------------------------------
+# x187 — weighted median (and p25/p75) of order price per priority,
+# weight = the order's line count: the quantile definition used when
+# rows carry sampling or volume weights. Nearest-rank on the CUMULATIVE
+# WEIGHT axis — first value whose running weight reaches p% of total
+# weight — all integers, one shuffle on the group key.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x187_weighted_median_price",
+    oracle="""
+    WITH w AS (
+      SELECT o.o_orderpriority AS pri,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+             COUNT(*) AS wt
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT pri, cents, wt,
+             SUM(wt) OVER (PARTITION BY pri ORDER BY cents, wt) AS cw,
+             SUM(wt) OVER (PARTITION BY pri) AS tw
+      FROM w
+    )
+    SELECT pri,
+           MIN(CASE WHEN cw * 100 >= tw * 25 THEN cents END) AS p25_cents,
+           MIN(CASE WHEN cw * 100 >= tw * 50 THEN cents END) AS p50_cents,
+           MIN(CASE WHEN cw * 100 >= tw * 75 THEN cents END) AS p75_cents,
+           CAST(MIN(tw) AS BIGINT) AS total_weight
+    FROM cum GROUP BY pri ORDER BY pri
+    """,
+)
+def x187_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("pri", "cents")
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    cum = w.select(
+        "pri",
+        "cents",
+        "wt",
+        F.sum("wt")
+        .over(Window.partitionBy("pri").orderBy("cents", "wt"))
+        .alias("cw"),
+        F.sum("wt").over(Window.partitionBy("pri")).alias("tw"),
+    )
+
+    def at(p):
+        return F.min(
+            F.when(F.expr(f"cw * 100 >= tw * {p}"), F.col("cents"))
+        ).alias(f"p{p}_cents")
+
+    return (
+        cum.groupBy("pri")
+        .agg(at(25), at(50), at(75), F.min("tw").alias("total_weight"))
+        .orderBy("pri")
+    )
