@@ -7575,3 +7575,74 @@ def x187_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(at(25), at(50), at(75), F.min("tw").alias("total_weight"))
         .orderBy("pri")
     )
+
+
+# --------------------------------------------------------------------------
+# x188 — portable HyperLogLog distinct-count eval: per event type, the
+# integer-exact HLL estimate (operators/sketches.hll_distinct: md5
+# hashing, dyadic-rational harmonic sum, baked-ln linear-counting LUT —
+# so DuckDB replays the ESTIMATE itself, unlike approx_count_distinct's
+# opaque HLL++) against the true distinct user count, with the signed
+# error in ppm. m=64 registers → ~13% expected relative error; the
+# sketch shuffles 64 rows per group where exact COUNT(DISTINCT)
+# shuffles every user id.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x188_hll_distinct_eval",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM events
+    ), b AS (
+      SELECT event_type, hv % 64 AS bucket, hv // 64 AS w FROM h
+    ), r AS (
+      SELECT event_type, bucket,
+             MAX(CASE WHEN w > 0 THEN 27 - length(bin(w)) ELSE 27 END) AS m
+      FROM b GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type,
+             CAST(SUM(1::BIGINT << (32 - m)) AS BIGINT) AS tp,
+             COUNT(*) AS np
+      FROM r GROUP BY 1
+    ), est AS (
+      SELECT event_type,
+             CAST(CASE WHEN raw * 2 <= 5 * 64 AND (64 - np) > 0
+                       THEN ([266,222,196,177,163,151,142,133,126,119,113,107,102,97,93,89,85,81,78,74,71,68,65,63,60,58,55,53,51,48,46,44,42,40,39,37,35,33,32,30,28,27,25,24,23,21,20,18,17,16,15,13,12,11,10,9,7,6,5,4,3,2,1,0])[64 - np]
+                       ELSE raw END AS BIGINT) AS est_distinct
+      FROM (SELECT event_type, np,
+                   (709 * 64 * 64 * 4294967296) //
+                   (1000 * (tp + (64 - np) * 4294967296)) AS raw
+            FROM t)
+    ), tru AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS true_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, true_distinct, est_distinct,
+           CAST((est_distinct - true_distinct) * 1000000 // true_distinct
+                AS BIGINT) AS err_ppm
+    FROM est JOIN tru USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def x188_hll_distinct_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sketches import hll_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    est = hll_distinct(events, ["event_type"], "user_id")
+    tru = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("true_distinct")
+    )
+    return (
+        est.join(tru, "event_type")
+        .select(
+            "event_type",
+            "true_distinct",
+            "est_distinct",
+            F.expr(
+                "(est_distinct - true_distinct) * 1000000 div true_distinct"
+            ).alias("err_ppm"),
+        )
+        .orderBy("event_type")
+    )

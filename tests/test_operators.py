@@ -2011,3 +2011,46 @@ def test_write_with_metrics_observes_the_write_job(spark, tmp_path):
     assert got == {"n_rows": 3, "n_null_v": 1, "sum_k": 6}
     # and the data actually landed
     assert spark.read.parquet(str(tmp_path / "t")).count() == 3
+
+
+def test_hll_distinct_matches_pure_python_replay(spark):
+    import hashlib
+
+    from super_store_datawarehouse_spark.operators.sketches import (
+        HLL_LINEAR,
+        hll_distinct,
+    )
+
+    rows = [(i % 3, i * 7 + 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    got = {r["g"]: r["est_distinct"] for r in hll_distinct(df, ["g"], "k").collect()}
+
+    M = 64
+    regs: dict = {}
+    for g, k in rows:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        b, w = h % M, h // M
+        rho = 27 - w.bit_length() if w > 0 else 27
+        regs.setdefault(g, {})
+        regs[g][b] = max(regs[g].get(b, 0), rho)
+    for g, r in regs.items():
+        t = sum(1 << (32 - m) for m in r.values()) + (M - len(r)) * (1 << 32)
+        raw = (709 * M * M * (1 << 32)) // (1000 * t)
+        v = M - len(r)
+        want = HLL_LINEAR[v - 1] if (raw * 2 <= 5 * M and v > 0) else raw
+        assert got[g] == want, (g, got[g], want)
+    # sanity: single-group estimates carry ~13% (1 sigma) error at m=64,
+    # so bound each loosely and the 3-group mean tightly
+    true_n = len({k for _, k in rows}) // 3
+    for g in got:
+        assert abs(got[g] - true_n) < 0.6 * true_n
+    mean = sum(got.values()) / len(got)
+    assert abs(mean - true_n) < 0.3 * true_n
+
+
+def test_hll_distinct_small_range_uses_linear_counting(spark):
+    from super_store_datawarehouse_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame([(1, i) for i in range(30)], ["g", "k"])
+    got = hll_distinct(df, ["g"], "k").collect()[0]["est_distinct"]
+    assert abs(got - 30) <= 6   # linear counting is tight at tiny n
