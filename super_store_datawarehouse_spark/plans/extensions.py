@@ -7646,3 +7646,188 @@ def x188_hll_distinct_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x189 — HLL set-operation cardinalities: distinct-user UNION estimates
+# for every event-type pair by max-merging the two types' register
+# vectors — the lossless-merge property that makes HLL the distributed
+# cardinality sketch (partial registers combine exactly like partial
+# sums) — plus inclusion-exclusion intersection estimates. Same
+# integer-exact md5/dyadic arithmetic as x188, so pairwise estimates
+# value-oracle too. Exact pairwise distinct unions would shuffle
+# |users|·|pairs| rows; registers shuffle 64·|pairs|.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x189_hll_union_eval",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             user_id,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM events
+    ), r AS (
+      SELECT event_type, hv % 64 AS bucket,
+             MAX(CASE WHEN hv // 64 > 0 THEN 27 - length(bin(hv // 64))
+                      ELSE 27 END) AS m
+      FROM h GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.bucket AS bucket, GREATEST(a.m, b.m) AS m
+      FROM r a JOIN r b ON a.bucket = b.bucket AND a.event_type < b.event_type
+    ), merged AS (
+      SELECT type_a, type_b,
+             CAST(SUM(1::BIGINT << (32 - m)) AS BIGINT) AS tp,
+             COUNT(*) AS np
+      FROM pairs GROUP BY 1, 2
+    ), est AS (
+      SELECT type_a, type_b,
+             CAST((709 * 64 * 64 * 4294967296) //
+                  (1000 * (tp + (64 - np) * 4294967296)) AS BIGINT)
+               AS union_est
+      FROM merged
+    ), tru AS (
+      SELECT a.type_a, a.type_b, COUNT(DISTINCT u.user_id) AS union_true
+      FROM (SELECT DISTINCT e1.event_type AS type_a, e2.event_type AS type_b
+            FROM events e1, events e2
+            WHERE e1.event_type < e2.event_type) a
+      JOIN events u
+        ON u.event_type = a.type_a OR u.event_type = a.type_b
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, union_true, union_est,
+           CAST((union_est - union_true) * 1000000 // union_true AS BIGINT)
+             AS err_ppm
+    FROM est JOIN tru USING (type_a, type_b)
+    ORDER BY type_a, type_b
+    """,
+)
+def x189_hll_union_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hv = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    r = (
+        events.select(
+            "event_type",
+            F.pmod(hv, F.lit(64)).alias("bucket"),
+            (hv / 64).cast("long").alias("w"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("w") > 0, F.lit(27) - F.length(F.expr("bin(w)"))).otherwise(
+                F.lit(27)
+            ),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    a = r.select(
+        F.col("event_type").alias("type_a"), "bucket", F.col("m").alias("ma")
+    )
+    b = r.select(
+        F.col("event_type").alias("type_b"), "bucket", F.col("m").alias("mb")
+    )
+    merged = (
+        a.join(b, "bucket")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b", "bucket", F.greatest("ma", "mb").alias("m"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.expr("shiftleft(1L, cast(32 - m as int))")).alias("tp"),
+            F.count(F.lit(1)).alias("np"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.expr(
+                "(709L * 64 * 64 * 4294967296L) div "
+                "(1000 * (tp + (64 - np) * 4294967296L))"
+            ).alias("union_est"),
+        )
+    )
+    pairs = (
+        events.select("event_type")
+        .distinct()
+        .alias("x")
+        .join(events.select("event_type").distinct().alias("y"))
+        .filter(F.expr("x.event_type < y.event_type"))
+        .select(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+    )
+    tru = (
+        pairs.join(
+            events.select("event_type", "user_id"),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count_distinct("user_id").alias("union_true"))
+    )
+    return (
+        merged.join(tru, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "union_true",
+            "union_est",
+            F.expr("(union_est - union_true) * 1000000 div union_true").alias(
+                "err_ppm"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# x190 — k-anonymity audit (privacy readiness before sharing training
+# data): treat (nation, market segment) as the quasi-identifier on
+# customer and report, per nation, the equivalence classes smaller than
+# k=5 — the rows a release would have to suppress or generalize — plus
+# the suppression fraction in ppm. One aggregation tree, no joins
+# beyond the roll-up.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x190_k_anonymity_audit",
+    oracle="""
+    WITH eq AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           COUNT(*) AS n_classes,
+           CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_classes,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS rows_to_suppress,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                * 1000000 // SUM(class_size) AS BIGINT) AS suppress_ppm
+    FROM eq GROUP BY 1 ORDER BY 1
+    """,
+)
+def x190_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    eq = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return (
+        eq.groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("class_size") < 5, 1).otherwise(0)).alias(
+                "violating_classes"
+            ),
+            F.sum(
+                F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0)
+            ).alias("rows_to_suppress"),
+            F.expr(
+                "sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)"
+                " * 1000000 div sum(class_size)"
+            ).alias("suppress_ppm"),
+        )
+        .orderBy("nationkey")
+    )
