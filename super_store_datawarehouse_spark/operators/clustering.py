@@ -185,3 +185,71 @@ def kmeans_quantized(
         centroids = update_centroids(assigned, centroids)
         assigned = assign(qdf, centroids)
     return assigned.select(id_col, "cluster", "dist2")
+
+
+def pca_power_iteration(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 3,
+    v_scale: int = 10_000,
+) -> list[int]:
+    """First principal direction of a vector column by distributed
+    power iteration — v ← (XᵀX)v, renormalized each round — with every
+    step in exact int64 arithmetic so the whole trajectory replays in
+    any SQL engine.
+
+    Two tricks make it portable AND scale-shaped:
+
+    * **L∞ (max-abs) renormalization** instead of L2: power iteration
+      converges under any norm, and ``v·v_scale // max|v|`` needs no
+      sqrt — the one step that would otherwise leave integer land.
+      Both engines truncate integer division toward zero, so the
+      iterate sequences are bit-identical.
+    * **Matrix-free (XᵀX)v**: per row the scalar s_i = ⟨x_i, v⟩ (map
+      against the broadcast 64-int v), then the d-dim accumulation
+      u = Σ s_i·x_i (one shuffle to d rows). The driver only ever
+      holds d integers per round — the covariance matrix is never
+      materialized.
+
+    Overflow headroom: |x| ≤ X milli-units, |v| ≤ v_scale →
+    |u_j| ≤ n·d·X²·v_scale; at d=64, X≈600, v_scale=1e4 that stays
+    inside int64 up to n ≈ 4·10⁷ rows per partition-tree — past that,
+    raise the quantization granularity or accumulate hierarchically.
+
+    Returns the final v as a Python list of ints (length d), scaled to
+    ``v_scale`` in L∞ norm. Sign follows the deterministic all-ones
+    start — the usual eigenvector sign ambiguity resolved by fiat.
+    """
+    comp = emb.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(quantize_vec(F.col(vec_col), 1000)).alias("__d", "__x"),
+    ).localCheckpoint()
+    d = comp.agg(F.max("__d")).collect()[0][0] + 1
+    v = [v_scale] * d
+    spark = emb.sparkSession
+    for _ in range(n_iter):
+        vdf = F.broadcast(
+            spark.createDataFrame(list(enumerate(v)), "__d int, __v long")
+        )
+        s = (
+            comp.join(vdf, "__d")
+            .groupBy("__id")
+            .agg(F.sum(F.col("__x") * F.col("__v")).alias("__s"))
+        )
+        u_rows = (
+            comp.join(s, "__id")
+            .groupBy("__d")
+            .agg(F.sum(F.col("__s") * F.col("__x")).alias("__u"))
+            .collect()
+        )
+        u = [0] * d
+        for r in u_rows:
+            u[r["__d"]] = r["__u"]
+        mx = max(abs(x) for x in u) or 1
+        # trunc-toward-zero division, matching SQL `div` on negatives
+        v = [
+            (abs(x) * v_scale // mx) * (1 if x >= 0 else -1)
+            for x in u
+        ]
+    return v

@@ -7831,3 +7831,58 @@ def x190_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# x191 — distributed PCA (first principal direction) by power
+# iteration: v ← (XᵀX)v with L∞ renormalization, 3 rounds, every step
+# exact int64 (operators/clustering.pca_power_iteration — matrix-free:
+# per-row dot against the broadcast direction, then a d-row shuffle;
+# the driver holds 64 ints per round, like k-means centroids). The
+# max-abs norm replaces L2 precisely because it needs no sqrt — the
+# iterate sequence is bit-identical in any engine, so the oracle
+# unrolls the same 3 rounds as CTEs and verifies the DIRECTION, not
+# just its shape.
+# --------------------------------------------------------------------------
+def _pca_oracle(n_iter: int) -> str:
+    ctes = ["""
+    comp AS (
+      SELECT vec_id AS id, i,
+             CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS x
+      FROM embeddings CROSS JOIN range(1, 65) r(i)
+    ), v0 AS (
+      SELECT i, CAST(10000 AS BIGINT) AS v FROM range(1, 65) r(i)
+    )"""]
+    for k in range(1, n_iter + 1):
+        ctes.append(f"""
+    s{k} AS (
+      SELECT c.id, CAST(SUM(c.x * v.v) AS BIGINT) AS s
+      FROM comp c JOIN v{k-1} v USING (i) GROUP BY c.id
+    ), u{k} AS (
+      SELECT c.i, CAST(SUM(s.s * c.x) AS BIGINT) AS u
+      FROM comp c JOIN s{k} s USING (id) GROUP BY c.i
+    ), m{k} AS (
+      SELECT GREATEST(MAX(ABS(u)), 1) AS m FROM u{k}
+    ), v{k} AS (
+      SELECT i, CAST((ABS(u) * 10000 // m.m)
+                     * (CASE WHEN u >= 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+      FROM u{k} CROSS JOIN m{k} m
+    )""")
+    return (
+        "WITH" + ",".join(ctes)
+        + f"\n    SELECT CAST(i AS BIGINT) AS dim, v AS loading"
+          f" FROM v{n_iter} ORDER BY dim"
+    )
+
+
+@harness_query("x191_pca_power_iteration", oracle=_pca_oracle(3))
+def x191_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.clustering import (
+        pca_power_iteration,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = pca_power_iteration(emb, n_iter=3)
+    return spark.createDataFrame(
+        [(i + 1, x) for i, x in enumerate(v)], "dim long, loading long"
+    ).orderBy("dim")

@@ -91,3 +91,27 @@ def test_trunc_div_matches_engines():
     assert _trunc_div(7, 2) == 3
     assert _trunc_div(-7, 2) == -3  # python -7 // 2 would be -4
     assert _trunc_div(0, 5) == 0
+
+
+def test_pca_power_iteration_aligns_with_numpy_eigenvector(spark):
+    import numpy as np
+
+    from super_store_datawarehouse_spark.operators.clustering import (
+        pca_power_iteration,
+    )
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: dominant direction along a known vector
+    base = rng.randn(300, 8) * 0.05
+    direction = np.array([3, 1, 0, 0, 0, 0, 0, 2.0])
+    base += np.outer(rng.randn(300), direction / np.linalg.norm(direction)) * 0.4
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    v = np.array(pca_power_iteration(df, n_iter=5), dtype=float)
+    # numpy reference on the SAME quantized matrix the operator sees
+    q = np.trunc(base.astype(np.float32).astype(np.float64) * 1000)
+    _, vecs = np.linalg.eigh(q.T @ q)
+    top = vecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.99, cos
