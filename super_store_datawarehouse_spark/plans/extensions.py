@@ -7886,3 +7886,229 @@ def x191_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, x) for i, x in enumerate(v)], "dim long, loading long"
     ).orderBy("dim")
+
+
+# --------------------------------------------------------------------------
+# x192 — Johnson–Lindenstrauss random projection eval: project the
+# 64-dim embeddings to 16 dims with a ±1 sign matrix derived from md5
+# (Achlioptas 2003 — database-friendly projections need only ±1, no
+# gaussians), then measure squared-distance distortion on 10 fixed
+# pairs in ppm. Signs, projections, and distances are integer
+# end-to-end, so the whole eval value-oracles. Scale: the projection
+# is a map-side Σ ±x per (row, out-dim) — no shuffle until the d→k
+# reduction, and k·n output beats d·n storage 4× here.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x192_jl_projection_eval",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, i,
+             CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS x
+      FROM embeddings CROSS JOIN range(1, 65) r(i)
+      WHERE vec_id < 110
+    ), signs AS (
+      SELECT i, j,
+             1 - 2 * (CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || '_' ||
+                                               CAST(j AS VARCHAR)), 1, 8))
+                           AS BIGINT) % 2) AS s
+      FROM range(1, 65) a(i) CROSS JOIN range(1, 17) b(j)
+    ), proj AS (
+      SELECT c.vec_id, s.j, CAST(SUM(s.s * c.x) AS BIGINT) AS y
+      FROM comp c JOIN signs s USING (i) GROUP BY 1, 2
+    ), pairs AS (
+      SELECT p AS pair_id, p AS va, p + 100 AS vb FROM range(0, 10) t(p)
+    ), d_orig AS (
+      SELECT p.pair_id,
+             CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2_orig
+      FROM pairs p
+      JOIN comp a ON a.vec_id = p.va
+      JOIN comp b ON b.vec_id = p.vb AND b.i = a.i
+      GROUP BY 1
+    ), d_proj AS (
+      SELECT p.pair_id,
+             CAST(SUM((a.y - b.y) * (a.y - b.y)) // 16 AS BIGINT) AS d2_proj
+      FROM pairs p
+      JOIN proj a ON a.vec_id = p.va
+      JOIN proj b ON b.vec_id = p.vb AND b.j = a.j
+      GROUP BY 1
+    )
+    SELECT pair_id, d2_orig, d2_proj,
+           CAST(d2_proj * 1000000 // d2_orig AS BIGINT) AS ratio_ppm
+    FROM d_orig JOIN d_proj USING (pair_id)
+    ORDER BY pair_id
+    """,
+)
+def x192_jl_projection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 110)
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding", lambda v: (v.cast("double") * 1000).cast("long")
+            )
+        ).alias("i0", "x"),
+    ).withColumn("i", F.col("i0") + 1)
+    signs = (
+        spark.range(1, 65)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(spark.range(1, 17).select(F.col("id").cast("int").alias("j")))
+        .select(
+            "i",
+            "j",
+            (
+                F.lit(1)
+                - 2
+                * (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "_",
+                                    F.col("i").cast("string"),
+                                    F.col("j").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2
+                )
+            ).alias("s"),
+        )
+    )
+    proj = (
+        comp.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("x")).alias("y"))
+    )
+    pairs = spark.range(0, 10).select(
+        F.col("id").alias("pair_id"),
+        F.col("id").alias("va"),
+        (F.col("id") + 100).alias("vb"),
+    )
+    d_orig = (
+        pairs.join(comp.alias("a"), F.col("a.vec_id") == F.col("va"))
+        .join(
+            comp.alias("b"),
+            (F.col("b.vec_id") == F.col("vb")) & (F.col("b.i") == F.col("a.i")),
+        )
+        .groupBy("pair_id")
+        .agg(
+            F.sum(
+                (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
+            ).alias("d2_orig")
+        )
+    )
+    d_proj = (
+        pairs.join(proj.alias("a"), F.col("a.vec_id") == F.col("va"))
+        .join(
+            proj.alias("b"),
+            (F.col("b.vec_id") == F.col("vb")) & (F.col("b.j") == F.col("a.j")),
+        )
+        .groupBy("pair_id")
+        .agg(
+            F.expr("sum((a.y - b.y) * (a.y - b.y)) div 16").alias("d2_proj")
+        )
+    )
+    return (
+        d_orig.join(d_proj, "pair_id")
+        .select(
+            "pair_id",
+            "d2_orig",
+            "d2_proj",
+            F.expr("d2_proj * 1000000 div d2_orig").alias("ratio_ppm"),
+        )
+        .orderBy("pair_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x193 — AMS second-moment (F2) sketch eval (Alon, Matias & Szegedy
+# 1996): estimate Σ count(w)² of the word-frequency vector with 8
+# ±1-sign linear sketches Z_r = Σ sign_r(w)·count(w), est = mean(Z²) —
+# the self-join size / skew statistic that powers join planning. Signs
+# from md5(word||row), so every Z value-oracles; at 100 TB each Z is
+# one map-side ±count fold to a single long.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x193_ams_f2_eval",
+    oracle="""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS cnt FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents) GROUP BY w
+    ), z AS (
+      SELECT r.r,
+             CAST(SUM((1 - 2 * (CAST(('0x' || substring(md5(w || '#' ||
+                                        CAST(r.r AS VARCHAR)), 1, 8)) AS BIGINT)
+                                % 2)) * cnt) AS BIGINT) AS zval
+      FROM wc CROSS JOIN range(0, 8) r(r) GROUP BY r.r
+    ), est AS (
+      SELECT CAST(SUM(zval * zval) // 8 AS BIGINT) AS f2_est FROM z
+    ), tru AS (
+      SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS f2_true FROM wc
+    )
+    SELECT f2_true, f2_est,
+           CAST((f2_est - f2_true) * 1000000 // f2_true AS BIGINT) AS err_ppm
+    FROM tru CROSS JOIN est
+    """,
+)
+def x193_ams_f2_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rows = spark.range(0, 8).select(F.col("id").cast("int").alias("r"))
+    z = (
+        wc.crossJoin(F.broadcast(rows))
+        .select(
+            "r",
+            (
+                (
+                    F.lit(1)
+                    - 2
+                    * (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.col("w"),
+                                        F.lit("#"),
+                                        F.col("r").cast("string"),
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % 2
+                    )
+                )
+                * F.col("cnt")
+            ).alias("term"),
+        )
+        .groupBy("r")
+        .agg(F.sum("term").alias("zval"))
+    )
+    est = z.agg(F.expr("sum(zval * zval) div 8").alias("f2_est"))
+    tru = wc.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f2_true"))
+    return tru.crossJoin(est).select(
+        "f2_true",
+        "f2_est",
+        F.expr("(f2_est - f2_true) * 1000000 div f2_true").alias("err_ppm"),
+    )
