@@ -8112,3 +8112,133 @@ def x193_ams_f2_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f2_est",
         F.expr("(f2_est - f2_true) * 1000000 div f2_true").alias("err_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# x194 — sorted-neighborhood entity-resolution blocking (Hernández &
+# Stolfo 1995), the complement of x131's length-banded blocking: sort
+# customer names on a normalized key, slide a window of size 4 over
+# the sorted order, and emit only within-window candidate pairs —
+# O(n·w) candidates instead of O(n²) — then verify with levenshtein
+# <= 2. lead() generates the window pairs without a self-join. Scale
+# note: the global sort is range-partitioned by Spark; the classic
+# multi-pass variant (different keys per pass) covers boundary misses,
+# and per-partition overlap of w-1 rows removes the seam — single
+# pass, fixed key here, as the reference method prescribes.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x194_sorted_neighborhood_pairs",
+    oracle="""
+    WITH names AS (
+      SELECT c_custkey, c_name,
+             lower(replace(c_name, '#', '')) AS sort_key
+      FROM customer WHERE c_custkey < 500
+    ), ordered AS (
+      SELECT c_custkey, c_name, sort_key,
+             row_number() OVER (ORDER BY sort_key, c_custkey) AS pos
+      FROM names
+    ), cand AS (
+      SELECT a.c_custkey AS key_a, a.c_name AS name_a,
+             b.c_custkey AS key_b, b.c_name AS name_b
+      FROM ordered a JOIN ordered b
+        ON b.pos > a.pos AND b.pos <= a.pos + 3
+    )
+    SELECT key_a, key_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(name_a, name_b) <= 2
+    ORDER BY key_a, key_b
+    """,
+)
+def x194_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    names = cust.select(
+        "c_custkey",
+        "c_name",
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))).alias(
+            "sort_key"
+        ),
+    )
+    wo = Window.orderBy("sort_key", "c_custkey")
+    ordered = names.withColumn("pos", F.row_number().over(wo))
+    # window pairs via lead: offsets 1..3 ahead in the sorted order
+    cands = None
+    for off in (1, 2, 3):
+        wpair = ordered.select(
+            F.col("c_custkey").alias("key_a"),
+            F.col("c_name").alias("name_a"),
+            F.lead("c_custkey", off).over(wo).alias("key_b"),
+            F.lead("c_name", off).over(wo).alias("name_b"),
+        ).filter(F.col("key_b").isNotNull())
+        cands = wpair if cands is None else cands.unionByName(wpair)
+    return (
+        cands.withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+        .orderBy("key_a", "key_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# x195 — top session paths: sessionize (q22's 30-minute-gap rule),
+# concatenate each session's event types in order, and count the 10
+# most frequent paths — the "what do users actually do" summary that
+# powers funnel design. Path assembly is the A10 ordered-string-agg
+# idiom inside each (user, session); everything downstream is one
+# count shuffle on the path string.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x195_top_session_paths",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, event_type, tus,
+             CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, event_type, tus,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY tus, event_id) AS session_id
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def x195_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("tus").over(w).isNull() | (gap > 1_800_000_000), 1
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(w))
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("tus", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
