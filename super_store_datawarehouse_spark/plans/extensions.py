@@ -8242,3 +8242,202 @@ def x195_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# x196 — decision-stump training, distributed and exact: the best
+# single split (feature, threshold) for predicting "order is
+# high-priority" by weighted Gini impurity, found in ONE pass per
+# feature via the classic sorted-prefix-sum sweep (every distinct
+# value is a candidate threshold; left/right class counts come from
+# cumulative windows, never a per-candidate rescan). Impurity is
+# micro-fixed-point integer arithmetic — truncation is part of the
+# declared objective, so both engines pick the identical argmin.
+# This is the inner loop of tree ensembles at 100 TB: shuffle cost is
+# one sort per feature, candidates stream as prefix sums.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x196_decision_stump",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS omonth,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), feats AS (
+      SELECT 'price_cents' AS feature, price_cents AS v, y FROM base
+      UNION ALL
+      SELECT 'order_month' AS feature, omonth AS v, y FROM base
+    ), agg AS (
+      SELECT feature, v, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+      FROM feats GROUP BY 1, 2
+    ), cum AS (
+      SELECT feature, v,
+             SUM(n)   OVER w AS n_l,
+             SUM(pos) OVER w AS pos_l,
+             SUM(n)   OVER p AS n_t,
+             SUM(pos) OVER p AS pos_t
+      FROM agg
+      WINDOW w AS (PARTITION BY feature ORDER BY v),
+             p AS (PARTITION BY feature)
+    ), scored AS (
+      SELECT feature, v AS threshold,
+             (n_l * 1000000 - (pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l))
+                              * 1000000 // n_l)
+             + ((n_t - n_l) * 1000000
+                - ((pos_t - pos_l) * (pos_t - pos_l)
+                   + ((n_t - n_l) - (pos_t - pos_l))
+                     * ((n_t - n_l) - (pos_t - pos_l))) * 1000000
+                  // (n_t - n_l)) AS gini_micro,
+             n_l, pos_l
+      FROM cum WHERE n_l < n_t
+    ), best AS (
+      SELECT feature, threshold, CAST(gini_micro AS BIGINT) AS gini_micro,
+             CAST(n_l AS BIGINT) AS n_left, CAST(pos_l AS BIGINT) AS pos_left,
+             row_number() OVER (ORDER BY gini_micro, feature, threshold) AS rn
+      FROM scored
+    )
+    SELECT feature, threshold, gini_micro, n_left, pos_left
+    FROM best WHERE rn = 1
+    """,
+)
+def x196_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.month(F.col("o_orderdate")).cast("long").alias("omonth"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    feats = base.select(
+        F.lit("price_cents").alias("feature"),
+        F.col("price_cents").alias("v"),
+        "y",
+    ).unionByName(
+        base.select(
+            F.lit("order_month").alias("feature"),
+            F.col("omonth").alias("v"),
+            "y",
+        )
+    )
+    agg = feats.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    w = Window.partitionBy("feature").orderBy("v")
+    p = Window.partitionBy("feature")
+    cum = agg.select(
+        "feature",
+        "v",
+        F.sum("n").over(w).alias("n_l"),
+        F.sum("pos").over(w).alias("pos_l"),
+        F.sum("n").over(p).alias("n_t"),
+        F.sum("pos").over(p).alias("pos_t"),
+    )
+    scored = cum.filter(F.col("n_l") < F.col("n_t")).select(
+        "feature",
+        F.col("v").alias("threshold"),
+        F.expr(
+            "(n_l * 1000000 - (pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l))"
+            " * 1000000 div n_l)"
+            " + ((n_t - n_l) * 1000000"
+            " - ((pos_t - pos_l) * (pos_t - pos_l)"
+            "    + ((n_t - n_l) - (pos_t - pos_l))"
+            "      * ((n_t - n_l) - (pos_t - pos_l))) * 1000000"
+            "   div (n_t - n_l))"
+        ).alias("gini_micro"),
+        F.col("n_l").alias("n_left"),
+        F.col("pos_l").alias("pos_left"),
+    )
+    return (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy("gini_micro", "feature", "threshold")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("feature", "threshold", "gini_micro", "n_left", "pos_left")
+    )
+
+
+# --------------------------------------------------------------------------
+# x197 — cross-source quantile normalization (the microarray-era
+# calibration trick, applied to curation): each source's raw quality
+# score (token count here) maps to the POOLED distribution's value at
+# the same quantile, so one global keep-threshold treats heterogeneous
+# sources fairly. Nearest-rank arithmetic end-to-end: source rank r of
+# n_s maps to pooled rank ceil(r·N/n_s), answered by one join against
+# the pooled sorted values — two sorts and a lookup join, no
+# per-source recompute.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x197_quantile_normalize",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS score
+      FROM documents
+    ), pooled AS (
+      SELECT score AS pooled_score,
+             row_number() OVER (ORDER BY score, doc_id) AS prank
+      FROM tok
+    ), n AS (SELECT COUNT(*) AS n_total FROM tok),
+    src AS (
+      SELECT doc_id, source, score,
+             row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n_s
+      FROM tok
+    )
+    SELECT s.doc_id, s.source, s.score,
+           (s.r * n.n_total + s.n_s - 1) // s.n_s AS target_rank,
+           p.pooled_score AS normalized_score
+    FROM src s CROSS JOIN n
+    JOIN pooled p ON p.prank = (s.r * n.n_total + s.n_s - 1) // s.n_s
+    ORDER BY s.doc_id
+    """,
+)
+def x197_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != F.lit("")
+            )
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    pooled = tok.select(
+        F.col("score").alias("pooled_score"),
+        F.row_number().over(Window.orderBy("score", "doc_id")).alias("prank"),
+    )
+    n = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    src = tok.select(
+        "doc_id",
+        "source",
+        "score",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("score", "doc_id"))
+        .alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_s"),
+    )
+    return (
+        src.crossJoin(F.broadcast(n))
+        .withColumn("target_rank", F.expr("(r * n_total + n_s - 1) div n_s"))
+        .join(pooled, F.col("prank") == F.col("target_rank"))
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            "target_rank",
+            F.col("pooled_score").alias("normalized_score"),
+        )
+        .orderBy("doc_id")
+    )
