@@ -8441,3 +8441,180 @@ def x197_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x198 — the feature-hashing trick (Weinberger et al. 2009): project
+# sparse categorical features (event_type, user-id bucket, hour) into
+# a fixed 32-dim indexed space via md5 bucket + md5 ± sign, the way
+# every large-scale linear/FM model escapes vocabulary dictionaries.
+# Reported per output dim: how many distinct input features collided
+# there and the net signed weight of one reference row group — the
+# collision-rate audit you run before trusting hashed features.
+# Integer/md5 end-to-end; no dictionary state anywhere (the point).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x198_feature_hashing_audit",
+    oracle="""
+    WITH feats AS (
+      SELECT 'etype=' || event_type AS feat FROM events
+      UNION ALL
+      SELECT 'ubucket=' || CAST(user_id % 50 AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'hour=' || CAST(EXTRACT(hour FROM ts) AS VARCHAR) FROM events
+    ), hashed AS (
+      SELECT feat,
+             CAST(('0x' || substring(md5(feat), 1, 8)) AS BIGINT) % 32 AS dim,
+             1 - 2 * (CAST(('0x' || substring(md5('s#' || feat), 1, 8))
+                           AS BIGINT) % 2) AS sgn,
+             COUNT(*) AS cnt
+      FROM feats GROUP BY 1
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           COUNT(*) AS n_feats_colliding,
+           CAST(SUM(sgn * cnt) AS BIGINT) AS net_weight,
+           CAST(SUM(cnt) AS BIGINT) AS gross_weight
+    FROM hashed GROUP BY dim ORDER BY dim
+    """,
+)
+def x198_feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    feats = (
+        events.select(F.concat(F.lit("etype="), F.col("event_type")).alias("feat"))
+        .unionByName(
+            events.select(
+                F.concat(
+                    F.lit("ubucket="), (F.col("user_id") % 50).cast("string")
+                ).alias("feat")
+            )
+        )
+        .unionByName(
+            events.select(
+                F.concat(
+                    F.lit("hour="), F.hour("ts").cast("string")
+                ).alias("feat")
+            )
+        )
+    )
+    h = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    hashed = feats.groupBy("feat").agg(F.count(F.lit(1)).alias("cnt")).select(
+        "feat",
+        "cnt",
+        F.pmod(h(F.col("feat")), F.lit(32)).alias("dim"),
+        (F.lit(1) - 2 * (h(F.concat(F.lit("s#"), F.col("feat"))) % 2)).alias(
+            "sgn"
+        ),
+    )
+    return (
+        hashed.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_feats_colliding"),
+            F.sum(F.col("sgn") * F.col("cnt")).alias("net_weight"),
+            F.sum("cnt").alias("gross_weight"),
+        )
+        .orderBy("dim")
+    )
+
+
+# --------------------------------------------------------------------------
+# x199 — distribution drift detection: split the event stream at its
+# median timestamp, build 10-bin equi-width histograms of the value
+# column for each half (bin edges from the GLOBAL range so the halves
+# share bins), and report the chi-square drift statistic in micro
+# units — the production data-drift monitor between a reference window
+# and a live window. Expected counts are scaled by the half-size
+# ratio in integer ppm; everything value-oracles.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x199_value_drift_chi2",
+    oracle="""
+    WITH e AS (
+      SELECT epoch_us(ts) AS tus,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), med AS (
+      SELECT tus AS m FROM (
+        SELECT tus, row_number() OVER (ORDER BY tus) AS r,
+               COUNT(*) OVER () AS n
+        FROM e) WHERE r = (n + 1) // 2
+    ), rng AS (
+      SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM e
+    ), binned AS (
+      SELECT CASE WHEN e.tus <= med.m THEN 'ref' ELSE 'live' END AS half,
+             LEAST(9, (e.cents - rng.lo) * 10 // (rng.hi - rng.lo + 1)) AS bin
+      FROM e CROSS JOIN med CROSS JOIN rng
+    ), counts AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ref_n,
+             CAST(SUM(CASE WHEN half = 'live' THEN 1 ELSE 0 END) AS BIGINT)
+               AS live_n
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT CAST(SUM(ref_n) AS BIGINT) AS ref_t,
+             CAST(SUM(live_n) AS BIGINT) AS live_t
+      FROM counts
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, ref_n, live_n,
+           CAST(ref_n * live_t * 1000000 // (ref_t * GREATEST(live_n, 1))
+                AS BIGINT) AS ratio_ppm,
+           CAST((live_n * ref_t - ref_n * live_t)
+                * (live_n * ref_t - ref_n * live_t)
+                // (GREATEST(ref_n, 1) * ref_t * live_t) AS BIGINT)
+             AS chi2_term_scaled
+    FROM counts CROSS JOIN tot
+    ORDER BY bin
+    """,
+)
+def x199_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        F.unix_micros("ts").alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    med = (
+        e.select(
+            "tus",
+            F.row_number().over(Window.orderBy("tus")).alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.expr("r = (n + 1) div 2"))
+        .select(F.col("tus").alias("m"))
+    )
+    rng = e.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = (
+        e.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(rng))
+        .select(
+            F.when(F.col("tus") <= F.col("m"), "ref").otherwise("live").alias(
+                "half"
+            ),
+            F.least(
+                F.lit(9), F.expr("(cents - lo) * 10 div (hi - lo + 1)")
+            ).alias("bin"),
+        )
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == "ref", 1).otherwise(0)).alias("ref_n"),
+        F.sum(F.when(F.col("half") == "live", 1).otherwise(0)).alias("live_n"),
+    )
+    tot = counts.agg(
+        F.sum("ref_n").alias("ref_t"), F.sum("live_n").alias("live_t")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "ref_n",
+            "live_n",
+            F.expr(
+                "ref_n * live_t * 1000000 div (ref_t * GREATEST(live_n, 1L))"
+            ).alias("ratio_ppm"),
+            F.expr(
+                "(live_n * ref_t - ref_n * live_t)"
+                " * (live_n * ref_t - ref_n * live_t)"
+                " div (GREATEST(ref_n, 1L) * ref_t * live_t)"
+            ).alias("chi2_term_scaled"),
+        )
+        .orderBy("bin")
+    )
