@@ -8618,3 +8618,146 @@ def x199_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# x200 — curation pipeline v2, composing this round's operators into
+# one auditable flow (q49 is v1): (1) integer-logit quality gate
+# (x183), (2) exact dedup keeping the lowest doc_id per normalized
+# text (q14), (3) alpha-smoothed language quotas over a 200-doc budget
+# (x173) filled by exact-allocation lowest-hash draws (x174), then
+# (4) a deterministic 90/10 train/eval hash split (q39). Every stage
+# is individually driver-oracled; this query oracles the COMPOSITION —
+# the end state a data-curation run would actually ship. Output: final
+# doc and token counts per (split, lang).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x200_curation_pipeline_v2",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text,
+             CAST(len(lst) AS BIGINT) AS tok_cnt,
+             CAST(len(list_filter(lst, x -> list_contains(
+               ['the','a','an','of','and','to','in','is','it','that'], x)))
+               AS BIGINT) AS stop_cnt,
+             CAST(len(list_distinct(lst)) AS BIGINT) AS distinct_cnt
+      FROM (SELECT doc_id, lang, text,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x <> '') AS lst
+            FROM documents)
+    ), quality AS (
+      SELECT doc_id, lang, norm_text, tok_cnt FROM feat
+      WHERE tok_cnt > 0
+        AND 40000 * tok_cnt + distinct_cnt * 1000000 // tok_cnt
+            - 2 * (stop_cnt * 1000000 // tok_cnt) - 1900000 > 0
+    ), deduped AS (
+      SELECT doc_id, lang, tok_cnt FROM (
+        SELECT doc_id, lang, tok_cnt,
+               row_number() OVER (PARTITION BY norm_text
+                                  ORDER BY doc_id) AS rn
+        FROM quality) WHERE rn = 1
+    ), lc AS (
+      SELECT lang, COUNT(*) AS cnt FROM deduped GROUP BY lang
+    ), sq AS (
+      SELECT lang, cnt, CAST(FLOOR(SQRT(cnt)) AS BIGINT) AS sq FROM lc
+    ), quota AS (
+      SELECT lang,
+             LEAST(cnt, (sq * 1000000 // (SELECT CAST(SUM(sq) AS BIGINT)
+                                          FROM sq)) * 200 // 1000000)
+               AS q
+      FROM sq
+    ), drawn AS (
+      SELECT d.doc_id, d.lang, d.tok_cnt FROM (
+        SELECT doc_id, lang, tok_cnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {_knuth_sql("doc_id")}, doc_id)
+                 AS r
+        FROM deduped) d JOIN quota ON quota.lang = d.lang
+      WHERE d.r <= quota.q
+    )
+    SELECT CASE WHEN {_knuth_sql("doc_id", )} % 10000 < 9000
+                THEN 'train' ELSE 'eval' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok_cnt) AS BIGINT) AS total_tokens
+    FROM drawn GROUP BY 1, 2 ORDER BY split, lang
+    """,
+)
+def x200_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sampling import (
+        hash_bucket,
+        knuth_hash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop = "array('the','a','an','of','and','to','in','is','it','that')"
+    feat = docs.selectExpr(
+        "doc_id",
+        "lang",
+        "regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS norm_text",
+        "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '') AS lst",
+    ).selectExpr(
+        "doc_id",
+        "lang",
+        "norm_text",
+        "cast(size(lst) AS bigint) AS tok_cnt",
+        f"cast(size(filter(lst, x -> array_contains({stop}, x))) AS bigint)"
+        " AS stop_cnt",
+        "cast(size(array_distinct(lst)) AS bigint) AS distinct_cnt",
+    )
+    quality = feat.filter(
+        "tok_cnt > 0 AND "
+        "40000 * tok_cnt + distinct_cnt * 1000000 div tok_cnt"
+        " - 2 * (stop_cnt * 1000000 div tok_cnt) - 1900000 > 0"
+    )
+    deduped = (
+        quality.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("norm_text").orderBy("doc_id")
+            ),
+        )
+        .filter("rn = 1")
+        .select("doc_id", "lang", "tok_cnt")
+    )
+    sq = (
+        deduped.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("sq", F.floor(F.sqrt("cnt")).cast("long"))
+    )
+    tot = sq.agg(F.sum("sq").alias("sqtot"))
+    quota = sq.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.col("cnt"),
+            F.expr("(sq * 1000000 div sqtot) * 200 div 1000000"),
+        ).alias("q"),
+    )
+    drawn = (
+        deduped.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    knuth_hash("doc_id"), F.col("doc_id")
+                )
+            ),
+        )
+        .join(F.broadcast(quota), "lang")
+        .filter(F.col("r") <= F.col("q"))
+    )
+    return (
+        drawn.select(
+            F.when(hash_bucket("doc_id") < 9000, "train")
+            .otherwise("eval")
+            .alias("split"),
+            "lang",
+            "tok_cnt",
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok_cnt").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
