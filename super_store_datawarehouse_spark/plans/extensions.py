@@ -8761,3 +8761,131 @@ def x200_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# x201 — perceptual-hash near-dup for binary assets (block-mean hash,
+# the pHash family's simplest member): 16 block means over the payload
+# bytes, bit = block mean > global mean, 16-bit fingerprint, then
+# near-dup pairs by hamming <= 3 found via the 2-chunk pigeonhole
+# (any pair within distance 3 agrees exactly on at least one 8-bit
+# half — the x41 SimHash trick). Everything is JVM-native expressions:
+# bytes parse via hex()+conv, no Python in the path, so the entire
+# multimodal fingerprint pipeline value-oracles. At 100 TB the
+# candidate join keys on (chunk, value) buckets — never all pairs.
+# Byte-block comparisons use cross-multiplied integer means (no
+# division): sum_b·n > total·n_b.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x201_phash_near_dup",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id, encode(text) AS payload
+      FROM documents WHERE doc_id < 200
+    ), parsed AS (
+      SELECT asset_id, hex(payload) AS hx,
+             CAST(octet_length(payload) AS BIGINT) AS n
+      FROM assets
+    ), bytes AS (
+      SELECT asset_id, n, i,
+             CAST(('0x' || substring(hx, CAST(2 * i + 1 AS INT), 2)) AS BIGINT)
+               AS bv
+      FROM parsed CROSS JOIN range(0, 4096) r(i)
+      WHERE i < n
+    ), blocks AS (
+      SELECT asset_id, n, (i * 16) // n AS b,
+             CAST(SUM(bv) AS BIGINT) AS s, COUNT(*) AS nb
+      FROM bytes GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT asset_id, CAST(SUM(s) AS BIGINT) AS total, n FROM blocks
+      GROUP BY asset_id, n
+    ), fp AS (
+      SELECT b.asset_id,
+             CAST(SUM(CASE WHEN b.s * t.n > t.total * b.nb
+                           THEN (1::BIGINT << CAST(b.b AS INT)) ELSE 0 END)
+                  AS BIGINT) AS h
+      FROM blocks b JOIN tot t USING (asset_id)
+      GROUP BY b.asset_id
+    ), chunks AS (
+      SELECT asset_id, h, c.c AS chunk, (h >> (8 * c.c)) & 255 AS cv
+      FROM fp CROSS JOIN range(0, 2) c(c)
+    ), cand AS (
+      SELECT DISTINCT a.asset_id AS id_a, a.h AS ha,
+                      b.asset_id AS id_b, b.h AS hb
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.cv = b.cv AND a.asset_id < b.asset_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def x201_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.multimodal import texts_as_assets
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    assets = texts_as_assets(docs)
+    parsed = assets.select(
+        "asset_id",
+        F.hex("payload").alias("hx"),
+        F.length("payload").cast("long").alias("n"),
+    )
+    bytes_df = parsed.select(
+        "asset_id",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("i"),
+        "hx",
+    ).select(
+        "asset_id",
+        "n",
+        "i",
+        F.conv(
+            F.expr("substring(hx, cast(2 * i + 1 as int), 2)"), 16, 10
+        )
+        .cast("long")
+        .alias("bv"),
+    )
+    blocks = (
+        bytes_df.withColumn("b", F.expr("(i * 16) div n"))
+        .groupBy("asset_id", "n", "b")
+        .agg(F.sum("bv").alias("s"), F.count(F.lit(1)).alias("nb"))
+    )
+    tot = blocks.groupBy("asset_id", "n").agg(F.sum("s").alias("total"))
+    fp = (
+        blocks.join(tot, ["asset_id", "n"])
+        .groupBy("asset_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("s * n > total * nb"),
+                    F.expr("shiftleft(1L, cast(b as int))"),
+                ).otherwise(F.lit(0))
+            ).alias("h")
+        )
+    )
+    chunks = fp.select(
+        "asset_id",
+        "h",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("chunk"),
+    ).withColumn("cv", F.expr("shiftright(h, 8 * chunk) & 255"))
+    a = chunks.select(
+        F.col("asset_id").alias("id_a"), F.col("h").alias("ha"), "chunk", "cv"
+    )
+    b = chunks.select(
+        F.col("asset_id").alias("id_b"), F.col("h").alias("hb"), "chunk", "cv"
+    )
+    cand = (
+        a.join(b, ["chunk", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "ha", "id_b", "hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("bit_count(ha ^ hb)").cast("long")
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
