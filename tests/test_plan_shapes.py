@@ -114,3 +114,41 @@ def test_x135_semantic_dedup_pairs_join_on_cluster(plans):
     p = plans("x135_semantic_dedup_pairs")
     assert "CartesianProduct" not in p
     assert "cluster" in p
+
+
+def test_x181_join_delta_broadcasts_delta_sides(plans):
+    p = plans("x181_incremental_join_delta")
+    # every delta-rule term joins a (small) delta: all three joins must
+    # be broadcast — the old-side tables never shuffle
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_x180_ring_sampling_has_no_cartesian_product(plans):
+    p = plans("x180_ring_negative_sampling")
+    # anchors x foreign-sources probe fan-out is a broadcast join on an
+    # inequality, and the successor search is the union-window plan —
+    # never an all-pairs nested loop over candidates
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+
+
+def test_x177_heavy_hitters_is_semi_join_recount(plans):
+    p = plans("x177_heavy_hitters_mg")
+    # exact recount touches candidates only: LeftSemi with broadcast
+    assert "LeftSemi" in p
+    assert "MapInPandas" in p  # the MG sketch pass
+
+
+def test_x186_mv_answer_never_rescans_fact_twice(plans):
+    p = plans("x186_mv_rollup_answer")
+    # one fact scan feeds the MV; the yearly answer re-aggregates it
+    assert p.count("FileScan parquet") == 1
+
+
+def test_x172_scrub_counts_via_window_not_join(plans):
+    p = plans("x172_boilerplate_chunk_scrub")
+    # corpus-frequency flagging is a window over chunk — no self-join
+    assert "Window" in p
+    assert "SortMergeJoin" not in p
