@@ -8889,3 +8889,130 @@ def x201_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# x202 — k-core decomposition (3 peeling rounds, k=3) of the
+# supplier-part incidence graph (edges = supplier shipped part, both
+# endpoints typed): each round drops nodes with degree < k and the
+# edges they carry — the fourth iterative-graph op beside PageRank
+# (q47), connected components (q43), and label propagation (x167).
+# Unrolled like x167 so the oracle replays the exact rounds; the true
+# fixpoint just iterates the same step to quiescence. Each round is
+# one degree aggregation + two semi-joins — no node ever sees more
+# than its incident edges.
+# --------------------------------------------------------------------------
+def _kcore_oracle(rounds: int, k: int) -> str:
+    ctes = ["""
+    e0 AS (
+      SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                      CAST(l_partkey AS BIGINT) AS p
+      FROM lineitem
+    )"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""
+    sdeg{i} AS (SELECT s, COUNT(*) AS d FROM e{i-1} GROUP BY s),
+    pdeg{i} AS (SELECT p, COUNT(*) AS d FROM e{i-1} GROUP BY p),
+    e{i} AS (
+      SELECT e.s, e.p FROM e{i-1} e
+      JOIN sdeg{i} sd ON sd.s = e.s AND sd.d >= {k}
+      JOIN pdeg{i} pd ON pd.p = e.p AND pd.d >= {k}
+    )""")
+    return (
+        "WITH" + ",".join(ctes)
+        + f"""
+    SELECT 'supplier' AS node_type, s AS node_id, COUNT(*) AS degree
+    FROM e{rounds} GROUP BY s
+    UNION ALL
+    SELECT 'part' AS node_type, p AS node_id, COUNT(*) AS degree
+    FROM e{rounds} GROUP BY p
+    ORDER BY node_type, node_id"""
+    )
+
+
+@harness_query("x202_kcore_supplier_part", oracle=_kcore_oracle(3, 3))
+def x202_kcore_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            F.col("l_partkey").cast("long").alias("p"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    k = 3
+    for _ in range(3):
+        sdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("sd"))
+        pdeg = e.groupBy("p").agg(F.count(F.lit(1)).alias("pd"))
+        e = (
+            e.join(sdeg.filter(F.col("sd") >= k), "s")
+            .join(pdeg.filter(F.col("pd") >= k), "p")
+            .select("s", "p")
+            .localCheckpoint()
+        )
+    sup = e.groupBy("s").agg(F.count(F.lit(1)).alias("degree")).select(
+        F.lit("supplier").alias("node_type"),
+        F.col("s").alias("node_id"),
+        "degree",
+    )
+    par = e.groupBy("p").agg(F.count(F.lit(1)).alias("degree")).select(
+        F.lit("part").alias("node_type"), F.col("p").alias("node_id"), "degree"
+    )
+    return sup.unionByName(par).orderBy("node_type", "node_id")
+
+
+# --------------------------------------------------------------------------
+# x203 — FIFO capacity allocation: each order has a 50-unit fulfillment
+# budget consumed by its lines in linenumber order; every line gets
+# min(requested, remaining) and the rest is shortfall — the running-
+# allocation pattern behind credit application, inventory reservation,
+# and token-budget packing. Pure prefix-sum windows (allocation =
+# clamp of the exclusive running total), one shuffle on the order key.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x203_fifo_allocation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_quantity) AS BIGINT) AS qty
+      FROM lineitem WHERE l_orderkey < 5000
+    ), run AS (
+      SELECT l_orderkey, l_linenumber, qty,
+             COALESCE(SUM(qty) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0) AS before_q
+      FROM li
+    )
+    SELECT l_orderkey, l_linenumber, qty,
+           CAST(LEAST(qty, GREATEST(50 - before_q, 0)) AS BIGINT) AS allocated,
+           CAST(qty - LEAST(qty, GREATEST(50 - before_q, 0)) AS BIGINT)
+             AS shortfall
+    FROM run ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def x203_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 5000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = li.withColumn("before_q", F.coalesce(F.sum("qty").over(w), F.lit(0)))
+    alloc = F.least(F.col("qty"), F.greatest(F.lit(50) - F.col("before_q"), F.lit(0)))
+    return run.select(
+        "l_orderkey",
+        "l_linenumber",
+        "qty",
+        alloc.alias("allocated"),
+        (F.col("qty") - alloc).alias("shortfall"),
+    ).orderBy("l_orderkey", "l_linenumber")
