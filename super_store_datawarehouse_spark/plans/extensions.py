@@ -9016,3 +9016,241 @@ def x203_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         alloc.alias("allocated"),
         (F.col("qty") - alloc).alias("shortfall"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+# --------------------------------------------------------------------------
+# x204 — BPE encoding (the apply side of x178's learn side): apply the
+# 3 learned merges to every distinct word, count symbols per word, and
+# roll up per source the corpus's character count, post-BPE token
+# count, and compression in ppm — the tokenizer-fertility report that
+# decides whether a vocabulary is worth its size. Merges apply to the
+# DISTINCT-word table (vocabulary-sized), then join back to the
+# doc-word stream — the corpus is never re-tokenized row by row.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x204_bpe_encode_report",
+    oracle="""
+    WITH wf AS (
+      SELECT doc_id, source, w FROM (
+        SELECT doc_id, source,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+    ), vocab AS (
+      SELECT w, COUNT(*) AS freq FROM wf GROUP BY w
+    ), s0 AS (
+      SELECT w, ' ' || array_to_string(string_split_regex(w, ''), '  ') || ' '
+               AS s, freq
+      FROM vocab
+    ),
+    p1 AS (
+      SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, unnest(list_zip(sy, sy[2:])) AS pr
+            FROM (SELECT freq, string_split(trim(s), '  ') AS sy FROM s0))
+      WHERE pr[2] IS NOT NULL GROUP BY 1, 2
+    ), m1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+    s1 AS (
+      SELECT w, replace(s, ' ' || m1.l || '  ' || m1.r || ' ',
+                           ' ' || m1.l || m1.r || ' ') AS s, freq
+      FROM s0 CROSS JOIN m1
+    ),
+    p2 AS (
+      SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, unnest(list_zip(sy, sy[2:])) AS pr
+            FROM (SELECT freq, string_split(trim(s), '  ') AS sy FROM s1))
+      WHERE pr[2] IS NOT NULL GROUP BY 1, 2
+    ), m2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+    s2 AS (
+      SELECT w, replace(s, ' ' || m2.l || '  ' || m2.r || ' ',
+                           ' ' || m2.l || m2.r || ' ') AS s, freq
+      FROM s1 CROSS JOIN m2
+    ),
+    p3 AS (
+      SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, unnest(list_zip(sy, sy[2:])) AS pr
+            FROM (SELECT freq, string_split(trim(s), '  ') AS sy FROM s2))
+      WHERE pr[2] IS NOT NULL GROUP BY 1, 2
+    ), m3 AS (SELECT l, r FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+    s3 AS (
+      SELECT w, replace(s, ' ' || m3.l || '  ' || m3.r || ' ',
+                           ' ' || m3.l || m3.r || ' ') AS s, freq
+      FROM s2 CROSS JOIN m3
+    ), wtok AS (
+      SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sym,
+             CAST(length(w) AS BIGINT) AS n_chars
+      FROM s3
+    )
+    SELECT f.source,
+           CAST(SUM(t.n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(t.n_sym) AS BIGINT) AS total_tokens,
+           CAST(SUM(t.n_sym) * 1000000 // SUM(t.n_chars) AS BIGINT)
+             AS tokens_per_char_ppm
+    FROM wf f JOIN wtok t USING (w)
+    GROUP BY f.source ORDER BY f.source
+    """,
+)
+def x204_bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != F.lit("")
+            )
+        ).alias("w"),
+    )
+    vocab = wf.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    # learn on the vocabulary, then read token counts off the final
+    # merged sequences (bpe_learn keeps the word string alongside)
+    seq0 = vocab.select(
+        "w",
+        F.concat(
+            F.lit(" "), F.array_join(F.split("w", ""), "  "), F.lit(" ")
+        ).alias("s"),
+        "freq",
+    ).localCheckpoint()
+    seq = seq0
+    for _ in range(3):
+        top = (
+            seq.selectExpr("freq", "split(trim(s), '  ') AS sy")
+            .selectExpr(
+                "freq",
+                "explode(zip_with(sy, slice(sy, 2, size(sy)),"
+                " (l, r) -> struct(l, r))) AS p",
+            )
+            .filter("p.r IS NOT NULL")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()[0]
+        )
+        seq = seq.withColumn(
+            "s",
+            F.replace(
+                "s",
+                F.lit(f" {top['l']}  {top['r']} "),
+                F.lit(f" {top['l']}{top['r']} "),
+            ),
+        ).localCheckpoint()
+    wtok = seq.select(
+        "w",
+        F.size(F.split(F.trim("s"), "  ")).cast("long").alias("n_sym"),
+        F.length("w").cast("long").alias("n_chars"),
+    )
+    return (
+        wf.join(wtok, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_sym").alias("total_tokens"),
+            F.expr("sum(n_sym) * 1000000 div sum(n_chars)").alias(
+                "tokens_per_char_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# x205 — T5-style span-corruption example construction (Raffel et al.
+# 2020 §3.1.4): every token at (pos + doc_id) % 7 == 0 becomes a
+# sentinel <X_k> (k numbered per doc in order); the training input is
+# the corrupted text, the target is the sentinel-to-token mapping —
+# the last-mile step that turns curated text into model examples.
+# Masking, sentinel numbering (a rank over masked positions), and both
+# reassemblies are window + ordered-agg expressions; examples are
+# deterministic strings both engines produce byte-identically.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x205_span_corruption",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(lst) AS w, generate_subscripts(lst, 1) AS i
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x <> '') AS lst
+            FROM documents WHERE doc_id < 100)
+    ), marked AS (
+      SELECT doc_id, w, i,
+             CASE WHEN (i + doc_id) % 7 = 0 THEN 1 ELSE 0 END AS masked
+      FROM words
+    ), numbered AS (
+      SELECT doc_id, w, i, masked,
+             SUM(masked) OVER (PARTITION BY doc_id ORDER BY i) AS k
+      FROM marked
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN masked = 1
+                           THEN '<X_' || CAST(k AS VARCHAR) || '>'
+                           ELSE w END, ' ' ORDER BY i) AS input_text,
+           COALESCE(string_agg(CASE WHEN masked = 1
+                                    THEN '<X_' || CAST(k AS VARCHAR) || '>'
+                                         || w END, ' ' ORDER BY i),
+                    '') AS target_text,
+           CAST(SUM(masked) AS BIGINT) AS n_masked,
+           COUNT(*) AS n_tokens
+    FROM numbered GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x205_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != F.lit("")
+            )
+        ).alias("i0", "w"),
+    ).withColumn("i", F.col("i0") + 1)
+    marked = words.withColumn(
+        "masked", F.when((F.col("i") + F.col("doc_id")) % 7 == 0, 1).otherwise(0)
+    )
+    numbered = marked.withColumn(
+        "k", F.sum("masked").over(Window.partitionBy("doc_id").orderBy("i"))
+    )
+    tok_in = F.when(
+        F.col("masked") == 1,
+        F.concat(F.lit("<X_"), F.col("k").cast("string"), F.lit(">")),
+    ).otherwise(F.col("w"))
+    tok_tgt = F.when(
+        F.col("masked") == 1,
+        F.concat(F.lit("<X_"), F.col("k").cast("string"), F.lit(">"), F.col("w")),
+    )
+    return (
+        numbered.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), tok_in.alias("t")))
+                    ),
+                    lambda s: s["t"],
+                ),
+                " ",
+            ).alias("input_text"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("masked") == 1,
+                                    F.struct(F.col("i"), tok_tgt.alias("t")),
+                                )
+                            )
+                        ),
+                        lambda s: s["t"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("target_text"),
+            F.sum("masked").alias("n_masked"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
