@@ -9254,3 +9254,60 @@ def x205_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x206 — causal-LM example construction: sliding windows of 8 context
+# tokens + 1 target token with stride 4 over every document — the
+# next-token-prediction counterpart of x205's span corruption.
+# Windows come from a per-doc token-array transform over the start
+# offsets (no self-join, no explode-then-rejoin): slice() carves the
+# context, element_at picks the target. Emits one example row per
+# window plus per-doc coverage counts.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x206_lm_window_examples",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS lst
+      FROM documents WHERE doc_id < 60
+    ), starts AS (
+      SELECT doc_id, lst, CAST(s.s AS BIGINT) AS start
+      FROM toks CROSS JOIN range(1, 4096, 4) s(s)
+      WHERE s.s + 8 <= len(lst)
+    )
+    SELECT doc_id, start,
+           array_to_string(lst[start : start + 7], ' ') AS context,
+           lst[start + 8] AS target
+    FROM starts ORDER BY doc_id, start
+    """,
+)
+def x206_lm_window_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != F.lit("")
+        ).alias("lst"),
+    )
+    starts = toks.select(
+        "doc_id",
+        "lst",
+        F.explode(
+            F.sequence(F.lit(1), F.size("lst") - 8, F.lit(4))
+        ).alias("start0"),
+    ).select(
+        "doc_id",
+        "lst",
+        F.col("start0").cast("long").alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        "start",
+        F.array_join(F.slice("lst", F.col("start"), F.lit(8)), " ").alias(
+            "context"
+        ),
+        F.element_at("lst", (F.col("start") + 8).cast("int")).alias("target"),
+    ).orderBy("doc_id", "start")
