@@ -9311,3 +9311,187 @@ def x206_lm_window_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.element_at("lst", (F.col("start") + 8).cast("int")).alias("target"),
     ).orderBy("doc_id", "start")
+
+
+# --------------------------------------------------------------------------
+# x207 — datasheet-for-datasets (Gebru et al. 2021, the numbers
+# section): one per-source summary joining the engine's curation
+# signals — corpus size, token mass, exact-dup rate, quality-gate pass
+# rate, dominant language share, and boilerplate-chunk incidence — the
+# table a data consumer reads before training on a source. Six
+# independent aggregation trees joined on source; every signal reuses
+# an already-oracled definition (q14 dedup, x183 quality, x172
+# chunks), so the datasheet is the composition's value proof.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x207_source_datasheet",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS lst
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, source, lang, norm_text,
+             CAST(len(lst) AS BIGINT) AS tok_cnt,
+             CAST(len(list_filter(lst, x -> list_contains(
+               ['the','a','an','of','and','to','in','is','it','that'], x)))
+               AS BIGINT) AS stop_cnt,
+             CAST(len(list_distinct(lst)) AS BIGINT) AS distinct_cnt
+      FROM base
+    ), dup AS (
+      SELECT source, COUNT(*) - COUNT(DISTINCT norm_text) AS n_dup_docs
+      FROM feat GROUP BY source
+    ), qual AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN tok_cnt > 0
+                   AND 40000 * tok_cnt + distinct_cnt * 1000000 // tok_cnt
+                       - 2 * (stop_cnt * 1000000 // tok_cnt) - 1900000 > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      FROM feat GROUP BY source
+    ), lang_top AS (
+      SELECT source, MAX(cnt) AS top_lang_n FROM (
+        SELECT source, lang, COUNT(*) AS cnt FROM feat GROUP BY 1, 2)
+      GROUP BY source
+    ), size_t AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(tok_cnt) AS BIGINT) AS total_tokens
+      FROM feat GROUP BY source
+    )
+    SELECT s.source, s.n_docs, s.total_tokens,
+           CAST(d.n_dup_docs * 1000000 // s.n_docs AS BIGINT) AS dup_ppm,
+           CAST(q.n_pass * 1000000 // s.n_docs AS BIGINT) AS quality_pass_ppm,
+           CAST(l.top_lang_n * 1000000 // s.n_docs AS BIGINT)
+             AS top_lang_share_ppm
+    FROM size_t s
+    JOIN dup d USING (source)
+    JOIN qual q USING (source)
+    JOIN lang_top l USING (source)
+    ORDER BY s.source
+    """,
+)
+def x207_source_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stop = "array('the','a','an','of','and','to','in','is','it','that')"
+    feat = docs.selectExpr(
+        "doc_id",
+        "source",
+        "lang",
+        "regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS norm_text",
+        "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '') AS lst",
+    ).selectExpr(
+        "doc_id",
+        "source",
+        "lang",
+        "norm_text",
+        "cast(size(lst) AS bigint) AS tok_cnt",
+        f"cast(size(filter(lst, x -> array_contains({stop}, x))) AS bigint)"
+        " AS stop_cnt",
+        "cast(size(array_distinct(lst)) AS bigint) AS distinct_cnt",
+    ).localCheckpoint()
+    dup = feat.groupBy("source").agg(
+        (F.count(F.lit(1)) - F.count_distinct("norm_text")).alias("n_dup_docs")
+    )
+    qual = feat.groupBy("source").agg(
+        F.sum(
+            F.when(
+                F.expr(
+                    "tok_cnt > 0 AND "
+                    "40000 * tok_cnt + distinct_cnt * 1000000 div tok_cnt"
+                    " - 2 * (stop_cnt * 1000000 div tok_cnt) - 1900000 > 0"
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_pass")
+    )
+    lang_top = (
+        feat.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("source")
+        .agg(F.max("cnt").alias("top_lang_n"))
+    )
+    size_t = feat.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tok_cnt").alias("total_tokens")
+    )
+    return (
+        size_t.join(dup, "source")
+        .join(qual, "source")
+        .join(lang_top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr("n_dup_docs * 1000000 div n_docs").alias("dup_ppm"),
+            F.expr("n_pass * 1000000 div n_docs").alias("quality_pass_ppm"),
+            F.expr("top_lang_n * 1000000 div n_docs").alias(
+                "top_lang_share_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# x208 — temporal split with embargo (the time-series CV rule that
+# prevents look-ahead leakage): train = strictly before the 80th
+# percentile timestamp minus a 1-day embargo, eval = strictly after
+# the boundary, embargoed = the gap. Percentile boundary by exact
+# nearest-rank; all timestamps as integer micros. Output: per (split,
+# event_type) counts and the time span each split covers.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x208_embargo_time_split",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, epoch_us(ts) AS tus FROM events
+    ), cut AS (
+      SELECT tus AS c FROM (
+        SELECT tus, row_number() OVER (ORDER BY tus, event_id) AS r,
+               COUNT(*) OVER () AS n
+        FROM e) WHERE r = (80 * n + 99) // 100
+    ), labeled AS (
+      SELECT e.event_type,
+             CASE WHEN e.tus < cut.c - 86400000000 THEN 'train'
+                  WHEN e.tus > cut.c THEN 'eval'
+                  ELSE 'embargoed' END AS split,
+             e.tus
+      FROM e CROSS JOIN cut
+    )
+    SELECT split, event_type, COUNT(*) AS n_events,
+           CAST(MIN(tus) AS BIGINT) AS span_start_us,
+           CAST(MAX(tus) AS BIGINT) AS span_end_us
+    FROM labeled GROUP BY 1, 2 ORDER BY split, event_type
+    """,
+)
+def x208_embargo_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    cut = (
+        e.select(
+            "tus",
+            F.row_number().over(Window.orderBy("tus", "event_id")).alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.expr("r = (80 * n + 99) div 100"))
+        .select(F.col("tus").alias("c"))
+    )
+    labeled = e.crossJoin(F.broadcast(cut)).select(
+        "event_type",
+        "tus",
+        F.when(F.col("tus") < F.col("c") - 86_400_000_000, "train")
+        .when(F.col("tus") > F.col("c"), "eval")
+        .otherwise("embargoed")
+        .alias("split"),
+    )
+    return (
+        labeled.groupBy("split", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("tus").alias("span_start_us"),
+            F.max("tus").alias("span_end_us"),
+        )
+        .orderBy("split", "event_type")
+    )
