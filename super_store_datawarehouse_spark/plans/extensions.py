@@ -9495,3 +9495,87 @@ def x208_embargo_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x209 — design-based estimation from the PPS sample (closes the x109
+# sampling loop): estimate TOTAL order revenue from a k=200 systematic
+# PPS draw weighted by order line-count, using the Hansen-Hurwitz
+# estimator Ŷ = (1/k)·Σ_probes y_i·W/w_i — the survey-sampling math
+# that lets a 200-row sample answer a 15k-row question with known
+# design properties. Every probe, inclusion, and weight is the x109
+# integer construction, so the ESTIMATE (not just the sample)
+# value-oracles; the signed error vs the true total is reported in
+# ppm. This is how you audit a sampling pipeline end-to-end.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x209_pps_ht_estimate_eval",
+    oracle="""
+    WITH ow AS (
+      SELECT o.o_orderkey,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS y,
+             CAST(COUNT(l.l_linenumber) AS BIGINT) AS w
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_totalprice
+    ), lined AS (
+      SELECT o_orderkey, y, w,
+             SUM(w) OVER (ORDER BY o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_hi
+      FROM ow
+    ), tot AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS bigw,
+             CAST(SUM(y) AS BIGINT) AS true_total
+      FROM ow
+    ), probes AS (
+      SELECT p.p AS probe_idx,
+             ((2 * p.p + 1) * tot.bigw) // 400 AS probe
+      FROM range(0, 200) p(p) CROSS JOIN tot
+    ), hits AS (
+      SELECT l.y, l.w FROM lined l JOIN probes pr
+        ON pr.probe >= l.cum_hi - l.w AND pr.probe < l.cum_hi
+    )
+    SELECT tot.true_total,
+           CAST((SELECT SUM(h.y * tot.bigw // h.w) FROM hits h) // 200
+                AS BIGINT) AS ht_estimate,
+           CAST(((SELECT SUM(h.y * tot.bigw // h.w) FROM hits h) // 200
+                 - tot.true_total) * 1000000 // tot.true_total AS BIGINT)
+             AS err_ppm
+    FROM tot
+    """,
+)
+def x209_pps_ht_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ow = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+            F.col("w").cast("long").alias("w"),
+        )
+    )
+    tot = ow.agg(
+        F.sum("w").alias("bigw"), F.sum("y").alias("true_total")
+    )
+    sample = pps_systematic_sample(ow, weight_col="w", k=200, order_col="o_orderkey")
+    est = (
+        sample.crossJoin(F.broadcast(tot))
+        .agg(F.expr("sum(y * bigw div w) div 200").alias("ht_estimate"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(est))
+        .select(
+            "true_total",
+            "ht_estimate",
+            F.expr(
+                "(ht_estimate - true_total) * 1000000 div true_total"
+            ).alias("err_ppm"),
+        )
+    )
