@@ -57,6 +57,24 @@ HEADLINE = [
     "q49_training_pipeline",
 ]
 
+# Round-3-continuation flagships, timed the same way but reported
+# separately: "value" stays the legacy 24-query total so cross-round
+# comparisons (scripts/check_bench.py, BASELINE.md) remain
+# apples-to-apples, while "extended_total" + their per-query entries
+# give the newer operator families a recorded perf trail.
+EXTENDED = [
+    "x172_boilerplate_chunk_scrub",
+    "x177_heavy_hitters_mg",
+    "x178_bpe_merges",
+    "x180_ring_negative_sampling",
+    "x181_incremental_join_delta",
+    "x188_hll_distinct_eval",
+    "x191_pca_power_iteration",
+    "x200_curation_pipeline_v2",
+    "x204_bpe_encode_report",
+    "x207_source_datasheet",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,15 +88,20 @@ def main() -> None:
     from super_store_datawarehouse_spark.plans import harness as _h  # noqa: F401
     from super_store_datawarehouse_spark.plans import extensions as _x  # noqa: F401
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        builder, _ = HARNESS[name]
-        runs = []
-        for i in range(4):
-            t0 = time.perf_counter()
-            builder(spark, sf_dir).toPandas()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs[1:]), 3)  # skip the cold run
+    def timed(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            builder, _ = HARNESS[name]
+            runs = []
+            for _i in range(4):
+                t0 = time.perf_counter()
+                builder(spark, sf_dir).toPandas()
+                runs.append(time.perf_counter() - t0)
+            out[name] = round(min(runs[1:]), 3)  # skip the cold run
+        return out
+
+    timings = timed(HEADLINE)
+    extended = timed(EXTENDED)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -87,7 +110,8 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {**timings, **extended},
+                "extended_total": round(sum(extended.values()), 3),
                 "sf": sf,
             }
         )
