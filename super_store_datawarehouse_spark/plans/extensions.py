@@ -9579,3 +9579,102 @@ def x209_pps_ht_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x210 — difference-in-differences: the canonical quasi-experimental
+# readout (treatment = even user ids as the stand-in assignment,
+# boundary = the median event timestamp). Four cell means in integer
+# micro-cents, the two first differences, and the DiD itself — the
+# arithmetic an experimentation platform runs over billions of
+# exposure rows, here as one grouped aggregate + a 4-row pivot.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x210_diff_in_diff",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tus,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), med AS (
+      SELECT tus AS m FROM (
+        SELECT tus, row_number() OVER (ORDER BY tus, event_id) AS r,
+               COUNT(*) OVER () AS n
+        FROM e) WHERE r = (n + 1) // 2
+    ), cells AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END AS grp,
+             CASE WHEN e.tus <= med.m THEN 'pre' ELSE 'post' END AS period,
+             CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS n
+      FROM e CROSS JOIN med GROUP BY 1, 2
+    ), means AS (
+      SELECT grp, period, CAST(s * 1000000 // n AS BIGINT) AS mean_microcents
+      FROM cells
+    )
+    SELECT
+      MIN(CASE WHEN grp = 'treat' AND period = 'pre' THEN mean_microcents END)
+        AS treat_pre,
+      MIN(CASE WHEN grp = 'treat' AND period = 'post' THEN mean_microcents END)
+        AS treat_post,
+      MIN(CASE WHEN grp = 'control' AND period = 'pre' THEN mean_microcents END)
+        AS control_pre,
+      MIN(CASE WHEN grp = 'control' AND period = 'post' THEN mean_microcents END)
+        AS control_post,
+      MIN(CASE WHEN grp = 'treat' AND period = 'post' THEN mean_microcents END)
+      - MIN(CASE WHEN grp = 'treat' AND period = 'pre' THEN mean_microcents END)
+      - (MIN(CASE WHEN grp = 'control' AND period = 'post' THEN mean_microcents END)
+         - MIN(CASE WHEN grp = 'control' AND period = 'pre' THEN mean_microcents END))
+        AS did_microcents
+    FROM means
+    """,
+)
+def x210_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    med = (
+        e.select(
+            "tus",
+            F.row_number().over(Window.orderBy("tus", "event_id")).alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.expr("r = (n + 1) div 2"))
+        .select(F.col("tus").alias("m"))
+    )
+    means = (
+        e.crossJoin(F.broadcast(med))
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "treat")
+            .otherwise("control")
+            .alias("grp"),
+            F.when(F.col("tus") <= F.col("m"), "pre")
+            .otherwise("post")
+            .alias("period"),
+            "cents",
+        )
+        .groupBy("grp", "period")
+        .agg(F.expr("sum(cents) * 1000000 div count(1)").alias("mean_microcents"))
+    )
+
+    def cell(g, p):
+        return F.min(
+            F.when(
+                (F.col("grp") == g) & (F.col("period") == p),
+                F.col("mean_microcents"),
+            )
+        )
+
+    return means.agg(
+        cell("treat", "pre").alias("treat_pre"),
+        cell("treat", "post").alias("treat_post"),
+        cell("control", "pre").alias("control_pre"),
+        cell("control", "post").alias("control_post"),
+        (
+            cell("treat", "post")
+            - cell("treat", "pre")
+            - (cell("control", "post") - cell("control", "pre"))
+        ).alias("did_microcents"),
+    )
