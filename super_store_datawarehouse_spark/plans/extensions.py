@@ -9678,3 +9678,149 @@ def x210_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (cell("control", "post") - cell("control", "pre"))
         ).alias("did_microcents"),
     )
+
+
+# --------------------------------------------------------------------------
+# x211 — CUPED variance reduction (Deng et al. 2013): per user, the
+# pre-period mean value (cents) is the covariate X, the post-period
+# mean is the metric Y; theta = cov(X,Y)/var(X) from cross-multiplied
+# integer moment sums (the x59/x61 distributed-moments pattern), and
+# rho² = cov²/(varX·varY) is the variance-reduction fraction CUPED
+# delivers. theta in milli and rho² in ppm via STAGED integer division
+# (each stage inside int64), so the platform readout value-oracles.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x211_cuped_adjustment",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), med AS (
+      SELECT tus AS m FROM (
+        SELECT tus, row_number() OVER (ORDER BY tus) AS r,
+               COUNT(*) OVER () AS n
+        FROM e) WHERE r = (n + 1) // 2
+    ), per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN e.tus <= med.m THEN cents END)
+                  // COUNT(CASE WHEN e.tus <= med.m THEN 1 END) AS BIGINT)
+               AS x,
+             CAST(SUM(CASE WHEN e.tus > med.m THEN cents END)
+                  // COUNT(CASE WHEN e.tus > med.m THEN 1 END) AS BIGINT)
+               AS y
+      FROM e CROSS JOIN med
+      GROUP BY user_id
+      HAVING COUNT(CASE WHEN e.tus <= med.m THEN 1 END) > 0
+         AND COUNT(CASE WHEN e.tus > med.m THEN 1 END) > 0
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM per_user
+    )
+    SELECT n AS n_users,
+           CAST((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) AS BIGINT)
+             AS theta_milli,
+           CAST(sy // n AS BIGINT) AS raw_mean_cents,
+           CAST(((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx))
+                * (n * sxy - sx * sy) // (n * syy - sy * sy) * 1000
+                AS BIGINT) AS var_reduction_ppm
+    FROM mom
+    """,
+)
+def x211_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    med = (
+        e.select(
+            "tus",
+            F.row_number().over(Window.orderBy("tus")).alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.expr("r = (n + 1) div 2"))
+        .select(F.col("tus").alias("m"))
+    )
+    per_user = (
+        e.crossJoin(F.broadcast(med))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("tus") <= F.col("m"), F.col("cents"))).alias(
+                "sx_pre"
+            ),
+            F.count(F.when(F.col("tus") <= F.col("m"), 1)).alias("nx"),
+            F.sum(F.when(F.col("tus") > F.col("m"), F.col("cents"))).alias(
+                "sy_post"
+            ),
+            F.count(F.when(F.col("tus") > F.col("m"), 1)).alias("ny"),
+        )
+        .filter("nx > 0 AND ny > 0")
+        .selectExpr("sx_pre div nx AS x", "sy_post div ny AS y")
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return mom.selectExpr(
+        "cast(n AS bigint) AS n_users",
+        "(n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx) AS theta_milli",
+        "sy div n AS raw_mean_cents",
+        "((n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx))"
+        " * (n * sxy - sx * sy) div (n * syy - sy * sy) * 1000"
+        " AS var_reduction_ppm",
+    )
+
+
+# --------------------------------------------------------------------------
+# x212 — sample-ratio-mismatch (SRM) check: the first gate every
+# experiment readout must pass — do assignment counts match the
+# intended 50/50 split? Chi-square statistic in micro units against
+# the expected halves (integer: (2·observed − total)² · 10⁶ / total
+# per arm). An SRM flags broken bucketing before anyone reads lifts.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x212_srm_check",
+    oracle="""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END AS grp
+      FROM events
+    ), c AS (
+      SELECT grp, COUNT(*) AS n FROM assign GROUP BY grp
+    ), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT grp, CAST(n AS BIGINT) AS n_users,
+           CAST((2 * n - total) * (2 * n - total) * 1000000 // (2 * total)
+                AS BIGINT) AS chi2_term_micro
+    FROM c CROSS JOIN t ORDER BY grp
+    """,
+)
+def x212_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    assign = events.select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "treat")
+        .otherwise("control")
+        .alias("grp"),
+    ).distinct()
+    c = assign.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .selectExpr(
+            "grp",
+            "cast(n AS bigint) AS n_users",
+            "(2 * n - total) * (2 * n - total) * 1000000 div (2 * total)"
+            " AS chi2_term_micro",
+        )
+        .orderBy("grp")
+    )
