@@ -9824,3 +9824,73 @@ def x212_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# --------------------------------------------------------------------------
+# x213 — ranking-quality eval (MRR + NDCG@5) of the LSH ANN (q35)
+# against the exact ranking (q20) — completes the retrieval eval suite
+# beside x150's recall: graded relevance = 6 − exact_rank, DCG uses a
+# baked integer discount LUT (round(10⁶/log2(i+1)), the x188 trick
+# again), IDCG@5 is the constant 10_271_927 micro, so NDCG lands in
+# exact ppm. The oracle literally composes q20's and q35's registered
+# oracle SQL as CTEs — evaluator and evaluated share one definition.
+# --------------------------------------------------------------------------
+from super_store_datawarehouse_spark.plans import HARNESS as _HARNESS  # noqa: E402
+
+_NDCG_LUT = [1000000, 630930, 500000, 430677, 386853]
+_IDCG5 = 5 * 1000000 + 4 * 630930 + 3 * 500000 + 2 * 430677 + 1 * 386853
+
+
+@harness_query(
+    "x213_ranking_metrics_eval",
+    oracle=f"""
+    WITH exact_r AS ({_HARNESS["q20_ann_bruteforce_topk"][1]}),
+    approx_r AS ({_HARNESS["q35_ann_lsh_topk"][1]}),
+    graded AS (
+      SELECT a.query_id, a.rank AS arank,
+             COALESCE(6 - e.rank, 0) AS rel
+      FROM approx_r a LEFT JOIN exact_r e
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    )
+    SELECT query_id,
+           CAST(SUM(rel * (CASE arank
+                     WHEN 1 THEN {_NDCG_LUT[0]} WHEN 2 THEN {_NDCG_LUT[1]}
+                     WHEN 3 THEN {_NDCG_LUT[2]} WHEN 4 THEN {_NDCG_LUT[3]}
+                     WHEN 5 THEN {_NDCG_LUT[4]} END))
+                * 1000000 // {_IDCG5} AS BIGINT) AS ndcg_ppm,
+           CAST(COALESCE(1000 // MIN(CASE WHEN rel > 0 THEN arank END), 0)
+                AS BIGINT) AS mrr_milli
+    FROM graded GROUP BY query_id ORDER BY query_id
+    """,
+)
+def x213_ranking_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q20_ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("erank")
+    )
+    approx = q35_ann_lsh_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("arank")
+    )
+    lut = F.array(*[F.lit(v) for v in _NDCG_LUT])
+    graded = approx.join(exact, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "arank",
+        F.coalesce(F.lit(6) - F.col("erank"), F.lit(0)).alias("rel"),
+    )
+    return (
+        graded.groupBy("query_id")
+        .agg(
+            F.expr(
+                f"sum(rel * element_at(array({','.join(map(str, _NDCG_LUT))}),"
+                f" cast(arank as int))) * 1000000 div {_IDCG5}"
+            )
+            .cast("long")
+            .alias("ndcg_ppm"),
+            F.coalesce(
+                F.expr("1000 div min(CASE WHEN rel > 0 THEN arank END)"),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("mrr_milli"),
+        )
+        .orderBy("query_id")
+    )
