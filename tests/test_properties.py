@@ -200,3 +200,55 @@ def test_asof_forward_tolerance_matches_bruteforce(spark, left, right, tol):
             if (want - _t(s)).total_seconds() * 1_000_000 > tol:
                 want = None
         assert got[i] == want
+
+
+def test_partition_invariance_of_deterministic_operators(spark):
+    """Results must not depend on physical partitioning — the property
+    that makes an operator safe on a 1000-executor cluster where the
+    scheduler controls the data layout, not the author."""
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+    from super_store_datawarehouse_spark.operators.sketches import hll_distinct
+
+    rows = [(i, f"s{i % 5}", i * 3 + 1) for i in range(500)]
+    base = spark.createDataFrame(rows, ["k", "s", "v"])
+
+    for parts in (1, 7, 32):
+        df = base.repartition(parts)
+        # exact-allocation sample: identical membership
+        got = sorted(
+            r["k"]
+            for r in stratified_exact_sample(
+                df, key_col="k", strata_col="s", percent=20
+            ).collect()
+        )
+        if parts == 1:
+            want_sample = got
+        assert got == want_sample, f"sample drifted at {parts} partitions"
+        # HLL estimate: registers are max-merged, so the estimate is
+        # identical whatever the partitioning
+        est = {
+            r["s"]: r["est_distinct"]
+            for r in hll_distinct(df, ["s"], "v").collect()
+        }
+        if parts == 1:
+            want_est = est
+        assert est == want_est, f"HLL drifted at {parts} partitions"
+
+
+def test_bpe_merges_partition_invariant(spark):
+    from super_store_datawarehouse_spark.operators.text import bpe_learn
+
+    wf_rows = [(w, f) for w, f in
+               [("alpha", 9), ("alps", 7), ("beta", 5), ("bets", 4), ("ba", 3)]]
+    want = None
+    for parts in (1, 4):
+        wf = spark.createDataFrame(wf_rows, ["w", "freq"]).repartition(parts)
+        merges, _ = bpe_learn(wf, n_merges=3)
+        got = [tuple(r) for r in merges.orderBy("merge_rank").collect()]
+        if want is None:
+            want = got
+        assert got == want, f"BPE merges drifted at {parts} partitions"
