@@ -9894,3 +9894,150 @@ def x213_ranking_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x214 — Benford first-digit audit (forensic data quality): the
+# leading significant digit of genuine multiplicative-process amounts
+# follows log10(1 + 1/d); a per-digit deviation report over order
+# totals is the classic fabricated-data detector. Expected shares are
+# a baked-log LUT (the x188/x213 trick), observed shares are exact
+# counts, deviations land in signed ppm. First digit extracted
+# lexically from the integer cents — no float log anywhere.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x214_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), c AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+    lut(digit, exp_ppm) AS (VALUES
+      (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+      (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+    SELECT c.digit, CAST(c.n AS BIGINT) AS n_orders,
+           CAST(c.n * 1000000 // t.total AS BIGINT) AS observed_ppm,
+           CAST(lut.exp_ppm AS BIGINT) AS benford_ppm,
+           CAST(c.n * 1000000 // t.total - lut.exp_ppm AS BIGINT)
+             AS deviation_ppm
+    FROM c JOIN lut USING (digit) CROSS JOIN t
+    ORDER BY c.digit
+    """,
+)
+def x214_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lut = [
+        (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+    ]
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    lut_df = spark.createDataFrame(lut, "digit long, benford_ppm long")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .join(F.broadcast(lut_df), "digit")
+        .selectExpr(
+            "digit",
+            "cast(n AS bigint) AS n_orders",
+            "n * 1000000 div total AS observed_ppm",
+            "benford_ppm",
+            "n * 1000000 div total - benford_ppm AS deviation_ppm",
+        )
+        .orderBy("digit")
+    )
+
+
+# --------------------------------------------------------------------------
+# x215 — inverted-index storage planning with Elias-gamma gap coding:
+# for each of the 20 most frequent terms, the exact bit cost of the
+# delta-encoded posting list (gamma(gap) = 2·floor(log2 gap) + 1 bits,
+# log2 via length(bin()) — pure integers) vs the flat 64-bit layout,
+# with the compression ratio in ppm. This is how an index builder
+# budgets storage before materializing; the posting gaps come from one
+# lag window per term.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x215_postinglist_bit_budget",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x <> ''))) AS w
+      FROM documents
+    ), top_terms AS (
+      SELECT w, COUNT(*) AS df FROM words GROUP BY w
+      ORDER BY df DESC, w LIMIT 20
+    ), postings AS (
+      SELECT ws.w, ws.doc_id,
+             ws.doc_id - lag(ws.doc_id) OVER (PARTITION BY ws.w
+                                              ORDER BY ws.doc_id) AS gap
+      FROM words ws JOIN top_terms USING (w)
+    ), bits AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN gap IS NULL THEN 64
+                           WHEN gap > 0
+                             THEN 2 * (length(bin(gap)) - 1) + 1
+                           ELSE 1 END) AS BIGINT) AS gamma_bits,
+             COUNT(*) * 64 AS flat_bits
+      FROM postings GROUP BY w
+    )
+    SELECT w AS term, CAST(flat_bits AS BIGINT) AS flat_bits, gamma_bits,
+           CAST(gamma_bits * 1000000 // flat_bits AS BIGINT)
+             AS compressed_ppm
+    FROM bits ORDER BY term
+    """,
+)
+def x215_postinglist_bit_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ).alias("w"),
+    )
+    top_terms = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "w")
+        .limit(20)
+    )
+    postings = words.join(F.broadcast(top_terms), "w").withColumn(
+        "gap",
+        F.col("doc_id")
+        - F.lag("doc_id").over(Window.partitionBy("w").orderBy("doc_id")),
+    )
+    bits = postings.groupBy("w").agg(
+        F.sum(
+            F.when(F.col("gap").isNull(), 64)
+            .when(
+                F.col("gap") > 0,
+                2 * (F.length(F.expr("bin(gap)")) - 1) + 1,
+            )
+            .otherwise(1)
+        ).alias("gamma_bits"),
+        (F.count(F.lit(1)) * 64).alias("flat_bits"),
+    )
+    return bits.selectExpr(
+        "w AS term",
+        "cast(flat_bits AS bigint) AS flat_bits",
+        "cast(gamma_bits AS bigint) AS gamma_bits",
+        "gamma_bits * 1000000 div flat_bits AS compressed_ppm",
+    ).orderBy("term")
