@@ -10041,3 +10041,208 @@ def x215_postinglist_bit_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(gamma_bits AS bigint) AS gamma_bits",
         "gamma_bits * 1000000 div flat_bits AS compressed_ppm",
     ).orderBy("term")
+
+
+# --------------------------------------------------------------------------
+# x216 — columnar encoding advisor: for candidate lineitem columns,
+# measure dictionary cardinality and run count in the table's
+# deterministic physical order (orderkey, linenumber), then recommend
+# DICT / RLE / PLAIN the way a parquet writer's encoding chooser does —
+# RLE when runs << rows, DICT when the dictionary is small, PLAIN
+# otherwise. Run detection is one lag window over the stable sort key;
+# decisions are integer ppm thresholds, so the advice value-oracles.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x216_encoding_advisor",
+    oracle="""
+    WITH ordered AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(epoch_us(l_shipdate) AS VARCHAR) AS l_shipdate,
+             CAST(ROUND(l_quantity) AS BIGINT) AS l_quantity,
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS pos
+      FROM lineitem
+    ), cols AS (
+      SELECT 'l_returnflag' AS col, CAST(l_returnflag AS VARCHAR) AS v, pos
+      FROM ordered
+      UNION ALL
+      SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR), pos FROM ordered
+      UNION ALL
+      SELECT 'l_shipdate', l_shipdate, pos FROM ordered
+      UNION ALL
+      SELECT 'l_quantity', CAST(l_quantity AS VARCHAR), pos FROM ordered
+    ), runs AS (
+      SELECT col, v, pos,
+             CASE WHEN lag(v) OVER (PARTITION BY col ORDER BY pos)
+                       IS DISTINCT FROM v THEN 1 ELSE 0 END AS is_run_start
+      FROM cols
+    ), stats AS (
+      SELECT col, COUNT(*) AS n_rows,
+             COUNT(DISTINCT v) AS n_distinct,
+             CAST(SUM(is_run_start) AS BIGINT) AS n_runs
+      FROM runs GROUP BY col
+    )
+    SELECT col, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           n_runs,
+           CAST(n_runs * 1000000 // n_rows AS BIGINT) AS run_ppm,
+           CASE WHEN n_runs * 10 < n_rows THEN 'RLE'
+                WHEN n_distinct * 100 < n_rows THEN 'DICT'
+                ELSE 'PLAIN' END AS advice
+    FROM stats ORDER BY col
+    """,
+)
+def x216_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ordered = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+        .cast("string")
+        .alias("l_shipdate"),
+        F.round("l_quantity").cast("long").alias("l_quantity"),
+        F.row_number()
+        .over(Window.orderBy("l_orderkey", "l_linenumber"))
+        .alias("pos"),
+    )
+    cols = None
+    for c in ("l_returnflag", "l_linestatus", "l_shipdate", "l_quantity"):
+        part = ordered.select(
+            F.lit(c).alias("col"), F.col(c).cast("string").alias("v"), "pos"
+        )
+        cols = part if cols is None else cols.unionByName(part)
+    runs = cols.withColumn(
+        "is_run_start",
+        F.when(
+            ~F.lag("v")
+            .over(Window.partitionBy("col").orderBy("pos"))
+            .eqNullSafe(F.col("v")),
+            1,
+        ).otherwise(0),
+    )
+    stats = runs.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("v").alias("n_distinct"),
+        F.sum("is_run_start").alias("n_runs"),
+    )
+    return stats.selectExpr(
+        "col",
+        "cast(n_rows AS bigint) AS n_rows",
+        "cast(n_distinct AS bigint) AS n_distinct",
+        "cast(n_runs AS bigint) AS n_runs",
+        "n_runs * 1000000 div n_rows AS run_ppm",
+        "CASE WHEN n_runs * 10 < n_rows THEN 'RLE'"
+        " WHEN n_distinct * 100 < n_rows THEN 'DICT'"
+        " ELSE 'PLAIN' END AS advice",
+    ).orderBy("col")
+
+
+# --------------------------------------------------------------------------
+# x217 — Zipf profile of the vocabulary: word frequency at doubling
+# ranks (1, 2, 4, ..., 32) and the consecutive-doubling decay ratios
+# in ppm — a Zipfian corpus halves frequency per doubling (ratio ≈
+# 500000 ppm); flat synthetic vocabularies (like this corpus — the
+# point of the audit) sit near 10⁶. Shapes tokenizer-vocabulary and
+# heavy-hitter-threshold decisions without any log arithmetic.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x217_zipf_profile",
+    oracle="""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents) GROUP BY w
+    ), ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, w) AS rnk FROM wc
+    ), picks AS (
+      SELECT rnk, freq FROM ranked WHERE rnk IN (1, 2, 4, 8, 16, 32)
+    )
+    SELECT rnk AS rank, CAST(freq AS BIGINT) AS freq,
+           CAST(freq * 1000000 //
+                lag(freq) OVER (ORDER BY rnk) AS BIGINT) AS decay_ppm
+    FROM picks ORDER BY rank
+    """,
+)
+def x217_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = wc.select(
+        "freq",
+        F.row_number().over(Window.orderBy(F.desc("freq"), "w")).alias("rnk"),
+    )
+    picks = ranked.filter(F.col("rnk").isin(1, 2, 4, 8, 16, 32))
+    return picks.select(
+        F.col("rnk").alias("rank"),
+        "freq",
+        F.expr(
+            "freq * 1000000 div lag(freq) OVER (ORDER BY rnk)"
+        ).alias("decay_ppm"),
+    ).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# x218 — partition-skew diagnostic: before shuffling on a candidate
+# key, hash it into 32 buckets (the portable knuth hash, so the oracle
+# sees the same layout Spark's exchange would approximate) and report
+# per-bucket loads plus the max/mean skew in ppm for three candidate
+# keys — the number that decides between a plain shuffle, AQE skew
+# splitting, and explicit salting (operators/skew.py). The diagnostic
+# itself is one aggregation per key.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x218_partition_skew_probe",
+    oracle=f"""
+    WITH keys AS (
+      SELECT 'l_orderkey' AS key_col, {_knuth_sql("l_orderkey")} % 32 AS b
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', {_knuth_sql("l_suppkey")} % 32 FROM lineitem
+      UNION ALL
+      SELECT 'l_linenumber', {_knuth_sql("l_linenumber")} % 32 FROM lineitem
+    ), loads AS (
+      SELECT key_col, b, COUNT(*) AS n FROM keys GROUP BY 1, 2
+    )
+    SELECT key_col,
+           COUNT(*) AS n_buckets,
+           CAST(MIN(n) AS BIGINT) AS min_load,
+           CAST(MAX(n) AS BIGINT) AS max_load,
+           CAST(MAX(n) * COUNT(*) * 1000000 // SUM(n) AS BIGINT)
+             AS max_over_mean_ppm
+    FROM loads GROUP BY key_col ORDER BY key_col
+    """,
+)
+def x218_partition_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sampling import knuth_hash
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = None
+    for c in ("l_orderkey", "l_suppkey", "l_linenumber"):
+        part = li.select(
+            F.lit(c).alias("key_col"),
+            F.pmod(knuth_hash(c), F.lit(32)).alias("b"),
+        )
+        keys = part if keys is None else keys.unionByName(part)
+    loads = keys.groupBy("key_col", "b").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        loads.groupBy("key_col")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.min("n").alias("min_load"),
+            F.max("n").alias("max_load"),
+            F.expr(
+                "max(n) * count(1) * 1000000 div sum(n)"
+            ).alias("max_over_mean_ppm"),
+        )
+        .orderBy("key_col")
+    )
