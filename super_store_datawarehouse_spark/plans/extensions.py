@@ -10246,3 +10246,146 @@ def x218_partition_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_col")
     )
+
+
+# --------------------------------------------------------------------------
+# x219 — reciprocal-rank fusion (Cormack et al. 2009), the hybrid-
+# search combiner every RAG stack runs: fuse the BM25 ranking (x137)
+# with a raw term-frequency ranking of the same query terms over the
+# same documents via RRF(d) = Σ_lists 1/(60 + rank_d) — the 1/(60+r)
+# terms are a baked integer LUT (micro units), so the fused ranking
+# value-oracles. The oracle composes x137's registered SQL as a CTE
+# (one definition for evaluator and evaluated, as in x213).
+# --------------------------------------------------------------------------
+_RRF_LUT = [16393, 16129, 15873, 15625, 15385, 15152, 14925, 14706, 14493, 14286]
+
+
+@harness_query(
+    "x219_rrf_hybrid_fusion",
+    oracle=f"""
+    WITH bm25 AS ({_HARNESS["x137_bm25_topk"][1]}),
+    tfrank AS (
+      SELECT row_number() OVER (ORDER BY cnt DESC, doc_id) AS rank, doc_id
+      FROM (
+        SELECT doc_id, COUNT(*) AS cnt FROM (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                          '\\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents) WHERE w IN ('query', 'join', 'filter')
+        GROUP BY doc_id)
+      ORDER BY cnt DESC, doc_id LIMIT 10
+    ), lut(r, v) AS (VALUES
+      (1, {_RRF_LUT[0]}), (2, {_RRF_LUT[1]}), (3, {_RRF_LUT[2]}),
+      (4, {_RRF_LUT[3]}), (5, {_RRF_LUT[4]}), (6, {_RRF_LUT[5]}),
+      (7, {_RRF_LUT[6]}), (8, {_RRF_LUT[7]}), (9, {_RRF_LUT[8]}),
+      (10, {_RRF_LUT[9]})),
+    contrib AS (
+      SELECT doc_id, v FROM bm25 JOIN lut ON lut.r = bm25.rank
+      UNION ALL
+      SELECT doc_id, v FROM tfrank JOIN lut ON lut.r = tfrank.rank
+    ), fused AS (
+      SELECT doc_id, CAST(SUM(v) AS BIGINT) AS rrf_micro,
+             COUNT(*) AS n_lists
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS fused_rank,
+           doc_id, rrf_micro, CAST(n_lists AS BIGINT) AS n_lists
+    FROM fused ORDER BY fused_rank LIMIT 10
+    """,
+)
+def x219_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import words
+
+    bm25 = x137_bm25_topk(spark, sf_dir).select("rank", "doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    tfrank = (
+        docs.select("doc_id", F.explode(words("text")).alias("w"))
+        .filter(F.col("w").isin("query", "join", "filter"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "doc_id")
+        .limit(10)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), "doc_id"))
+            .alias("rank"),
+            "doc_id",
+        )
+    )
+    lut = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(_RRF_LUT)], "r int, v long"
+    )
+    contrib = (
+        bm25.join(F.broadcast(lut), bm25["rank"] == lut["r"])
+        .select("doc_id", "v")
+        .unionByName(
+            tfrank.join(F.broadcast(lut), tfrank["rank"] == lut["r"]).select(
+                "doc_id", "v"
+            )
+        )
+    )
+    fused = contrib.groupBy("doc_id").agg(
+        F.sum("v").alias("rrf_micro"), F.count(F.lit(1)).alias("n_lists")
+    )
+    return (
+        fused.select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf_micro"), "doc_id"))
+            .cast("long")
+            .alias("fused_rank"),
+            "doc_id",
+            "rrf_micro",
+            F.col("n_lists").cast("long").alias("n_lists"),
+        )
+        .orderBy("fused_rank")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# x220 — near-dup detector agreement eval: the exact n-gram Jaccard
+# top pairs (q17) vs the portable MinHash-LSH top pairs (q19) as SETS —
+# intersection size and pair-set Jaccard in ppm. Composes both
+# registered oracles as CTEs; the number quantifies what the LSH
+# shortcut trades away at the pair level (x151 measures it at the
+# estimate level).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x220_near_dup_overlap_eval",
+    oracle=f"""
+    WITH exact_p AS ({_HARNESS["q17_ngram_jaccard_pairs"][1]}),
+    lsh_p AS ({_HARNESS["q19_minhash_lsh_pairs"][1]}),
+    e AS (SELECT id_a, id_b FROM exact_p),
+    l AS (SELECT id_a, id_b FROM lsh_p),
+    i AS (SELECT COUNT(*) AS n_common FROM e JOIN l USING (id_a, id_b)),
+    sizes AS (
+      SELECT (SELECT COUNT(*) FROM e) AS n_exact,
+             (SELECT COUNT(*) FROM l) AS n_lsh
+    )
+    SELECT CAST(sizes.n_exact AS BIGINT) AS n_exact,
+           CAST(sizes.n_lsh AS BIGINT) AS n_lsh,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(i.n_common * 1000000
+                // (sizes.n_exact + sizes.n_lsh - i.n_common) AS BIGINT)
+             AS pairset_jaccard_ppm
+    FROM i CROSS JOIN sizes
+    """,
+)
+def x220_near_dup_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = q17_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    l = q19_minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    i = e.join(l, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_common"))
+    sizes = e.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        l.agg(F.count(F.lit(1)).alias("n_lsh"))
+    )
+    return (
+        i.crossJoin(F.broadcast(sizes))
+        .selectExpr(
+            "cast(n_exact AS bigint) AS n_exact",
+            "cast(n_lsh AS bigint) AS n_lsh",
+            "cast(n_common AS bigint) AS n_common",
+            "n_common * 1000000 div (n_exact + n_lsh - n_common)"
+            " AS pairset_jaccard_ppm",
+        )
+    )
