@@ -737,3 +737,169 @@ def stream_misra_gries_to_parquet(
     finally:
         q.stop()
     return batches["n"]
+
+
+def stream_hll_to_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint: str | None = None,
+) -> int:
+    """Maintain per-event-type HyperLogLog registers over the stream:
+    each micro-batch builds partial registers for its rows and
+    MAX-merges them into the persisted table — the register lattice is
+    a join-semilattice, so unlike the additive count-min sink this
+    merge is IDEMPOTENT: replaying a batch after a crash changes
+    nothing. The applied-batch marker is therefore kept only to report
+    an accurate processed count, not for correctness.
+
+    State is ≤ 64 registers per event type forever; the batch operator
+    (``operators.sketches.hll_distinct``) reads the same registers, so
+    stream == batch exactly (pinned by the test).
+    """
+    import shutil
+    import tempfile
+
+    ev = read_events_stream(spark, src_dir).select("event_type", "user_id")
+    batches = {"n": 0}
+    applied_marker = out_dir + ".applied_batch"
+
+    def last_applied() -> int:
+        try:
+            with open(applied_marker) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_applied():
+            return
+        sess = batch_df.sparkSession
+        h = (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+        )
+        regs = (
+            batch_df.select(
+                "event_type",
+                F.pmod(h, F.lit(64)).alias("bucket"),
+                (h / 64).cast("long").alias("w"),
+            )
+            .withColumn(
+                "rho",
+                F.when(
+                    F.col("w") > 0, F.lit(27) - F.length(F.expr("bin(w)"))
+                ).otherwise(F.lit(27)),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("m"))
+        )
+        if os.path.isdir(out_dir):
+            state = sess.read.parquet(out_dir)
+            regs = (
+                state.unionByName(regs)
+                .groupBy("event_type", "bucket")
+                .agg(F.max("m").alias("m"))
+            )
+        tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir))
+        regs.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.replace(tmp, out_dir)
+        with open(applied_marker + ".tmp", "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(applied_marker + ".tmp", applied_marker)
+        batches["n"] += 1
+
+    writer = ev.writeStream.outputMode("append").foreachBatch(merge_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return batches["n"]
+
+
+def stream_drift_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    reference: DataFrame,
+    out_path: str,
+    bins: int = 10,
+    checkpoint: str | None = None,
+) -> int:
+    """Per-micro-batch distribution drift vs a frozen reference window:
+    the x199 chi-square statistic, computed live. ``reference`` fixes
+    the bin edges (global min/max) and expected shares; each batch's
+    value histogram lands in the same bins and appends one row
+    (batch_id, n_events, chi2_micro) to ``out_path`` — the production
+    shape of a data-quality monitor on an ingest stream (alert when
+    chi2 jumps).
+    """
+    ref_stats = (
+        reference.select(F.round(F.col("value") * 100).cast("long").alias("cents"))
+        .agg(
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+            F.count(F.lit(1)).alias("ref_n"),
+        )
+        .collect()[0]
+    )
+    lo, hi, ref_n = ref_stats["lo"], ref_stats["hi"], ref_stats["ref_n"]
+    ref_counts = {
+        r["bin"]: r["n"]
+        for r in reference.select(
+            F.least(
+                F.lit(bins - 1),
+                F.expr(f"(cast(round(value * 100) as long) - {lo}) * {bins}"
+                       f" div ({hi} - {lo} + 1)"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    ev = read_events_stream(spark, src_dir).select("value")
+    batches = {"n": 0}
+
+    def monitor_batch(batch_df: DataFrame, batch_id: int) -> None:
+        got = {
+            r["bin"]: r["n"]
+            for r in batch_df.select(
+                F.least(
+                    F.lit(bins - 1),
+                    F.expr(
+                        f"(cast(round(value * 100) as long) - {lo}) * {bins}"
+                        f" div ({hi} - {lo} + 1)"
+                    ),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        live_n = sum(got.values())
+        if live_n == 0:
+            return
+        chi2_micro = 0
+        for b in range(bins):
+            ref_b, live_b = ref_counts.get(b, 0), got.get(b, 0)
+            num = live_b * ref_n - ref_b * live_n
+            chi2_micro += num * num // (max(ref_b, 1) * ref_n * live_n)
+        with open(out_path, "a") as fh:
+            fh.write(f"{batch_id}\t{live_n}\t{chi2_micro}\n")
+        batches["n"] += 1
+
+    writer = ev.writeStream.outputMode("append").foreachBatch(monitor_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return batches["n"]
