@@ -10389,3 +10389,181 @@ def x220_near_dup_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS pairset_jaccard_ppm",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x221 — join-size estimation eval (the System-R formula every
+# cost-based optimizer starts from): |A ⋈ B| ≈ |A|·|B| / max(d_A, d_B)
+# on the join key, checked against the true join cardinality for two
+# real joins. The error in ppm is exactly the number a planner's
+# cost model eats — and why engines keep column NDVs in stats. All
+# counts exact, the estimate integer-divided, both engines agree.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x221_join_size_estimate_eval",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'orders_x_lineitem' AS join_name,
+             (SELECT COUNT(*) FROM orders) AS na,
+             (SELECT COUNT(*) FROM lineitem) AS nb,
+             (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS da,
+             (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS db,
+             (SELECT COUNT(*) FROM orders o
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey) AS actual
+      UNION ALL
+      SELECT 'supplier_x_lineitem',
+             (SELECT COUNT(*) FROM supplier),
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(DISTINCT s_suppkey) FROM supplier),
+             (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+             (SELECT COUNT(*) FROM supplier s
+              JOIN lineitem l ON l.l_suppkey = s.s_suppkey)
+    )
+    SELECT join_name,
+           CAST(na * nb // GREATEST(da, db) AS BIGINT) AS estimated,
+           CAST(actual AS BIGINT) AS actual,
+           CAST((na * nb // GREATEST(da, db) - actual) * 1000000
+                // actual AS BIGINT) AS err_ppm
+    FROM pairs ORDER BY join_name
+    """,
+)
+def x221_join_size_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def probe(join_name, a, b, ka, kb):
+        na = a.count()
+        nb = b.count()
+        da = a.select(ka).distinct().count()
+        db = b.select(kb).distinct().count()
+        actual = a.join(b, a[ka] == b[kb]).count()
+        est = na * nb // max(da, db)
+        return (join_name, est, actual, (est - actual) * 1_000_000 // actual)
+
+    rows = [
+        probe("orders_x_lineitem", o, li, "o_orderkey", "l_orderkey"),
+        probe("supplier_x_lineitem", s, li, "s_suppkey", "l_suppkey"),
+    ]
+    return spark.createDataFrame(
+        rows, "join_name string, estimated long, actual long, err_ppm long"
+    ).orderBy("join_name")
+
+
+# --------------------------------------------------------------------------
+# x222 — selectivity-estimation eval: predict the selectivity of range
+# predicates on o_totalprice from the x182-style 64-bin equi-width
+# histogram (full bins + a linear fraction of the boundary bin — the
+# classic optimizer interpolation), then compare with the true count.
+# The per-predicate error in ppm is the planner's risk surface for
+# filter ordering and join sizing. Bins, interpolation, and errors are
+# integer end-to-end.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x222_selectivity_estimate_eval",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ), rng AS (
+      SELECT MIN(cents) AS lo, MAX(cents) AS hi, COUNT(*) AS n FROM c
+    ), hist AS (
+      SELECT LEAST(63, (cents - rng.lo) * 64 // (rng.hi - rng.lo + 1)) AS bin,
+             COUNT(*) AS cnt
+      FROM c CROSS JOIN rng GROUP BY 1
+    ), preds AS (
+      SELECT p AS pred_idx,
+             rng.lo + (rng.hi - rng.lo + 1) * (p * 20 + 10) // 100 AS cut
+      FROM range(0, 4) t(p) CROSS JOIN rng
+    ), est AS (
+      SELECT p.pred_idx, p.cut,
+             CAST(SUM(CASE
+               WHEN (rng.lo + (h.bin + 1) * (rng.hi - rng.lo + 1) // 64)
+                    <= p.cut THEN h.cnt
+               WHEN (rng.lo + h.bin * (rng.hi - rng.lo + 1) // 64) > p.cut
+                    THEN 0
+               ELSE h.cnt * (p.cut - (rng.lo + h.bin * (rng.hi - rng.lo + 1)
+                                      // 64))
+                    // GREATEST((rng.hi - rng.lo + 1) // 64, 1)
+             END) AS BIGINT) AS est_rows
+      FROM preds p CROSS JOIN rng JOIN hist h ON TRUE
+      GROUP BY p.pred_idx, p.cut
+    ), tru AS (
+      SELECT p.pred_idx, COUNT(CASE WHEN c.cents <= p.cut THEN 1 END)
+               AS true_rows
+      FROM preds p CROSS JOIN c GROUP BY p.pred_idx
+    )
+    SELECT e.pred_idx, e.cut AS cut_cents, t.true_rows, e.est_rows,
+           CAST((e.est_rows - t.true_rows) * 1000000
+                // GREATEST(t.true_rows, 1) AS BIGINT) AS err_ppm
+    FROM est e JOIN tru t USING (pred_idx)
+    ORDER BY e.pred_idx
+    """,
+)
+def x222_selectivity_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    rng = c.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    hist = (
+        c.crossJoin(F.broadcast(rng))
+        .select(
+            F.least(F.lit(63), F.expr("(cents - lo) * 64 div (hi - lo + 1)")).alias(
+                "bin"
+            )
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    preds = (
+        spark.range(0, 4)
+        .select(F.col("id").cast("int").alias("pred_idx"))
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "pred_idx",
+            F.expr("lo + (hi - lo + 1) * (pred_idx * 20 + 10) div 100").alias(
+                "cut"
+            ),
+        )
+    )
+    est = (
+        preds.crossJoin(F.broadcast(rng))
+        .join(F.broadcast(hist))
+        .groupBy("pred_idx", "cut")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE"
+                    " WHEN (lo + (bin + 1) * (hi - lo + 1) div 64) <= cut"
+                    "   THEN cnt"
+                    " WHEN (lo + bin * (hi - lo + 1) div 64) > cut THEN 0"
+                    " ELSE cnt * (cut - (lo + bin * (hi - lo + 1) div 64))"
+                    "      div GREATEST((hi - lo + 1) div 64, 1L)"
+                    " END"
+                )
+            ).alias("est_rows")
+        )
+    )
+    tru = (
+        preds.join(c)
+        .groupBy("pred_idx")
+        .agg(
+            F.count(F.when(F.col("cents") <= F.col("cut"), 1)).alias(
+                "true_rows"
+            )
+        )
+    )
+    return (
+        est.join(tru, "pred_idx")
+        .selectExpr(
+            "pred_idx",
+            "cut AS cut_cents",
+            "cast(true_rows AS bigint) AS true_rows",
+            "cast(est_rows AS bigint) AS est_rows",
+            "(est_rows - true_rows) * 1000000 div GREATEST(true_rows, 1L)"
+            " AS err_ppm",
+        )
+        .orderBy("pred_idx")
+    )
