@@ -42,7 +42,8 @@ def asof_join(
     right row with ``right_ts <= left_ts`` (strictly ``<`` when
     ``allow_exact=False``) per key. ``direction="forward"``: the
     earliest right row with ``right_ts >= left_ts`` (strictly ``>``
-    when ``allow_exact=False``). ``tolerance_us`` bounds the match gap
+    when ``allow_exact=False``). ``direction="nearest"``: whichever
+    one-sided match has the smaller absolute gap, ties to backward. ``tolerance_us`` bounds the match gap
     (``|right_ts - left_ts|`` in microseconds for timestamp columns,
     raw units for numeric ts columns); out-of-tolerance matches come
     back NULL, exactly like pandas. Unmatched left rows keep NULL value
@@ -55,8 +56,45 @@ def asof_join(
     Timestamp ties among right rows resolve deterministically to the
     max ``__rval`` struct (backward) / min (forward).
     """
+    if direction == "nearest":
+        # nearest = the closer of the two one-sided matches, ties to the
+        # backward side (pandas merge_asof semantics). Two one-shuffle
+        # passes; tolerance applies per side before the comparison.
+        bwd = asof_join(
+            left, right, on, left_ts, right_ts, value_cols,
+            allow_exact, "backward", tolerance_us,
+        )
+        value_cols_n = value_cols or [
+            c for c in right.columns if c not in (on, right_ts)
+        ]
+        out_cols = [right_ts] + [c for c in value_cols_n if c != right_ts]
+        fwd = asof_join(
+            left, right, on, left_ts, right_ts, value_cols,
+            allow_exact, "forward", tolerance_us,
+        ).select(
+            *left.columns,
+            *[F.col(f"asof_{c}").alias(f"__f_{c}") for c in out_cols],
+        )
+        ts_type = left.schema[left_ts].dataType
+        joined = bwd.join(fwd, left.columns)
+        bgap = _ts_gap_us(F.col(left_ts), F.col(f"asof_{right_ts}"), ts_type)
+        fgap = _ts_gap_us(F.col(f"__f_{right_ts}"), F.col(left_ts), ts_type)
+        take_fwd = F.col(f"asof_{right_ts}").isNull() | (
+            F.col(f"__f_{right_ts}").isNotNull() & (fgap < bgap)
+        )
+        return joined.select(
+            *left.columns,
+            *[
+                F.when(take_fwd, F.col(f"__f_{c}"))
+                .otherwise(F.col(f"asof_{c}"))
+                .alias(f"asof_{c}")
+                for c in out_cols
+            ],
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
     out_cols = [right_ts] + [c for c in value_cols if c != right_ts]
 

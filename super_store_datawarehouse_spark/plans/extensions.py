@@ -10567,3 +10567,75 @@ def x222_selectivity_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("pred_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# x223 — sessionization with BOTH an inactivity gap and a max-duration
+# cap (the production rule q22's pure-gap version approximates): a new
+# session starts after 30 idle minutes OR when the running session
+# would exceed 2 hours. Two window passes: gap-splitting (q22's rule),
+# then within each gap-session a duration re-split anchored at the
+# session start — floor((t − t₀)/2h) — so a marathon user can't hold
+# one session open all day. Output: per-user session count under each
+# rule, proving the cap only ever increases the count.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x223_capped_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, tus,
+             CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_gap_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ), gap_sessions AS (
+      SELECT user_id, event_id, tus,
+             SUM(new_gap_session) OVER (PARTITION BY user_id
+                                        ORDER BY tus, event_id) AS gsid
+      FROM flagged
+    ), capped AS (
+      SELECT user_id, gsid, tus,
+             (tus - MIN(tus) OVER (PARTITION BY user_id, gsid))
+               // 7200000000 AS sub
+      FROM gap_sessions
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT gsid) AS BIGINT) AS gap_sessions,
+           CAST(COUNT(DISTINCT (gsid, sub)) AS BIGINT) AS capped_sessions
+    FROM capped GROUP BY user_id ORDER BY user_id
+    """,
+)
+def x223_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = e.withColumn(
+        "new_gap_session",
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | (F.col("tus") - F.lag("tus").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    gap_sessions = flagged.withColumn(
+        "gsid", F.sum("new_gap_session").over(w)
+    )
+    capped = gap_sessions.withColumn(
+        "sub",
+        F.expr(
+            "(tus - min(tus) OVER (PARTITION BY user_id, gsid))"
+            " div 7200000000"
+        ),
+    )
+    return (
+        capped.groupBy("user_id")
+        .agg(
+            F.count_distinct("gsid").alias("gap_sessions"),
+            F.count_distinct(F.struct("gsid", "sub")).alias("capped_sessions"),
+        )
+        .orderBy("user_id")
+    )

@@ -2054,3 +2054,48 @@ def test_hll_distinct_small_range_uses_linear_counting(spark):
     df = spark.createDataFrame([(1, i) for i in range(30)], ["g", "k"])
     got = hll_distinct(df, ["g"], "k").collect()[0]["est_distinct"]
     assert abs(got - 30) <= 6   # linear counting is tight at tiny n
+
+
+def test_asof_join_nearest_semantics(spark):
+    import datetime as dt
+
+    from super_store_datawarehouse_spark.operators.temporal import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 1, t(10)), (2, 1, t(3)), (3, 1, t(58)), (4, 2, t(5))],
+        ["lid", "key", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 50.0), (1, t(12), 120.0), (1, t(30), 300.0)],
+        ["key", "ts", "px"],
+    )
+    near = {
+        r["lid"]: r["asof_px"]
+        for r in asof_join(
+            left, right, on="key", value_cols=["px"], direction="nearest"
+        ).collect()
+    }
+    assert near[1] == 120.0     # |12-10|=2 beats |10-5|=5
+    assert near[2] == 50.0      # forward 5 at gap 2 beats nothing backward
+    assert near[3] == 300.0     # only backward exists (gap 28)
+    assert near[4] is None      # key 2 unmatched
+    # tie goes backward (pandas semantics): left at 8.5 → gaps 3.5/3.5
+    tie = spark.createDataFrame([(9, 1, t(8))], ["lid", "key", "ts"])
+    r2 = spark.createDataFrame(
+        [(1, t(5), 50.0), (1, t(11), 110.0)], ["key", "ts", "px"]
+    )
+    got = asof_join(
+        tie, r2, on="key", value_cols=["px"], direction="nearest"
+    ).collect()[0]["asof_px"]
+    assert got == 50.0          # equal 3 s gaps → backward wins
+    # tolerance still applies per side
+    tol = {
+        r["lid"]: r["asof_px"]
+        for r in asof_join(
+            left, right, on="key", value_cols=["px"],
+            direction="nearest", tolerance_us=3_000_000,
+        ).collect()
+    }
+    assert tol[1] == 120.0      # gap 2 s <= 3 s
+    assert tol[3] is None       # both sides beyond tolerance
