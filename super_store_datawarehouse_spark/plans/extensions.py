@@ -10639,3 +10639,109 @@ def x223_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x224 — rolling exact median (trailing 30 events per user): the
+# robust running level estimator dashboards want where a rolling MEAN
+# is outlier-hostage. Spark has no windowed percentile, so the frame's
+# values collect into a bounded array (30 elements — the frame bound
+# IS the memory bound) and the nearest-rank middle is picked after an
+# array_sort; the oracle does the identical list-sort-index. O(w log w)
+# per row with w fixed at 30 — scale-safe because the frame is ROWS,
+# never the whole partition.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x224_rolling_median_value",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id < 20
+    ), framed AS (
+      SELECT user_id, event_id, tus, cents,
+             list(cents) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+               AS frame
+      FROM e
+    )
+    SELECT user_id, event_id, cents,
+           CAST(list_sort(frame)[(len(frame) + 1) // 2] AS BIGINT)
+             AS rolling_median_cents
+    FROM framed ORDER BY user_id, tus, event_id
+    """,
+)
+def x224_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    e = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(-29, 0)
+    )
+    framed = e.withColumn("frame", F.collect_list("cents").over(w))
+    return framed.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.expr(
+            "element_at(array_sort(frame), cast((size(frame) + 1) div 2 as int))"
+        ).alias("rolling_median_cents"),
+    ).orderBy("user_id", "tus", "event_id")
+
+
+# --------------------------------------------------------------------------
+# x225 — grouped MODE with deterministic ties: the most frequent value
+# cents per event type (ties → smallest value), plus its share in ppm.
+# Spark has ``mode()`` but its tie behavior is unspecified — the
+# rank-window formulation pins it, and the oracle pins it identically.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x225_group_mode_value",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1
+    ), ranked AS (
+      SELECT event_type, cents, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, cents) AS rn
+      FROM c
+    )
+    SELECT r.event_type, r.cents AS mode_cents, CAST(r.n AS BIGINT) AS n_mode,
+           CAST(r.n * 1000000 // t.total AS BIGINT) AS share_ppm
+    FROM ranked r JOIN t USING (event_type)
+    WHERE r.rn = 1 ORDER BY r.event_type
+    """,
+)
+def x225_group_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    c = events.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("event_type").agg(F.sum("n").alias("total"))
+    ranked = c.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc("n"), "cents")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .join(t, "event_type")
+        .selectExpr(
+            "event_type",
+            "cents AS mode_cents",
+            "cast(n AS bigint) AS n_mode",
+            "n * 1000000 div total AS share_ppm",
+        )
+        .orderBy("event_type")
+    )
