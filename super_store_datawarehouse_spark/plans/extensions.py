@@ -10745,3 +10745,103 @@ def x225_group_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x226 — group-aware cross-validation folds (GroupKFold): fold
+# membership is assigned per USER via the portable hash, so no user's
+# rows ever straddle folds — the leakage rule row-hash splits silently
+# break. Output: per fold, row and user counts; disjointness holds by
+# construction (fold is a function of user_id alone), and the oracle
+# replays the identical hash.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x226_group_kfold",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT event_id, user_id,
+             {_knuth_sql("user_id")} % 5 AS fold
+      FROM events
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM labeled GROUP BY fold ORDER BY fold
+    """,
+)
+def x226_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sampling import knuth_hash
+
+    events = load_table(spark, sf_dir, "events")
+    labeled = events.select(
+        "event_id",
+        "user_id",
+        F.pmod(knuth_hash("user_id"), F.lit(5)).cast("long").alias("fold"),
+    )
+    return (
+        labeled.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("fold")
+    )
+
+
+# --------------------------------------------------------------------------
+# x227 — dup-cluster-aware train/eval split: near-duplicate documents
+# (q43's connected components over the near-dup graph) must land in
+# the SAME split, or eval is contaminated by training twins — the
+# failure mode a row-level split can't see. Split is a function of the
+# cluster root (knuth % 10 < 9 → train), so the property holds by
+# construction; the output reports per-split doc and cluster counts
+# plus the straddle count, pinned at zero. Oracle composes q43's
+# registered component SQL.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x227_cluster_aware_split",
+    oracle=f"""
+    WITH comps AS ({_HARNESS["q43_dedup_clusters"][1]}),
+    assigned AS (
+      SELECT doc_id, component,
+             CASE WHEN {_knuth_sql("component")} % 10 < 9
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM comps
+    ), straddle AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_straddling FROM (
+        SELECT component FROM assigned
+        GROUP BY component HAVING COUNT(DISTINCT split) > 1)
+    )
+    SELECT a.split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT a.component) AS BIGINT) AS n_clusters,
+           s.n_straddling
+    FROM assigned a CROSS JOIN straddle s
+    GROUP BY a.split, s.n_straddling ORDER BY a.split
+    """,
+)
+def x227_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sampling import knuth_hash
+
+    comps = q43_dedup_clusters(spark, sf_dir).select("doc_id", "component")
+    assigned = comps.withColumn(
+        "split",
+        F.when(F.pmod(knuth_hash("component"), F.lit(10)) < 9, "train").otherwise(
+            "eval"
+        ),
+    )
+    straddle = (
+        assigned.groupBy("component")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter("ns > 1")
+        .agg(F.count(F.lit(1)).alias("n_straddling"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("component").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(straddle))
+        .orderBy("split")
+    )
