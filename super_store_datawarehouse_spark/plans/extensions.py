@@ -10845,3 +10845,76 @@ def x227_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(straddle))
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# x228 — out-of-orderness profile: for each event (arrival order =
+# event_id), its lateness = running-max(event time so far) − its own
+# event time; the per-type nearest-rank p50/p95/p99 of that lateness
+# IS the watermark-delay decision for the streaming jobs
+# (streaming/jobs.py picks `withWatermark` bounds from exactly this
+# number). One running-max window over arrival order + the x147
+# nearest-rank idiom; microsecond integers throughout.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x228_out_of_orderness_profile",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, epoch_us(ts) AS tus FROM events
+    ), late AS (
+      SELECT event_type,
+             MAX(tus) OVER (PARTITION BY event_type ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - tus AS lateness_us
+      FROM e
+    ), ranked AS (
+      SELECT event_type, lateness_us,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY lateness_us) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM late
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN r = (50 * n + 99) // 100
+                         THEN lateness_us END) AS BIGINT) AS p50_us,
+           CAST(MIN(CASE WHEN r = (95 * n + 99) // 100
+                         THEN lateness_us END) AS BIGINT) AS p95_us,
+           CAST(MIN(CASE WHEN r = (99 * n + 99) // 100
+                         THEN lateness_us END) AS BIGINT) AS p99_us,
+           CAST(MAX(lateness_us) AS BIGINT) AS max_us
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x228_out_of_orderness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    warr = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = e.select(
+        "event_type",
+        (F.max("tus").over(warr) - F.col("tus")).alias("lateness_us"),
+    )
+    ranked = late.select(
+        "event_type",
+        "lateness_us",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("lateness_us"))
+        .alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def at(p):
+        return F.min(
+            F.when(F.expr(f"r = ({p} * n + 99) div 100"), F.col("lateness_us"))
+        ).alias(f"p{p}_us")
+
+    return (
+        ranked.groupBy("event_type")
+        .agg(at(50), at(95), at(99), F.max("lateness_us").alias("max_us"))
+        .orderBy("event_type")
+    )
