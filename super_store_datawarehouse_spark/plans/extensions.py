@@ -10918,3 +10918,136 @@ def x228_out_of_orderness_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(at(50), at(95), at(99), F.max("lateness_us").alias("max_us"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x229 — KMV (k-minimum-values / bottom-k) distinct-count eval, the
+# quantile-based cardinality sketch beside x188's register-based HLL:
+# keep the k = 32 smallest md5 hash values per event type; the
+# estimator (k−1)·2³² / h_(k) is exact integer arithmetic on the k-th
+# minimum. Bottom-k sets are trivially mergeable (union = bottom-k of
+# the concatenation), which is why KMV powers theta-sketch set
+# algebra. Estimate and error value-oracle; the sketch shuffles k rows
+# per group.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x229_kmv_distinct_eval",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM events
+    ), ranked AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r
+      FROM h
+    ), kth AS (
+      SELECT event_type, hv AS hk FROM ranked WHERE r = 32
+    ), tru AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS true_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT k.event_type, t.true_distinct,
+           CAST(31 * 4294967296 // k.hk AS BIGINT) AS kmv_est,
+           CAST((31 * 4294967296 // k.hk - t.true_distinct) * 1000000
+                // t.true_distinct AS BIGINT) AS err_ppm
+    FROM kth k JOIN tru t USING (event_type)
+    ORDER BY k.event_type
+    """,
+)
+def x229_kmv_distinct_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    h = events.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    ranked = h.withColumn(
+        "r",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("hv")),
+    )
+    kth = ranked.filter(F.col("r") == 32).select(
+        "event_type", F.col("hv").alias("hk")
+    )
+    tru = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("true_distinct")
+    )
+    return (
+        kth.join(tru, "event_type")
+        .selectExpr(
+            "event_type",
+            "true_distinct",
+            "31 * 4294967296L div hk AS kmv_est",
+            "(31 * 4294967296L div hk - true_distinct) * 1000000"
+            " div true_distinct AS err_ppm",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# x230 — domain similarity matrix: integer mean-pool a centroid per
+# vector bucket (the x145 pooling), then the pairwise squared L2
+# distances between all bucket centroids — the domain map that informs
+# mixture design ("which sources are near-duplicates of each other at
+# the distribution level"). Centroid means are integer micro
+# components; pair distances are exact int64 sums; 10 buckets → 45
+# pairs, all broadcast-sized.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x230_domain_similarity_matrix",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id % 10 AS bucket, i,
+             CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN range(1, 65) r(i)
+    ), cent AS (
+      SELECT bucket, i, CAST(SUM(q) // COUNT(*) AS BIGINT) AS m
+      FROM comp GROUP BY bucket, i
+    ), pairs AS (
+      SELECT a.bucket AS bucket_a, b.bucket AS bucket_b,
+             CAST(SUM((a.m - b.m) * (a.m - b.m)) // 1000000 AS BIGINT)
+               AS dist2_micro
+      FROM cent a JOIN cent b ON a.i = b.i AND a.bucket < b.bucket
+      GROUP BY a.bucket, b.bucket
+    )
+    SELECT CAST(bucket_a AS BIGINT) AS bucket_a,
+           CAST(bucket_b AS BIGINT) AS bucket_b, dist2_micro
+    FROM pairs ORDER BY bucket_a, bucket_b
+    """,
+)
+def x230_domain_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        (F.col("vec_id") % 10).alias("bucket"),
+        F.posexplode(
+            F.transform(
+                "embedding", lambda v: (v.cast("double") * 1000000).cast("long")
+            )
+        ).alias("i0", "q"),
+    ).withColumn("i", F.col("i0") + 1)
+    cent = comp.groupBy("bucket", "i").agg(
+        F.expr("sum(q) div count(1)").alias("m")
+    )
+    a = cent.select(
+        F.col("bucket").alias("bucket_a"), "i", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("bucket").alias("bucket_b"), "i", F.col("m").alias("mb")
+    )
+    return (
+        a.join(b, "i")
+        .filter(F.col("bucket_a") < F.col("bucket_b"))
+        .groupBy(
+            F.col("bucket_a").cast("long").alias("bucket_a"),
+            F.col("bucket_b").cast("long").alias("bucket_b"),
+        )
+        .agg(
+            F.expr("sum((ma - mb) * (ma - mb)) div 1000000").alias(
+                "dist2_micro"
+            )
+        )
+        .orderBy("bucket_a", "bucket_b")
+    )
