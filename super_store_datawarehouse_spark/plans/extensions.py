@@ -11051,3 +11051,178 @@ def x230_domain_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("bucket_a", "bucket_b")
     )
+
+
+# --------------------------------------------------------------------------
+# x231 — theta-sketch set algebra (Dasgupta et al. 2016, the
+# DataSketches model) over the x229 bottom-k sketches: for every
+# event-type pair, the UNION estimate is KMV on the merged minima, and
+# the INTERSECTION estimate counts, among the union's bottom-k, the
+# hashes present in both sides: est∩ = matches · est∪ / k. Exact
+# pairwise distinct counts would shuffle every user id per pair; the
+# sketches shuffle k = 32 rows per side, and every estimate is integer
+# arithmetic on minima — fully value-oracled, errors in ppm.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x231_theta_sketch_set_ops",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM events
+    ), sk AS (
+      SELECT event_type, hv FROM (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r
+        FROM h) WHERE r <= 32
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b
+        ON a.event_type < b.event_type
+    ), merged AS (
+      SELECT p.type_a, p.type_b, s.hv,
+             row_number() OVER (PARTITION BY p.type_a, p.type_b
+                                ORDER BY s.hv) AS r
+      FROM pairs p JOIN (
+        SELECT DISTINCT sa.event_type AS et, sa.hv FROM sk sa) s
+        ON s.et = p.type_a OR s.et = p.type_b
+    ), uniq AS (
+      SELECT type_a, type_b, hv,
+             row_number() OVER (PARTITION BY type_a, type_b
+                                ORDER BY hv) AS r
+      FROM (SELECT DISTINCT type_a, type_b, hv FROM merged)
+    ), theta AS (
+      SELECT type_a, type_b, hv AS hk FROM uniq WHERE r = 32
+    ), members AS (
+      SELECT u.type_a, u.type_b, u.hv,
+             CASE WHEN ia.hv IS NOT NULL AND ib.hv IS NOT NULL
+                  THEN 1 ELSE 0 END AS in_both
+      FROM uniq u
+      LEFT JOIN sk ia ON ia.event_type = u.type_a AND ia.hv = u.hv
+      LEFT JOIN sk ib ON ib.event_type = u.type_b AND ib.hv = u.hv
+      WHERE u.r <= 32
+    ), est AS (
+      SELECT m.type_a, m.type_b,
+             CAST(31 * 4294967296 // t.hk AS BIGINT) AS union_est,
+             CAST(SUM(m.in_both) AS BIGINT) AS n_match
+      FROM members m JOIN theta t USING (type_a, type_b)
+      GROUP BY m.type_a, m.type_b, t.hk
+    ), tru AS (
+      SELECT p.type_a, p.type_b,
+             COUNT(DISTINCT CASE WHEN ea.user_id IS NOT NULL
+                                  AND eb.user_id IS NOT NULL
+                                 THEN u.user_id END) AS inter_true
+      FROM pairs p
+      CROSS JOIN (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN (SELECT DISTINCT event_type, user_id FROM events) ea
+        ON ea.event_type = p.type_a AND ea.user_id = u.user_id
+      LEFT JOIN (SELECT DISTINCT event_type, user_id FROM events) eb
+        ON eb.event_type = p.type_b AND eb.user_id = u.user_id
+      GROUP BY p.type_a, p.type_b
+    )
+    SELECT e.type_a, e.type_b, e.union_est, e.n_match,
+           CAST(e.n_match * e.union_est // 32 AS BIGINT) AS inter_est,
+           CAST(t.inter_true AS BIGINT) AS inter_true
+    FROM est e JOIN tru t USING (type_a, type_b)
+    ORDER BY e.type_a, e.type_b
+    """,
+)
+def x231_theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    h = events.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    sk = (
+        h.withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("event_type").orderBy("hv")),
+        )
+        .filter(F.col("r") <= 32)
+        .select("event_type", "hv")
+        .localCheckpoint()
+    )
+    types = events.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(types.alias("b"))
+        .filter(F.expr("a.event_type < b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    merged = (
+        pairs.join(
+            F.broadcast(sk),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "hv")
+        .distinct()
+    )
+    uniq = merged.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("type_a", "type_b").orderBy("hv")
+        ),
+    )
+    theta = uniq.filter(F.col("r") == 32).select(
+        "type_a", "type_b", F.col("hv").alias("hk")
+    )
+    ia = sk.select(F.col("event_type").alias("type_a"), "hv").withColumn(
+        "in_a", F.lit(1)
+    )
+    ib = sk.select(F.col("event_type").alias("type_b"), "hv").withColumn(
+        "in_b", F.lit(1)
+    )
+    members = (
+        uniq.filter(F.col("r") <= 32)
+        .join(F.broadcast(ia), ["type_a", "hv"], "left")
+        .join(F.broadcast(ib), ["type_b", "hv"], "left")
+        .withColumn(
+            "in_both",
+            F.when(
+                F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1
+            ).otherwise(0),
+        )
+    )
+    est = (
+        members.join(theta, ["type_a", "type_b"])
+        .groupBy("type_a", "type_b", "hk")
+        .agg(F.sum("in_both").alias("n_match"))
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "31 * 4294967296L div hk AS union_est",
+            "cast(n_match AS bigint) AS n_match",
+        )
+    )
+    per_type = events.select("event_type", "user_id").distinct()
+    tru = (
+        pairs.join(
+            per_type.alias("x"), F.expr("x.event_type = type_a")
+        )
+        .join(
+            per_type.alias("y"),
+            F.expr("y.event_type = type_b AND y.user_id = x.user_id"),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count_distinct("x.user_id").alias("inter_true"))
+    )
+    return (
+        est.join(tru, ["type_a", "type_b"])
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "union_est",
+            "n_match",
+            "n_match * union_est div 32 AS inter_est",
+            "cast(inter_true AS bigint) AS inter_true",
+        )
+        .orderBy("type_a", "type_b")
+    )
