@@ -63,6 +63,8 @@ ALLOW: dict[str, str] = {
     "x47_funnel_stages": "scalar stage-threshold broadcast",
     "x77_rolling_7d_distinct_users": "scalar date-boundary broadcast",
     "x96_dormant_rich_customers": "scalar percentile-threshold broadcast",
+    "x231_theta_sketch_set_ops": "pairs x (k·|types|)-row sketch broadcast",
+    "x222_selectivity_estimate_eval": "4-row predicate frame x 64-bin histogram",
 }
 
 

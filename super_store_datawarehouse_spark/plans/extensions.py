@@ -11226,3 +11226,144 @@ def x231_theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --------------------------------------------------------------------------
+# x232 — jackknife variance (delete-one-group): uncertainty for the
+# mean order value WITHOUT bootstrap randomness — drop one nation at a
+# time, recompute the mean from the complement's sufficient statistics
+# (grand sums minus the group's sums: one aggregation, not 25
+# recomputes), and fold the deviations into the jackknife variance
+# (g−1)/g · Σ(θᵢ−θ̄)². Deterministic integer micro-cents throughout —
+# the RNG-free uncertainty idiom that works on any distributive
+# estimator at any scale.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x232_jackknife_variance",
+    oracle="""
+    WITH g AS (
+      SELECT c.c_nationkey AS nation,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS s,
+             COUNT(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(n) AS BIGINT) AS nt,
+             COUNT(*) AS ng
+      FROM g
+    ), loo AS (
+      SELECT g.nation,
+             CAST((tot.st - g.s) * 1000 // (tot.nt - g.n) AS BIGINT)
+               AS theta_i_milli
+      FROM g CROSS JOIN tot
+    ), mean_loo AS (
+      SELECT CAST(SUM(theta_i_milli) // COUNT(*) AS BIGINT) AS theta_bar
+      FROM loo
+    )
+    SELECT CAST(tot.ng AS BIGINT) AS n_groups,
+           CAST(tot.st * 1000 // tot.nt AS BIGINT) AS mean_milli,
+           CAST((tot.ng - 1) * (
+             SELECT SUM((l.theta_i_milli - m.theta_bar)
+                        * (l.theta_i_milli - m.theta_bar))
+             FROM loo l CROSS JOIN mean_loo m) // tot.ng AS BIGINT)
+             AS jackknife_var_milli2
+    FROM tot
+    """,
+)
+def x232_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    g = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    tot = g.agg(
+        F.sum("s").alias("st"),
+        F.sum("n").alias("nt"),
+        F.count(F.lit(1)).alias("ng"),
+    )
+    loo = g.crossJoin(F.broadcast(tot)).selectExpr(
+        "nation", "(st - s) * 1000 div (nt - n) AS theta_i_milli"
+    )
+    mean_loo = loo.agg(
+        F.expr("sum(theta_i_milli) div count(1)").alias("theta_bar")
+    )
+    dev = loo.crossJoin(F.broadcast(mean_loo)).agg(
+        F.expr(
+            "sum((theta_i_milli - theta_bar) * (theta_i_milli - theta_bar))"
+        ).alias("ssd")
+    )
+    return (
+        tot.crossJoin(F.broadcast(dev))
+        .selectExpr(
+            "cast(ng AS bigint) AS n_groups",
+            "st * 1000 div nt AS mean_milli",
+            "(ng - 1) * ssd div ng AS jackknife_var_milli2",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x233 — capture-recapture population estimate (Lincoln-Petersen):
+# treat 'view' users as the first capture and 'purchase' users as the
+# second; N̂ = n₁·n₂ / m (m = users in both) estimates the TOTAL user
+# population including never-seen users — the coverage estimator for
+# "how much of the population does our log actually observe".
+# Chapman's bias-corrected variant ((n₁+1)(n₂+1)/(m+1) − 1) reported
+# beside it; both integer, eval'd against the true distinct count.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x233_capture_recapture",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT COUNT(*) AS n_both FROM v JOIN p USING (user_id)
+    ), t AS (
+      SELECT (SELECT COUNT(*) FROM v) AS n1,
+             (SELECT COUNT(*) FROM p) AS n2,
+             (SELECT COUNT(DISTINCT user_id) FROM events) AS true_total
+    )
+    SELECT CAST(t.n1 AS BIGINT) AS n_capture1,
+           CAST(t.n2 AS BIGINT) AS n_capture2,
+           CAST(m.n_both AS BIGINT) AS n_recaptured,
+           CAST(t.n1 * t.n2 // GREATEST(m.n_both, 1) AS BIGINT)
+             AS lincoln_petersen_est,
+           CAST((t.n1 + 1) * (t.n2 + 1) // (m.n_both + 1) - 1 AS BIGINT)
+             AS chapman_est,
+           CAST(t.true_total AS BIGINT) AS true_total
+    FROM t CROSS JOIN m
+    """,
+)
+def x233_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = events.filter(F.col("event_type") == "view").select("user_id").distinct()
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    m = v.join(p, "user_id").agg(F.count(F.lit(1)).alias("n_both"))
+    t = (
+        v.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(events.agg(F.count_distinct("user_id").alias("true_total")))
+    )
+    return (
+        t.crossJoin(F.broadcast(m))
+        .selectExpr(
+            "cast(n1 AS bigint) AS n_capture1",
+            "cast(n2 AS bigint) AS n_capture2",
+            "cast(n_both AS bigint) AS n_recaptured",
+            "n1 * n2 div GREATEST(n_both, 1L) AS lincoln_petersen_est",
+            "(n1 + 1) * (n2 + 1) div (n_both + 1) - 1 AS chapman_est",
+            "cast(true_total AS bigint) AS true_total",
+        )
+    )
