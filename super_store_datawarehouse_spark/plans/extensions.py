@@ -11367,3 +11367,57 @@ def x233_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(true_total AS bigint) AS true_total",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x234 — time-weighted average value (TWAP): each event's value holds
+# until the user's next event, so the honest mean is the integral of
+# the step function over time, not the per-event mean (which
+# over-weights bursts). Per user: Σ value·Δt / Σ Δt via one lead()
+# window, microsecond × cent integers end-to-end; the per-event mean
+# is reported beside it so the burst bias is visible.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x234_time_weighted_average",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id < 30
+    ), spans AS (
+      SELECT user_id, cents,
+             lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+               - tus AS dt_us
+      FROM e
+    )
+    SELECT user_id,
+           CAST(SUM(cents * dt_us) // SUM(dt_us) AS BIGINT) AS twap_cents,
+           CAST(SUM(cents) // COUNT(*) AS BIGINT) AS event_mean_cents,
+           CAST(SUM(dt_us) AS BIGINT) AS span_us
+    FROM spans WHERE dt_us IS NOT NULL AND dt_us > 0
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def x234_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    e = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    spans = e.select(
+        "user_id",
+        "cents",
+        (F.lead("tus").over(w) - F.col("tus")).alias("dt_us"),
+    ).filter("dt_us IS NOT NULL AND dt_us > 0")
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.expr("sum(cents * dt_us) div sum(dt_us)").alias("twap_cents"),
+            F.expr("sum(cents) div count(1)").alias("event_mean_cents"),
+            F.sum("dt_us").alias("span_us"),
+        )
+        .orderBy("user_id")
+    )
