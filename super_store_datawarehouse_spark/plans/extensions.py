@@ -11421,3 +11421,167 @@ def x234_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x235 — vocabulary growth audit (Heaps'-law proxy, no logs): per
+# source, token/type counts, the hapax-legomena share (words seen
+# exactly once — the "will more data keep teaching the tokenizer"
+# signal), and type growth from the first half of the docs (by doc_id
+# order) to the full corpus. A still-growing vocabulary (growth far
+# above 0 ppm) says the source is not yet saturated.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x235_vocabulary_growth",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, source,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), bounds AS (
+      SELECT source,
+             MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) / 2 AS mid
+      FROM words GROUP BY source
+    ), wc AS (
+      SELECT source, w, COUNT(*) AS n FROM words GROUP BY source, w
+    ), halves AS (
+      SELECT w.source,
+             COUNT(DISTINCT CASE WHEN w.doc_id <= b.mid THEN w.w END)
+               AS types_half,
+             COUNT(DISTINCT w.w) AS types_full
+      FROM words w JOIN bounds b USING (source)
+      GROUP BY w.source
+    ), agg AS (
+      SELECT source,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_types,
+             CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+      FROM wc GROUP BY source
+    )
+    SELECT a.source, a.n_tokens,
+           CAST(a.n_types AS BIGINT) AS n_types,
+           CAST(a.hapax * 1000000 // a.n_types AS BIGINT) AS hapax_ppm,
+           CAST((h.types_full - h.types_half) * 1000000
+                // GREATEST(h.types_half, 1) AS BIGINT) AS growth_ppm
+    FROM agg a JOIN halves h USING (source)
+    ORDER BY a.source
+    """,
+)
+def x235_vocabulary_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != F.lit("")
+            )
+        ).alias("w"),
+    ).localCheckpoint()
+    bounds = words.groupBy("source").agg(
+        F.expr("min(doc_id) + (max(doc_id) - min(doc_id)) / 2").alias("mid")
+    )
+    halves = (
+        words.join(F.broadcast(bounds), "source")
+        .groupBy("source")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("doc_id") <= F.col("mid"), F.col("w"))
+            ).alias("types_half"),
+            F.count_distinct("w").alias("types_full"),
+        )
+    )
+    wc = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n"))
+    agg = wc.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax"),
+    )
+    return (
+        agg.join(halves, "source")
+        .selectExpr(
+            "source",
+            "cast(n_tokens AS bigint) AS n_tokens",
+            "cast(n_types AS bigint) AS n_types",
+            "hapax * 1000000 div n_types AS hapax_ppm",
+            "(types_full - types_half) * 1000000"
+            " div GREATEST(types_half, 1L) AS growth_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# x236 — Simpson's-paradox detector: does the order-value time trend
+# FLIP SIGN between the whole market and individual nations? Trend
+# sign = sign(n·Σxy − Σx·Σy) from integer moment sums (x61's exact
+# covariance pattern; x = order epoch-day, y = cents), compared
+# per-nation vs pooled — the aggregation-bias tripwire every metrics
+# platform needs before anyone trusts a topline trend.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x236_simpsons_detector",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_nationkey AS nation,
+             epoch_us(o.o_orderdate) // 86400000000 - 10957 AS xday,
+             CAST(ROUND(o.o_totalprice) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), pooled AS (
+      SELECT CASE WHEN COUNT(*) * SUM(xday * y) - SUM(xday) * SUM(y) > 0
+                  THEN 1 WHEN COUNT(*) * SUM(xday * y)
+                              - SUM(xday) * SUM(y) < 0 THEN -1
+                  ELSE 0 END AS pooled_sign
+      FROM o
+    ), per_nation AS (
+      SELECT nation,
+             CASE WHEN COUNT(*) * SUM(xday * y) - SUM(xday) * SUM(y) > 0
+                  THEN 1 WHEN COUNT(*) * SUM(xday * y)
+                              - SUM(xday) * SUM(y) < 0 THEN -1
+                  ELSE 0 END AS nation_sign,
+             COUNT(*) AS n_orders
+      FROM o GROUP BY nation
+    )
+    SELECT CAST(pn.nation AS BIGINT) AS nation,
+           CAST(pn.n_orders AS BIGINT) AS n_orders,
+           CAST(pn.nation_sign AS BIGINT) AS nation_sign,
+           CAST(p.pooled_sign AS BIGINT) AS pooled_sign,
+           pn.nation_sign <> p.pooled_sign AS sign_flipped
+    FROM per_nation pn CROSS JOIN pooled p
+    ORDER BY nation
+    """,
+)
+def x236_simpsons_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").alias("nation"),
+        (
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000)
+            .cast("long")
+            - 10957  # re-center at 2000-01-01 so moment sums stay in int64
+        ).alias("xday"),
+        F.round(F.col("o_totalprice")).cast("long").alias("y"),
+    )
+    sign = (
+        "CASE WHEN count(1) * sum(xday * y) - sum(xday) * sum(y) > 0 THEN 1 "
+        "WHEN count(1) * sum(xday * y) - sum(xday) * sum(y) < 0 THEN -1 "
+        "ELSE 0 END"
+    )
+    pooled = base.agg(F.expr(sign).cast("long").alias("pooled_sign"))
+    per_nation = base.groupBy("nation").agg(
+        F.expr(sign).cast("long").alias("nation_sign"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        per_nation.crossJoin(F.broadcast(pooled))
+        .select(
+            F.col("nation").cast("long").alias("nation"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "nation_sign",
+            "pooled_sign",
+            (F.col("nation_sign") != F.col("pooled_sign")).alias("sign_flipped"),
+        )
+        .orderBy("nation")
+    )
