@@ -11585,3 +11585,66 @@ def x236_simpsons_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# x237 — Kendall rank correlation (tau-a) between two per-nation
+# metrics (order volume vs mean order value): concordant/discordant
+# pair counts over the 25-nation frame, tau in milli — the
+# outlier-proof complement to x61's Pearson moments. Pair counting is
+# an O(g²) self-join on the GROUP frame (25 rows → 300 pairs), never
+# on raw orders — the aggregate-then-correlate shape that stays
+# constant-size at any corpus scale.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x237_kendall_tau",
+    oracle="""
+    WITH m AS (
+      SELECT c.c_nationkey AS nation,
+             COUNT(*) AS x,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  // COUNT(*) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ), pairs AS (
+      SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS con,
+             CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS dis
+      FROM m a JOIN m b ON a.nation < b.nation
+    )
+    SELECT CAST(SUM(con) AS BIGINT) AS concordant,
+           CAST(SUM(dis) AS BIGINT) AS discordant,
+           COUNT(*) AS n_pairs,
+           CAST((SUM(con) - SUM(dis)) * 1000 // COUNT(*) AS BIGINT)
+             AS tau_milli
+    FROM pairs
+    """,
+)
+def x237_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.expr(
+                "sum(cast(round(o_totalprice * 100) AS long)) div count(1)"
+            ).alias("y"),
+        )
+    )
+    a = m.select(
+        F.col("nation").alias("na"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = m.select(
+        F.col("nation").alias("nb"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("na") < F.col("nb")).select(
+        F.when(F.expr("(xa - xb) * (ya - yb) > 0"), 1).otherwise(0).alias("con"),
+        F.when(F.expr("(xa - xb) * (ya - yb) < 0"), 1).otherwise(0).alias("dis"),
+    )
+    return pairs.agg(
+        F.sum("con").alias("concordant"),
+        F.sum("dis").alias("discordant"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("(sum(con) - sum(dis)) * 1000 div count(1)").alias("tau_milli"),
+    )
