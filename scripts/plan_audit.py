@@ -65,6 +65,7 @@ ALLOW: dict[str, str] = {
     "x96_dormant_rich_customers": "scalar percentile-threshold broadcast",
     "x231_theta_sketch_set_ops": "pairs x (k·|types|)-row sketch broadcast",
     "x222_selectivity_estimate_eval": "4-row predicate frame x 64-bin histogram",
+    "x237_kendall_tau": "|groups|x|groups| pair frame (25 rows a side)",
 }
 
 
