@@ -11648,3 +11648,88 @@ def x237_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.expr("(sum(con) - sum(dis)) * 1000 div count(1)").alias("tau_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# x238 — contribution waterfall: which nations DROVE the change in
+# total revenue between the two halves of the order history? Per
+# nation, the revenue delta and its share of the total delta in ppm
+# (shares of a signed total — the FP&A decomposition behind every
+# "why did the metric move" review). Split point = median order date
+# (nearest-rank); everything integer cents/ppm.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x238_contribution_waterfall",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_nationkey AS nation, epoch_us(o.o_orderdate) AS tus,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+             o.o_orderkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), med AS (
+      SELECT tus AS m FROM (
+        SELECT tus, row_number() OVER (ORDER BY tus, o_orderkey) AS r,
+               COUNT(*) OVER () AS n
+        FROM o) WHERE r = (n + 1) // 2
+    ), halves AS (
+      SELECT nation,
+             CAST(SUM(CASE WHEN o.tus <= med.m THEN cents ELSE 0 END)
+                  AS BIGINT) AS rev_h1,
+             CAST(SUM(CASE WHEN o.tus > med.m THEN cents ELSE 0 END)
+                  AS BIGINT) AS rev_h2
+      FROM o CROSS JOIN med GROUP BY nation
+    ), tot AS (
+      SELECT CAST(SUM(rev_h2 - rev_h1) AS BIGINT) AS total_delta FROM halves
+    )
+    SELECT CAST(h.nation AS BIGINT) AS nation, h.rev_h1, h.rev_h2,
+           CAST(h.rev_h2 - h.rev_h1 AS BIGINT) AS delta_cents,
+           CAST((h.rev_h2 - h.rev_h1) * 1000000 // t.total_delta AS BIGINT)
+             AS contribution_ppm
+    FROM halves h CROSS JOIN tot t
+    ORDER BY nation
+    """,
+)
+def x238_contribution_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").alias("nation"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("tus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    med = (
+        base.select(
+            "tus",
+            F.row_number().over(Window.orderBy("tus", "o_orderkey")).alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.expr("r = (n + 1) div 2"))
+        .select(F.col("tus").alias("m"))
+    )
+    halves = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("nation")
+        .agg(
+            F.sum(
+                F.when(F.col("tus") <= F.col("m"), F.col("cents")).otherwise(0)
+            ).alias("rev_h1"),
+            F.sum(
+                F.when(F.col("tus") > F.col("m"), F.col("cents")).otherwise(0)
+            ).alias("rev_h2"),
+        )
+    )
+    tot = halves.agg(
+        F.sum(F.col("rev_h2") - F.col("rev_h1")).alias("total_delta")
+    )
+    return (
+        halves.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "cast(nation AS bigint) AS nation",
+            "rev_h1",
+            "rev_h2",
+            "rev_h2 - rev_h1 AS delta_cents",
+            "(rev_h2 - rev_h1) * 1000000 div total_delta AS contribution_ppm",
+        )
+        .orderBy("nation")
+    )
