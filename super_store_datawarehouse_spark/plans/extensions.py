@@ -11733,3 +11733,119 @@ def x238_contribution_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# x239 — cold-start fallback recommendations: the top part for each
+# (nation, segment) cell, backed off through the classic fallback
+# chain cell → nation → global when a cell is too thin (< 5 orders) —
+# the hierarchy every production recommender keeps for new/sparse
+# users. Three popularity tables (GROUPING SETS shape), one coalesce
+# chain; provenance of each recommendation is reported so backoff is
+# auditable.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x239_fallback_recommendations",
+    oracle="""
+    WITH sales AS (
+      SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
+             l.l_partkey AS part, COUNT(*) AS n
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    ), cell_top AS (
+      SELECT nation, segment, part, n FROM (
+        SELECT nation, segment, part, n,
+               SUM(n) OVER (PARTITION BY nation, segment) AS cell_n,
+               row_number() OVER (PARTITION BY nation, segment
+                                  ORDER BY n DESC, part) AS rn
+        FROM sales) WHERE rn = 1 AND cell_n >= 5
+    ), nation_top AS (
+      SELECT nation, part FROM (
+        SELECT nation, part,
+               row_number() OVER (PARTITION BY nation
+                                  ORDER BY SUM(n) DESC, part) AS rn
+        FROM sales GROUP BY nation, part) WHERE rn = 1
+    ), global_top AS (
+      SELECT part FROM (
+        SELECT part, row_number() OVER (ORDER BY SUM(n) DESC, part) AS rn
+        FROM sales GROUP BY part) WHERE rn = 1
+    ), cells AS (
+      SELECT DISTINCT nation, segment FROM sales
+    )
+    SELECT CAST(c.nation AS BIGINT) AS nation, c.segment,
+           CAST(COALESCE(ct.part, nt.part, gt.part) AS BIGINT)
+             AS recommended_part,
+           CASE WHEN ct.part IS NOT NULL THEN 'cell'
+                WHEN nt.part IS NOT NULL THEN 'nation'
+                ELSE 'global' END AS provenance
+    FROM cells c
+    LEFT JOIN cell_top ct USING (nation, segment)
+    LEFT JOIN nation_top nt ON nt.nation = c.nation
+    CROSS JOIN global_top gt
+    ORDER BY nation, segment
+    """,
+)
+def x239_fallback_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sales = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("l_partkey").alias("part"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    wcell = Window.partitionBy("nation", "segment")
+    cell_top = (
+        sales.withColumn("cell_n", F.sum("n").over(wcell))
+        .withColumn(
+            "rn",
+            F.row_number().over(wcell.orderBy(F.desc("n"), "part")),
+        )
+        .filter("rn = 1 AND cell_n >= 5")
+        .select("nation", "segment", F.col("part").alias("cell_part"))
+    )
+    nation_top = (
+        sales.groupBy("nation", "part")
+        .agg(F.sum("n").alias("sn"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("nation").orderBy(F.desc("sn"), "part")
+            ),
+        )
+        .filter("rn = 1")
+        .select("nation", F.col("part").alias("nation_part"))
+    )
+    global_top = (
+        sales.groupBy("part")
+        .agg(F.sum("n").alias("sn"))
+        .orderBy(F.desc("sn"), "part")
+        .limit(1)
+        .select(F.col("part").alias("global_part"))
+    )
+    cells = sales.select("nation", "segment").distinct()
+    return (
+        cells.join(cell_top, ["nation", "segment"], "left")
+        .join(nation_top, "nation", "left")
+        .crossJoin(F.broadcast(global_top))
+        .select(
+            F.col("nation").cast("long").alias("nation"),
+            "segment",
+            F.coalesce("cell_part", "nation_part", "global_part")
+            .cast("long")
+            .alias("recommended_part"),
+            F.when(F.col("cell_part").isNotNull(), "cell")
+            .when(F.col("nation_part").isNotNull(), "nation")
+            .otherwise("global")
+            .alias("provenance"),
+        )
+        .orderBy("nation", "segment")
+    )
