@@ -11849,3 +11849,96 @@ def x239_fallback_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("nation", "segment")
     )
+
+
+# --------------------------------------------------------------------------
+# x240 — session entry/exit analysis: per session (q22's 30-minute
+# rule), its first and last event types; aggregated into entry shares,
+# exit shares, and the bounce rate (single-event sessions) per entry
+# type — the landing/exit-page analytics of product funnels. First/
+# last via min/max over (tus, event_id, event_type) structs — one
+# window pass, no per-session sort.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x240_session_entry_exit",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, event_type, tus,
+             CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, event_type, tus,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY tus, event_id) AS sid
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, sid,
+             MIN(ROW(tus, event_id, event_type)) AS fst,
+             MAX(ROW(tus, event_id, event_type)) AS lst,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    ), typed AS (
+      SELECT fst[3] AS entry_type, lst[3] AS exit_type, n_events
+      FROM per_session
+    ), tot AS (SELECT COUNT(*) AS n_sessions FROM typed)
+    SELECT t.entry_type,
+           COUNT(*) AS n_sessions,
+           CAST(COUNT(*) * 1000000 // tot.n_sessions AS BIGINT)
+             AS entry_share_ppm,
+           CAST(SUM(CASE WHEN t.n_events = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS bounce_ppm,
+           CAST(SUM(CASE WHEN t.exit_type = 'purchase' THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS exit_purchase_ppm
+    FROM typed t CROSS JOIN tot
+    GROUP BY t.entry_type, tot.n_sessions ORDER BY t.entry_type
+    """,
+)
+def x240_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | (F.col("tus") - F.lag("tus").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("sid", F.sum("new_session").over(w))
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.min(F.struct("tus", "event_id", "event_type")).alias("fst"),
+        F.max(F.struct("tus", "event_id", "event_type")).alias("lst"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    typed = per_session.select(
+        F.col("fst.event_type").alias("entry_type"),
+        F.col("lst.event_type").alias("exit_type"),
+        "n_events",
+    )
+    tot = typed.agg(F.count(F.lit(1)).alias("n_sessions_total"))
+    return (
+        typed.crossJoin(F.broadcast(tot))
+        .groupBy("entry_type", "n_sessions_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("nb"),
+            F.sum(
+                F.when(F.col("exit_type") == "purchase", 1).otherwise(0)
+            ).alias("np"),
+        )
+        .selectExpr(
+            "entry_type",
+            "n_sessions",
+            "n_sessions * 1000000 div n_sessions_total AS entry_share_ppm",
+            "nb * 1000000 div n_sessions AS bounce_ppm",
+            "np * 1000000 div n_sessions AS exit_purchase_ppm",
+        )
+        .orderBy("entry_type")
+    )
