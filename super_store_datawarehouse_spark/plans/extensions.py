@@ -11942,3 +11942,208 @@ def x240_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x241 — incomplete-bucket guard: daily event counts with the trailing
+# (and leading) partial buckets flagged — the dashboard rule that
+# stops "last period looks down" artifacts: a bucket is complete only
+# if data exists strictly before and after it. One aggregation plus
+# min/max scalars; the flag is what a reporting layer filters on.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x241_incomplete_bucket_guard",
+    oracle="""
+    WITH e AS (
+      SELECT epoch_us(ts) // 86400000000 AS day FROM events
+    ), b AS (
+      SELECT day, COUNT(*) AS n_events FROM e GROUP BY day
+    ), t AS (
+      SELECT MIN(day) AS first_day, MAX(day) AS last_day FROM b
+    )
+    SELECT CAST(b.day AS BIGINT) AS day, CAST(b.n_events AS BIGINT)
+             AS n_events,
+           b.day > t.first_day AND b.day < t.last_day AS is_complete
+    FROM b CROSS JOIN t ORDER BY day
+    """,
+)
+def x241_incomplete_bucket_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    b = (
+        events.select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    t = b.agg(F.min("day").alias("first_day"), F.max("day").alias("last_day"))
+    return (
+        b.crossJoin(F.broadcast(t))
+        .select(
+            "day",
+            "n_events",
+            (
+                (F.col("day") > F.col("first_day"))
+                & (F.col("day") < F.col("last_day"))
+            ).alias("is_complete"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# x242 — duplicate-transaction detector (fraud/idempotency sweep):
+# purchase pairs by the SAME user in the SAME $10 amount band within
+# 24 hours of each other — found with the interval-join machinery
+# (coarse day-bucket equi-join on (user, band) + exact residual),
+# never a raw inequality self-join: each event joins only its own and
+# the adjacent day bucket, so candidates are O(n·density), not O(n²).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x242_duplicate_transaction_detector",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tus,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           a.user_id, CAST(a.cents // 1000 AS BIGINT) AS amount_band,
+           CAST(b.tus - a.tus AS BIGINT) AS gap_us
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND a.cents // 1000 = b.cents // 1000
+     AND b.event_id > a.event_id
+     AND b.tus >= a.tus - 86400000000 AND b.tus <= a.tus + 86400000000
+    ORDER BY event_a, event_b
+    """,
+)
+def x242_duplicate_transaction_detector(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # bucketed self-join: left explodes into its bucket ±1 so every
+    # within-5-min pair shares a bucket; residual pins the exact window
+    a = e.select(
+        F.col("event_id").alias("event_a"),
+        "user_id",
+        F.expr("cents div 1000").alias("amount_band"),
+        F.col("tus").alias("tus_a"),
+        F.explode(
+            F.array(
+                F.expr("tus div 86400000000 - 1"),
+                F.expr("tus div 86400000000"),
+                F.expr("tus div 86400000000 + 1"),
+            )
+        ).alias("bucket"),
+    )
+    b = e.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("user_b"),
+        F.expr("cents div 1000").alias("band_b"),
+        F.col("tus").alias("tus_b"),
+        F.expr("tus div 86400000000").alias("bucket"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("amount_band") == F.col("band_b"))
+            & (a["bucket"] == b["bucket"]),
+        )
+        .filter(
+            (F.col("event_b") > F.col("event_a"))
+            & (F.col("tus_b") >= F.col("tus_a") - 86_400_000_000)
+            & (F.col("tus_b") <= F.col("tus_a") + 86_400_000_000)
+        )
+        .select(
+            "event_a",
+            "event_b",
+            "user_id",
+            "amount_band",
+            (F.col("tus_b") - F.col("tus_a")).alias("gap_us"),
+        )
+        .distinct()
+        .orderBy("event_a", "event_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# x243 — multiplicative KPI decomposition: the half-over-half revenue
+# change split EXACTLY into a volume effect and a price (AOV) effect,
+# ΔR = ΔN·AOV₁ + N₂·ΔAOV — the identity FP&A uses to say "how much of
+# the move was more orders vs bigger orders". AOV in milli-cents by
+# integer division; the residual (rounding slack from the divisions)
+# is reported instead of hidden, so the decomposition audits to zero.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x243_kpi_decomposition",
+    oracle="""
+    WITH o AS (
+      SELECT epoch_us(o_orderdate) AS tus, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), med AS (
+      SELECT tus AS m FROM (
+        SELECT tus, row_number() OVER (ORDER BY tus, o_orderkey) AS r,
+               COUNT(*) OVER () AS n
+        FROM o) WHERE r = (n + 1) // 2
+    ), h AS (
+      SELECT CAST(SUM(CASE WHEN o.tus <= med.m THEN cents END) AS BIGINT)
+               AS r1,
+             CAST(COUNT(CASE WHEN o.tus <= med.m THEN 1 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN o.tus > med.m THEN cents END) AS BIGINT)
+               AS r2,
+             CAST(COUNT(CASE WHEN o.tus > med.m THEN 1 END) AS BIGINT) AS n2
+      FROM o CROSS JOIN med
+    )
+    SELECT r1, n1, r2, n2,
+           CAST(r2 - r1 AS BIGINT) AS delta_rev_cents,
+           CAST((n2 - n1) * (r1 * 1000 // n1) // 1000 AS BIGINT)
+             AS volume_effect_cents,
+           CAST(n2 * (r2 * 1000 // n2 - r1 * 1000 // n1) // 1000 AS BIGINT)
+             AS price_effect_cents,
+           CAST((r2 - r1)
+                - (n2 - n1) * (r1 * 1000 // n1) // 1000
+                - n2 * (r2 * 1000 // n2 - r1 * 1000 // n1) // 1000
+                AS BIGINT) AS rounding_residual_cents
+    FROM h
+    """,
+)
+def x243_kpi_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("tus"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    med = (
+        o.select(
+            "tus",
+            F.row_number().over(Window.orderBy("tus", "o_orderkey")).alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.expr("r = (n + 1) div 2"))
+        .select(F.col("tus").alias("m"))
+    )
+    h = o.crossJoin(F.broadcast(med)).agg(
+        F.sum(F.when(F.col("tus") <= F.col("m"), F.col("cents"))).alias("r1"),
+        F.count(F.when(F.col("tus") <= F.col("m"), 1)).alias("n1"),
+        F.sum(F.when(F.col("tus") > F.col("m"), F.col("cents"))).alias("r2"),
+        F.count(F.when(F.col("tus") > F.col("m"), 1)).alias("n2"),
+    )
+    return h.selectExpr(
+        "cast(r1 AS bigint) AS r1",
+        "cast(n1 AS bigint) AS n1",
+        "cast(r2 AS bigint) AS r2",
+        "cast(n2 AS bigint) AS n2",
+        "r2 - r1 AS delta_rev_cents",
+        "(n2 - n1) * (r1 * 1000 div n1) div 1000 AS volume_effect_cents",
+        "n2 * (r2 * 1000 div n2 - r1 * 1000 div n1) div 1000"
+        " AS price_effect_cents",
+        "(r2 - r1) - (n2 - n1) * (r1 * 1000 div n1) div 1000"
+        " - n2 * (r2 * 1000 div n2 - r1 * 1000 div n1) div 1000"
+        " AS rounding_residual_cents",
+    )
