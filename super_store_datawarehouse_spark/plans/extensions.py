@@ -12147,3 +12147,112 @@ def x243_kpi_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - n2 * (r2 * 1000 div n2 - r1 * 1000 div n1) div 1000"
         " AS rounding_residual_cents",
     )
+
+
+# --------------------------------------------------------------------------
+# x244 — burstiness audit (Fano factor): per user, variance/mean of
+# their daily event counts in milli — ≈1000 for Poisson-like organic
+# behavior, >> 1000 for bursty/bot-like traffic. The bot-screening
+# signal computed from integer moment sums over the (user, day) count
+# frame; users with one active day report null dispersion honestly.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x244_burstiness_fano",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM d GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_active_days,
+           CAST(sx AS BIGINT) AS n_events,
+           CASE WHEN n > 1
+                THEN CAST((n * sxx - sx * sx) * 1000 // ((n - 1) * sx)
+                          AS BIGINT) END AS fano_milli
+    FROM m ORDER BY user_id
+    """,
+)
+def x244_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    d = (
+        events.select(
+            "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    m = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return m.selectExpr(
+        "user_id",
+        "cast(n AS bigint) AS n_active_days",
+        "cast(sx AS bigint) AS n_events",
+        "CASE WHEN n > 1 THEN (n * sxx - sx * sx) * 1000 div ((n - 1) * sx)"
+        " END AS fano_milli",
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# x245 — directed-graph reciprocity of the nation trade graph: of the
+# distinct customer-nation → supplier-nation edges, what fraction has
+# the reverse edge too? The network-science symmetry metric (trade
+# balance structure) in ppm — one distinct-edge build, one self-join
+# on the reversed key.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x245_graph_reciprocity",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT nc.n_nationkey AS src, ns.n_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      WHERE nc.n_nationkey <> ns.n_nationkey
+    ), recip AS (
+      SELECT COUNT(*) AS n_recip
+      FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
+    ), tot AS (SELECT COUNT(*) AS n_edges FROM edges)
+    SELECT CAST(tot.n_edges AS BIGINT) AS n_edges,
+           CAST(recip.n_recip AS BIGINT) AS n_reciprocated,
+           CAST(recip.n_recip * 1000000 // tot.n_edges AS BIGINT)
+             AS reciprocity_ppm
+    FROM tot CROSS JOIN recip
+    """,
+)
+def x245_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .filter("src <> dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = edges.join(rev, ["src", "dst"]).agg(
+        F.count(F.lit(1)).alias("n_recip")
+    )
+    tot = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return tot.crossJoin(F.broadcast(recip)).selectExpr(
+        "cast(n_edges AS bigint) AS n_edges",
+        "cast(n_recip AS bigint) AS n_reciprocated",
+        "n_recip * 1000000 div n_edges AS reciprocity_ppm",
+    )
