@@ -12256,3 +12256,139 @@ def x245_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(n_recip AS bigint) AS n_reciprocated",
         "n_recip * 1000000 div n_edges AS reciprocity_ppm",
     )
+
+
+# --------------------------------------------------------------------------
+# x246 — sliding-window distinct counts by HLL register merge: exact
+# trailing-7-day distinct users (x77's problem) need the full id set
+# per window at 100 TB; the sketch path keeps 64 registers per DAY and
+# contributes each day's registers to the 7 windows they cover
+# (explode → max-merge) — state 64·days, never |users|·days. Per day
+# the exact count and the HLL estimate (same md5/dyadic/linear-
+# counting construction as x188) land side by side with error in ppm —
+# the approx-vs-exact story, now on sliding windows.
+# --------------------------------------------------------------------------
+_HLL_LUT_SQL = ",".join(
+    str(v)
+    for v in [266, 222, 196, 177, 163, 151, 142, 133, 126, 119, 113, 107,
+              102, 97, 93, 89, 85, 81, 78, 74, 71, 68, 65, 63, 60, 58, 55,
+              53, 51, 48, 46, 44, 42, 40, 39, 37, 35, 33, 32, 30, 28, 27,
+              25, 24, 23, 21, 20, 18, 17, 16, 15, 13, 12, 11, 10, 9, 7, 6,
+              5, 4, 3, 2, 1, 0]
+)
+
+
+@harness_query(
+    "x246_sliding_hll_eval",
+    oracle=f"""
+    WITH e AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM events
+    ), days AS (SELECT DISTINCT day FROM e),
+    regs AS (
+      SELECT day, hv % 64 AS bucket,
+             MAX(CASE WHEN hv // 64 > 0 THEN 27 - length(bin(hv // 64))
+                      ELSE 27 END) AS m
+      FROM e GROUP BY 1, 2
+    ), merged AS (
+      SELECT c.target_day AS day, c.bucket, MAX(c.m) AS m
+      FROM (SELECT r.day + i.i AS target_day, r.bucket, r.m
+            FROM regs r CROSS JOIN range(0, 7) i(i)) c
+      JOIN days d ON d.day = c.target_day
+      GROUP BY 1, 2
+    ), t AS (
+      SELECT day, CAST(SUM(1::BIGINT << (32 - m)) AS BIGINT) AS tp,
+             COUNT(*) AS np
+      FROM merged GROUP BY day
+    ), est AS (
+      SELECT day,
+             CAST(CASE WHEN raw * 2 <= 5 * 64 AND (64 - np) > 0
+                       THEN ([{_HLL_LUT_SQL}])[64 - np]
+                       ELSE raw END AS BIGINT) AS est_7d
+      FROM (SELECT day, np,
+                   (709 * 64 * 64 * 4294967296) //
+                   (1000 * (tp + (64 - np) * 4294967296)) AS raw
+            FROM t)
+    ), exact_c AS (
+      SELECT c.target_day AS day, COUNT(DISTINCT c.user_id) AS exact_7d
+      FROM (SELECT e.day + i.i AS target_day, e.user_id
+            FROM e CROSS JOIN range(0, 7) i(i)) c
+      JOIN days d ON d.day = c.target_day
+      GROUP BY 1
+    )
+    SELECT est.day, x.exact_7d, est.est_7d,
+           CAST((est.est_7d - x.exact_7d) * 1000000 // x.exact_7d AS BIGINT)
+             AS err_ppm
+    FROM est JOIN exact_c x USING (day)
+    ORDER BY est.day
+    """,
+)
+def x246_sliding_hll_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hv = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    e = events.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "user_id",
+        hv.alias("hv"),
+    ).localCheckpoint()
+    days = e.select("day").distinct()
+    regs = (
+        e.select(
+            "day",
+            F.pmod(F.col("hv"), F.lit(64)).alias("bucket"),
+            (F.col("hv") / 64).cast("long").alias("w"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("w") > 0, F.lit(27) - F.length(F.expr("bin(w)"))).otherwise(
+                F.lit(27)
+            ),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    offs = spark.range(0, 7).select(F.col("id").alias("i"))
+    merged = (
+        regs.crossJoin(F.broadcast(offs))
+        .select((F.col("day") + F.col("i")).alias("day"), "bucket", "m")
+        .join(days, "day", "left_semi")
+        .groupBy("day", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    t = merged.groupBy("day").agg(
+        F.sum(F.expr("shiftleft(1L, cast(32 - m as int))")).alias("tp"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    est = t.selectExpr(
+        "day",
+        "np",
+        "(709L * 64 * 64 * 4294967296L) div"
+        " (1000 * (tp + (64 - np) * 4294967296L)) AS raw",
+    ).selectExpr(
+        "day",
+        f"cast(CASE WHEN raw * 2 <= 5 * 64 AND (64 - np) > 0"
+        f" THEN element_at(array({_HLL_LUT_SQL}), cast(64 - np as int))"
+        f" ELSE raw END as long) AS est_7d",
+    )
+    exact_c = (
+        e.crossJoin(F.broadcast(offs))
+        .select((F.col("day") + F.col("i")).alias("day"), "user_id")
+        .join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("exact_7d"))
+    )
+    return (
+        est.join(exact_c, "day")
+        .selectExpr(
+            "day",
+            "exact_7d",
+            "est_7d",
+            "(est_7d - exact_7d) * 1000000 div exact_7d AS err_ppm",
+        )
+        .orderBy("day")
+    )
