@@ -12392,3 +12392,90 @@ def x246_sliding_hll_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# x247 — join-size estimation by count-min inner product (the AMS/CMS
+# result: Σ_v cntA(v)·cntB(v) ≈ min_r Σ_pos cmsA[r,pos]·cmsB[r,pos]) —
+# the sketch answer to x221's System-R formula: instead of assuming
+# uniformity over NDV, multiply the two sides' 4×64 sketches cell by
+# cell. Both sketches are x141's portable construction, so estimate
+# AND error value-oracle; the true size is the exact key-count join.
+# At 100 TB the sketches are KBs per side where key histograms are
+# vocabulary-sized.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x247_cms_join_size_eval",
+    oracle="""
+    WITH ca AS (
+      SELECT r.r, ((((l_suppkey % 2147483648 + 2147483648) % 2147483648
+                     * CASE r.r WHEN 0 THEN 695425565 WHEN 1 THEN 847877000
+                                WHEN 2 THEN 155555738 ELSE 785310973 END
+                   + CASE r.r WHEN 0 THEN 647892279 WHEN 1 THEN 207388624
+                              WHEN 2 THEN 404285457 ELSE 249103477 END)
+                   % 2147483648) % 64) AS pos,
+             COUNT(*) AS cnt
+      FROM lineitem CROSS JOIN range(0, 4) r(r)
+      GROUP BY 1, 2
+    ), cb AS (
+      SELECT r.r, ((((s_suppkey % 2147483648 + 2147483648) % 2147483648
+                     * CASE r.r WHEN 0 THEN 695425565 WHEN 1 THEN 847877000
+                                WHEN 2 THEN 155555738 ELSE 785310973 END
+                   + CASE r.r WHEN 0 THEN 647892279 WHEN 1 THEN 207388624
+                              WHEN 2 THEN 404285457 ELSE 249103477 END)
+                   % 2147483648) % 64) AS pos,
+             COUNT(*) AS cnt
+      FROM supplier CROSS JOIN range(0, 4) r(r)
+      GROUP BY 1, 2
+    ), prods AS (
+      SELECT ca.r, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS ip
+      FROM ca JOIN cb ON ca.r = cb.r AND ca.pos = cb.pos
+      GROUP BY ca.r
+    ), est AS (
+      SELECT CAST(MIN(ip) AS BIGINT) AS est_size FROM prods
+    ), tru AS (
+      SELECT COUNT(*) AS true_size
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    )
+    SELECT CAST(tru.true_size AS BIGINT) AS true_size, est.est_size,
+           CAST((est.est_size - tru.true_size) * 1000000 // tru.true_size
+                AS BIGINT) AS err_ppm
+    FROM tru CROSS JOIN est
+    """,
+)
+def x247_cms_join_size_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    A = [695425565, 847877000, 155555738, 785310973]
+    B = [647892279, 207388624, 404285457, 249103477]
+
+    def cms(df, key):
+        rows = None
+        for r in range(4):
+            part = df.select(
+                F.lit(r).alias("r"),
+                F.expr(
+                    f"((({key} % 2147483648 + 2147483648) % 2147483648"
+                    f" * {A[r]} + {B[r]}) % 2147483648) % 64"
+                ).alias("pos"),
+            )
+            rows = part if rows is None else rows.unionByName(part)
+        return rows.groupBy("r", "pos").agg(F.count(F.lit(1)).alias("cnt"))
+
+    ca = cms(li, "l_suppkey")
+    cb = cms(s, "s_suppkey").withColumnRenamed("cnt", "cnt_b")
+    est = (
+        ca.join(cb, ["r", "pos"])
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
+        .agg(F.min("ip").alias("est_size"))
+    )
+    tru = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .agg(F.count(F.lit(1)).alias("true_size"))
+    )
+    return tru.crossJoin(F.broadcast(est)).selectExpr(
+        "cast(true_size AS bigint) AS true_size",
+        "cast(est_size AS bigint) AS est_size",
+        "(est_size - true_size) * 1000000 div true_size AS err_ppm",
+    )
