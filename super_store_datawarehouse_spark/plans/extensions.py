@@ -12479,3 +12479,104 @@ def x247_cms_join_size_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(est_size AS bigint) AS est_size",
         "(est_size - true_size) * 1000000 div true_size AS err_ppm",
     )
+
+
+# --------------------------------------------------------------------------
+# x248 — matched-cohort construction (propensity-lite): pair each
+# treated user (odd ids) with the control user (even ids) whose
+# pre-period mean spend is NEAREST — a 1-NN match on the score axis,
+# found with operators/temporal.asof_join(direction="nearest") where
+# "time" is the score: matching IS an as-of join on a different axis.
+# Greedy-with-replacement matching (each treated picks its closest
+# control; controls may repeat), the standard first-cut matched
+# analysis. Output: per pair, both scores and the match gap.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x248_matched_cohorts",
+    oracle="""
+    WITH pre AS (
+      SELECT user_id,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) // COUNT(*)
+                  AS BIGINT) AS score
+      FROM events GROUP BY user_id
+    ), treat AS (
+      SELECT user_id AS t_user, score AS t_score FROM pre
+      WHERE user_id % 2 = 1
+    ), ctrl AS (
+      SELECT user_id AS c_user, score AS c_score FROM pre
+      WHERE user_id % 2 = 0
+    ), un AS (
+      SELECT 0 AS grp, c_score AS s, c_user AS uid, c_score FROM ctrl
+      UNION ALL
+      SELECT 1 AS grp, t_score AS s, t_user AS uid, NULL AS c_score
+      FROM treat
+    ), m AS (
+      SELECT uid, s, grp,
+             MAX(CASE WHEN grp = 0 THEN s END) OVER (
+               ORDER BY s, grp, uid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bwd,
+             MIN(CASE WHEN grp = 0 THEN s END) OVER (
+               ORDER BY s, grp, uid
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd
+      FROM un
+    ), picked AS (
+      SELECT uid AS t_user, s AS t_score,
+             CASE WHEN fwd IS NULL THEN bwd
+                  WHEN bwd IS NULL THEN fwd
+                  WHEN fwd - s < s - bwd THEN fwd ELSE bwd END AS m_score
+      FROM m WHERE grp = 1
+    )
+    SELECT p.t_user, p.t_score,
+           MIN(c.c_user) AS matched_control,
+           p.m_score AS control_score,
+           CAST(ABS(p.t_score - p.m_score) AS BIGINT) AS gap_cents
+    FROM picked p JOIN ctrl c ON c.c_score = p.m_score
+    GROUP BY p.t_user, p.t_score, p.m_score
+    ORDER BY p.t_user
+    """,
+)
+def x248_matched_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    pre = events.groupBy("user_id").agg(
+        F.expr(
+            "sum(cast(round(value * 100) AS long)) div count(1)"
+        ).alias("score")
+    )
+    treat = pre.filter("user_id % 2 = 1").select(
+        F.col("user_id").alias("t_user"),
+        F.col("score").alias("t_score"),
+        F.lit(1).alias("k"),
+    )
+    ctrl = pre.filter("user_id % 2 = 0").select(
+        F.col("score").alias("c_score"),
+        F.col("user_id").alias("c_user"),
+        F.lit(1).alias("k"),
+    )
+    # nearest match on the score axis; ties across equal scores resolve
+    # to MIN(c_user) afterwards so both engines agree
+    matched = asof_join(
+        treat,
+        ctrl.select("k", "c_score"),
+        on="k",
+        left_ts="t_score",
+        right_ts="c_score",
+        direction="nearest",
+    )
+    return (
+        matched.join(
+            ctrl.select("c_score", "c_user"),
+            F.col("asof_c_score") == F.col("c_score"),
+        )
+        .groupBy("t_user", "t_score", F.col("asof_c_score").alias("control_score"))
+        .agg(F.min("c_user").alias("matched_control"))
+        .select(
+            "t_user",
+            "t_score",
+            "matched_control",
+            "control_score",
+            F.abs(F.col("t_score") - F.col("control_score")).alias("gap_cents"),
+        )
+        .orderBy("t_user")
+    )
