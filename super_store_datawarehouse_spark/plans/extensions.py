@@ -12580,3 +12580,187 @@ def x248_matched_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_user")
     )
+
+
+# --------------------------------------------------------------------------
+# x249 — A/A calibration (the null experiment): split the CONTROL
+# population into two pseudo-arms (user_id div 2 parity — orthogonal
+# to the x210/x212 treatment hash) and run the identical DiD readout;
+# a healthy pipeline reports a near-zero effect. This is the
+# run-before-you-trust-anything calibration every experimentation
+# platform schedules, computed with the same integer micro-cent cells
+# as x210 so zero means zero.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x249_aa_calibration",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tus,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id % 2 = 1
+    ), med AS (
+      SELECT tus AS m FROM (
+        SELECT tus, row_number() OVER (ORDER BY tus, event_id) AS r,
+               COUNT(*) OVER () AS n
+        FROM e) WHERE r = (n + 1) // 2
+    ), means AS (
+      SELECT CASE WHEN user_id // 2 % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END
+               AS grp,
+             CASE WHEN e.tus <= med.m THEN 'pre' ELSE 'post' END AS period,
+             CAST(SUM(cents) * 1000000 // COUNT(*) AS BIGINT)
+               AS mean_microcents
+      FROM e CROSS JOIN med GROUP BY 1, 2
+    )
+    SELECT
+      MIN(CASE WHEN grp = 'arm_a' AND period = 'post' THEN mean_microcents END)
+      - MIN(CASE WHEN grp = 'arm_a' AND period = 'pre' THEN mean_microcents END)
+      - (MIN(CASE WHEN grp = 'arm_b' AND period = 'post' THEN mean_microcents END)
+         - MIN(CASE WHEN grp = 'arm_b' AND period = 'pre' THEN mean_microcents END))
+        AS aa_did_microcents,
+      MIN(CASE WHEN grp = 'arm_a' AND period = 'post' THEN mean_microcents END)
+        AS arm_a_post,
+      MIN(CASE WHEN grp = 'arm_b' AND period = 'post' THEN mean_microcents END)
+        AS arm_b_post
+    FROM means
+    """,
+)
+def x249_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter("user_id % 2 = 1")
+    e = events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    med = (
+        e.select(
+            "tus",
+            F.row_number().over(Window.orderBy("tus", "event_id")).alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.expr("r = (n + 1) div 2"))
+        .select(F.col("tus").alias("m"))
+    )
+    means = (
+        e.crossJoin(F.broadcast(med))
+        .select(
+            F.when(F.expr("user_id div 2 % 2 = 0"), "arm_a")
+            .otherwise("arm_b")
+            .alias("grp"),
+            F.when(F.col("tus") <= F.col("m"), "pre")
+            .otherwise("post")
+            .alias("period"),
+            "cents",
+        )
+        .groupBy("grp", "period")
+        .agg(
+            F.expr("sum(cents) * 1000000 div count(1)").alias("mean_microcents")
+        )
+    )
+
+    def cell(g, p):
+        return F.min(
+            F.when(
+                (F.col("grp") == g) & (F.col("period") == p),
+                F.col("mean_microcents"),
+            )
+        )
+
+    return means.agg(
+        (
+            cell("arm_a", "post")
+            - cell("arm_a", "pre")
+            - (cell("arm_b", "post") - cell("arm_b", "pre"))
+        ).alias("aa_did_microcents"),
+        cell("arm_a", "post").alias("arm_a_post"),
+        cell("arm_b", "post").alias("arm_b_post"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x250 — term-usage drift: for the 20 highest-frequency terms, usage
+# counts in the first vs second half of the doc stream (by doc_id) and
+# the per-term chi-square drift term — the text twin of x199's value
+# drift: "did the language of the corpus shift between ingest
+# windows". Integer scaled-ratio arithmetic throughout.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x250_term_drift",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), mid AS (
+      SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM words
+    ), top_terms AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS n,
+               row_number() OVER (ORDER BY COUNT(*) DESC, w) AS rn
+        FROM words GROUP BY w) WHERE rn <= 20
+    ), counts AS (
+      SELECT ws.w,
+             CAST(SUM(CASE WHEN ws.doc_id <= mid.m THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN ws.doc_id > mid.m THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2
+      FROM words ws JOIN top_terms USING (w) CROSS JOIN mid
+      GROUP BY ws.w
+    ), tot AS (
+      SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2
+      FROM counts
+    )
+    SELECT c.w AS term, c.n1, c.n2,
+           CAST((c.n2 * t.t1 - c.n1 * t.t2) * (c.n2 * t.t1 - c.n1 * t.t2)
+                // (GREATEST(c.n1, 1) * t.t1 * t.t2) AS BIGINT)
+             AS chi2_term_scaled
+    FROM counts c CROSS JOIN tot t
+    ORDER BY term
+    """,
+)
+def x250_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != F.lit("")
+            )
+        ).alias("w"),
+    ).localCheckpoint()
+    mid = words.agg(
+        F.expr("(min(doc_id) + max(doc_id)) div 2").alias("m")
+    )
+    top_terms = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(20)
+        .select("w")
+    )
+    counts = (
+        words.join(F.broadcast(top_terms), "w")
+        .crossJoin(F.broadcast(mid))
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("doc_id") <= F.col("m"), 1).otherwise(0)).alias(
+                "n1"
+            ),
+            F.sum(F.when(F.col("doc_id") > F.col("m"), 1).otherwise(0)).alias(
+                "n2"
+            ),
+        )
+    )
+    tot = counts.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "w AS term",
+            "cast(n1 AS bigint) AS n1",
+            "cast(n2 AS bigint) AS n2",
+            "(n2 * t1 - n1 * t2) * (n2 * t1 - n1 * t2)"
+            " div (GREATEST(n1, 1L) * t1 * t2) AS chi2_term_scaled",
+        )
+        .orderBy("term")
+    )
