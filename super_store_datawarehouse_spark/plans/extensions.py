@@ -12764,3 +12764,88 @@ def x250_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# --------------------------------------------------------------------------
+# x251 — bitmap-index set intersection: encode each event type's user
+# set as 32-bit words (word = user_id div 32, bit = user_id mod 32 —
+# staying below bit 63 keeps the shift portable across engines,
+# OR-folded per word), then count co-users for every type pair with a
+# word-aligned AND + bit_count — the bitmap-index technique OLAP
+# engines use for low-cardinality dimension sets. Verified against
+# nothing less than itself in SQL (both engines fold the same bitmaps)
+# AND semantically against the naive distinct-join count, which the
+# oracle computes as the check column. A 150-user set costs 3 words
+# per type — the 100 TB shape is |users|/64 words, not |users| rows.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x251_bitmap_intersection",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), words AS (
+      SELECT event_type, user_id // 32 AS word,
+             CAST(bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS BIGINT)
+               AS bits
+      FROM u GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS bitmap_count
+      FROM words a JOIN words b
+        ON a.word = b.word AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ), naive AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS join_count
+      FROM u a JOIN u b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.bitmap_count,
+           CAST(n.join_count AS BIGINT) AS join_count
+    FROM pairs p JOIN naive n USING (type_a, type_b)
+    ORDER BY type_a, type_b
+    """,
+)
+def x251_bitmap_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    u = events.select("event_type", "user_id").distinct().localCheckpoint()
+    words = (
+        u.select(
+            "event_type",
+            F.expr("user_id div 32").alias("word"),
+            F.expr("shiftleft(1L, cast(user_id % 32 as int))").alias("bit"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"), "word", F.col("bits").alias("ba")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), "word", F.col("bits").alias("bb")
+    )
+    pairs = (
+        a.join(b, "word")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.expr("sum(bit_count(ba & bb))").alias("bitmap_count"))
+    )
+    ua = u.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = u.select(F.col("event_type").alias("type_b"), "user_id")
+    naive = (
+        ua.join(ub, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("join_count"))
+    )
+    return (
+        pairs.join(naive, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            F.col("bitmap_count").cast("long").alias("bitmap_count"),
+            F.col("join_count").cast("long").alias("join_count"),
+        )
+        .orderBy("type_a", "type_b")
+    )
