@@ -12849,3 +12849,122 @@ def x251_bitmap_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --------------------------------------------------------------------------
+# x252 — censored latency percentiles: order→ship latency per priority
+# AS OF a snapshot (2001-06-01) — lines shipping after the snapshot
+# are right-censored ("not yet shipped"), and the naive percentile
+# over only-observed latencies understates the truth. Reported per
+# priority: censored share, the naive p50/p90, and the censoring-aware
+# bound that ranks censored lines as larger-than-any-observed (NULL
+# when the rank lands in the censored region — "not knowable at this
+# snapshot" stated honestly, the Kaplan-Meier-style accounting in
+# nearest-rank integer form).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x252_censored_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS pri,
+             epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate) AS lat_us,
+             CASE WHEN l.l_shipdate > TIMESTAMP '2001-06-01'
+                  THEN 1 ELSE 0 END AS censored
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), obs AS (
+      SELECT pri, lat_us,
+             row_number() OVER (PARTITION BY pri ORDER BY lat_us) AS r,
+             COUNT(*) OVER (PARTITION BY pri) AS n_obs
+      FROM lat WHERE censored = 0
+    ), tot AS (
+      SELECT pri, COUNT(*) AS n_all,
+             CAST(SUM(censored) AS BIGINT) AS n_cens
+      FROM lat GROUP BY pri
+    ), naive AS (
+      SELECT pri,
+             MIN(CASE WHEN r = (50 * n_obs + 99) // 100 THEN lat_us END)
+               AS naive_p50_us,
+             MIN(CASE WHEN r = (90 * n_obs + 99) // 100 THEN lat_us END)
+               AS naive_p90_us
+      FROM obs GROUP BY pri
+    ), aware AS (
+      SELECT o.pri,
+             MIN(CASE WHEN o.r = (50 * t.n_all + 99) // 100
+                      THEN o.lat_us END) AS aware_p50_us,
+             MIN(CASE WHEN o.r = (90 * t.n_all + 99) // 100
+                      THEN o.lat_us END) AS aware_p90_us
+      FROM obs o JOIN tot t USING (pri) GROUP BY o.pri
+    )
+    SELECT t.pri, CAST(t.n_all AS BIGINT) AS n_lines, t.n_cens,
+           CAST(t.n_cens * 1000000 // t.n_all AS BIGINT) AS censored_ppm,
+           CAST(n.naive_p50_us AS BIGINT) AS naive_p50_us,
+           CAST(n.naive_p90_us AS BIGINT) AS naive_p90_us,
+           CAST(a.aware_p50_us AS BIGINT) AS aware_p50_us,
+           CAST(a.aware_p90_us AS BIGINT) AS aware_p90_us
+    FROM tot t JOIN naive n USING (pri) JOIN aware a USING (pri)
+    ORDER BY t.pri
+    """,
+)
+def x252_censored_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("pri"),
+        (
+            F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        ).alias("lat_us"),
+        F.when(
+            F.col("l_shipdate").cast("timestamp")
+            > F.lit("2001-06-01").cast("timestamp"),
+            1,
+        )
+        .otherwise(0)
+        .alias("censored"),
+    )
+    obs = lat.filter("censored = 0").select(
+        "pri",
+        "lat_us",
+        F.row_number().over(Window.partitionBy("pri").orderBy("lat_us")).alias(
+            "r"
+        ),
+        F.count(F.lit(1)).over(Window.partitionBy("pri")).alias("n_obs"),
+    )
+    tot = lat.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("censored").alias("n_cens")
+    )
+    naive = obs.groupBy("pri").agg(
+        F.min(
+            F.when(F.expr("r = (50 * n_obs + 99) div 100"), F.col("lat_us"))
+        ).alias("naive_p50_us"),
+        F.min(
+            F.when(F.expr("r = (90 * n_obs + 99) div 100"), F.col("lat_us"))
+        ).alias("naive_p90_us"),
+    )
+    aware = (
+        obs.join(tot, "pri")
+        .groupBy("pri")
+        .agg(
+            F.min(
+                F.when(F.expr("r = (50 * n_all + 99) div 100"), F.col("lat_us"))
+            ).alias("aware_p50_us"),
+            F.min(
+                F.when(F.expr("r = (90 * n_all + 99) div 100"), F.col("lat_us"))
+            ).alias("aware_p90_us"),
+        )
+    )
+    return (
+        tot.join(naive, "pri")
+        .join(aware, "pri")
+        .selectExpr(
+            "pri",
+            "cast(n_all AS bigint) AS n_lines",
+            "cast(n_cens AS bigint) AS n_cens",
+            "n_cens * 1000000 div n_all AS censored_ppm",
+            "naive_p50_us",
+            "naive_p90_us",
+            "aware_p50_us",
+            "aware_p90_us",
+        )
+        .orderBy("pri")
+    )
