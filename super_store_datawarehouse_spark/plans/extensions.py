@@ -12968,3 +12968,99 @@ def x252_censored_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pri")
     )
+
+
+# --------------------------------------------------------------------------
+# x253 — RAG context assembly (the retrieval last-mile): for each of 5
+# query docs, rank the rest of the corpus by shared-vocabulary overlap
+# (distinct shared words — the x219 lexical idiom), then greedily pack
+# whole neighbor docs in rank order into a 150-token context budget and
+# emit the assembled context string. Budget enforcement is a running
+# token sum over the rank window; the string is an ordered array_join —
+# both engines produce byte-identical contexts.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x253_rag_context_assembly",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS lst
+      FROM documents
+    ), q AS (
+      SELECT doc_id AS qid, list_distinct(lst) AS qwords FROM toks
+      WHERE doc_id < 5
+    ), overlap AS (
+      SELECT q.qid, t.doc_id,
+             len(list_intersect(q.qwords, list_distinct(t.lst))) AS shared,
+             CAST(len(t.lst) AS BIGINT) AS n_tok, t.text
+      FROM q JOIN toks t ON t.doc_id <> q.qid
+    ), ranked AS (
+      SELECT qid, doc_id, n_tok, text,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY shared DESC, doc_id) AS rnk
+      FROM overlap
+    ), budgeted AS (
+      SELECT qid, doc_id, text, rnk, n_tok,
+             SUM(n_tok) OVER (PARTITION BY qid ORDER BY rnk) AS cum_tok
+      FROM ranked WHERE rnk <= 10
+    )
+    SELECT qid,
+           COUNT(*) AS n_docs_included,
+           CAST(MAX(cum_tok) AS BIGINT) AS n_tokens_used,
+           string_agg(text, ' [SEP] ' ORDER BY rnk) AS context_text
+    FROM budgeted WHERE cum_tok <= 150
+    GROUP BY qid ORDER BY qid
+    """,
+)
+def x253_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "text",
+        F.filter(
+            F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != F.lit("")
+        ).alias("lst"),
+    ).localCheckpoint()
+    q = toks.filter("doc_id < 5").select(
+        F.col("doc_id").alias("qid"),
+        F.array_distinct("lst").alias("qwords"),
+    )
+    overlap = (
+        F.broadcast(q)
+        .join(toks, F.col("doc_id") != F.col("qid"))
+        .select(
+            "qid",
+            "doc_id",
+            F.size(
+                F.array_intersect(F.col("qwords"), F.array_distinct("lst"))
+            ).alias("shared"),
+            F.size("lst").cast("long").alias("n_tok"),
+            "text",
+        )
+    )
+    ranked = overlap.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("shared"), "doc_id")
+        ),
+    ).filter("rnk <= 10")
+    budgeted = ranked.withColumn(
+        "cum_tok",
+        F.sum("n_tok").over(Window.partitionBy("qid").orderBy("rnk")),
+    ).filter("cum_tok <= 150")
+    return (
+        budgeted.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_included"),
+            F.max("cum_tok").alias("n_tokens_used"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rnk", "text"))),
+                    lambda s: s["text"],
+                ),
+                " [SEP] ",
+            ).alias("context_text"),
+        )
+        .orderBy("qid")
+    )
