@@ -13064,3 +13064,80 @@ def x253_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --------------------------------------------------------------------------
+# x254 — LTV projection (truncated geometric): per nation, the
+# repeat-purchase share r (customers with 2+ orders, in ppm — the x156
+# retention proxy) and ARPU drive the 6-period projection
+# LTV₆ = ARPU · Σ_{k=0..5} r^k, with r^k built by STAGED ppm
+# multiplication (each stage divides by 10⁶ before the next multiply,
+# so every intermediate stays in int64 and both engines agree
+# bit-for-bit). The growth-analytics readout that prices acquisition.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x254_ltv_projection",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_nationkey AS nation, o.o_custkey,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), base AS (
+      SELECT nation,
+             CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1000000
+                  // COUNT(*) AS BIGINT) AS r_ppm,
+             CAST(SUM(rev) // COUNT(*) AS BIGINT) AS arpu_cents
+      FROM per_cust GROUP BY nation
+    ), powers AS (
+      SELECT nation, r_ppm, arpu_cents,
+             r_ppm AS r1,
+             r_ppm * r_ppm // 1000000 AS r2,
+             (r_ppm * r_ppm // 1000000) * r_ppm // 1000000 AS r3,
+             ((r_ppm * r_ppm // 1000000) * r_ppm // 1000000) * r_ppm
+               // 1000000 AS r4,
+             (((r_ppm * r_ppm // 1000000) * r_ppm // 1000000) * r_ppm
+               // 1000000) * r_ppm // 1000000 AS r5
+      FROM base
+    )
+    SELECT CAST(nation AS BIGINT) AS nation, r_ppm, arpu_cents,
+           CAST(arpu_cents * (1000000 + r1 + r2 + r3 + r4 + r5) // 1000000
+                AS BIGINT) AS ltv6_cents
+    FROM powers ORDER BY nation
+    """,
+)
+def x254_ltv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"), "o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev"
+            ),
+        )
+    )
+    base = per_cust.groupBy("nation").agg(
+        F.expr(
+            "sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1000000"
+            " div count(1)"
+        ).alias("r_ppm"),
+        F.expr("sum(rev) div count(1)").alias("arpu_cents"),
+    )
+    return base.selectExpr(
+        "cast(nation AS bigint) AS nation",
+        "r_ppm",
+        "arpu_cents",
+        "arpu_cents * (1000000 + r_ppm"
+        " + r_ppm * r_ppm div 1000000"
+        " + (r_ppm * r_ppm div 1000000) * r_ppm div 1000000"
+        " + ((r_ppm * r_ppm div 1000000) * r_ppm div 1000000) * r_ppm"
+        "   div 1000000"
+        " + (((r_ppm * r_ppm div 1000000) * r_ppm div 1000000) * r_ppm"
+        "    div 1000000) * r_ppm div 1000000"
+        ") div 1000000 AS ltv6_cents",
+    ).orderBy("nation")
