@@ -13141,3 +13141,137 @@ def x254_ltv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    div 1000000) * r_ppm div 1000000"
         ") div 1000000 AS ltv6_cents",
     ).orderBy("nation")
+
+
+# --------------------------------------------------------------------------
+# x255 — active-learning pool selection (margin sampling): the 20
+# documents the x183 linear quality model is LEAST sure about
+# (smallest |logit|) — exactly the rows a human labeler should see
+# next. Margin ranking is one order-by over the scored frame; ties pin
+# on doc_id. The features ride along so the labeling UI needs no
+# second lookup.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x255_active_learning_pool",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(lst) AS BIGINT) AS tok_cnt,
+             CAST(len(list_filter(lst, x -> list_contains(
+               ['the','a','an','of','and','to','in','is','it','that'], x)))
+               AS BIGINT) AS stop_cnt,
+             CAST(len(list_distinct(lst)) AS BIGINT) AS distinct_cnt
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x <> '') AS lst
+            FROM documents)
+    ), s AS (
+      SELECT doc_id, tok_cnt,
+             40000 * tok_cnt + distinct_cnt * 1000000 // tok_cnt
+             - 2 * (stop_cnt * 1000000 // tok_cnt) - 1900000 AS logit_micro
+      FROM f WHERE tok_cnt > 0
+    )
+    SELECT doc_id, tok_cnt, CAST(logit_micro AS BIGINT) AS logit_micro,
+           CAST(ABS(logit_micro) AS BIGINT) AS margin_micro
+    FROM s ORDER BY ABS(logit_micro), doc_id LIMIT 20
+    """,
+)
+def x255_active_learning_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = x183_quality_classifier(spark, sf_dir).select(
+        "doc_id", "tok_cnt", "logit_micro"
+    )
+    return (
+        scored.withColumn("margin_micro", F.abs("logit_micro"))
+        .orderBy("margin_micro", "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# x256 — EXACT sliding-window distinct counts via bitmap OR-merge (the
+# exact twin of x246's HLL estimate): per-day 32-bit-word user bitmaps
+# (the x251 encoding) contribute to the 7 windows they cover; OR-merge
+# per (window, word) and sum bit_count — exact trailing-7-day distinct
+# users with |users|/32 words of state per day instead of the full id
+# set. When ids are dense, sliding distinct doesn't need a sketch at
+# all — verified against the naive exact count.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x256_sliding_bitmap_distinct",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+    ), days AS (SELECT DISTINCT day FROM e),
+    words AS (
+      SELECT day, user_id // 32 AS word,
+             CAST(bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS BIGINT)
+               AS bits
+      FROM e GROUP BY 1, 2
+    ), merged AS (
+      SELECT c.target_day AS day, c.word,
+             CAST(bit_or(c.bits) AS BIGINT) AS bits
+      FROM (SELECT w.day + i.i AS target_day, w.word, w.bits
+            FROM words w CROSS JOIN range(0, 7) i(i)) c
+      JOIN days d ON d.day = c.target_day
+      GROUP BY 1, 2
+    ), bitmap_c AS (
+      SELECT day, CAST(SUM(bit_count(bits)) AS BIGINT) AS bitmap_7d
+      FROM merged GROUP BY day
+    ), exact_c AS (
+      SELECT c.target_day AS day, COUNT(DISTINCT c.user_id) AS exact_7d
+      FROM (SELECT e.day + i.i AS target_day, e.user_id
+            FROM e CROSS JOIN range(0, 7) i(i)) c
+      JOIN days d ON d.day = c.target_day
+      GROUP BY 1
+    )
+    SELECT b.day, b.bitmap_7d, CAST(x.exact_7d AS BIGINT) AS exact_7d
+    FROM bitmap_c b JOIN exact_c x USING (day)
+    ORDER BY b.day
+    """,
+)
+def x256_sliding_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = (
+        events.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day"), "user_id"
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    days = e.select("day").distinct()
+    words = (
+        e.select(
+            "day",
+            F.expr("user_id div 32").alias("word"),
+            F.expr("shiftleft(1L, cast(user_id % 32 as int))").alias("bit"),
+        )
+        .groupBy("day", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    offs = spark.range(0, 7).select(F.col("id").alias("i"))
+    merged = (
+        words.crossJoin(F.broadcast(offs))
+        .select((F.col("day") + F.col("i")).alias("day"), "word", "bits")
+        .join(days, "day", "left_semi")
+        .groupBy("day", "word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    bitmap_c = merged.groupBy("day").agg(
+        F.expr("sum(bit_count(bits))").alias("bitmap_7d")
+    )
+    exact_c = (
+        e.crossJoin(F.broadcast(offs))
+        .select((F.col("day") + F.col("i")).alias("day"), "user_id")
+        .join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("exact_7d"))
+    )
+    return (
+        bitmap_c.join(exact_c, "day")
+        .selectExpr(
+            "day",
+            "cast(bitmap_7d AS bigint) AS bitmap_7d",
+            "cast(exact_7d AS bigint) AS exact_7d",
+        )
+        .orderBy("day")
+    )
