@@ -271,6 +271,7 @@ def bpe_learn(
     """
     spark = words.sparkSession
     seq = words.select(
+        F.col(word_col),
         F.concat(
             F.lit(" "),
             F.array_join(F.split(F.col(word_col), ""), "  "),

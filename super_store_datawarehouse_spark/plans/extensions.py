@@ -13275,3 +13275,91 @@ def x256_sliding_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# x257 — BPE round-trip integrity: after x178's 3 learned merges, every
+# word's symbol sequence must concatenate back to the original word —
+# the losslessness invariant that makes a tokenizer safe to ship.
+# Reported as totals + violation count (pinned 0 by construction:
+# merges only ever join adjacent symbols). The check is a string
+# equality over the vocabulary — cheap enough to run after every
+# merge-table update.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x257_bpe_roundtrip_check",
+    oracle="""
+    WITH wf AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents) GROUP BY w
+    ), s0 AS (
+      SELECT w, ' ' || array_to_string(string_split_regex(w, ''), '  ') || ' '
+               AS s, freq
+      FROM wf
+    ),
+    p1 AS (
+      SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, unnest(list_zip(sy, sy[2:])) AS pr
+            FROM (SELECT freq, string_split(trim(s), '  ') AS sy FROM s0))
+      WHERE pr[2] IS NOT NULL GROUP BY 1, 2
+    ), m1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+    s1 AS (
+      SELECT w, replace(s, ' ' || m1.l || '  ' || m1.r || ' ',
+                           ' ' || m1.l || m1.r || ' ') AS s, freq
+      FROM s0 CROSS JOIN m1
+    ),
+    p2 AS (
+      SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, unnest(list_zip(sy, sy[2:])) AS pr
+            FROM (SELECT freq, string_split(trim(s), '  ') AS sy FROM s1))
+      WHERE pr[2] IS NOT NULL GROUP BY 1, 2
+    ), m2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+    s2 AS (
+      SELECT w, replace(s, ' ' || m2.l || '  ' || m2.r || ' ',
+                           ' ' || m2.l || m2.r || ' ') AS s, freq
+      FROM s1 CROSS JOIN m2
+    ),
+    p3 AS (
+      SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, unnest(list_zip(sy, sy[2:])) AS pr
+            FROM (SELECT freq, string_split(trim(s), '  ') AS sy FROM s2))
+      WHERE pr[2] IS NOT NULL GROUP BY 1, 2
+    ), m3 AS (SELECT l, r FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+    s3 AS (
+      SELECT w, replace(s, ' ' || m3.l || '  ' || m3.r || ' ',
+                           ' ' || m3.l || m3.r || ' ') AS s, freq
+      FROM s2 CROSS JOIN m3
+    )
+    SELECT COUNT(*) AS n_words,
+           CAST(SUM(CASE WHEN replace(replace(s, ' ', ''), '  ', '') = w
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+    FROM s3
+    """,
+)
+def x257_bpe_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    _, seqs = bpe_learn(wf, word_col="w", freq_col="freq", n_merges=3)
+    return seqs.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(
+            F.when(
+                F.replace(F.col("s"), F.lit(" "), F.lit("")) == F.col("w"), 0
+            ).otherwise(1)
+        ).alias("n_violations"),
+    )
