@@ -13363,3 +13363,81 @@ def x257_bpe_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(1)
         ).alias("n_violations"),
     )
+
+
+# --------------------------------------------------------------------------
+# x258 — RFM feature construction: per user, recency (days since last
+# event, measured against the corpus max — no wall clock, so the
+# feature table is reproducible), frequency, and monetary value, plus
+# nearest-rank quintile codes for each axis and the composed RFM
+# segment (R*100 + F*10 + M) — the classic churn/value feature block,
+# built in three windows.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x258_rfm_features",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), horizon AS (SELECT MAX(tus) AS h FROM e),
+    per_user AS (
+      SELECT user_id,
+             CAST((horizon.h - MAX(e.tus)) // 86400000000 AS BIGINT)
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(cents) AS BIGINT) AS monetary_cents
+      FROM e CROSS JOIN horizon GROUP BY user_id, horizon.h
+    ), coded AS (
+      SELECT user_id, recency_days, frequency, monetary_cents,
+             ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_code,
+             ntile(5) OVER (ORDER BY frequency, user_id) AS f_code,
+             ntile(5) OVER (ORDER BY monetary_cents, user_id) AS m_code
+      FROM per_user
+    )
+    SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
+           monetary_cents,
+           CAST(r_code * 100 + f_code * 10 + m_code AS BIGINT) AS rfm_segment
+    FROM coded ORDER BY user_id
+    """,
+)
+def x258_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    horizon = e.agg(F.max("tus").alias("h"))
+    per_user = (
+        e.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id", "h")
+        .agg(
+            F.expr("(first(h) - max(tus)) div 86400000000").alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+        .drop("h")
+    )
+    coded = (
+        per_user.withColumn(
+            "r_code",
+            F.ntile(5).over(Window.orderBy(F.desc("recency_days"), "user_id")),
+        )
+        .withColumn(
+            "f_code", F.ntile(5).over(Window.orderBy("frequency", "user_id"))
+        )
+        .withColumn(
+            "m_code",
+            F.ntile(5).over(Window.orderBy("monetary_cents", "user_id")),
+        )
+    )
+    return coded.selectExpr(
+        "user_id",
+        "cast(recency_days AS bigint) AS recency_days",
+        "cast(frequency AS bigint) AS frequency",
+        "monetary_cents",
+        "cast(r_code * 100 + f_code * 10 + m_code AS bigint) AS rfm_segment",
+    ).orderBy("user_id")
