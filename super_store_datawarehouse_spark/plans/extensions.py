@@ -13441,3 +13441,109 @@ def x258_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary_cents",
         "cast(r_code * 100 + f_code * 10 + m_code AS bigint) AS rfm_segment",
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# x259 — attribution model comparison: each purchase's value credited
+# to the DAY of its first-touch click vs its last-touch click within
+# the prior 24 h — the two bookend models whose daily revenue series
+# diverge exactly where campaigns overlap. Last touch is the q37
+# backward as-of; first touch is a min-over-window on the same
+# union frame; both series land side by side per day with the
+# difference — integer cents, one shuffle per model.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x259_attribution_models",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, epoch_us(ts) AS tus FROM events
+      WHERE event_type = 'click'
+    ), purch AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tus,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), joined AS (
+      SELECT p.event_id, p.cents,
+             MAX(c.tus) AS last_touch, MIN(c.tus) AS first_touch
+      FROM purch p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.tus <= p.tus AND c.tus >= p.tus - 86400000000
+      GROUP BY p.event_id, p.cents
+    ), credited AS (
+      SELECT last_touch // 86400000000 AS last_day,
+             first_touch // 86400000000 AS first_day, cents
+      FROM joined
+    ), lastm AS (
+      SELECT last_day AS day, CAST(SUM(cents) AS BIGINT) AS last_touch_cents
+      FROM credited GROUP BY 1
+    ), firstm AS (
+      SELECT first_day AS day, CAST(SUM(cents) AS BIGINT) AS first_touch_cents
+      FROM credited GROUP BY 1
+    )
+    SELECT COALESCE(l.day, f.day) AS day,
+           COALESCE(l.last_touch_cents, 0) AS last_touch_cents,
+           COALESCE(f.first_touch_cents, 0) AS first_touch_cents,
+           COALESCE(f.first_touch_cents, 0) - COALESCE(l.last_touch_cents, 0)
+             AS model_gap_cents
+    FROM lastm l FULL OUTER JOIN firstm f USING (day)
+    ORDER BY day
+    """,
+)
+def x259_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("p_tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("c_tus")
+    )
+    # 24h lookback pairs via the bucketed-interval pattern (day buckets)
+    p = purch.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr("p_tus div 86400000000 - 1"),
+                F.expr("p_tus div 86400000000"),
+            )
+        ),
+    )
+    c = clicks.withColumn("bucket", F.expr("c_tus div 86400000000")).withColumnRenamed(
+        "user_id", "c_user"
+    )
+    joined = (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user")) & (p["bucket"] == c["bucket"]),
+        )
+        .filter(
+            (F.col("c_tus") <= F.col("p_tus"))
+            & (F.col("c_tus") >= F.col("p_tus") - 86_400_000_000)
+        )
+        .groupBy("event_id", "cents")
+        .agg(
+            F.max("c_tus").alias("last_touch"),
+            F.min("c_tus").alias("first_touch"),
+        )
+    )
+    lastm = (
+        joined.groupBy(F.expr("last_touch div 86400000000").alias("day"))
+        .agg(F.sum("cents").alias("last_touch_cents"))
+    )
+    firstm = (
+        joined.groupBy(F.expr("first_touch div 86400000000").alias("day"))
+        .agg(F.sum("cents").alias("first_touch_cents"))
+    )
+    return (
+        lastm.join(firstm, "day", "full_outer")
+        .selectExpr(
+            "day",
+            "coalesce(last_touch_cents, 0L) AS last_touch_cents",
+            "coalesce(first_touch_cents, 0L) AS first_touch_cents",
+            "coalesce(first_touch_cents, 0L) - coalesce(last_touch_cents, 0L)"
+            " AS model_gap_cents",
+        )
+        .orderBy("day")
+    )
