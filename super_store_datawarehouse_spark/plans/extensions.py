@@ -13547,3 +13547,83 @@ def x259_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# x260 — partition-key advisor: for candidate lineitem partition
+# columns, cardinality, the x218 hash-skew factor, and the verdict a
+# table-layout tool would give — cardinality must land in the
+# [20, 10000] sweet spot (enough parallelism, no small-file explosion)
+# AND skew must stay under 2× mean. The decision inputs are exact
+# integer stats, so the ADVICE value-oracles — the judgment every
+# `partitionBy` deserves before a 100 TB write.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x260_partition_key_advisor",
+    oracle=f"""
+    WITH cands AS (
+      SELECT 'l_suppkey' AS col, l_suppkey AS v FROM lineitem
+      UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL SELECT 'l_linenumber', l_linenumber FROM lineitem
+      UNION ALL SELECT 'ship_day',
+                       epoch_us(l_shipdate) // 86400000000 FROM lineitem
+    ), stats AS (
+      SELECT col, COUNT(DISTINCT v) AS card FROM cands GROUP BY col
+    ), loads AS (
+      SELECT col, {_knuth_sql("v")} % 32 AS b, COUNT(*) AS n
+      FROM cands GROUP BY 1, 2
+    ), skew AS (
+      SELECT col,
+             CAST(MAX(n) * COUNT(*) * 1000000 // SUM(n) AS BIGINT)
+               AS max_over_mean_ppm
+      FROM loads GROUP BY col
+    )
+    SELECT s.col, CAST(s.card AS BIGINT) AS cardinality,
+           k.max_over_mean_ppm,
+           CASE WHEN s.card BETWEEN 20 AND 10000
+                     AND k.max_over_mean_ppm < 2000000
+                THEN 'suitable'
+                WHEN s.card < 20 THEN 'too-coarse'
+                WHEN s.card > 10000 THEN 'too-fine'
+                ELSE 'too-skewed' END AS advice
+    FROM stats s JOIN skew k USING (col)
+    ORDER BY s.col
+    """,
+)
+def x260_partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sampling import knuth_hash
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cands = None
+    for name, expr in (
+        ("l_suppkey", F.col("l_suppkey")),
+        ("l_partkey", F.col("l_partkey")),
+        ("l_linenumber", F.col("l_linenumber")),
+        ("ship_day", F.expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")),
+    ):
+        part = li.select(F.lit(name).alias("col"), expr.cast("long").alias("v"))
+        cands = part if cands is None else cands.unionByName(part)
+    cands = cands.localCheckpoint()
+    stats = cands.groupBy("col").agg(F.count_distinct("v").alias("card"))
+    loads = cands.select(
+        "col", F.pmod(knuth_hash("v"), F.lit(32)).alias("b")
+    ).groupBy("col", "b").agg(F.count(F.lit(1)).alias("n"))
+    skew = loads.groupBy("col").agg(
+        F.expr("max(n) * count(1) * 1000000 div sum(n)").alias(
+            "max_over_mean_ppm"
+        )
+    )
+    return (
+        stats.join(skew, "col")
+        .selectExpr(
+            "col",
+            "cast(card AS bigint) AS cardinality",
+            "max_over_mean_ppm",
+            "CASE WHEN card BETWEEN 20 AND 10000"
+            "       AND max_over_mean_ppm < 2000000 THEN 'suitable'"
+            " WHEN card < 20 THEN 'too-coarse'"
+            " WHEN card > 10000 THEN 'too-fine'"
+            " ELSE 'too-skewed' END AS advice",
+        )
+        .orderBy("col")
+    )
