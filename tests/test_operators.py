@@ -2099,3 +2099,30 @@ def test_asof_join_nearest_semantics(spark):
     }
     assert tol[1] == 120.0      # gap 2 s <= 3 s
     assert tol[3] is None       # both sides beyond tolerance
+
+
+def test_split_export_with_write_metrics(spark, tmp_path):
+    """End-to-end write-audit-publish: an exact-allocation split lands
+    in parquet with its row counts and key checksum captured by the
+    SAME job (Observation), and the audit numbers match a recount."""
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+    from super_store_datawarehouse_spark.sources.sinks import write_with_metrics
+
+    rows = [(i, f"s{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    split = stratified_exact_sample(df, key_col="k", strata_col="s", percent=25)
+    got = write_with_metrics(
+        split,
+        str(tmp_path / "train"),
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "key_checksum": F.sum("k"),
+        },
+    )
+    back = spark.read.parquet(str(tmp_path / "train"))
+    assert got["n_rows"] == back.count() == 48  # 4 strata x (50*25//100)
+    assert got["key_checksum"] == back.agg(F.sum("k")).collect()[0][0]
