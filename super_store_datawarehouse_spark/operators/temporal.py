@@ -60,8 +60,16 @@ def asof_join(
         # nearest = the closer of the two one-sided matches, ties to the
         # backward side (pandas merge_asof semantics). Two one-shuffle
         # passes; tolerance applies per side before the comparison.
+        # The passes recombine on a synthetic unique row id, NOT the
+        # left columns: joining on left columns is null-unsafe (a left
+        # row with any NULL column silently vanishes) and fans out
+        # quadratically on duplicate left rows. The id is deterministic
+        # as long as ``left`` derives from a deterministic source (both
+        # branches share the tagged plan's lineage).
+        idc = "__asof_nid"
+        tagged = left.withColumn(idc, F.monotonically_increasing_id())
         bwd = asof_join(
-            left, right, on, left_ts, right_ts, value_cols,
+            tagged, right, on, left_ts, right_ts, value_cols,
             allow_exact, "backward", tolerance_us,
         )
         value_cols_n = value_cols or [
@@ -69,14 +77,14 @@ def asof_join(
         ]
         out_cols = [right_ts] + [c for c in value_cols_n if c != right_ts]
         fwd = asof_join(
-            left, right, on, left_ts, right_ts, value_cols,
+            tagged, right, on, left_ts, right_ts, value_cols,
             allow_exact, "forward", tolerance_us,
         ).select(
-            *left.columns,
+            F.col(idc),
             *[F.col(f"asof_{c}").alias(f"__f_{c}") for c in out_cols],
         )
         ts_type = left.schema[left_ts].dataType
-        joined = bwd.join(fwd, left.columns)
+        joined = bwd.join(fwd, idc)
         bgap = _ts_gap_us(F.col(left_ts), F.col(f"asof_{right_ts}"), ts_type)
         fgap = _ts_gap_us(F.col(f"__f_{right_ts}"), F.col(left_ts), ts_type)
         take_fwd = F.col(f"asof_{right_ts}").isNull() | (

@@ -661,8 +661,14 @@ def stream_misra_gries_to_parquet(
     ``operators.sketches.misra_gries_candidates``).
 
     Exactly-once: foreachBatch is at-least-once and this sink is
-    additive, so replays are excluded with the applied-batch marker —
-    the identical transactional pattern as ``stream_countmin_to_parquet``.
+    additive, so replays must be excluded transactionally. The applied
+    batch id is embedded as a constant ``applied_batch`` column INSIDE
+    the state parquet itself, so state and marker publish in one atomic
+    directory swap — there is no window where the new state is visible
+    with the old marker (the double-count hazard of a separate marker
+    file). The swap itself is crash-recoverable: the previous state is
+    renamed to ``<out>.prev`` before the new directory lands, and
+    ``last_applied`` restores it if a crash strands the rename.
     Returns micro-batches processed (skips excluded).
     """
     import shutil
@@ -674,14 +680,18 @@ def stream_misra_gries_to_parquet(
         F.col("event_type").alias("word")
     )
     batches = {"n": 0}
-    applied_marker = out_dir + ".applied_batch"
+    prev_dir = out_dir + ".prev"
 
     def last_applied() -> int:
-        try:
-            with open(applied_marker) as fh:
-                return int(fh.read().strip())
-        except (OSError, ValueError):
+        # crash recovery: publish renames out_dir away before the new
+        # version lands; if we died in between, the .prev copy is the
+        # durable state — restore it.
+        if not os.path.isdir(out_dir) and os.path.isdir(prev_dir):
+            os.replace(prev_dir, out_dir)
+        if not os.path.isdir(out_dir):
             return -1
+        row = spark.read.parquet(out_dir).agg(F.max("applied_batch")).collect()[0]
+        return -1 if row[0] is None else row[0]
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= last_applied():
@@ -689,7 +699,7 @@ def stream_misra_gries_to_parquet(
         sess = batch_df.sparkSession
         delta = batch_df.groupBy("word").agg(F.count(F.lit(1)).alias("mg_cnt"))
         if os.path.isdir(out_dir):
-            state = sess.read.parquet(out_dir)
+            state = sess.read.parquet(out_dir).select("word", "mg_cnt")
             merged = (
                 state.unionByName(delta)
                 .groupBy("word")
@@ -719,13 +729,21 @@ def stream_misra_gries_to_parquet(
             .filter(F.col("mg_cnt") > 0)
         )
         tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir))
-        trimmed.write.mode("overwrite").parquet(tmp)
+        trimmed.withColumn(
+            "applied_batch", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").parquet(tmp)
+        # atomic publish with recovery: retire current state to .prev,
+        # land the new version, then discard .prev. A crash at any point
+        # leaves either the old state (possibly parked at .prev, which
+        # last_applied restores) or the new state with its embedded
+        # batch id — never a half-published mix and never a lost state.
+        if os.path.isdir(prev_dir):
+            shutil.rmtree(prev_dir)
         if os.path.isdir(out_dir):
-            shutil.rmtree(out_dir)
+            os.replace(out_dir, prev_dir)
         os.replace(tmp, out_dir)
-        with open(applied_marker + ".tmp", "w") as fh:
-            fh.write(str(batch_id))
-        os.replace(applied_marker + ".tmp", applied_marker)
+        if os.path.isdir(prev_dir):
+            shutil.rmtree(prev_dir)
         batches["n"] += 1
 
     writer = ev.writeStream.outputMode("append").foreachBatch(merge_batch)
@@ -849,15 +867,28 @@ def stream_drift_monitor(
         .collect()[0]
     )
     lo, hi, ref_n = ref_stats["lo"], ref_stats["hi"], ref_stats["ref_n"]
-    ref_counts = {
-        r["bin"]: r["n"]
-        for r in reference.select(
-            F.least(
-                F.lit(bins - 1),
-                F.expr(f"(cast(round(value * 100) as long) - {lo}) * {bins}"
-                       f" div ({hi} - {lo} + 1)"),
+    # clamp BOTH edges: live values below the frozen reference min must
+    # land in bin 0 (not a negative index the chi2 loop would silently
+    # skip while live_n still counts them), mirroring the bin-(bins-1)
+    # treatment of values above the reference max — otherwise downward
+    # range drift dilutes every bin instead of registering.
+    def binned(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(bins - 1),
+                    F.expr(
+                        f"(cast(round(value * 100) as long) - {lo}) * {bins}"
+                        f" div ({hi} - {lo} + 1)"
+                    ),
+                ),
             ).alias("bin")
         )
+
+    ref_counts = {
+        r["bin"]: r["n"]
+        for r in binned(reference)
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -869,15 +900,7 @@ def stream_drift_monitor(
     def monitor_batch(batch_df: DataFrame, batch_id: int) -> None:
         got = {
             r["bin"]: r["n"]
-            for r in batch_df.select(
-                F.least(
-                    F.lit(bins - 1),
-                    F.expr(
-                        f"(cast(round(value * 100) as long) - {lo}) * {bins}"
-                        f" div ({hi} - {lo} + 1)"
-                    ),
-                ).alias("bin")
-            )
+            for r in binned(batch_df)
             .groupBy("bin")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()

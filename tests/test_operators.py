@@ -2101,6 +2101,42 @@ def test_asof_join_nearest_semantics(spark):
     assert tol[3] is None       # both sides beyond tolerance
 
 
+def test_asof_join_nearest_null_and_duplicate_left_rows(spark):
+    """Regression: the nearest-direction recombination must join the
+    backward/forward passes on a synthetic row id, not on left column
+    values — a NULL in any left column must not drop the row, and
+    identical duplicate left rows must not fan out quadratically."""
+    import datetime as dt
+
+    from super_store_datawarehouse_spark.operators.temporal import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    right = spark.createDataFrame(
+        [(1, t(5), 50.0), (1, t(12), 120.0)], ["key", "ts", "px"]
+    )
+    # left row with a NULL payload column survives with its match
+    left_null = spark.createDataFrame(
+        [(1, 1, t(10), None), (2, 1, t(4), "x")],
+        "lid int, key int, ts timestamp, tag string",
+    )
+    rows = asof_join(
+        left_null, right, on="key", value_cols=["px"], direction="nearest"
+    ).collect()
+    assert len(rows) == 2
+    by_lid = {r["lid"]: r for r in rows}
+    assert by_lid[1]["tag"] is None and by_lid[1]["asof_px"] == 120.0
+    assert by_lid[2]["asof_px"] == 50.0
+    # two IDENTICAL left rows → exactly two output rows (not four)
+    left_dup = spark.createDataFrame(
+        [(1, t(10)), (1, t(10))], ["key", "ts"]
+    )
+    dup_rows = asof_join(
+        left_dup, right, on="key", value_cols=["px"], direction="nearest"
+    ).collect()
+    assert len(dup_rows) == 2
+    assert all(r["asof_px"] == 120.0 for r in dup_rows)
+
+
 def test_split_export_with_write_metrics(spark, tmp_path):
     """End-to-end write-audit-publish: an exact-allocation split lands
     in parquet with its row counts and key checksum captured by the

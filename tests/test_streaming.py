@@ -789,3 +789,88 @@ def test_stream_drift_monitor_flags_shifted_values(tmp_path, spark):
     if len(chi2_by_batch) == 2:
         low, high = sorted(chi2_by_batch.values())
         assert high > 10 * max(low, 1)
+
+
+def test_stream_drift_monitor_flags_downward_shift(tmp_path, spark):
+    """Regression: live values BELOW the frozen reference min must land
+    in bin 0 (double-sided clamp), so downward range drift registers in
+    the chi-square instead of being silently excluded while still
+    inflating live_n."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from super_store_datawarehouse_spark.streaming.jobs import stream_drift_monitor
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    same = events.limit(2000).select("event_id", "ts", "user_id",
+                                     "event_type", "value", "props")
+    # shift the whole distribution far below the reference min
+    down = same.withColumn("value", F.col("value") - 1_000_000)
+    for i, df in enumerate((same, down)):
+        part_dir = tmp_path / f"part{i}"
+        df.coalesce(1).write.parquet(str(part_dir), mode="overwrite")
+        part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        os.rename(part_dir / part, os.path.join(src, f"events{i}.parquet"))
+
+    out = str(tmp_path / "drift.tsv")
+    n = stream_drift_monitor(spark, src, reference=same, out_path=out)
+    assert n >= 1
+    rows = [line.split("\t") for line in open(out).read().strip().splitlines()]
+    chi2_by_batch = {int(r[0]): int(r[2]) for r in rows}
+    if len(chi2_by_batch) == 2:
+        low, high = sorted(chi2_by_batch.values())
+        assert high > 10 * max(low, 1)
+
+
+def test_stream_misra_gries_replay_guard_is_atomic(tmp_path, spark):
+    """The applied-batch id lives INSIDE the state parquet (one atomic
+    publish). A full at-least-once replay of every batch — simulated by
+    wiping the checkpoint so foreachBatch redelivers ids 0..n with the
+    state already at n — must re-apply nothing."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        stream_misra_gries_to_parquet,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        part_dir = tmp_path / f"part{i}"
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            str(part_dir), mode="overwrite"
+        )
+        part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        os.rename(part_dir / part, os.path.join(src, f"events{i}.parquet"))
+
+    out = str(tmp_path / "mg")
+    ckpt = str(tmp_path / "ckpt")
+    assert stream_misra_gries_to_parquet(spark, src, out, k=3, checkpoint=ckpt) == 3
+    state = spark.read.parquet(out)
+    # marker is embedded, not a side file
+    assert not os.path.exists(out + ".applied_batch")
+    assert state.agg(F.max("applied_batch")).collect()[0][0] == 2
+    before = {r["word"]: r["mg_cnt"] for r in state.collect()}
+
+    # wipe the checkpoint: the restarted query redelivers batches 0-2
+    # (at-least-once); the embedded marker must exclude every replay
+    shutil.rmtree(ckpt)
+    assert stream_misra_gries_to_parquet(spark, src, out, k=3, checkpoint=ckpt) == 0
+    after = {r["word"]: r["mg_cnt"] for r in spark.read.parquet(out).collect()}
+    assert after == before
+    # crash-window recovery: state parked at .prev is restored
+    os.replace(out, out + ".prev")
+    assert stream_misra_gries_to_parquet(
+        spark, src, out, k=3, checkpoint=str(tmp_path / "ckpt2")
+    ) == 0
+    restored = {r["word"]: r["mg_cnt"] for r in spark.read.parquet(out).collect()}
+    assert restored == before
