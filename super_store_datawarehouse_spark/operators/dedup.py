@@ -638,7 +638,10 @@ def embedding_near_dup_pairs(
                 {"id_a": a_ids[ai], "id_b": ids_b[bj], "cosine": cos[ai, bj]}
             )
 
-    probe = e.repartition(32)
+    # Spread the GEMM across the cluster's actual slot count — a literal
+    # partition count would cap the task parallelism (32 tasks on a
+    # 1000-core cluster) and force a pointless exchange at toy scale.
+    probe = e.repartition(spark.sparkContext.defaultParallelism)
     return probe.mapInPandas(score, "id_a long, id_b long, cosine double")
 
 

@@ -370,7 +370,8 @@ def q11_order_m_by_state(t: Tables) -> DataFrame:
     WITH sales_cte AS (
       SELECT cat.category_name, p.product_name, i.sales,
              SUM(i.sales) OVER (PARTITION BY cat.category_name
-               ORDER BY i.sales DESC ROWS UNBOUNDED PRECEDING) AS running_sales,
+               ORDER BY i.sales DESC, p.product_name ROWS UNBOUNDED PRECEDING)
+               AS running_sales,
              SUM(i.sales) OVER (PARTITION BY cat.category_name) AS total_category_sales
       FROM Item i
       JOIN Product p ON i.product_id = p.product_id
@@ -379,7 +380,7 @@ def q11_order_m_by_state(t: Tables) -> DataFrame:
     SELECT category_name, product_name, sales, running_sales, total_category_sales
     FROM sales_cte
     WHERE running_sales - sales < 0.8 * total_category_sales
-    ORDER BY category_name, running_sales DESC
+    ORDER BY category_name, running_sales DESC, product_name
     LIMIT 10
     """,
 )
@@ -389,9 +390,12 @@ def q12_qualified_majority(t: Tables) -> DataFrame:
         .join(F.broadcast(t["Product"].select("product_id", "product_name", "category_id")), "product_id")
         .join(F.broadcast(t["Category"]), "category_id")
     )
+    # product_name tie-breaks equal sales values in both the running
+    # window and the final LIMIT ordering, so the SQL and DataFrame
+    # twins are value-identical (not just count-identical) under ties.
     w_run = (
         Window.partitionBy("category_name")
-        .orderBy(F.desc("sales"))
+        .orderBy(F.desc("sales"), F.col("product_name"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_tot = Window.partitionBy("category_name")
@@ -407,7 +411,7 @@ def q12_qualified_majority(t: Tables) -> DataFrame:
             F.col("running_sales") - F.col("sales")
             < 0.8 * F.col("total_category_sales")
         )
-        .orderBy("category_name", F.desc("running_sales"))
+        .orderBy("category_name", F.desc("running_sales"), "product_name")
         .limit(10)
     )
 
@@ -418,7 +422,8 @@ def q12_qualified_majority(t: Tables) -> DataFrame:
     """
     SELECT cat.category_name,
            SUBSTRING_INDEX(
-             listagg(p.product_name, ', ') WITHIN GROUP (ORDER BY i.sales DESC),
+             listagg(p.product_name, ', ')
+               WITHIN GROUP (ORDER BY i.sales DESC, p.product_name),
              ', ', 10) AS top_products,
            SUM(i.sales) AS total_sales
     FROM Item i

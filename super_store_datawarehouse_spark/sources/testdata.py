@@ -65,10 +65,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        # Runtime-settable legacy conf: lets a TIMESTAMP(NANOS) file load
-        # (as long) in any caller's session; harmless for micros files.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        # Legacy-conf scoping: only a TIMESTAMP(NANOS) file needs
+        # nanosAsLong, and flipping a session-global legacy flag is a
+        # side effect micros-shaped callers shouldn't inherit. Read
+        # normally first; set the conf only when the NANOS schema
+        # actually rejects the plain read (schema inference is eager,
+        # so the failure surfaces here, not at execution).
+        try:
+            df = spark.read.parquet(path)
+        except Exception as exc:
+            if "NANOS" not in str(exc):
+                raise
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             df = df.withColumn(

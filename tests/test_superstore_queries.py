@@ -39,11 +39,8 @@ def test_sql_and_dataframe_twins_agree(spark, views, name):
     assert cols == sorted(api_df.columns)
     sql_rows = _canon(sql_df.collect(), cols)
     api_rows = _canon(api_df.collect(), cols)
-    if name in ("q12_qualified_majority", "q13_top_products_concat"):
-        # LIMIT after ties / ordered-concat of tied sales values can pick
-        # different-but-equally-correct rows; compare counts + keys only
-        assert len(sql_rows) == len(api_rows)
-        return
+    # q12/q13 carry explicit product_name tie-breakers in both twins,
+    # so every query asserts full value equality — no weakened cases.
     assert sql_rows == api_rows
 
 
@@ -76,3 +73,45 @@ def test_q10_percentage_reaches_100(views):
 def test_q13_ten_products_per_category(views):
     for r in run_df(views, "q13_top_products_concat").collect():
         assert len(r["top_products"].split(", ")) == 10
+
+
+def test_q01_literal_bug_divergence(spark, views):
+    """Execute the reference's literal (buggy) Q1 — J8, SURVEY §7.5 —
+    and prove the documented divergence instead of describing it: the
+    day-grain FK ``Orders.order_calendar_id`` probed into the
+    month-grain ``CalendarMonth.calendar_month_id`` PK silently matches
+    only the handful of calendar DAYS whose id happens to collide with
+    a month id (reference ``Data_Analysis.ipynb`` cell 1)."""
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.plans.superstore_queries import (
+        Q01_LITERAL_BUG_SQL,
+    )
+
+    t = views
+    max_month_id = t["CalendarMonth"].agg(
+        F.max("calendar_month_id")
+    ).collect()[0][0]
+    n_days = t["Calendar"].count()
+    # the grain mismatch is real: far more calendar days than month ids
+    assert max_month_id < n_days
+
+    buggy = spark.sql(Q01_LITERAL_BUG_SQL)
+    buggy_total = buggy.agg(F.sum("total_sales")).collect()[0][0]
+
+    # exactly the orders whose day-grain id collides with a month id
+    # survive the mis-keyed join — nothing more, nothing less
+    colliding = t["Orders"].filter(F.col("order_calendar_id") <= max_month_id)
+    expect_total = colliding.agg(F.sum("sales_order")).collect()[0][0]
+    assert float(buggy_total) == pytest.approx(float(expect_total), rel=1e-9)
+
+    # the intended query (day FK → day-grain Calendar → month rollup)
+    # accounts for ALL orders; the literal bug silently drops the rest
+    intended_total = (
+        run_df(views, "q01_sales_by_month")
+        .agg(F.sum("total_sales"))
+        .collect()[0][0]
+    )
+    all_orders_total = t["Orders"].agg(F.sum("sales_order")).collect()[0][0]
+    assert float(intended_total) == pytest.approx(float(all_orders_total), rel=1e-9)
+    assert float(buggy_total) < 0.1 * float(intended_total)
