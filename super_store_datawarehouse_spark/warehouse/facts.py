@@ -17,6 +17,18 @@ last-write-wins on duplicate probe keys. Here:
 
 Money casts to DECIMAL(10,2)/(3,2) happen once at the fact boundary,
 mirroring the DDL types (setup_database.sql:111-196).
+
+Aggregated money is summed in EXACT decimal, not double: raw CSV
+measures carry ≤4 fractional digits, so ``cast(decimal(18,4))`` before
+``SUM`` makes every rollup order-independent and bit-identical across
+partitionings — double summation is associative-order-sensitive, and at
+exact half-cent ties the final cent would otherwise depend on the
+shuffle layout (the reference's pandas float sums hit exactly this:
+see tests/test_golden_xlsx_parity.py, which pins each tie cell).
+Per-line derived doubles (lost_value has a division) are captured to
+10 fractional digits before summing — ≤5e-11 per-line capture error,
+far below any cent boundary at this grain. Ties round HALF_UP (away
+from zero), Spark's decimal cast semantics.
 """
 
 from __future__ import annotations
@@ -28,6 +40,8 @@ from super_store_datawarehouse_spark.functions.scalars import lost_value
 
 MONEY = "decimal(10,2)"
 DISCOUNT = "decimal(3,2)"
+EXACT = "decimal(18,4)"      # raw CSV measures: ≤4 fractional digits
+EXACT_DERIVED = "decimal(28,10)"  # per-line derived doubles (lost_value)
 
 
 def _customer_keys(customer: DataFrame) -> DataFrame:
@@ -130,9 +144,11 @@ def build_orders_fact(
         F.min_by("city", "row_id").alias("city"),
         F.min_by("ship_mode", "row_id").alias("ship_mode"),
         F.sum("quantity").alias("quantity_order"),
-        F.sum("sales").alias("sales_order"),
-        F.sum("profit").alias("profit_order"),
-        F.sum(lost_value("sales", "discount")).alias("lost_value_order"),
+        F.sum(F.col("sales").cast(EXACT)).alias("sales_order"),
+        F.sum(F.col("profit").cast(EXACT)).alias("profit_order"),
+        F.sum(lost_value("sales", "discount").cast(EXACT_DERIVED)).alias(
+            "lost_value_order"
+        ),
     )
     order_cal = _calendar_keys(calendar).select(
         F.col("calendar_id").alias("order_calendar_id"), F.col("full_date").alias("_od")
@@ -175,10 +191,12 @@ def build_order_m_fact(
         F.month("order_date").alias("_m"),
         F.col("state").alias("state_name"),
     ).agg(
-        F.sum("sales").alias("sales_month"),
+        F.sum(F.col("sales").cast(EXACT)).alias("sales_month"),
         F.sum("quantity").alias("quantity_month"),
-        F.sum("profit").alias("profit_month"),
-        F.sum(lost_value("sales", "discount")).alias("lost_value_month"),
+        F.sum(F.col("profit").cast(EXACT)).alias("profit_month"),
+        F.sum(lost_value("sales", "discount").cast(EXACT_DERIVED)).alias(
+            "lost_value_month"
+        ),
     )
     cm_keys = calendar_month.select(
         "calendar_month_id",
@@ -217,10 +235,13 @@ def build_product_performance_fact(
         F.year("order_date").alias("_y"),
         F.month("order_date").alias("_m"),
     ).agg(
-        F.sum("sales").alias("total_sales"),
-        F.sum("profit").alias("total_profit"),
+        F.sum(F.col("sales").cast(EXACT)).alias("total_sales"),
+        F.sum(F.col("profit").cast(EXACT)).alias("total_profit"),
         F.sum("quantity").alias("total_quantity"),
     )
+    # cumulative over the EXACT monthly profits (scale 4), rounded to
+    # money once per cell — matches the reference's round-at-insert of
+    # an unrounded running float sum, minus the float-order dust
     w = Window.partitionBy("category_name", "state_name").orderBy("_y", "_m")
     monthly = monthly.withColumn("cumulative_profit", F.sum("total_profit").over(w))
 
