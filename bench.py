@@ -50,7 +50,7 @@ HEADLINE = [
     "q35_ann_lsh_topk",
     "q37_asof_click_attribution",
     "q38_range_join_next24h",
-    "q40_group_median_price",
+    "x265_group_median_price",  # ex-q40; same computation, keeps the 24-query total comparable
     "q44_tfidf_top_terms",
     "q45_kmeans_clusters",
     "q46_gapfill_locf",
@@ -65,12 +65,12 @@ HEADLINE = [
 EXTENDED = [
     "x172_boilerplate_chunk_scrub",
     "x177_heavy_hitters_mg",
-    "x178_bpe_merges",
+    "q50_bpe_merges",
     "x180_ring_negative_sampling",
     "x181_incremental_join_delta",
-    "x188_hll_distinct_eval",
-    "x191_pca_power_iteration",
-    "x200_curation_pipeline_v2",
+    "q28_hll_distinct_eval",
+    "q41_pca_power_iteration",
+    "q42_curation_pipeline_v2",
     "x204_bpe_encode_report",
     "x207_source_datasheet",
 ]

@@ -36,7 +36,7 @@ BASELINE = {  # round-2, sf0.1, min-of-2 warm runs, Arrow drain (BASELINE.md)
     "q35_ann_lsh_topk": 0.79,
     "q37_asof_click_attribution": 0.31,
     "q38_range_join_next24h": 0.54,
-    "q40_group_median_price": 0.94,
+    "x265_group_median_price": 0.94,  # ex-q40, renamed in the round-4 slot rotation
     "q44_tfidf_top_terms": 0.74,
     "q45_kmeans_clusters": 0.85,
     "q46_gapfill_locf": 0.28,

@@ -36,7 +36,7 @@ ALLOW: dict[str, str] = {
     "q17_ngram_jaccard_pairs": "exact-baseline self-join (LSH twin: q19)",
     "q34_embedding_near_dup": "exact near-dup baseline (SemDeDup twin: x135)",
     "q20_ann_bruteforce_topk": "exact ANN baseline (LSH/IVF twins: q35/q42)",
-    "x133_selection_median": "selection-vs-sort demo on a scalar",
+    "q40_selection_median": "selection-vs-sort demo on a scalar",
     "x150_ann_recall_eval": "composes q20 exact baseline by design",
     "x213_ranking_metrics_eval": "composes q20 exact baseline by design",
     "x161_ppjoin_jaccard_pairs": "prefix-filter reference path (see SCALE.md)",
@@ -52,7 +52,7 @@ ALLOW: dict[str, str] = {
     # inner BroadcastNestedLoopJoins whose build side is k rows or a
     # scalar aggregate — the broadcast side is bounded by construction
     "q33_pq_ivf_ann_topk": "probe x sqrt(n)-row centroid table",
-    "q42_ivf_ann_topk": "probe x sqrt(n)-row centroid table",
+    "x263_ivf_ann_topk": "probe x sqrt(n)-row centroid table",
     "x125_pq_ann_topk": "probe x m-row codebook",
     "x134_pq_refined_topk": "probe x m-row codebook",
     "x132_knn_label_vote": "query-side != filter on a k-row broadcast",

@@ -831,7 +831,7 @@ _X39_COMPOSE = " + ".join(
 
 
 @harness_query(
-    "q41_simhash_portable",
+    "x262_simhash_portable",
     oracle=f"""
     WITH w AS (
       SELECT DISTINCT doc_id, word FROM (
@@ -852,7 +852,7 @@ _X39_COMPOSE = " + ".join(
     SELECT doc_id, {_X39_COMPOSE} AS simhash FROM b
     """,
 )
-def q41_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x262_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_portable(docs)
 
@@ -1148,7 +1148,7 @@ def x30_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same way in both engines, unlike engine-specific quantile interpolation.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q40_group_median_price",
+    "x265_group_median_price",
     oracle="""
     WITH c AS (
       SELECT l_returnflag,
@@ -1166,12 +1166,12 @@ def x30_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l_returnflag
     """,
 )
-def q40_group_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x265_group_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact group median, window formulation: one hash shuffle on the
     group key. With only 3 groups the per-group sort is single-threaded —
     measurably optimal at bench scale (no second exchange, no Python),
     but the sort funnel is the known few-groups scale ceiling;
-    x133_selection_median runs the identical selection through
+    q40_selection_median runs the identical selection through
     operators/selection.py's range-partitioned parallel ranking, the
     formulation that spreads the same sort across the cluster."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1359,7 +1359,7 @@ _E_FOLD = _COSINE_FOLD.format(
 
 
 @harness_query(
-    "q42_ivf_ann_topk",
+    "x263_ivf_ann_topk",
     oracle=f"""
     WITH e0 AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt({_E_FOLD}) AS nrm
@@ -1406,7 +1406,7 @@ _E_FOLD = _COSINE_FOLD.format(
     SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
     """,
 )
-def q42_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x263_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(emb, queries, k=5, centroid_fraction=0.03, nprobe=2)
@@ -2981,7 +2981,7 @@ _X73_MINS = ", ".join(
 
 
 @harness_query(
-    "q50_minhash_portable",
+    "x261_minhash_portable",
     oracle=f"""
     WITH w AS (
       SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
@@ -3005,7 +3005,7 @@ _X73_MINS = ", ".join(
     FROM h GROUP BY doc_id
     """,
 )
-def q50_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x261_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.dedup import minhash_portable
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3965,7 +3965,7 @@ def x132_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 # elements, so the q40 oracle verifies it verbatim.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x133_selection_median",
+    "q40_selection_median",
     oracle="""
     WITH c AS (
       SELECT l_returnflag,
@@ -3983,7 +3983,7 @@ def x132_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l_returnflag
     """,
 )
-def x133_selection_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q40_selection_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.selection import (
         grouped_median_cents,
     )
@@ -4986,7 +4986,7 @@ def x149_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x150_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = q20_ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
     ivf = (
-        q42_ivf_ann_topk(spark, sf_dir)
+        x263_ivf_ann_topk(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
     )
@@ -6845,8 +6845,8 @@ def _bpe_oracle(n_merges: int) -> str:
     return "WITH" + ",".join(ctes) + f"\n    {unions}\n    ORDER BY merge_rank"
 
 
-@harness_query("x178_bpe_merges", oracle=_bpe_oracle(3))
-def x178_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+@harness_query("q50_bpe_merges", oracle=_bpe_oracle(3))
+def q50_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.text import bpe_learn
 
     docs = load_table(spark, sf_dir, "documents")
@@ -7588,7 +7588,7 @@ def x187_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffles every user id.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x188_hll_distinct_eval",
+    "q28_hll_distinct_eval",
     oracle="""
     WITH h AS (
       SELECT event_type,
@@ -7626,7 +7626,7 @@ def x187_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type
     """,
 )
-def x188_hll_distinct_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q28_hll_distinct_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.sketches import hll_distinct
 
     events = load_table(spark, sf_dir, "events")
@@ -7875,8 +7875,8 @@ def _pca_oracle(n_iter: int) -> str:
     )
 
 
-@harness_query("x191_pca_power_iteration", oracle=_pca_oracle(3))
-def x191_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+@harness_query("q41_pca_power_iteration", oracle=_pca_oracle(3))
+def q41_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.clustering import (
         pca_power_iteration,
     )
@@ -8632,7 +8632,7 @@ def x199_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc and token counts per (split, lang).
 # --------------------------------------------------------------------------
 @harness_query(
-    "x200_curation_pipeline_v2",
+    "q42_curation_pipeline_v2",
     oracle=f"""
     WITH feat AS (
       SELECT doc_id, lang,
@@ -8684,7 +8684,7 @@ def x199_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM drawn GROUP BY 1, 2 ORDER BY split, lang
     """,
 )
-def x200_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q42_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.sampling import (
         hash_bucket,
         knuth_hash,

@@ -1041,7 +1041,7 @@ def q27_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @harness_query(
-    "q28_returned_item_revenue",
+    "x264_returned_item_revenue",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
            CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
@@ -1055,7 +1055,7 @@ def q27_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
 )
-def q28_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x264_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-lines filter on the fact scan, customer
     revenue ranking, top-20."""
     c = load_table(spark, sf_dir, "customer")
