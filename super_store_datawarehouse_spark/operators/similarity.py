@@ -49,36 +49,70 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Broadcast-join the query set against the corpus (no shuffle of the
-    corpus), rank per query with a window. Self-matches are excluded.
-    Norms are computed once per vector, not once per pair, so the
-    per-pair work is a single dot-product fold — the arithmetic
-    (dot/(q_norm·c_norm)) is unchanged and stays bit-exact vs the oracle.
+    Executed as a blocked GEMM (the q34 technique): the query set is
+    collected + broadcast (the small side — it was a broadcast join
+    before too) and each corpus batch scores every query with
+    ascending-dimension outer-product accumulation, so every cosine is
+    bit-identical to the SQL ``aggregate(zip_with(...))`` fold. Each
+    batch emits only its local top-k per query under the same total
+    order the final window uses (cosine desc, neighbor_id asc; each
+    batch is pre-sorted by neighbor_id so a stable argsort reproduces
+    the tie order exactly) — the global top-k is contained in the union
+    of batch-local top-ks, so the final window over batches×queries×k
+    slim rows is exact. Self-matches are excluded. The former
+    per-pair interpreted fold measured ~8 µs per pair — 8 minutes for a
+    4k×16k scoring — vs milliseconds as a GEMM.
     """
-    c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("cv"),
+    spark = corpus.sparkSession
+    q = _prep(queries, id_col, vec_col, "query_id", "qv", "qnrm")
+    q_rows = q.toPandas()
+    if len(q_rows) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, cosine double"
         )
-        .withColumn("cnrm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
-        .filter(F.col("cnrm") > 0)  # zero-norm rows have no cosine
+    q_ids = q_rows["query_id"].to_numpy()
+    q_mat = np.stack(q_rows["qv"].to_numpy())
+    q_nrm = q_rows["qnrm"].to_numpy()
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm))
+    kk = k
+
+    def score(batches):
+        ids_q, mat_q, nrm_q = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            order = np.argsort(pdf["neighbor_id"].to_numpy())
+            vids = pdf["neighbor_id"].to_numpy()[order]
+            mat = np.stack(pdf["cv"].to_numpy())[order]
+            nrm = pdf["cnrm"].to_numpy()[order]
+            cdot = np.zeros((len(vids), len(ids_q)))
+            for d in range(mat.shape[1]):
+                cdot += np.outer(mat[:, d], mat_q[:, d])
+            cos = cdot / np.outer(nrm, nrm_q)
+            # exclude self-matches from ranking entirely
+            cos[vids[:, None] == ids_q[None, :]] = -np.inf
+            take = min(kk, len(vids))
+            # stable argsort on -cos keeps neighbor_id-ascending ties
+            sel = np.argsort(-cos, axis=0, kind="stable")[:take]
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(ids_q)):
+                rows = sel[:, qi]
+                keep = np.isfinite(cos[rows, qi])
+                rows = rows[keep]
+                out_q.extend([ids_q[qi]] * len(rows))
+                out_n.extend(vids[rows])
+                out_c.extend(cos[rows, qi])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "cv", "cnrm").select(
+        "neighbor_id", "cv", "cnrm"
     )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("qv"),
-        )
-        .withColumn("qnrm", F.sqrt(dot(F.col("qv"), F.col("qv"))))
-        .filter(F.col("qnrm") > 0)
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))).alias("cosine"),
-        )
-    )
+    target = spark.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < target:
+        c = c.repartition(target)
+    scored = c.mapInPandas(score, "query_id long, neighbor_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -4825,33 +4825,29 @@ def x148_cross_split_embedding_contamination(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from super_store_datawarehouse_spark.operators.sampling import split_column
-    from super_store_datawarehouse_spark.operators.similarity import dot
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = (
-        emb.select(
-            "vec_id",
-            split_column("vec_id").alias("split"),
-            F.col("embedding").cast("array<double>").alias("v"),
-        )
-        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
-        .filter(F.col("nrm") > 0)
+    tagged = emb.select(
+        "vec_id", split_column("vec_id").alias("split"), "embedding"
     )
-    ev = e.filter(F.col("split") != "train").alias("ev")
-    tr = e.filter(F.col("split") == "train").alias("tr")
-    scored = ev.crossJoin(F.broadcast(tr)).select(
-        F.col("ev.vec_id").alias("eval_id"),
-        F.col("ev.split").alias("split"),
-        F.col("tr.vec_id").alias("train_id"),
-        (
-            dot(F.col("ev.v"), F.col("tr.v")) / (F.col("ev.nrm") * F.col("tr.nrm"))
-        ).alias("cosine"),
+    ev = tagged.filter(F.col("split") != "train")
+    tr = tagged.filter(F.col("split") == "train")
+    # nearest train vector per held-out vector = brute_force_topk(k=1)
+    # with the train split as the corpus — the GEMM path, bit-exact to
+    # the former crossJoin + window form (same fold, same tie order)
+    nn = similarity.brute_force_topk(
+        corpus=tr.select("vec_id", "embedding"),
+        queries=ev.select("vec_id", "embedding"),
+        k=1,
     )
-    w = Window.partitionBy("eval_id").orderBy(F.desc("cosine"), "train_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("eval_id", "split", "train_id", "cosine")
+        nn.join(ev.select(F.col("vec_id").alias("query_id"), "split"), "query_id")
+        .select(
+            F.col("query_id").alias("eval_id"),
+            "split",
+            F.col("neighbor_id").alias("train_id"),
+            "cosine",
+        )
         .orderBy("eval_id")
     )
 
