@@ -685,22 +685,65 @@ def pq_refined_codebook(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
     quant = F.transform(F.col("cv"), lambda x: (x * scale).cast("long"))
-    qsub = e.select(
-        "vid",
-        F.posexplode(
-            F.array(*[F.slice("v", j * sd + 1, sd) for j in range(m)])
-        ).alias("j", "cv"),
-    ).select("vid", "j", quant.alias("qv"))
     cb0 = _pq_sampled_codebook(e, m, sd, codebook_buckets, salt).select(
         "code", "j", quant.alias("qc")
     )
-    w = Window.partitionBy("vid", "j").orderBy("d", "code")
-    assigned = (
-        qsub.join(F.broadcast(cb0), "j")
-        .withColumn("d", int_sq_l2(F.col("qv"), F.col("qc")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("vid", "j", "code", "qv")
+    # Assignment as an integer GEMM over Arrow batches: integer addition
+    # is order-free, so exactness needs no fold-order care here — only
+    # the tie rule (lowest code id at equal distance), which the
+    # code-ascending layout + argmin's first-minimum reproduces. The
+    # former broadcast join scored n·m·|codebook| rows through an
+    # interpreted fold into a ranking window — 313 s at the sf1 probe.
+    spark = corpus.sparkSession
+    cb_pdf = cb0.toPandas()
+    if len(cb_pdf) == 0:
+        return spark.createDataFrame([], "code long, j int, cv array<double>")
+    per_j = {}
+    for j_val in sorted(cb_pdf["j"].unique()):
+        rows_j = cb_pdf[cb_pdf["j"] == j_val].sort_values("code")
+        per_j[int(j_val)] = (
+            rows_j["code"].to_numpy(),
+            np.stack(rows_j["qc"].to_numpy()).astype(np.int64),
+        )
+    bc = spark.sparkContext.broadcast(per_j)
+    scale_f = float(scale)
+
+    def assign(batches):
+        books = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["v"].to_numpy())
+            vids = pdf["vid"].to_numpy()
+            out = []
+            for j_val, (ids_j, mat_j) in books.items():
+                # trunc-toward-zero == Spark's double→long cast
+                qsub_j = np.trunc(
+                    a[:, j_val * sd:(j_val + 1) * sd] * scale_f
+                ).astype(np.int64)
+                dist = np.zeros((len(vids), len(ids_j)), dtype=np.int64)
+                for d in range(sd):
+                    diff = qsub_j[:, d, None] - mat_j[None, :, d]
+                    dist += diff * diff
+                best = np.argmin(dist, axis=1)  # first min = lowest code
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vid": vids,
+                            "j": np.full(len(vids), j_val, dtype=np.int32),
+                            "code": ids_j[best],
+                            "qv": list(qsub_j),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    e2 = e
+    target = spark.sparkContext.defaultParallelism
+    if e2.rdd.getNumPartitions() < target:
+        e2 = e2.repartition(target)
+    assigned = e2.mapInPandas(
+        assign, "vid long, j int, code long, qv array<long>"
     )
     comp = assigned.select(
         "j", "code", F.posexplode("qv").alias("i", "val")

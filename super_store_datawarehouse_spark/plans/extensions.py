@@ -10052,23 +10052,30 @@ def x215_postinglist_bit_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x216_encoding_advisor",
     oracle="""
     WITH ordered AS (
-      SELECT l_returnflag, l_linestatus,
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
              CAST(epoch_us(l_shipdate) AS VARCHAR) AS l_shipdate,
-             CAST(ROUND(l_quantity) AS BIGINT) AS l_quantity,
-             row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS pos
+             CAST(ROUND(l_quantity) AS BIGINT) AS l_quantity
       FROM lineitem
     ), cols AS (
-      SELECT 'l_returnflag' AS col, CAST(l_returnflag AS VARCHAR) AS v, pos
+      SELECT 'l_returnflag' AS col, CAST(l_returnflag AS VARCHAR) AS v,
+             l_orderkey, l_linenumber
       FROM ordered
       UNION ALL
-      SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR), pos FROM ordered
+      SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR),
+             l_orderkey, l_linenumber FROM ordered
       UNION ALL
-      SELECT 'l_shipdate', l_shipdate, pos FROM ordered
+      SELECT 'l_shipdate', l_shipdate, l_orderkey, l_linenumber FROM ordered
       UNION ALL
-      SELECT 'l_quantity', CAST(l_quantity AS VARCHAR), pos FROM ordered
+      SELECT 'l_quantity', CAST(l_quantity AS VARCHAR),
+             l_orderkey, l_linenumber FROM ordered
     ), runs AS (
-      SELECT col, v, pos,
-             CASE WHEN lag(v) OVER (PARTITION BY col ORDER BY pos)
+      -- (orderkey, linenumber) is not unique in the synthetic data, so
+      -- the value itself is the final sort key: the order is total up
+      -- to rows that are fully identical, whose permutation cannot
+      -- change any run count
+      SELECT col, v,
+             CASE WHEN lag(v) OVER (PARTITION BY col
+                    ORDER BY l_orderkey, l_linenumber, v)
                        IS DISTINCT FROM v THEN 1 ELSE 0 END AS is_run_start
       FROM cols
     ), stats AS (
@@ -10088,38 +10095,82 @@ def x215_postinglist_bit_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x216_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-level run counting: a global row_number over (orderkey,
+    # linenumber) funnels the whole table through ONE task (64 s at the
+    # sf1 probe). Instead, run starts split exactly into (a) starts
+    # WITHIN an order — a per-orderkey window, fully parallel — and
+    # (b) starts at order boundaries — one slim window over per-order
+    # (first, last) value rows, |orders| long, 16× narrower than the
+    # raw stream here and recursively reducible if ever needed. The
+    # totals are identical to the oracle's global-window formulation.
     li = load_table(spark, sf_dir, "lineitem")
-    ordered = li.select(
-        "l_returnflag",
-        "l_linestatus",
+    cols = ["l_returnflag", "l_linestatus", "l_shipdate", "l_quantity"]
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").cast("string").alias("c0"),
+        F.col("l_linestatus").cast("string").alias("c1"),
         F.unix_micros(F.col("l_shipdate").cast("timestamp"))
         .cast("string")
-        .alias("l_shipdate"),
-        F.round("l_quantity").cast("long").alias("l_quantity"),
-        F.row_number()
-        .over(Window.orderBy("l_orderkey", "l_linenumber"))
-        .alias("pos"),
+        .alias("c2"),
+        F.round("l_quantity").cast("long").cast("string").alias("c3"),
     )
-    cols = None
-    for c in ("l_returnflag", "l_linestatus", "l_shipdate", "l_quantity"):
-        part = ordered.select(
-            F.lit(c).alias("col"), F.col(c).cast("string").alias("v"), "pos"
+    # per-column within-order windows ordered (linenumber, value): the
+    # value tie-break makes the order total wherever it matters, since
+    # (orderkey, linenumber) repeats in the synthetic data
+    def w_in(i: int) -> Window:
+        return Window.partitionBy("l_orderkey").orderBy(
+            "l_linenumber", f"c{i}"
         )
-        cols = part if cols is None else cols.unionByName(part)
-    runs = cols.withColumn(
-        "is_run_start",
-        F.when(
-            ~F.lag("v")
-            .over(Window.partitionBy("col").orderBy("pos"))
-            .eqNullSafe(F.col("v")),
-            1,
-        ).otherwise(0),
+
+    flagged = base.select(
+        *[f"c{i}" for i in range(4)],
+        *[
+            F.when(
+                F.lag(f"c{i}").over(w_in(i)).isNotNull()
+                & ~F.lag(f"c{i}").over(w_in(i)).eqNullSafe(F.col(f"c{i}")),
+                1,
+            )
+            .otherwise(0)
+            .alias(f"s{i}")
+            for i in range(4)
+        ],
     )
-    stats = runs.groupBy("col").agg(
+    totals = flagged.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct("v").alias("n_distinct"),
-        F.sum("is_run_start").alias("n_runs"),
+        *[F.sum(f"s{i}").alias(f"inner{i}") for i in range(4)],
+        *[F.count_distinct(f"c{i}").alias(f"nd{i}") for i in range(4)],
     )
+    per_order = base.groupBy("l_orderkey").agg(
+        *[
+            F.min_by(f"c{i}", F.struct("l_linenumber", f"c{i}")).alias(f"first{i}")
+            for i in range(4)
+        ],
+        *[
+            F.max_by(f"c{i}", F.struct("l_linenumber", f"c{i}")).alias(f"last{i}")
+            for i in range(4)
+        ],
+    )
+    w_ord = Window.orderBy("l_orderkey")
+    boundary = per_order.select(
+        *[
+            F.when(
+                F.lag(f"last{i}").over(w_ord).eqNullSafe(F.col(f"first{i}")), 0
+            )
+            .otherwise(1)
+            .alias(f"b{i}")
+            for i in range(4)
+        ]
+    ).agg(*[F.sum(f"b{i}").alias(f"bnd{i}") for i in range(4)])
+    one = totals.crossJoin(F.broadcast(boundary))
+    stack = (
+        "stack(4, "
+        + ", ".join(
+            f"'{cols[i]}', inner{i} + bnd{i}, nd{i}" for i in range(4)
+        )
+        + ") AS (col, n_runs, n_distinct)"
+    )
+    stats = one.selectExpr("n_rows", stack)
     return stats.selectExpr(
         "col",
         "cast(n_rows AS bigint) AS n_rows",
@@ -11560,9 +11611,16 @@ def x236_simpsons_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("xday"),
         F.round(F.col("o_totalprice")).cast("long").alias("y"),
     )
+    # moment comparison in DECIMAL(38,0): n·Σxy grows past int64 around
+    # 10⁶ rows (long-overflowed at the sf1 probe); DuckDB's SUM(BIGINT)
+    # is already HUGEINT, so widening the Spark side keeps both engines
+    # exact. Only the sign leaves this expression, so the output schema
+    # is unchanged.
     sign = (
-        "CASE WHEN count(1) * sum(xday * y) - sum(xday) * sum(y) > 0 THEN 1 "
-        "WHEN count(1) * sum(xday * y) - sum(xday) * sum(y) < 0 THEN -1 "
+        "CASE WHEN cast(count(1) as decimal(38,0)) * cast(sum(xday * y) as decimal(38,0))"
+        " - cast(sum(xday) as decimal(38,0)) * cast(sum(y) as decimal(38,0)) > 0 THEN 1 "
+        "WHEN cast(count(1) as decimal(38,0)) * cast(sum(xday * y) as decimal(38,0))"
+        " - cast(sum(xday) as decimal(38,0)) * cast(sum(y) as decimal(38,0)) < 0 THEN -1 "
         "ELSE 0 END"
     )
     pooled = base.agg(F.expr(sign).cast("long").alias("pooled_sign"))
