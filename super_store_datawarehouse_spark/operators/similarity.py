@@ -280,7 +280,7 @@ def _prep(df: DataFrame, id_col: str, vec_col: str, id_out: str, v: str, nrm: st
 
 def ivf_centroids(
     corpus: DataFrame,
-    fraction: float = 0.03,
+    fraction: float | str = 0.03,
     id_col: str = "vec_id",
     salt: int = 7,
 ) -> DataFrame:
@@ -293,9 +293,22 @@ def ivf_centroids(
     see ``operators.sampling``), and preserves the property IVF needs:
     centroid density follows data density. No global sort/limit, so it
     scales to any corpus size.
+
+    ``fraction="auto"`` picks the textbook nlist ≈ √n: fraction =
+    1/√n, so assignment cost is n^1.5 and expected cell size is √n —
+    the balance real IVF deployments use. A FIXED fraction makes
+    assignment O(fraction·n²), fine for an oracle-pinned configuration
+    at test scale but not the setting to ship at 100 TB. ("auto" costs
+    one count() before planning; the oracle-pinned harness queries keep
+    fixed fractions because a static SQL oracle can't see n.)
     """
+    import math
+
     from super_store_datawarehouse_spark.operators.sampling import hash_sample
 
+    if fraction == "auto":
+        n = corpus.count()
+        fraction = 1.0 / math.sqrt(n) if n else 1.0
     return hash_sample(corpus, id_col, fraction, salt=salt)
 
 
@@ -370,7 +383,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    centroid_fraction: float = 0.03,
+    centroid_fraction: float | str = 0.03,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -824,7 +837,7 @@ def pq_ivf_topk(
     dim: int | None = None,
     codebook_buckets: int = 300,
     salt: int = 13,
-    centroid_fraction: float = 0.03,
+    centroid_fraction: float | str = 0.03,
     nprobe: int = 2,
     centroid_salt: int = 7,
     vec_col: str = "embedding",

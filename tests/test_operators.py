@@ -675,6 +675,30 @@ def test_scrub_pii_handles_userinfo_urls(spark):
     assert out == "see <URL> and mail <EMAIL> now"
 
 
+def test_ivf_auto_centroids_scale_as_sqrt_n(spark):
+    """fraction='auto' sizes the centroid set ≈ √n (the textbook nlist),
+    so assignment stays n^1.5 instead of O(fraction·n²) at scale."""
+    import random
+
+    from super_store_datawarehouse_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    rng = random.Random(7)
+    n = 400
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    n_cents = ivf_centroids(df, fraction="auto").count()
+    # hash sampling at rate 1/√n: expect √n ± generous binomial slack
+    assert 8 <= n_cents <= 40, n_cents   # √400 = 20
+    out = ivf_topk(df, df.filter("vec_id < 3"), k=3,
+                   centroid_fraction="auto", nprobe=2)
+    got = out.collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2}
+    assert all(1 <= r["rank"] <= 3 for r in got)
+
+
 def test_ivf_assignment_covers_corpus_and_topk_is_exact_in_cell(spark):
     """Every nonzero vector gets exactly one cell; IVF top-1 for a query
     whose nearest neighbor shares its cell equals brute-force top-1."""
@@ -2177,6 +2201,41 @@ def test_decode_assets_real_image_roundtrip(spark):
     else:
         with Image.open(io.BytesIO(png)) as img:
             assert (img.width, img.height) == (37, 11)
+
+
+def test_decode_audio_meta_real_wav_roundtrip(spark):
+    """decode_audio_meta must return the ACTUAL channels/rate/bits/
+    frame count of a genuine WAV payload (written by stdlib `wave`)."""
+    import io
+    import wave
+
+    from super_store_datawarehouse_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        decode_audio_meta,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)          # 16-bit
+        w.setframerate(8000)
+        w.writeframes(b"\x01\x02\x03\x04" * 1200)   # 1200 stereo frames
+    wav = buf.getvalue()
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(wav), "audio/wav"),
+            (2, bytearray(b"not audio"), "application/octet-stream"),
+        ],
+        ASSET_SCHEMA,
+    )
+    got = {r["asset_id"]: r for r in decode_audio_meta(assets).collect()}
+    r1 = got[1]
+    assert (r1["channels"], r1["sample_rate_hz"], r1["bits_per_sample"]) == (2, 8000, 16)
+    assert r1["n_frames"] == 1200
+    assert r1["duration_ms"] == 1200 * 1000 // 8000   # 150 ms
+    assert r1["byte_len"] == len(wav)
+    r2 = got[2]
+    assert r2["channels"] is None and r2["n_frames"] is None
 
 
 def test_decode_assets_unrecognized_payload_modes(spark):
