@@ -666,6 +666,13 @@ def embedding_near_dup_pairs(
     b_nrm = b_nrm[keep]
     bc = spark.sparkContext.broadcast((b_ids, b_mat, b_nrm))
 
+    # tile width over the broadcast side: bounds each task's score
+    # matrix to rows×TILE doubles (~160 MB at the default Arrow batch),
+    # independent of corpus size — at 80k vectors the untiled matrix was
+    # ~2 GB per worker. Per-pair arithmetic is tile-local and complete
+    # (all dimensions), so tiling changes nothing numerically.
+    tile = 8192
+
     def score(batches):
         ids_b, mat_b, nrm_b = bc.value
         for pdf in batches:
@@ -682,15 +689,21 @@ def embedding_near_dup_pairs(
             a_mat, a_ids, a_nrm = a_mat[ok], a_ids[ok], a_nrm[ok]
             if len(a_ids) == 0:
                 continue
-            c = np.zeros((len(a_ids), len(ids_b)))
-            for d in range(dim):
-                c += np.outer(a_mat[:, d], mat_b[:, d])
-            cos = c / np.outer(a_nrm, nrm_b)
-            mask = (a_ids[:, None] < ids_b[None, :]) & (cos >= threshold)
-            ai, bj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": ids_b[bj], "cosine": cos[ai, bj]}
-            )
+            for t0 in range(0, len(ids_b), tile):
+                mb = mat_b[t0:t0 + tile]
+                ib = ids_b[t0:t0 + tile]
+                nb = nrm_b[t0:t0 + tile]
+                c = np.zeros((len(a_ids), len(ib)))
+                for d in range(dim):
+                    c += np.outer(a_mat[:, d], mb[:, d])
+                cos = c / np.outer(a_nrm, nb)
+                mask = (a_ids[:, None] < ib[None, :]) & (cos >= threshold)
+                ai, bj = np.nonzero(mask)
+                if len(ai) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {"id_a": a_ids[ai], "id_b": ib[bj], "cosine": cos[ai, bj]}
+                )
 
     # Spread the GEMM across the cluster's actual slot count — a literal
     # partition count would cap the task parallelism (32 tasks on a
