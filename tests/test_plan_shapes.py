@@ -152,3 +152,31 @@ def test_x172_scrub_counts_via_window_not_join(plans):
     # corpus-frequency flagging is a window over chunk — no self-join
     assert "Window" in p
     assert "SortMergeJoin" not in p
+
+
+def test_q33_ivfadc_scores_via_gemm_not_bnlj(plans):
+    p = plans("q33_pq_ivf_ann_topk")
+    # round-4 GEMM rewrite: the CORPUS-wide stages (IVF assignment, PQ
+    # encode) run in mapInPandas over broadcast numpy matrices. The one
+    # BNLJ allowed to remain is the per-QUERY ADC distance-table build
+    # (|queries| x codebook, both broadcast-tiny, declared in
+    # PLAN_AUDIT) — so exactly one occurrence, and the Python stages
+    # must be present
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert "MapInPandas" in p
+
+
+def test_q20_bruteforce_scores_via_gemm(plans):
+    p = plans("q20_ann_bruteforce_topk")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "MapInPandas" in p
+    # final exact ranking stays a slim window over candidates
+    assert "Window" in p
+
+
+def test_x161_ppjoin_verifies_with_arrays_not_expansion(plans):
+    p = plans("x161_ppjoin_jaccard_pairs")
+    # round-4: candidate verification joins compact shingle ARRAYS and
+    # intersects natively — the pair x shingle expansion re-join is gone
+    assert "array_intersect" in p
+    assert "CartesianProduct" not in p
