@@ -1,0 +1,172 @@
+"""Persisted IVF index: build once, update incrementally, query many.
+
+The harness ANN queries (q33/q42/x263) rebuild their index inside the
+query plan — right for oracle replay, wrong as a deployment shape: a
+production corpus is indexed ONCE, appended to as batches arrive, and
+queried many times. This module persists the IVF structure as two
+parquet tables under an index directory:
+
+- ``centroids/``  (centroid_id, embedding) — the coarse quantizer,
+  frozen at build time (the standard IVF contract: updates assign new
+  vectors to EXISTING cells; re-training centroids is an offline
+  rebuild, exactly like FAISS);
+- ``cells/``      (vid, centroid_id, embedding) — the inverted lists,
+  written sorted by centroid_id so min/max row-group stats let a
+  cell-filtered scan skip non-probed cells.
+
+Searches load only the k-row centroid table to the driver (via the
+GEMM assigner), then join the probed cells by centroid_id — per-query
+work is O(|corpus| · nprobe / n_centroids) expected, the same bound as
+the in-plan ``ivf_topk``, with bit-identical arithmetic (same fold,
+same tie order), which the equivalence test pins exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from super_store_datawarehouse_spark.operators.similarity import (
+    _prep,
+    dot,
+    ivf_assign,
+    ivf_centroids,
+)
+
+
+def _paths(path: str) -> tuple[str, str]:
+    return os.path.join(path, "centroids"), os.path.join(path, "cells")
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    path: str,
+    fraction: float | str = "auto",
+    salt: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build and persist the index; returns {n_centroids, n_vectors}."""
+    cent_path, cell_path = _paths(path)
+    cents = ivf_centroids(corpus, fraction, id_col, salt=salt).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("embedding")
+    )
+    cents.write.mode("overwrite").parquet(cent_path)
+
+    spark = corpus.sparkSession
+    stored = spark.read.parquet(cent_path)
+    assign = ivf_assign(
+        corpus,
+        stored.select(
+            F.col("centroid_id").alias(id_col), F.col("embedding").alias(vec_col)
+        ),
+        1,
+        id_col,
+        vec_col,
+        "vid",
+    )
+    cells = (
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("embedding"))
+        .join(assign, "vid")
+        # sort by cell id: parquet row-group min/max stats then prune
+        # non-probed cells at search time
+        .sortWithinPartitions("centroid_id")
+    )
+    cells.write.mode("overwrite").parquet(cell_path)
+    made = spark.read.parquet(cell_path)
+    return {
+        "n_centroids": stored.count(),
+        "n_vectors": made.count(),
+    }
+
+
+def ivf_index_update(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append a batch: assign new vectors to the EXISTING centroids and
+    append their cell rows — O(batch), no index rebuild. Returns rows
+    appended."""
+    cent_path, cell_path = _paths(path)
+    stored = spark.read.parquet(cent_path)
+    assign = ivf_assign(
+        new_vectors,
+        stored.select(
+            F.col("centroid_id").alias(id_col), F.col("embedding").alias(vec_col)
+        ),
+        1,
+        id_col,
+        vec_col,
+        "vid",
+    )
+    rows = (
+        new_vectors.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("embedding")
+        )
+        .join(assign, "vid")
+        .sortWithinPartitions("centroid_id")
+    )
+    rows.write.mode("append").parquet(cell_path)
+    return rows.count()
+
+
+def ivf_index_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k per query over the persisted index. Same arithmetic and
+    tie order as ``similarity.ivf_topk`` — only the corpus side comes
+    from the stored inverted lists instead of an in-plan assignment."""
+    cent_path, cell_path = _paths(path)
+    stored = spark.read.parquet(cent_path)
+    q_assign = ivf_assign(
+        queries,
+        stored.select(
+            F.col("centroid_id").alias(id_col), F.col("embedding").alias(vec_col)
+        ),
+        nprobe,
+        id_col,
+        vec_col,
+        "query_id",
+    )
+    cells = (
+        spark.read.parquet(cell_path)
+        .select(
+            F.col("vid").alias("neighbor_id"),
+            "centroid_id",
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+        .withColumn("cnrm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+        .filter(F.col("cnrm") > 0)
+    )
+    q = _prep(queries, id_col, vec_col, "query_id", "qv", "qnrm").join(
+        q_assign, "query_id"
+    )
+    scored = (
+        cells.join(q, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,67 @@
+"""Persisted IVF index lifecycle: build ≡ the in-plan operator,
+incremental update appends O(batch) into existing cells, search over
+the stored index is bit-identical to ivf_topk."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from super_store_datawarehouse_spark.operators.ann_index import (
+    ivf_index_build,
+    ivf_index_search,
+    ivf_index_update,
+)
+from super_store_datawarehouse_spark.operators.similarity import ivf_topk
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_build_then_search_equals_in_plan_ivf(spark, vectors, tmp_path):
+    path = str(tmp_path / "ivf")
+    stats = ivf_index_build(vectors, path, fraction=0.05, salt=7)
+    assert stats["n_vectors"] == 300
+    assert 2 <= stats["n_centroids"] <= 40
+
+    queries = vectors.filter("vec_id < 5")
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_index_search(spark, path, queries, k=3, nprobe=2).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_topk(
+            vectors, queries, k=3, centroid_fraction=0.05, nprobe=2
+        ).collect()
+    }
+    assert got == want  # same centroids, same fold, same ties — bit-equal
+
+
+def test_incremental_update_appends_into_existing_cells(spark, vectors, tmp_path):
+    path = str(tmp_path / "ivf2")
+    first = vectors.filter("vec_id < 200")
+    batch = vectors.filter("vec_id >= 200")
+    ivf_index_build(first, path, fraction=0.05, salt=7)
+    cent_ids = {
+        r["centroid_id"]
+        for r in spark.read.parquet(path + "/centroids").collect()
+    }
+    appended = ivf_index_update(spark, path, batch)
+    assert appended == 100
+
+    cells = spark.read.parquet(path + "/cells")
+    assert cells.count() == 300
+    # the update used ONLY pre-existing centroids (frozen quantizer)
+    used = {r["centroid_id"] for r in cells.select("centroid_id").distinct().collect()}
+    assert used <= cent_ids
+    # new vectors are findable: query one of the appended vectors
+    q = batch.filter("vec_id = 250")
+    hits = ivf_index_search(spark, path, q, k=3, nprobe=2).collect()
+    assert len(hits) >= 1
+    assert all(r["query_id"] == 250 for r in hits)
