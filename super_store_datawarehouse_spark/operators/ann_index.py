@@ -73,6 +73,10 @@ def ivf_index_build(
         # sort by cell id: parquet row-group min/max stats then prune
         # non-probed cells at search time
         .sortWithinPartitions("centroid_id")
+        # applied_batch = -1 marks build/batch-update rows; the
+        # streaming face writes its micro-batch id here so replays can
+        # be excluded with the marker INSIDE the same parquet commit
+        .withColumn("applied_batch", F.lit(-1).cast("long"))
     )
     cells.write.mode("overwrite").parquet(cell_path)
     made = spark.read.parquet(cell_path)
@@ -88,6 +92,7 @@ def ivf_index_update(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    applied_batch: int = -1,
 ) -> int:
     """Append a batch: assign new vectors to the EXISTING centroids and
     append their cell rows — O(batch), no index rebuild. Returns rows
@@ -110,6 +115,7 @@ def ivf_index_update(
         )
         .join(assign, "vid")
         .sortWithinPartitions("centroid_id")
+        .withColumn("applied_batch", F.lit(applied_batch).cast("long"))
     )
     rows.write.mode("append").parquet(cell_path)
     return rows.count()

@@ -30,10 +30,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver writes as of round 3) are cast — identical wall-clock under
     the UTC session TZ.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        spark.read.option("pathGlobFilter", "events*.parquet").parquet(sf_dir).schema
-    )
+    # same legacy-conf scoping as sources/testdata.py: set nanosAsLong
+    # only when a TIMESTAMP(NANOS) file actually rejects the plain read
+    try:
+        schema = (
+            spark.read.option("pathGlobFilter", "events*.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
+    except Exception as exc:
+        if "NANOS" not in str(exc):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = (
+            spark.read.option("pathGlobFilter", "events*.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
     # file streams require a directory source; glob-filter the one table
     stream = (
         spark.readStream.schema(schema)
@@ -918,6 +931,72 @@ def stream_drift_monitor(
         batches["n"] += 1
 
     writer = ev.writeStream.outputMode("append").foreachBatch(monitor_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return batches["n"]
+
+
+def stream_ivf_index_update(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint: str | None = None,
+) -> int:
+    """Streaming face of the persisted IVF index
+    (``operators/ann_index.py``): embedding batches arriving as
+    ``embeddings*.parquet`` files are assigned to the FROZEN coarse
+    quantizer and appended to the inverted lists — the index stays
+    queryable throughout, never rebuilt.
+
+    Exactly-once: appends are additive, so replayed micro-batches are
+    excluded with the applied-batch id written INSIDE each appended
+    parquet commit (``applied_batch`` column, same pattern as the
+    Misra–Gries sink) — there is no separate marker file to fall out
+    of sync with the data. Returns micro-batches applied.
+    """
+    from super_store_datawarehouse_spark.operators.ann_index import (
+        ivf_index_update,
+    )
+
+    schema = (
+        spark.read.option("pathGlobFilter", "embeddings*.parquet")
+        .parquet(src_dir)
+        .schema
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "embeddings*.parquet")
+        .parquet(src_dir)
+    )
+    cell_path = os.path.join(index_path, "cells")
+    batches = {"n": 0}
+
+    def last_applied() -> int:
+        try:
+            row = (
+                spark.read.parquet(cell_path)
+                .agg(F.max("applied_batch"))
+                .collect()[0]
+            )
+            return -1 if row[0] is None else row[0]
+        except Exception:
+            return -1
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_applied():
+            return
+        ivf_index_update(
+            batch_df.sparkSession, index_path, batch_df, applied_batch=batch_id
+        )
+        batches["n"] += 1
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(apply_batch)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()

@@ -874,3 +874,58 @@ def test_stream_misra_gries_replay_guard_is_atomic(tmp_path, spark):
     ) == 0
     restored = {r["word"]: r["mg_cnt"] for r in spark.read.parquet(out).collect()}
     assert restored == before
+
+
+def test_stream_ivf_index_update_applies_batches_exactly_once(tmp_path, spark):
+    """The index stays queryable while embedding batches stream in;
+    replays (wiped checkpoint) re-apply nothing because the applied
+    batch id lives inside each appended parquet commit."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.operators.ann_index import (
+        ivf_index_build,
+        ivf_index_search,
+    )
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        stream_ivf_index_update,
+    )
+
+    rng = random.Random(31)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)]
+    vectors = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    index = str(tmp_path / "ivf")
+    ivf_index_build(vectors.filter("vec_id < 150"), index, fraction=0.05, salt=7)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        part_dir = tmp_path / f"part{i}"
+        vectors.filter(
+            (F.col("vec_id") >= 150 + 50 * i) & (F.col("vec_id") < 200 + 50 * i)
+        ).coalesce(1).write.parquet(str(part_dir), mode="overwrite")
+        part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        os.rename(part_dir / part, os.path.join(src, f"embeddings{i}.parquet"))
+
+    ckpt = str(tmp_path / "ckpt")
+    assert stream_ivf_index_update(spark, src, index, checkpoint=ckpt) == 3
+    cells = spark.read.parquet(index + "/cells")
+    assert cells.count() == 300
+    assert cells.agg(F.max("applied_batch")).collect()[0][0] == 2
+
+    # replay everything (fresh checkpoint): embedded markers exclude all
+    import shutil
+
+    shutil.rmtree(ckpt)
+    assert stream_ivf_index_update(
+        spark, src, index, checkpoint=str(tmp_path / "ckpt2")
+    ) == 0
+    assert spark.read.parquet(index + "/cells").count() == 300
+
+    # a streamed vector is immediately searchable
+    q = vectors.filter("vec_id = 299")
+    hits = ivf_index_search(spark, index, q, k=3, nprobe=2).collect()
+    assert len(hits) >= 1 and all(r["query_id"] == 299 for r in hits)
