@@ -307,3 +307,76 @@ def bpe_learn(
         merges, "merge_rank long, left_sym string, right_sym string, pair_freq long"
     )
     return merges_df, seq
+
+
+CDC_MOD = 1_000_000_007
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking at word granularity (Rabin-style): a
+    rolling polynomial hash over the trailing ``window`` words places a
+    chunk boundary wherever the hash is divisible by ``divisor`` —
+    boundaries therefore depend only on LOCAL content, so an insertion
+    early in a document shifts at most one chunk instead of re-aligning
+    every fixed-width block (the property fixed-size chunking lacks and
+    the reason CDC is the practical granularity for sub-document
+    dedup). Mean chunk length ≈ ``divisor`` words.
+
+    Everything is native array expressions over portable integer
+    arithmetic (char fold mod 1e9+7 — the q13/x178 contract), so the
+    full segmentation is value-reproducible in the SQL oracle. Output:
+    (doc_id, chunk_idx, chunk_text); chunk texts concatenate back to
+    the exact word sequence (pinned by test — chunking is lossless).
+
+    Scale: per-doc work is O(words · window) inside one codegen'd
+    projection — no shuffle until the caller aggregates chunks.
+    """
+    w = words(text_col)
+    code = lambda ch: F.ascii(ch).cast("long")
+    fold = lambda h, c: (h * 31 + c) % F.lit(CDC_MOD)
+    hw = F.transform(
+        w,
+        lambda t: F.aggregate(
+            F.transform(F.split(t, ""), code), F.lit(7).cast("long"), fold
+        ),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), w.alias("ws"), hw.alias("hw")
+    ).filter(F.size("ws") > 0)
+    n = F.size("ws")
+    idx = F.sequence(F.lit(0), n - 1)
+    win_hash = lambda j: F.aggregate(
+        F.slice("hw", j - window + 2, window), F.lit(0).cast("long"), fold
+    )
+    bpos = F.filter(
+        idx,
+        lambda j: (j >= window - 1)
+        & (j < n - 1)
+        & (win_hash(j) % divisor == 0),
+    )
+    seg = base.select(
+        "doc_id",
+        "ws",
+        F.concat(F.array(F.lit(-1)), bpos).alias("starts"),
+        F.concat(bpos, F.array(n - 1)).alias("ends"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size("starts") - 1),
+        lambda i: F.array_join(
+            F.slice(
+                "ws",
+                F.element_at("starts", i + 1) + 2,
+                F.element_at("ends", i + 1) - F.element_at("starts", i + 1),
+            ),
+            " ",
+        ),
+    )
+    return seg.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    )

@@ -13681,3 +13681,73 @@ def x260_partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+# --------------------------------------------------------------------------
+# x266 — content-defined chunk dedup (operators/text.py cdc_chunks):
+# Rabin-style rolling-hash boundaries at word granularity, then chunks
+# shared across documents — the sub-document boilerplate axis between
+# q14's whole-doc exact dedup and x140's repeated n-grams. The entire
+# segmentation (char fold, window hash, boundary rule, slicing) is
+# portable integer arithmetic, so the oracle replays it list-for-list.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x266_cdc_chunk_dups",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ws,
+             list_transform(ws, t -> list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split_regex(t, ''),
+                                ch -> CAST(ascii(ch) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % 1000000007)) AS hw
+      FROM base WHERE len(ws) > 0
+    ), b AS (
+      SELECT doc_id, ws,
+             list_filter(range(0, len(ws)), j ->
+               j >= 3 AND j < len(ws) - 1 AND
+               list_reduce(list_prepend(CAST(0 AS BIGINT), hw[j-2:j+1]),
+                           (h, c) -> (h * 31 + c) % 1000000007) % 16 = 0
+             ) AS bpos
+      FROM h
+    ), seg AS (
+      SELECT doc_id, ws,
+             list_prepend(-1, bpos) AS starts,
+             list_append(bpos, len(ws) - 1) AS ends
+      FROM b
+    ), ch AS (
+      SELECT doc_id,
+             array_to_string(ws[starts[i+1] + 2 : ends[i+1] + 1], ' ')
+               AS chunk_text
+      FROM seg, UNNEST(range(0, len(starts))) AS t(i)
+    )
+    SELECT md5(chunk_text) AS chunk_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM ch
+    GROUP BY 1
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY chunk_md5
+    """,
+)
+def x266_cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunks(docs)
+    return (
+        chunks.groupBy(F.md5("chunk_text").alias("chunk_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("chunk_md5")
+    )

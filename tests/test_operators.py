@@ -2319,3 +2319,39 @@ def test_split_export_with_write_metrics(spark, tmp_path):
     back = spark.read.parquet(str(tmp_path / "train"))
     assert got["n_rows"] == back.count() == 48  # 4 strata x (50*25//100)
     assert got["key_checksum"] == back.agg(F.sum("k")).collect()[0][0]
+
+
+def test_cdc_chunks_lossless_and_content_defined(spark):
+    """CDC chunking must be lossless (chunks rejoin to the exact word
+    sequence) and content-defined: an insertion near the front shifts
+    chunk CONTENT locally but the trailing chunks realign (same
+    suffix chunks), unlike fixed-width blocking."""
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.operators.text import cdc_chunks, words
+
+    text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+        "psi omega one two three four five six seven eight nine ten"
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    chunks = [
+        r["chunk_text"]
+        for r in cdc_chunks(df).orderBy("chunk_idx").collect()
+    ]
+    rejoined = " ".join(chunks)
+    original = " ".join(
+        df.select(words("text").alias("w")).collect()[0]["w"]
+    )
+    assert rejoined == original  # lossless
+
+    # prepend two words: suffix chunks must reappear identically
+    df2 = spark.createDataFrame([(1, "zzz yyy " + text)], ["doc_id", "text"])
+    chunks2 = [
+        r["chunk_text"]
+        for r in cdc_chunks(df2).orderBy("chunk_idx").collect()
+    ]
+    assert " ".join(chunks2).endswith(original)
+    shared_suffix = set(chunks) & set(chunks2)
+    assert shared_suffix, "no chunk realigned after an insertion"
