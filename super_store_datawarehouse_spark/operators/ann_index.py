@@ -153,7 +153,13 @@ def ivf_index_search(
             F.col("embedding").cast("array<double>").alias("cv"),
         )
         .withColumn("cnrm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
-        .filter(F.col("cnrm") > 0)
+        # same contract as similarity._prep: zero-norm AND non-finite
+        # vectors are out of scope (NaN sorts greatest in Spark windows)
+        .filter(
+            (F.col("cnrm") > 0)
+            & ~F.isnan(F.col("cnrm"))
+            & (F.col("cnrm") != F.lit(float("inf")))
+        )
     )
     q = _prep(queries, id_col, vec_col, "query_id", "qv", "qnrm").join(
         q_assign, "query_id"

@@ -206,50 +206,66 @@ def pca_power_iteration(
       sqrt — the one step that would otherwise leave integer land.
       Both engines truncate integer division toward zero, so the
       iterate sequences are bit-identical.
-    * **Matrix-free (XᵀX)v**: per row the scalar s_i = ⟨x_i, v⟩ (map
-      against the broadcast 64-int v), then the d-dim accumulation
-      u = Σ s_i·x_i (one shuffle to d rows). The driver only ever
-      holds d integers per round — the covariance matrix is never
-      materialized.
+    * **One-pass Gram matrix, then driver-side iteration**: the d×d
+      integer Gram G = XᵀX is accumulated per partition (numpy int64
+      outer products over Arrow batches) and reduced through one d²-row
+      shuffle; the iterations v ← Gv then run on the driver over d²
+      plain-Python ints. Because integer addition commutes exactly,
+      (XᵀX)v == G·v bit-for-bit — the iterate sequence is IDENTICAL to
+      the former matrix-free per-round shuffles (and to the SQL
+      oracle's unrolled CTEs), but the data is scanned ONCE instead of
+      2·n_iter times and no per-round Spark jobs exist at all. At
+      100 TB this is the optimal shape for tall-skinny X: one pass,
+      d² ints of communication, O(n_iter·d²) driver work.
 
-    Overflow headroom: |x| ≤ X milli-units, |v| ≤ v_scale →
-    |u_j| ≤ n·d·X²·v_scale; at d=64, X≈600, v_scale=1e4 that stays
-    inside int64 up to n ≈ 4·10⁷ rows per partition-tree — past that,
-    raise the quantization granularity or accumulate hierarchically.
+    Overflow headroom: |x| ≤ X milli-units → |G_jk| ≤ n·X²; at X≈1000
+    that stays inside int64 up to n ≈ 9·10¹² rows. The driver-side
+    products Σ_k G_jk·v_k are arbitrary-precision Python ints, so the
+    recurrence itself cannot overflow.
 
     Returns the final v as a Python list of ints (length d), scaled to
     ``v_scale`` in L∞ norm. Sign follows the deterministic all-ones
     start — the usual eigenvector sign ambiguity resolved by fiat.
     """
-    comp = emb.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(quantize_vec(F.col(vec_col), 1000)).alias("__d", "__x"),
-    ).localCheckpoint()
-    d = comp.agg(F.max("__d")).collect()[0][0] + 1
+    import numpy as np
+    import pandas as pd
+
+    q = emb.select(quantize_vec(F.col(vec_col), 1000).alias("__q"))
+
+    def gram(batches):
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["__q"].to_numpy()).astype(np.int64)
+            g = m.T @ m  # exact int64; bound n·X² per partition
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            dd = acc.shape[0]
+            yield pd.DataFrame(
+                {
+                    "__j": np.repeat(np.arange(dd, dtype=np.int32), dd),
+                    "__k": np.tile(np.arange(dd, dtype=np.int32), dd),
+                    "__g": acc.reshape(-1),
+                }
+            )
+
+    g_rows = (
+        q.mapInPandas(gram, "__j int, __k int, __g long")
+        .groupBy("__j", "__k")
+        .agg(F.sum("__g").alias("__g"))
+        .collect()
+    )
+    if not g_rows:
+        return []
+    d = max(r["__j"] for r in g_rows) + 1
+    G = [[0] * d for _ in range(d)]
+    for r in g_rows:
+        G[r["__j"]][r["__k"]] = r["__g"]
     v = [v_scale] * d
-    spark = emb.sparkSession
     for _ in range(n_iter):
-        vdf = F.broadcast(
-            spark.createDataFrame(list(enumerate(v)), "__d int, __v long")
-        )
-        s = (
-            comp.join(vdf, "__d")
-            .groupBy("__id")
-            .agg(F.sum(F.col("__x") * F.col("__v")).alias("__s"))
-        )
-        u_rows = (
-            comp.join(s, "__id")
-            .groupBy("__d")
-            .agg(F.sum(F.col("__s") * F.col("__x")).alias("__u"))
-            .collect()
-        )
-        u = [0] * d
-        for r in u_rows:
-            u[r["__d"]] = r["__u"]
+        u = [sum(G[j][k] * v[k] for k in range(d)) for j in range(d)]
         mx = max(abs(x) for x in u) or 1
         # trunc-toward-zero division, matching SQL `div` on negatives
-        v = [
-            (abs(x) * v_scale // mx) * (1 if x >= 0 else -1)
-            for x in u
-        ]
+        v = [(abs(x) * v_scale // mx) * (1 if x >= 0 else -1) for x in u]
     return v

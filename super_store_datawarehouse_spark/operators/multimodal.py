@@ -114,20 +114,36 @@ def _sniff_image(payload: bytes) -> tuple[int, int, str] | None:
         i = 2
         sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
-        while i + 9 < len(payload):
+        while i + 1 < len(payload):
             if payload[i] != 0xFF:
                 return None
-            marker = payload[i + 1]
+            # legal fill: any number of 0xFF pad bytes precede the marker
+            j = i + 1
+            while j < len(payload) and payload[j] == 0xFF:
+                j += 1
+            if j >= len(payload):
+                return None
+            marker = payload[j]
             if marker in sof:
+                if j + 9 > len(payload):
+                    return None
                 return (
-                    int.from_bytes(payload[i + 7:i + 9], "big"),
-                    int.from_bytes(payload[i + 5:i + 7], "big"),
+                    int.from_bytes(payload[j + 6:j + 8], "big"),
+                    int.from_bytes(payload[j + 4:j + 6], "big"),
                     "jpeg",
                 )
-            seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+            # standalone (length-less) markers: TEM and RSTn
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i = j + 1
+                continue
+            if marker == 0xD9:  # EOI before any SOF: no frame header
+                return None
+            if j + 3 > len(payload):
+                return None
+            seg_len = int.from_bytes(payload[j + 1:j + 3], "big")
             if seg_len < 2:
                 return None
-            i += 2 + seg_len
+            i = j + 1 + seg_len
     return None
 
 

@@ -228,22 +228,8 @@ def lsh_topk(
             idc, vc, nrm, F.posexplode(sig_udf(F.col(vc))).alias("tbl", "sig")
         )
 
-    c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("cv"),
-        )
-        .withColumn("cnrm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
-        .filter(F.col("cnrm") > 0)
-    )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("qv"),
-        )
-        .withColumn("qnrm", F.sqrt(dot(F.col("qv"), F.col("qv"))))
-        .filter(F.col("qnrm") > 0)
-    )
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "cv", "cnrm")
+    q = _prep(queries, id_col, vec_col, "query_id", "qv", "qnrm")
     cb = with_buckets(c, "neighbor_id", "cv", "cnrm")
     qb = with_buckets(q, "query_id", "qv", "qnrm")
 
@@ -268,13 +254,24 @@ def lsh_topk(
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, id_out: str, v: str, nrm: str) -> DataFrame:
-    """Project to (id, array<double>, norm), dropping zero-norm vectors."""
+    """Project to (id, array<double>, norm), dropping zero-norm AND
+    non-finite vectors.
+
+    A NaN/Inf component makes the norm NaN/Inf; under Spark's double
+    ordering NaN sorts greatest, so ``nrm > 0`` alone would let such a
+    vector through and then rank it FIRST in any ``desc(cosine)``
+    window — while the numpy batch-local selection orders NaN last.
+    Non-finite embeddings are therefore out of contract and filtered
+    here, exactly like zero-norm vectors, keeping the all-Spark and
+    blocked-GEMM formulations (and the DuckDB oracles) in agreement.
+    """
+    nrmc = F.col(nrm)
     return (
         df.select(
             F.col(id_col).alias(id_out), F.col(vec_col).cast("array<double>").alias(v)
         )
         .withColumn(nrm, F.sqrt(dot(F.col(v), F.col(v))))
-        .filter(F.col(nrm) > 0)
+        .filter((nrmc > 0) & ~F.isnan(nrmc) & (nrmc != F.lit(float("inf"))))
     )
 
 

@@ -63,11 +63,18 @@ def asof_join(
         # The passes recombine on a synthetic unique row id, NOT the
         # left columns: joining on left columns is null-unsafe (a left
         # row with any NULL column silently vanishes) and fans out
-        # quadratically on duplicate left rows. The id is deterministic
-        # as long as ``left`` derives from a deterministic source (both
-        # branches share the tagged plan's lineage).
+        # quadratically on duplicate left rows. The tagged frame is
+        # localCheckpoint'ed (materialized) before branching: both
+        # passes are separate plan executions, and Spark does NOT
+        # guarantee monotonically_increasing_id reproduces across
+        # re-evaluations (AQE coalescing, task retries, nondeterministic
+        # upstream such as sample/round-robin repartition) — without the
+        # checkpoint, diverging ids would silently drop or mispair rows
+        # at the recombining inner join.
         idc = "__asof_nid"
-        tagged = left.withColumn(idc, F.monotonically_increasing_id())
+        tagged = left.withColumn(
+            idc, F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
         bwd = asof_join(
             tagged, right, on, left_ts, right_ts, value_cols,
             allow_exact, "backward", tolerance_us,

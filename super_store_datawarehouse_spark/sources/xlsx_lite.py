@@ -117,7 +117,10 @@ def read_sheet(path: str, sheet: str) -> tuple[list[str], list[list]]:
     if not rows:
         return [], []
     header = [str(h) for h in rows[0]]
-    data = [r + [None] * (len(header) - len(r)) for r in rows[1:]]
+    # pad AND truncate to the header width: a data row wider than the
+    # header (trailing unlabeled cells) would otherwise survive longer
+    # than the inferred schema and break createDataFrame downstream
+    data = [(r + [None] * (len(header) - len(r)))[: len(header)] for r in rows[1:]]
     return header, data
 
 

@@ -953,11 +953,21 @@ def stream_ivf_index_update(
     quantizer and appended to the inverted lists — the index stays
     queryable throughout, never rebuilt.
 
-    Exactly-once: appends are additive, so replayed micro-batches are
-    excluded with the applied-batch id written INSIDE each appended
+    Exactly-once: appends are additive, so replayed micro-batches must
+    be excluded. The applied-batch id written INSIDE each appended
     parquet commit (``applied_batch`` column, same pattern as the
-    Misra–Gries sink) — there is no separate marker file to fall out
-    of sync with the data. Returns micro-batches applied.
+    Misra–Gries sink) is only the fast path: micro-batch ids are
+    CHECKPOINT-scoped, so after a lost/recreated checkpoint (or a
+    second stream feeding the same index) ids restart at 0 and a
+    max-id guard alone would silently drop fresh data forever. A batch
+    whose id is not ahead of the stored maximum therefore falls back to
+    CONTENT dedup: its vectors are anti-joined on ``vec_id`` against
+    the inverted lists and only unseen ids are appended. The index
+    contract this rests on is already append-only-by-id (re-sent ids
+    are replays, never updates), so the anti-join is exact — a full
+    replay appends nothing, a fresh file under a recycled batch id
+    appends exactly its new vectors, and a partially-applied crash
+    batch self-heals. Returns micro-batches that appended rows.
     """
     from super_store_datawarehouse_spark.operators.ann_index import (
         ivf_index_update,
@@ -990,11 +1000,28 @@ def stream_ivf_index_update(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= last_applied():
-            return
-        ivf_index_update(
+            # checkpoint-scoped id not ahead of the stored marker: this
+            # is EITHER a replay (in-checkpoint redelivery, or a wiped
+            # checkpoint re-reading old files) OR fresh data under a
+            # recycled id (new checkpoint, new files). Content dedup
+            # distinguishes them exactly: keep only unseen vec_ids.
+            sess = batch_df.sparkSession
+            id_col = "vec_id" if "vec_id" in batch_df.columns else batch_df.columns[0]
+            try:
+                seen = sess.read.parquet(cell_path).select(
+                    F.col("vid").alias(id_col)
+                )
+            except Exception:
+                seen = None
+            if seen is not None:
+                batch_df = batch_df.join(seen, id_col, "left_anti")
+            if not batch_df.take(1):
+                return
+        appended = ivf_index_update(
             batch_df.sparkSession, index_path, batch_df, applied_batch=batch_id
         )
-        batches["n"] += 1
+        if appended:
+            batches["n"] += 1
 
     writer = stream.writeStream.outputMode("append").foreachBatch(apply_batch)
     if checkpoint:

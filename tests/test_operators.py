@@ -2355,3 +2355,109 @@ def test_cdc_chunks_lossless_and_content_defined(spark):
     assert " ".join(chunks2).endswith(original)
     shared_suffix = set(chunks) & set(chunks2)
     assert shared_suffix, "no chunk realigned after an insertion"
+
+
+def test_asof_nearest_ids_stable_under_nondeterministic_upstream(spark):
+    """ADVICE r4: the nearest-direction passes recombine on
+    monotonically_increasing_id, which Spark does NOT reproduce across
+    plan re-executions when the upstream is nondeterministic (round-
+    robin repartition here). The tagged frame is localCheckpoint'ed
+    before branching, so both passes must read identical physical ids —
+    every left row survives exactly once with the right match."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.operators.temporal import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = (
+        spark.range(60)
+        .select(
+            F.col("id").alias("lid"),
+            (F.col("id") % 3).cast("int").alias("key"),
+            F.timestamp_seconds(
+                F.lit(int(t(0).timestamp())) + F.col("id") % 50
+            ).alias("ts"),
+        )
+        .repartition(7)  # round-robin: nondeterministic row placement
+    )
+    right = spark.createDataFrame(
+        [(k, t(s), float(s * 10 + k)) for k in (0, 1, 2) for s in (5, 25, 45)],
+        ["key", "ts", "px"],
+    )
+    out = asof_join(
+        left, right, on="key", value_cols=["px"], direction="nearest"
+    )
+    rows = out.collect()
+    assert len(rows) == 60
+    assert len({r["lid"] for r in rows}) == 60
+    for r in rows:
+        sec = r["ts"].second
+        nearest = min((5, 25, 45), key=lambda s: (abs(s - sec), s > sec))
+        assert r["asof_px"] == float(nearest * 10 + r["key"]), r
+
+
+def test_sniff_jpeg_fill_bytes_and_standalone_markers():
+    """ADVICE r4: the JPEG segment walk must skip legal 0xFF fill bytes
+    between segments and treat TEM (0x01) / RSTn (0xD0-0xD7) as
+    length-less standalone markers instead of misreading a bogus
+    segment length."""
+    import struct
+
+    from super_store_datawarehouse_spark.operators.multimodal import (
+        _sniff_image,
+    )
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 77, 203, 1) + b"\x01\x11\x00"
+    )
+    # fill bytes before markers (legal padding)
+    jpeg_fill = b"\xff\xd8" + b"\xff\xff\xff" + app0[1:] + b"\xff\xff" + sof0[1:]
+    assert _sniff_image(jpeg_fill) == (203, 77, "jpeg")
+    # standalone TEM and RST markers between segments
+    jpeg_standalone = (
+        b"\xff\xd8" + app0 + b"\xff\x01" + b"\xff\xd0" + b"\xff\xd7" + sof0
+    )
+    assert _sniff_image(jpeg_standalone) == (203, 77, "jpeg")
+    # EOI before any SOF → unrecognized, not a bogus parse
+    assert _sniff_image(b"\xff\xd8" + app0 + b"\xff\xd9") is None
+
+
+def test_similarity_non_finite_vectors_excluded(spark):
+    """ADVICE r4: NaN/Inf embedding components made the norm NaN/Inf;
+    Spark's double ordering ranks NaN first under desc(cosine) while
+    the numpy batch-local selection ranks it last. Non-finite vectors
+    are now out of contract: filtered like zero-norm vectors in every
+    formulation."""
+    from super_store_datawarehouse_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [nan, 1.0, 0.0]),     # NaN component
+            (4, [inf, 0.0, 0.0]),     # Inf component
+            (5, [0.0, 0.0, 0.0]),     # zero norm (pre-existing contract)
+        ],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [nan, nan, nan])],
+        ["vec_id", "embedding"],
+    )
+    got = brute_force_topk(corpus, queries, k=5)
+    rows = got.collect()
+    assert {r["neighbor_id"] for r in rows} == {1, 2}
+    assert all(r["query_id"] == 100 for r in rows)  # NaN query dropped
+    lsh = lsh_topk(corpus, queries, k=5, dim=3).collect()
+    assert all(
+        r["neighbor_id"] in (1, 2) and r["query_id"] == 100 for r in lsh
+    )

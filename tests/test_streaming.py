@@ -929,3 +929,63 @@ def test_stream_ivf_index_update_applies_batches_exactly_once(tmp_path, spark):
     q = vectors.filter("vec_id = 299")
     hits = ivf_index_search(spark, index, q, k=3, nprobe=2).collect()
     assert len(hits) >= 1 and all(r["query_id"] == 299 for r in hits)
+
+
+def test_stream_ivf_index_update_fresh_data_after_checkpoint_loss(tmp_path, spark):
+    """ADVICE r4: micro-batch ids are CHECKPOINT-scoped. After a lost/
+    recreated checkpoint, NEW embedding files arrive under recycled
+    batch ids (0, 1, ...) that sit below the stored max(applied_batch)
+    — a max-id replay guard alone would drop them forever. The content
+    fallback (anti-join on vec_id) must apply the fresh vectors while
+    still excluding genuine replays."""
+    import os
+    import random
+    import shutil
+
+    from super_store_datawarehouse_spark.operators.ann_index import (
+        ivf_index_build,
+        ivf_index_search,
+    )
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        stream_ivf_index_update,
+    )
+
+    rng = random.Random(47)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(260)]
+    vectors = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    index = str(tmp_path / "ivf")
+    ivf_index_build(vectors.filter("vec_id < 100"), index, fraction=0.06, salt=7)
+
+    def drop_file(vmin, vmax, name):
+        part_dir = tmp_path / f"stage_{name}"
+        vectors.filter(
+            f"vec_id >= {vmin} and vec_id < {vmax}"
+        ).coalesce(1).write.parquet(str(part_dir), mode="overwrite")
+        part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        os.rename(part_dir / part, os.path.join(src, name))
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    drop_file(100, 150, "embeddings0.parquet")
+    drop_file(150, 200, "embeddings1.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    assert stream_ivf_index_update(spark, src, index, checkpoint=ckpt) == 2
+    assert spark.read.parquet(index + "/cells").count() == 200
+
+    # checkpoint lost; a NEW file arrives alongside the old two. The
+    # fresh stream replays batch ids 0..2 — all <= stored max (1).
+    shutil.rmtree(ckpt)
+    drop_file(200, 260, "embeddings2.parquet")
+    applied = stream_ivf_index_update(
+        spark, src, index, checkpoint=str(tmp_path / "ckpt2")
+    )
+    assert applied == 1  # only the batch carrying unseen vectors
+    cells = spark.read.parquet(index + "/cells")
+    assert cells.count() == 260
+    assert cells.select("vid").distinct().count() == 260  # no dup appends
+
+    # the late-arriving vectors are searchable
+    q = vectors.filter("vec_id = 259")
+    hits = ivf_index_search(spark, index, q, k=3, nprobe=2).collect()
+    assert len(hits) >= 1 and all(r["query_id"] == 259 for r in hits)
