@@ -66,7 +66,7 @@ ALLOW: dict[str, str] = {
     "x231_theta_sketch_set_ops": "pairs x (k·|types|)-row sketch broadcast",
     "x222_selectivity_estimate_eval": "4-row predicate frame x 64-bin histogram",
     "x237_kendall_tau": "|groups|x|groups| pair frame (25 rows a side)",
-    "x253_rag_context_assembly": "5-row query-doc side broadcast x corpus",
+    "q27_rag_context_assembly": "5-row query-doc side broadcast x corpus",
 }
 
 

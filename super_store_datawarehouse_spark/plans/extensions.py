@@ -13025,7 +13025,7 @@ def x252_censored_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x253 — RAG context assembly (the retrieval last-mile): for each of 5
+# x253 → q27 (r5 tier-1 promotion) — RAG context assembly (the retrieval last-mile): for each of 5
 # query docs, rank the rest of the corpus by shared-vocabulary overlap
 # (distinct shared words — the x219 lexical idiom), then greedily pack
 # whole neighbor docs in rank order into a 150-token context budget and
@@ -13034,7 +13034,7 @@ def x252_censored_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both engines produce byte-identical contexts.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x253_rag_context_assembly",
+    "q27_rag_context_assembly",
     oracle="""
     WITH toks AS (
       SELECT doc_id, text,
@@ -13067,7 +13067,7 @@ def x252_censored_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY qid ORDER BY qid
     """,
 )
-def x253_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q27_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -13498,7 +13498,7 @@ def x258_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x259 — attribution model comparison: each purchase's value credited
+# x259 → q29 (r5 tier-1 promotion) — attribution model comparison: each purchase's value credited
 # to the DAY of its first-touch click vs its last-touch click within
 # the prior 24 h — the two bookend models whose daily revenue series
 # diverge exactly where campaigns overlap. Last touch is the q37
@@ -13507,7 +13507,7 @@ def x258_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # difference — integer cents, one shuffle per model.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x259_attribution_models",
+    "q29_attribution_models",
     oracle="""
     WITH clicks AS (
       SELECT user_id, epoch_us(ts) AS tus FROM events
@@ -13543,7 +13543,7 @@ def x258_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY day
     """,
 )
-def x259_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q29_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     purch = events.filter(F.col("event_type") == "purchase").select(
         "event_id",
@@ -13684,7 +13684,7 @@ def x260_partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x266 — content-defined chunk dedup (operators/text.py cdc_chunks):
+# x266 → q26 (r5 tier-1 promotion) — content-defined chunk dedup (operators/text.py cdc_chunks):
 # Rabin-style rolling-hash boundaries at word granularity, then chunks
 # shared across documents — the sub-document boilerplate axis between
 # q14's whole-doc exact dedup and x140's repeated n-grams. The entire
@@ -13692,7 +13692,7 @@ def x260_partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # portable integer arithmetic, so the oracle replays it list-for-list.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x266_cdc_chunk_dups",
+    "q26_cdc_chunk_dups",
     oracle="""
     WITH base AS (
       SELECT doc_id,
@@ -13736,7 +13736,7 @@ def x260_partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY chunk_md5
     """,
 )
-def x266_cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q26_cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.text import cdc_chunks
 
     docs = load_table(spark, sf_dir, "documents")

@@ -964,7 +964,7 @@ def x127_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 # standard warehouse SQL at standard shapes. Money through exact cents.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q26_shipping_priority",
+    "x267_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
            CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
@@ -980,7 +980,7 @@ def x127_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
 )
-def q26_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x267_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment filter pushed to the customer scan, both
     dims broadcast, aggregate on the fact, TakeOrderedAndProject top-10."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -998,7 +998,7 @@ def q26_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @harness_query(
-    "q27_local_supplier_volume",
+    "x268_local_supplier_volume",
     oracle="""
     SELECT n.n_name,
            CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
@@ -1013,7 +1013,7 @@ def q26_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC
     """,
 )
-def q27_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x268_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: the snowflake walk customer→orders→lineitem→
     supplier→nation→region with the local-supplier equality; every
     dimension side broadcasts."""
@@ -1079,7 +1079,7 @@ def x264_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both engines deterministic.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q29_order_gaps_and_quartiles",
+    "x269_order_gaps_and_quartiles",
     oracle="""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
@@ -1095,7 +1095,7 @@ def x264_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY order_date
     """,
 )
-def q29_order_gaps_and_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x269_order_gaps_and_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         F.count(F.lit(1)).alias("n_orders"),
