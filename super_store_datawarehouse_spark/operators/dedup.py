@@ -31,8 +31,13 @@ MERSENNE61 = (1 << 61) - 1
 # minimum COMPRESSED input bytes per slot before a narrow scan is worth
 # widening: parquet text compresses ~5x and shingling multiplies rows
 # ~100x, so 64 KB of file per slot is ~30 MB of post-explosion work per
-# task — the point where the extra exchange pays for itself (measured:
-# a 0.6 MB corpus regresses 2x if widened; a 6 MB one hangs if not)
+# task — the point where the extra exchange pays for itself. Re-measured
+# after the bound-column tokenization fix: a single shingle explode over
+# a 0.6 MB corpus is now gate-neutral (0.65s vs 0.60s), but operators
+# that CACHE and re-traverse the shingle frame across several stages
+# (MinHash banding + verification) still pay 2x in task-scheduling
+# overhead when a toy corpus is spread over 32 tasks — so the higher
+# threshold stands; a 6 MB corpus still hangs without widening.
 _WIDEN_MIN_BYTES_PER_SLOT = 64 * 1024
 
 
@@ -110,7 +115,15 @@ def word_shingles(
     small pre-explosion doc rows first. Wide scans add no shuffle.
     """
     df = _widen_narrow_scan(df)
-    w = words(text_col)
+    # Materialize the tokenization as a bound column BEFORE the
+    # higher-order transform: a lambda body re-evaluates captured
+    # EXPRESSIONS per element, so an inline words(text) would re-run
+    # the regex split once per shingle — O(len²) work per document
+    # (measured 7× slower on a 150-token corpus). As an attribute
+    # reference it is computed once per row; CollapseProject keeps the
+    # projection because the alias is referenced more than once.
+    base = df.select(F.col(id_col).alias("sid"), words(text_col).alias("__ws"))
+    w = F.col("__ws")
     # documents shorter than n words have no shingles (empty array, row
     # dropped by the explode) — sequence() would otherwise go descending
     # and crash on slice start 0
@@ -122,7 +135,7 @@ def word_shingles(
         ),
     ).otherwise(F.array().cast("array<string>"))
     col = F.explode(F.array_distinct(shingles)).alias("shingle")
-    out = df.select(F.col(id_col).alias("sid"), col)
+    out = base.select("sid", col)
     if hashed:
         out = out.select("sid", F.xxhash64("shingle").alias("shingle"))
     return out
@@ -1039,4 +1052,96 @@ def lsh_index_update(
     pairs = _exact_jaccard_on_candidates(cand, all_sh, threshold)
     return pairs, LshIndexState(
         state.band_rows.unionByName(new_bands), all_sh, new_bands, sh_new
+    )
+
+
+def longest_shared_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    max_doc_freq: int = 10,
+    min_span: int | None = None,
+) -> DataFrame:
+    """Longest duplicated token span per document pair — the
+    substring-dedup signal of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), re-expressed relationally
+    instead of via a suffix array.
+
+    Positional n-gram shingles (id, pos, hash); matching positions
+    across a doc pair at a fixed alignment offset ``delta = pos_b -
+    pos_a`` form gap-free runs exactly where the docs share a verbatim
+    token span, so the classic gaps-and-islands trick (``pos -
+    row_number()`` per (pair, delta)) recovers each maximal run in one
+    window pass: a run of r consecutive shingles == a shared span of
+    r + n - 1 tokens. Returns the longest span per pair (ties broken on
+    earliest start_a, start_b) of at least ``min_span`` tokens
+    (default n + 1, i.e. runs of >= 2 shingles).
+
+    Scale: the only quadratic surface is the shingle self-join, bounded
+    by dropping shingles whose document frequency exceeds
+    ``max_doc_freq`` (and keeping only df >= 2 — unshared shingles
+    can't start a span). That is the standard stop-shingle guard: a
+    globally common n-gram inside a long verbatim span can split the
+    reported run at its position — acceptable for a dedup *signal*;
+    raise ``max_doc_freq`` when exact maximal spans matter more than
+    join fan-out. Everything else is one window + one groupBy on
+    (pair, delta) keys.
+    """
+    if min_span is None:
+        min_span = n + 1
+    df = _widen_narrow_scan(df)
+    # bound-column tokenization: see word_shingles — an inline words()
+    # would re-run the regex split per shingle inside the lambda
+    base = df.select(F.col(id_col).alias("sid"), words(text_col).alias("__ws"))
+    w = F.col("__ws")
+    shingles = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = base.select(
+        "sid", F.posexplode(shingles).alias("pos", "sh")
+    ).select("sid", "pos", F.xxhash64("sh").alias("h"))
+    shared_rare = (
+        pos.groupBy("h")
+        .agg(F.count_distinct("sid").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_doc_freq))
+        .select("h")
+    )
+    # The surviving positional rows feed BOTH sides of the self-join;
+    # without materialization each side re-runs the scan + explode +
+    # df-filter subtree (Catalyst only reuses identical exchanges, and
+    # the two sides project different names). The survivor set is small
+    # by construction (df-capped), so local checkpointing it costs one
+    # compact write and halves the heavy lifting.
+    p = pos.join(shared_rare, "h").localCheckpoint(eager=False)
+    a = p.select(F.col("sid").alias("doc_a"), F.col("pos").alias("pa"), "h")
+    b = p.select(F.col("sid").alias("doc_b"), F.col("pos").alias("pb"), "h")
+    m = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa", "pb", (F.col("pb") - F.col("pa")).alias("delta")
+        )
+    )
+    w_run = Window.partitionBy("doc_a", "doc_b", "delta").orderBy("pa")
+    spans = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(w_run))
+        .groupBy("doc_a", "doc_b", "delta", "grp")
+        .agg(
+            (F.count(F.lit(1)) + F.lit(n - 1)).alias("span_tokens"),
+            F.min("pa").cast("long").alias("start_a"),
+            F.min("pb").cast("long").alias("start_b"),
+        )
+    )
+    w_top = Window.partitionBy("doc_a", "doc_b").orderBy(
+        F.desc("span_tokens"), "start_a", "start_b"
+    )
+    return (
+        spans.withColumn("rn", F.row_number().over(w_top))
+        .filter((F.col("rn") == 1) & (F.col("span_tokens") >= min_span))
+        .select("doc_a", "doc_b", "span_tokens", "start_a", "start_b")
     )

@@ -380,3 +380,53 @@ def cdc_chunks(
     return seg.select(
         "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
     )
+
+
+# Query parameters that never affect content identity — the standard
+# tracking families stripped by every web-corpus canonicalizer.
+TRACKING_PARAM_PATTERN = r"^(utm_|fbclid=|gclid=|msclkid=|ref=)"
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of a URL for dedup-by-URL (web-corpus pipelines
+    key crawl dedup and domain-level policy on this form).
+
+    Normalizations, all pure Column expressions (codegen'd, no UDF):
+
+    * scheme and host lowercased; leading ``www.`` stripped
+    * explicit default ports dropped (``:80`` for http, ``:443`` https)
+    * fragment removed
+    * trailing slashes on the path removed (``/docs/`` == ``/docs``)
+    * tracking query params removed (``utm_*``, ``fbclid``, ``gclid``,
+      ``msclkid``, ``ref``) and the survivors sorted byte-wise, so
+      param order never splits a URL's identity
+
+    The exact same steps are expressible in ANSI SQL (regexp_extract +
+    list ops), which is what lets URL dedup carry a value oracle.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    nofrag = F.regexp_replace(c, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(nofrag, r"^[^:]+://([^/?]+)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(nofrag, r"^[^:]+://[^/?]+(/[^?]*)?", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )

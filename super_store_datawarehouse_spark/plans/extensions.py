@@ -13751,3 +13751,160 @@ def q26_cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("chunk_md5")
     )
+
+
+# --------------------------------------------------------------------------
+# x270 — URL canonicalization dedup (operators/text.canonical_url): the
+# web-corpus identity key. Raw URLs are derived deterministically from
+# documents (host case, www prefix, default port, trailing slash, param
+# order, utm tracking noise all varied by doc_id arithmetic — both
+# engines derive the identical strings), then canonicalized and grouped:
+# URLs that differ only in noise collapse to one canonical identity.
+# Every normalization step is regexp/list arithmetic, so the oracle
+# replays it byte-for-byte.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x270_url_canonical_dedup",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+        'HTTPS://' ||
+        (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        (CASE WHEN doc_id % 2 = 0 THEN 'Example.com' ELSE 'example.COM' END) ||
+        (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        '/Docs/' || CAST(doc_id // 4 AS VARCHAR) ||
+        (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+        (CASE WHEN doc_id % 5 = 0
+              THEN '?utm_source=feed&id=' ELSE '?id=' END) ||
+        CAST(doc_id // 4 AS VARCHAR) ||
+        '&lang=en' ||
+        (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          || '://' ||
+        regexp_replace(
+          regexp_replace(
+            lower(regexp_extract(u, '^[^:]+://([^/?]+)', 1)),
+            '^www\\.', ''),
+          ':443$', '') ||
+        regexp_replace(
+          regexp_extract(u, '^[^:]+://[^/?]+(/[^?]*)?', 1), '/+$', '') ||
+        (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS curl
+      FROM (
+        SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u,
+          array_to_string(list_sort(list_filter(
+            string_split(regexp_extract(regexp_replace(url, '#.*$', ''),
+                                        '\\?(.*)$', 1), '&'),
+            p -> p <> '' AND NOT regexp_matches(
+                   p, '^(utm_|fbclid=|gclid=|msclkid=|ref=)'))), '&') AS qs
+        FROM raw
+      )
+    )
+    SELECT curl AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
+           MIN(doc_id) AS first_doc
+    FROM canon
+    GROUP BY 1
+    HAVING COUNT(DISTINCT url) >= 2
+    ORDER BY canonical_url
+    """,
+)
+def x270_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.when(did % 2 == 0, F.lit("Example.com")).otherwise(
+                F.lit("example.COM")
+            ),
+            F.when(did % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/Docs/"),
+            (did / 4).cast("long").cast("string"),
+            F.when(did % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit("?utm_source=feed&id=")).otherwise(
+                F.lit("?id=")
+            ),
+            (did / 4).cast("long").cast("string"),
+            F.lit("&lang=en"),
+            F.when(did % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return (
+        raw.select("doc_id", "url", canonical_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("url").alias("n_raw_variants"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_raw_variants") >= 2)
+        .orderBy("canonical_url")
+    )
+
+
+# --------------------------------------------------------------------------
+# x271 — longest duplicated token span per doc pair
+# (operators/dedup.longest_shared_spans): the substring-dedup signal of
+# Lee et al. 2022, relational instead of suffix-array. Positional
+# 5-gram shingles; per (pair, alignment-offset) the gaps-and-islands
+# window recovers maximal gap-free match runs — a run of r shingles is
+# a verbatim shared span of r+4 tokens. Shingles with document
+# frequency outside [2, 10] are dropped (unshared can't span; ubiquitous
+# would explode the self-join — the stop-shingle guard, declared in the
+# operator docstring). The oracle replays islands on STRING shingles
+# (hashing only changes join keys, not runs, absent 64-bit collisions).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x271_longest_shared_span",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+5], ' ') AS s
+      FROM base, UNNEST(range(0, greatest(len(ws) - 4, 0))) t(i)
+    ), shared_rare AS (
+      SELECT s FROM sh GROUP BY s
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 10
+    ), m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos AS pb, b.pos - a.pos AS delta
+      FROM sh a JOIN shared_rare USING (s) JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT doc_a, doc_b, delta, pa, pb,
+             pa - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, delta ORDER BY pa) AS grp
+      FROM m
+    ), spans AS (
+      SELECT doc_a, doc_b,
+             CAST(COUNT(*) + 4 AS BIGINT) AS span_tokens,
+             CAST(MIN(pa) AS BIGINT) AS start_a,
+             CAST(MIN(pb) AS BIGINT) AS start_b
+      FROM runs GROUP BY doc_a, doc_b, delta, grp
+    ), top AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_a, doc_b
+        ORDER BY span_tokens DESC, start_a, start_b) AS rn
+      FROM spans
+    )
+    SELECT doc_a, doc_b, span_tokens, start_a, start_b
+    FROM top WHERE rn = 1 AND span_tokens >= 6
+    ORDER BY doc_a, doc_b
+    """,
+)
+def x271_longest_shared_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.longest_shared_spans(
+        docs, n=5, max_doc_freq=10
+    ).orderBy("doc_a", "doc_b")

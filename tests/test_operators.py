@@ -2461,3 +2461,58 @@ def test_similarity_non_finite_vectors_excluded(spark):
     assert all(
         r["neighbor_id"] in (1, 2) and r["query_id"] == 100 for r in lsh
     )
+
+
+def test_canonical_url_normalizations(spark):
+    """Every canonicalization axis: scheme/host case, www, default
+    port, trailing slash, fragment, tracking params, param order."""
+    from super_store_datawarehouse_spark.operators.text import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/Docs/?b=2&a=1#top",
+         "https://example.com/Docs?a=1&b=2"),
+        ("http://example.com:80/a/b/", "http://example.com/a/b"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),  # non-default port kept
+        ("https://example.com/x?utm_source=f&gclid=z&id=3",
+         "https://example.com/x?id=3"),
+        ("https://example.com/x?utm_source=f", "https://example.com/x"),
+        ("https://example.com", "https://example.com"),
+        ("https://example.com/#frag", "https://example.com"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], ["i", "url"])
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url("url").alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_longest_shared_spans_islands(spark):
+    """A verbatim 8-token span shared by two docs at different offsets
+    must come back as one span of exactly 8 tokens with the correct
+    start positions; a doc sharing only isolated 5-grams (below the
+    2-shingle run minimum) must not pair."""
+    from super_store_datawarehouse_spark.operators.dedup import (
+        longest_shared_spans,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 y1 " + span + " tail1 tailA"),          # span at pos 2
+            (2, span + " other words here"),                # span at pos 0
+            (3, "alpha beta gamma delta epsilon unrelated w z q"),  # 1 shingle run of 1
+            (4, "totally different content with no overlap at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = longest_shared_spans(docs, n=5, max_doc_freq=10).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert (1, 2) in by_pair
+    r = by_pair[(1, 2)]
+    assert r["span_tokens"] == 8 and r["start_a"] == 2 and r["start_b"] == 0
+    # doc 3 shares exactly one 5-shingle with 1 and 2 -> run of 1 -> below
+    # the min_span = n+1 = 6 gate
+    assert all(3 not in pair for pair in by_pair)
+    assert all(4 not in pair for pair in by_pair)
