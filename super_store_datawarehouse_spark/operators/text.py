@@ -120,7 +120,8 @@ def poly_fingerprint(text: Column | str, prefix_len: int = 64) -> Column:
 
 
 def chunk_words(
-    text: Column | str, chunk_size: int = 50, stride: int = 40
+    text: Column | str, chunk_size: int = 50, stride: int = 40,
+    presplit: bool = False,
 ) -> Column:
     """Overlapping fixed-word-count chunks for LLM context windows.
 
@@ -129,8 +130,15 @@ def chunk_words(
     chunk_size gives overlap); the tail chunk may be short. Pure array
     expressions (sequence → slice → array_join): codegen'd, no Python,
     and reproducible in any engine with list slicing.
+
+    ``presplit=True`` treats ``text`` as an already-tokenized
+    array<string> column. Prefer projecting ``words(text)`` to a bound
+    column first and passing that: the transform lambda below references
+    the word array per chunk, and a lambda body re-evaluates captured
+    EXPRESSIONS per element — an inline regex split would re-run once
+    per chunk (the word_shingles lesson, ~2 slices x len/stride chunks).
     """
-    w = words(text)
+    w = (F.col(text) if isinstance(text, str) else text) if presplit else words(text)
     starts = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(stride))
     return F.transform(
         starts,

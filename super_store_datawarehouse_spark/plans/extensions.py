@@ -913,12 +913,20 @@ def x38_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x36_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from super_store_datawarehouse_spark.operators.text import chunk_words
+    from super_store_datawarehouse_spark.operators.text import chunk_words, words
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(chunk_words("text", chunk_size=50, stride=40)).alias("c")
-    ).select("doc_id", "c.chunk_no", "c.chunk_text", "c.n_words")
+    # bind the tokenization once — see chunk_words' presplit note
+    return (
+        docs.select("doc_id", words("text").alias("__ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                chunk_words(F.col("__ws"), chunk_size=50, stride=40, presplit=True)
+            ).alias("c"),
+        )
+        .select("doc_id", "c.chunk_no", "c.chunk_text", "c.n_words")
+    )
 
 
 # --------------------------------------------------------------------------
