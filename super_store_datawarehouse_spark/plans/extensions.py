@@ -13916,3 +13916,101 @@ def x271_longest_shared_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.longest_shared_spans(
         docs, n=5, max_doc_freq=10
     ).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# x272 — per-domain crawl policy rollup: the aggregation a web-corpus
+# pipeline runs right after URL canonicalization — registered domain
+# (last two host labels of the canonical host) × document quality
+# (token count + quality_keep gate) -> per-domain doc counts, keep
+# counts, token mass. URLs are derived deterministically from documents
+# (subdomain noise by doc_id arithmetic; both engines build identical
+# strings); the registered-domain extraction and the quality gate are
+# native expressions, so the rollup value-oracles.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x272_domain_quality_rollup",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, text,
+        'https://' ||
+        (CASE WHEN doc_id % 7 = 0 THEN 'cdn.'
+              WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+        source || '.site' || CAST(doc_id % 4 AS VARCHAR) ||
+        '.com/p/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ), host AS (
+      SELECT doc_id, text,
+        regexp_extract(
+          regexp_replace(
+            lower(regexp_extract(url, '^[^:]+://([^/?]+)', 1)),
+            '^www\\.', ''),
+          '([^.]+\\.[^.]+)$', 1) AS domain
+      FROM raw
+    ), scored AS (
+      SELECT domain,
+        len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                        x -> x <> '')) AS n_tok,
+        (len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '')) >= 10
+         AND CAST(length(text) AS DOUBLE)
+             <= 12.0 * len(list_filter(
+                 string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> x <> ''))) AS keep
+      FROM host
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM scored
+    GROUP BY domain
+    ORDER BY domain
+    """,
+)
+def x272_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import (
+        canonical_url,
+        quality_keep,
+        words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = docs.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("https://"),
+            F.when(did % 7 == 0, F.lit("cdn."))
+            .when(did % 3 == 0, F.lit("www."))
+            .otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".site"),
+            (did % 4).cast("string"),
+            F.lit(".com/p/"),
+            did.cast("string"),
+        ).alias("url"),
+    )
+    host = raw.select(
+        "text",
+        F.regexp_extract(
+            F.regexp_extract(canonical_url("url"), r"^[^:]+://([^/?]+)", 1),
+            r"([^.]+\.[^.]+)$",
+            1,
+        ).alias("domain"),
+    )
+    scored = host.select(
+        "domain",
+        F.size(words("text")).alias("n_tok"),
+        quality_keep("text").alias("keep"),
+    )
+    return (
+        scored.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("domain")
+    )

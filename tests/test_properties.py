@@ -252,3 +252,88 @@ def test_bpe_merges_partition_invariant(spark):
         if want is None:
             want = got
         assert got == want, f"BPE merges drifted at {parts} partitions"
+
+
+_URL_HOST = st.from_regex(r"[a-zA-Z][a-zA-Z0-9]{0,6}\.(com|org|net)", fullmatch=True)
+_URL_PATH = st.from_regex(r"(/[a-zA-Z0-9._~-]{0,5}){0,3}/?", fullmatch=True)
+_URL_PARAM = st.from_regex(r"[a-z]{1,4}=[a-zA-Z0-9]{0,4}|utm_[a-z]{1,6}=[a-z]{0,4}", fullmatch=True)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    scheme=st.sampled_from(["http", "https", "HTTP", "Https"]),
+    www=st.booleans(),
+    host=_URL_HOST,
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=_URL_PATH,
+    params=st.lists(_URL_PARAM, max_size=4),
+    frag=st.sampled_from(["", "#x", "#frag/y"]),
+)
+def test_canonical_url_idempotent_and_order_free(
+    spark, scheme, www, host, port, path, params, frag
+):
+    """canonical_url must be IDEMPOTENT (a canonical form canonicalizes
+    to itself) and insensitive to query-param order."""
+    import random
+
+    from super_store_datawarehouse_spark.operators.text import canonical_url
+
+    q = "?" + "&".join(params) if params else ""
+    url = f"{scheme}://{'www.' if www else ''}{host}{port}{path}{q}{frag}"
+    shuffled = list(params)
+    random.Random(7).shuffle(shuffled)
+    q2 = "?" + "&".join(shuffled) if shuffled else ""
+    url2 = f"{scheme}://{'www.' if www else ''}{host}{port}{path}{q2}{frag}"
+    df = spark.createDataFrame([(url, url2)], ["u1", "u2"])
+    row = df.select(
+        canonical_url("u1").alias("c1"),
+        canonical_url("u2").alias("c2"),
+        canonical_url(canonical_url("u1")).alias("cc1"),
+    ).collect()[0]
+    assert row["c1"] == row["c2"], (url, url2, row)
+    assert row["cc1"] == row["c1"], (url, row)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=5, max_size=14),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_longest_shared_spans_matches_bruteforce(spark, docs):
+    """The islands formulation must agree with a per-pair brute-force
+    longest-common-substring (token-level) computation whenever no
+    shingle is df-capped away (max_doc_freq >= n_docs)."""
+    from super_store_datawarehouse_spark.operators.dedup import (
+        longest_shared_spans,
+    )
+
+    n = 3
+    texts = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["span_tokens"]
+        for r in longest_shared_spans(
+            df, n=n, max_doc_freq=len(docs), min_span=n + 1
+        ).collect()
+    }
+
+    def lcs_tokens(a: list, b: list) -> int:
+        best = 0
+        for i in range(len(a)):
+            for j in range(len(b)):
+                k = 0
+                while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                    k += 1
+                best = max(best, k)
+        return best
+
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            want = lcs_tokens(docs[i], docs[j])
+            if want >= n + 1:
+                assert got.get((i, j)) == want, (docs[i], docs[j], got.get((i, j)), want)
+            else:
+                assert (i, j) not in got
