@@ -1145,3 +1145,64 @@ def longest_shared_spans(
         .filter((F.col("rn") == 1) & (F.col("span_tokens") >= min_span))
         .select("doc_a", "doc_b", "span_tokens", "start_a", "start_b")
     )
+
+
+def cross_split_span_contamination(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    max_doc_freq: int = 10,
+    min_span: int | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Span-level train→eval decontamination: for every val/test
+    document that shares a verbatim token span of at least ``min_span``
+    tokens with ANY train document, report the longest such leak and
+    the train doc it leaks from.
+
+    This is the stricter sibling of :func:`cross_split_contamination`
+    (n-gram overlap ratio): a long verbatim span is the signal
+    substring-dedup decontamination (Lee et al. 2022) acts on, and the
+    check labs run before trusting a held-out score. Splits come from
+    :func:`operators.sampling.split_column`, so the audit composes with
+    the engine's deterministic splitter.
+
+    Plan shape: :func:`longest_shared_spans` (df-capped shingle
+    self-join + islands window) produces one longest-span row per doc
+    pair; two broadcast-friendly joins attach split labels; pairs with
+    exactly one train side survive. Ranking keeps the single longest
+    leak per eval doc (ties → lowest train doc id).
+    """
+    from super_store_datawarehouse_spark.operators.sampling import split_column
+
+    spans = longest_shared_spans(
+        df, text_col, id_col, n, max_doc_freq, min_span
+    )
+    labels = df.select(
+        F.col(id_col).alias("__id"), split_column(id_col, salt=salt).alias("__sp")
+    )
+    lab_a = labels.select(
+        F.col("__id").alias("doc_a"), F.col("__sp").alias("split_a")
+    )
+    lab_b = labels.select(
+        F.col("__id").alias("doc_b"), F.col("__sp").alias("split_b")
+    )
+    crossed = (
+        spans.join(lab_a, "doc_a")
+        .join(lab_b, "doc_b")
+        .filter((F.col("split_a") == "train") != (F.col("split_b") == "train"))
+    )
+    is_a_train = F.col("split_a") == "train"
+    leaks = crossed.select(
+        F.when(is_a_train, F.col("doc_b")).otherwise(F.col("doc_a")).alias("eval_doc"),
+        F.when(is_a_train, F.col("split_b")).otherwise(F.col("split_a")).alias("eval_split"),
+        F.when(is_a_train, F.col("doc_a")).otherwise(F.col("doc_b")).alias("train_doc"),
+        "span_tokens",
+    )
+    w = Window.partitionBy("eval_doc").orderBy(F.desc("span_tokens"), "train_doc")
+    return (
+        leaks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("eval_doc", "eval_split", "train_doc", "span_tokens")
+    )

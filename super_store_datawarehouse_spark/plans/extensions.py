@@ -14014,3 +14014,86 @@ def x272_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# --------------------------------------------------------------------------
+# x273 — span-level cross-split decontamination
+# (operators/dedup.cross_split_span_contamination): the stricter
+# sibling of q25's n-gram overlap ratio — for every val/test document
+# sharing a verbatim >=6-token span with ANY train document, the
+# longest such leak and its source doc. Composes the deterministic
+# splitter (sampling.split_column — the same Knuth-hash CASE the q25
+# oracle uses) with the x271 islands construction; the oracle replays
+# both on string shingles.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x273_span_contamination",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), labels AS (
+      SELECT doc_id,
+             CASE WHEN ((((doc_id % 2147483648 + 2147483648) % 2147483648)
+                         * 2654435761) % 4294967296) % 10000 < 8000
+                    THEN 'train'
+                  WHEN ((((doc_id % 2147483648 + 2147483648) % 2147483648)
+                         * 2654435761) % 4294967296) % 10000 < 9000
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+5], ' ') AS s
+      FROM base, UNNEST(range(0, greatest(len(ws) - 4, 0))) t(i)
+    ), shared_rare AS (
+      SELECT s FROM sh GROUP BY s
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 10
+    ), m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos AS pb, b.pos - a.pos AS delta
+      FROM sh a JOIN shared_rare USING (s) JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT doc_a, doc_b, delta, pa,
+             pa - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, delta ORDER BY pa) AS grp
+      FROM m
+    ), spans AS (
+      SELECT doc_a, doc_b,
+             CAST(COUNT(*) + 4 AS BIGINT) AS span_tokens,
+             CAST(MIN(pa) AS BIGINT) AS start_a
+      FROM runs GROUP BY doc_a, doc_b, delta, grp
+    ), pair_best AS (
+      SELECT doc_a, doc_b, MAX(span_tokens) AS span_tokens
+      FROM spans GROUP BY doc_a, doc_b
+      HAVING MAX(span_tokens) >= 6
+    ), crossed AS (
+      SELECT p.doc_a, p.doc_b, p.span_tokens,
+             la.split AS split_a, lb.split AS split_b
+      FROM pair_best p
+      JOIN labels la ON la.doc_id = p.doc_a
+      JOIN labels lb ON lb.doc_id = p.doc_b
+      WHERE (la.split = 'train') <> (lb.split = 'train')
+    ), leaks AS (
+      SELECT CASE WHEN split_a = 'train' THEN doc_b ELSE doc_a END AS eval_doc,
+             CASE WHEN split_a = 'train' THEN split_b ELSE split_a END AS eval_split,
+             CASE WHEN split_a = 'train' THEN doc_a ELSE doc_b END AS train_doc,
+             span_tokens
+      FROM crossed
+    )
+    SELECT eval_doc, eval_split, train_doc, span_tokens
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY eval_doc ORDER BY span_tokens DESC, train_doc) AS rn
+      FROM leaks
+    ) WHERE rn = 1
+    ORDER BY eval_doc
+    """,
+)
+def x273_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cross_split_span_contamination(
+        docs, n=5, max_doc_freq=10
+    ).orderBy("eval_doc")
