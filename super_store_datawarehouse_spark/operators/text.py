@@ -438,3 +438,149 @@ def canonical_url(url: Column | str) -> Column:
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+
+
+UNIGRAM_PIECE_PENALTY = 1_000_000
+UNIGRAM_COUNT_CAP = 100_000
+UNIGRAM_MAX_PIECE = 4
+
+
+def unigram_segment(
+    df: DataFrame,
+    word_col: str = "w",
+    freq_col: str = "freq",
+    max_piece: int = UNIGRAM_MAX_PIECE,
+) -> DataFrame:
+    """Unigram-LM-style subword segmentation by exact Viterbi DP — the
+    SentencePiece decoding step (Kudo 2018), distributed, integer-exact.
+
+    The piece inventory is every substring of length 1..``max_piece``
+    observed in the corpus, scored by total occurrence count weighted by
+    word frequency. Real unigram LM minimizes Σ −log p(piece); floats
+    don't replay bit-for-bit across engines, so the cost is the integer
+    surrogate ``PENALTY − min(count, CAP)`` per piece: fewer pieces
+    dominate (the penalty), then more frequent pieces, ties broken by
+    the lexicographically smallest segmentation — fully deterministic
+    in any engine.
+
+    Plan shape (no driver loop, no UDF):
+
+    1. piece counts: explode each word's substrings, weight by word
+       frequency, one hash agg — O(len·max_piece) rows per word;
+    2. per-word piece map: re-explode distinct, join counts, collapse
+       to a bound ``map<piece,cost>`` column — each word carries
+       exactly the costs its DP can touch;
+    3. Viterbi: ONE ``aggregate`` fold over char positions per word.
+       The accumulator is the growing array of per-prefix best states
+       ``struct(cost, np, seg)``; position i extends the best of
+       j ∈ [i−max_piece, i−1]. Every reference inside the fold is to
+       BOUND columns (``__w``, ``__pm``) — the word_shingles lesson.
+
+    Returns (word, freq, seg, n_pieces, cost); ``seg`` joins pieces
+    with single spaces and concatenates back to the word exactly.
+    """
+    base = df.select(
+        F.col(word_col).alias("__w"), F.col(freq_col).cast("long").alias("__f")
+    )
+
+    def piece_rows(src: DataFrame) -> DataFrame:
+        ln = F.length("__w")
+        return src.select(
+            "__w",
+            "__f",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), ln),
+                        lambda j: F.transform(
+                            F.sequence(
+                                F.lit(1), F.least(F.lit(max_piece), ln - j + 1)
+                            ),
+                            lambda l: F.substring(F.col("__w"), j, l),
+                        ),
+                    )
+                )
+            ).alias("piece"),
+        )
+
+    counts = (
+        piece_rows(base)
+        .groupBy("piece")
+        .agg(F.sum("__f").alias("cnt"))
+        .select(
+            "piece",
+            (
+                F.lit(UNIGRAM_PIECE_PENALTY)
+                - F.least(F.col("cnt"), F.lit(UNIGRAM_COUNT_CAP))
+            ).cast("long").alias("pcost"),
+        )
+    )
+    with_map = (
+        piece_rows(base)
+        .dropDuplicates(["__w", "piece"])
+        .join(counts, "piece")
+        .groupBy("__w", "__f")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("piece", "pcost"))).alias(
+                "__pm"
+            )
+        )
+    )
+
+    def state(cost, np, seg):
+        return F.struct(
+            cost.cast("long").alias("cost"),
+            np.cast("long").alias("np"),
+            seg.alias("seg"),
+        )
+
+    zero_acc = F.array(state(F.lit(0), F.lit(0), F.lit("")))
+    sentinel = state(F.lit(1 << 62), F.lit(1 << 62), F.lit(""))
+
+    def better(a, b):
+        return F.when(
+            (a["cost"] < b["cost"])
+            | ((a["cost"] == b["cost"]) & (a["np"] < b["np"]))
+            | (
+                (a["cost"] == b["cost"])
+                & (a["np"] == b["np"])
+                & (a["seg"] < b["seg"])
+            ),
+            a,
+        ).otherwise(b)
+
+    w = F.col("__w")
+    pm = F.col("__pm")
+
+    def step(acc, i):
+        def cand(l):
+            start = (i - l + 1).cast("int")
+            prev = F.element_at(acc, start)
+            piece = F.substring(w, start, l.cast("int"))
+            return state(
+                prev["cost"] + F.element_at(pm, piece),
+                prev["np"] + 1,
+                F.concat(
+                    prev["seg"],
+                    F.when(prev["np"] > 0, F.lit(" ")).otherwise(F.lit("")),
+                    piece,
+                ),
+            )
+
+        cands = F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(max_piece), i)), cand
+        )
+        best = F.aggregate(cands, sentinel, lambda b, c: better(c, b))
+        return F.concat(acc, F.array(best))
+
+    final = F.element_at(
+        F.aggregate(F.sequence(F.lit(1), F.length(w)), zero_acc, step),
+        F.length(w).cast("int") + 1,
+    )
+    return with_map.select(
+        F.col("__w").alias("word"),
+        F.col("__f").alias("freq"),
+        final["seg"].alias("seg"),
+        final["np"].alias("n_pieces"),
+        final["cost"].alias("cost"),
+    )

@@ -14097,3 +14097,91 @@ def x273_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cross_split_span_contamination(
         docs, n=5, max_doc_freq=10
     ).orderBy("eval_doc")
+
+
+# --------------------------------------------------------------------------
+# x274 — unigram-LM subword segmentation (operators/text.unigram_segment):
+# the SentencePiece decoding step (Kudo 2018) as exact Viterbi DP over an
+# integer cost (PENALTY − min(count, CAP) per piece — fewer pieces, then
+# more frequent pieces, ties to the lexicographically smallest
+# segmentation). The Spark side folds the DP in ONE aggregate() pass per
+# word (accumulator = array of per-prefix best states, all references to
+# bound columns); the oracle unrolls the same DP position-by-position as
+# chained CTEs (the q45/q41 precedent for iterative algorithms), so even
+# the dynamic program is value-hash verified. Words are capped at 16
+# chars on both sides to bound the unroll.
+# --------------------------------------------------------------------------
+def _unigram_oracle(max_len: int = 16, max_piece: int = 4) -> str:
+    ctes = ["""
+    toks AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT UNNEST(list_filter(
+          string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ), wt AS MATERIALIZED (
+      SELECT w, freq FROM toks WHERE length(w) <= %d
+    ), pr AS (
+      SELECT substr(w, CAST(j AS INT), CAST(l AS INT)) AS piece, freq
+      FROM wt,
+           UNNEST(range(1, length(w) + 1)) tj(j),
+           UNNEST(range(1, least(%d, length(w) - j + 1) + 1)) tl(l)
+    ), costs AS MATERIALIZED (
+      SELECT piece,
+             CAST(1000000 - LEAST(SUM(freq), 100000) AS BIGINT) AS pcost
+      FROM pr GROUP BY piece
+    ), b0 AS MATERIALIZED (
+      SELECT w, CAST(0 AS BIGINT) AS cost, CAST(0 AS BIGINT) AS np, '' AS seg
+      FROM wt
+    )""" % (max_len, max_piece)]
+    for i in range(1, max_len + 1):
+        branches = []
+        for l in range(1, min(max_piece, i) + 1):
+            start = i - l + 1
+            branches.append(f"""
+      SELECT b.w, b.cost + c.pcost AS cost, b.np + 1 AS np,
+             (CASE WHEN b.np > 0 THEN b.seg || ' ' ELSE '' END)
+               || substr(b.w, {start}, {l}) AS seg
+      FROM b{i - l} b JOIN costs c ON c.piece = substr(b.w, {start}, {l})
+      WHERE length(b.w) >= {i}""")
+        union = "\n      UNION ALL".join(branches)
+        ctes.append(f"""
+    b{i} AS MATERIALIZED (
+      SELECT w, cost, np, seg FROM (
+        SELECT u.*, ROW_NUMBER() OVER (
+          PARTITION BY u.w ORDER BY u.cost, u.np, u.seg) AS rn
+        FROM ({union}
+        ) u
+      ) WHERE rn = 1
+    )""")
+    finals = "\n      UNION ALL".join(
+        f"      SELECT w, cost, np, seg FROM b{i} WHERE length(w) = {i}"
+        for i in range(1, max_len + 1)
+    )
+    return (
+        "WITH" + ",".join(ctes)
+        + f""",
+    final AS (
+{finals}
+    )
+    SELECT wt.w AS word, wt.freq, f.seg, f.np AS n_pieces, f.cost
+    FROM final f JOIN wt ON wt.w = f.w
+    ORDER BY word"""
+    )
+
+
+@harness_query("x274_unigram_segmentation", oracle=_unigram_oracle())
+def x274_unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import (
+        unigram_segment,
+        words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wt = (
+        docs.select(F.explode(words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("w") <= 16)
+    )
+    return unigram_segment(wt).orderBy("word")

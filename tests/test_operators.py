@@ -2516,3 +2516,26 @@ def test_longest_shared_spans_islands(spark):
     # the min_span = n+1 = 6 gate
     assert all(3 not in pair for pair in by_pair)
     assert all(4 not in pair for pair in by_pair)
+
+
+def test_unigram_segment_lossless_and_prefers_frequent_pieces(spark):
+    """Viterbi segmentation must (a) concatenate back to the word
+    exactly, (b) minimize piece count first (penalty dominates), and
+    (c) among equal-count splits prefer the more frequent pieces."""
+    from super_store_datawarehouse_spark.operators.text import unigram_segment
+
+    rows = [("abcd", 1), ("ab", 50), ("cd", 50), ("abc", 1), ("d", 1)]
+    df = spark.createDataFrame(rows, ["w", "freq"])
+    got = {r["word"]: r for r in unigram_segment(df).collect()}
+    for w, _ in rows:
+        assert got[w]["seg"].replace(" ", "") == w
+    # len-4 word with max_piece=4: single piece 'abcd' always wins on count
+    assert got["abcd"]["n_pieces"] == 1
+    # force a 2-piece decision: max_piece=2 on a 4-char word; 'ab'+'cd'
+    # (freq 50+50, plus substring credit) beats 'ab c d' splits
+    got2 = {
+        r["word"]: r
+        for r in unigram_segment(df, max_piece=2).collect()
+    }
+    assert got2["abcd"]["seg"] == "ab cd"
+    assert got2["abcd"]["n_pieces"] == 2
