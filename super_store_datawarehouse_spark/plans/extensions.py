@@ -14185,3 +14185,199 @@ def x274_unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("w") <= 16)
     )
     return unigram_segment(wt).orderBy("word")
+
+
+# --------------------------------------------------------------------------
+# x275 — curation pipeline v3: the round-5 web-corpus flow composed
+# end-to-end (q49 is v1, q42 v2): (1) canonical-URL dedup keeping the
+# lowest doc_id per canonical identity (x270), (2) exact text dedup
+# (q14 rule), (3) quality_keep gate (q09 family), (4) deterministic
+# train/val/test split (q39), then (5) span-level decontamination —
+# val/test docs sharing a verbatim >=6-token span with any surviving
+# train doc are DROPPED (x273). Every stage is individually oracled
+# elsewhere; this query oracles the COMPOSITION — the kept-set shape a
+# curation run would ship. Output: per (split, lang) doc + token mass.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x275_curation_pipeline_v3",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, lang, text,
+        'HTTPS://' ||
+        (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        (CASE WHEN doc_id % 2 = 0 THEN 'Example.com' ELSE 'example.COM' END) ||
+        (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        '/Docs/' || CAST(doc_id // 4 AS VARCHAR) ||
+        (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+        (CASE WHEN doc_id % 5 = 0
+              THEN '?utm_source=feed&id=' ELSE '?id=' END) ||
+        CAST(doc_id // 4 AS VARCHAR) || '&lang=en' AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id, lang, text,
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          || '://' ||
+        regexp_replace(regexp_replace(
+            lower(regexp_extract(u, '^[^:]+://([^/?]+)', 1)), '^www\\.', ''),
+          ':443$', '') ||
+        regexp_replace(
+          regexp_extract(u, '^[^:]+://[^/?]+(/[^?]*)?', 1), '/+$', '') ||
+        (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS curl
+      FROM (
+        SELECT doc_id, lang, text, url AS u,
+          array_to_string(list_sort(list_filter(
+            string_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+            p -> p <> '' AND NOT regexp_matches(
+                   p, '^(utm_|fbclid=|gclid=|msclkid=|ref=)'))), '&') AS qs
+        FROM raw
+      )
+    ), url_kept AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               ROW_NUMBER() OVER (PARTITION BY curl ORDER BY doc_id) AS rn
+        FROM canon) WHERE rn = 1
+    ), text_kept AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                 ORDER BY doc_id) AS rn
+        FROM url_kept) WHERE rn = 1
+    ), quality AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM text_kept
+      WHERE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) >= 10
+        AND CAST(length(text) AS DOUBLE)
+            <= 12.0 * len(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))
+    ), labels AS (
+      SELECT doc_id,
+             CASE WHEN ((((doc_id % 2147483648 + 2147483648) % 2147483648)
+                         * 2654435761) % 4294967296) % 10000 < 8000
+                    THEN 'train'
+                  WHEN ((((doc_id % 2147483648 + 2147483648) % 2147483648)
+                         * 2654435761) % 4294967296) % 10000 < 9000
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM quality
+    ), sh AS (
+      SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+5], ' ') AS s
+      FROM quality, UNNEST(range(0, greatest(len(ws) - 4, 0))) t(i)
+    ), shared_rare AS (
+      SELECT s FROM sh GROUP BY s
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 10
+    ), m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos - a.pos AS delta
+      FROM sh a JOIN shared_rare USING (s) JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT doc_a, doc_b, delta, pa,
+             pa - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, delta ORDER BY pa) AS grp
+      FROM m
+    ), spans AS (
+      SELECT doc_a, doc_b, CAST(COUNT(*) + 4 AS BIGINT) AS span_tokens
+      FROM runs GROUP BY doc_a, doc_b, delta, grp
+    ), contaminated AS (
+      SELECT DISTINCT
+             CASE WHEN la.split = 'train' THEN p.doc_b ELSE p.doc_a END
+               AS eval_doc
+      FROM (SELECT doc_a, doc_b FROM spans
+            GROUP BY doc_a, doc_b HAVING MAX(span_tokens) >= 6) p
+      JOIN labels la ON la.doc_id = p.doc_a
+      JOIN labels lb ON lb.doc_id = p.doc_b
+      WHERE (la.split = 'train') <> (lb.split = 'train')
+    )
+    SELECT l.split, q.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(q.ws)) AS BIGINT) AS total_tokens
+    FROM quality q
+    JOIN labels l ON l.doc_id = q.doc_id
+    WHERE q.doc_id NOT IN (SELECT eval_doc FROM contaminated)
+    GROUP BY l.split, q.lang
+    ORDER BY split, lang
+    """,
+)
+def x275_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.dedup import (
+        longest_shared_spans,
+        normalize_text,
+    )
+    from super_store_datawarehouse_spark.operators.sampling import split_column
+    from super_store_datawarehouse_spark.operators.text import (
+        canonical_url,
+        quality_keep,
+        words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.when(did % 2 == 0, F.lit("Example.com")).otherwise(
+                F.lit("example.COM")
+            ),
+            F.when(did % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/Docs/"),
+            (did / 4).cast("long").cast("string"),
+            F.when(did % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit("?utm_source=feed&id=")).otherwise(
+                F.lit("?id=")
+            ),
+            (did / 4).cast("long").cast("string"),
+            F.lit("&lang=en"),
+        ).alias("url"),
+    )
+    w_url = Window.partitionBy("curl").orderBy("doc_id")
+    url_kept = (
+        raw.withColumn("curl", canonical_url("url"))
+        .withColumn("rn", F.row_number().over(w_url))
+        .filter("rn = 1")
+        .select("doc_id", "lang", "text")
+    )
+    w_txt = Window.partitionBy(normalize_text("text")).orderBy("doc_id")
+    text_kept = (
+        url_kept.withColumn("rn", F.row_number().over(w_txt))
+        .filter("rn = 1")
+        .select("doc_id", "lang", "text")
+    )
+    quality = text_kept.filter(quality_keep("text"))
+    labeled = quality.withColumn("split", split_column("doc_id"))
+    spans = longest_shared_spans(
+        quality.select("doc_id", "text"), n=5, max_doc_freq=10
+    )
+    lab = labeled.select("doc_id", "split")
+    crossed = (
+        spans.join(
+            lab.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            lab.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .filter((F.col("sa") == "train") != (F.col("sb") == "train"))
+    )
+    contaminated = crossed.select(
+        F.when(F.col("sa") == "train", F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("doc_id")
+    ).distinct()
+    final = labeled.join(contaminated, "doc_id", "left_anti")
+    return (
+        final.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(words("text"))).alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
