@@ -116,9 +116,20 @@ def ivf_index_update(
         .join(assign, "vid")
         .sortWithinPartitions("centroid_id")
         .withColumn("applied_batch", F.lit(applied_batch).cast("long"))
-    )
-    rows.write.mode("append").parquet(cell_path)
-    return rows.count()
+    ).persist()
+    try:
+        # Count BEFORE the append, against the persisted frame: the
+        # caller's lineage may read the cells table itself (the
+        # streaming content-dedup anti-join), and a post-write count
+        # would re-evaluate that scan against the just-appended files —
+        # observing its own write and reporting 0. Counting first also
+        # lets a no-op batch skip the (empty) append entirely.
+        n = rows.count()
+        if n:
+            rows.write.mode("append").parquet(cell_path)
+    finally:
+        rows.unpersist()
+    return n
 
 
 def ivf_index_search(

@@ -230,14 +230,25 @@ def pca_power_iteration(
     import numpy as np
     import pandas as pd
 
-    q = emb.select(quantize_vec(F.col(vec_col), 1000).alias("__q"))
+    # NULL/empty embeddings contribute nothing (the former posexplode
+    # formulation skipped them implicitly; the Gram path must too)
+    q = emb.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    ).select(quantize_vec(F.col(vec_col), 1000).alias("__q"))
 
     def gram(batches):
         acc = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = np.stack(pdf["__q"].to_numpy()).astype(np.int64)
+            arrs = pdf["__q"].to_numpy()
+            widths = {len(a) for a in arrs}
+            if len(widths) > 1:
+                raise ValueError(
+                    f"pca_power_iteration: ragged embedding lengths {sorted(widths)}"
+                    " — uniform dimensionality is required"
+                )
+            m = np.stack(arrs).astype(np.int64)
             g = m.T @ m  # exact int64; bound n·X² per partition
             acc = g if acc is None else acc + g
         if acc is not None:

@@ -7838,15 +7838,16 @@ def x190_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x191 — distributed PCA (first principal direction) by power
+# x191/q41 — distributed PCA (first principal direction) by power
 # iteration: v ← (XᵀX)v with L∞ renormalization, 3 rounds, every step
-# exact int64 (operators/clustering.pca_power_iteration — matrix-free:
-# per-row dot against the broadcast direction, then a d-row shuffle;
-# the driver holds 64 ints per round, like k-means centroids). The
-# max-abs norm replaces L2 precisely because it needs no sqrt — the
-# iterate sequence is bit-identical in any engine, so the oracle
-# unrolls the same 3 rounds as CTEs and verifies the DIRECTION, not
-# just its shape.
+# exact integer (operators/clustering.pca_power_iteration — round 5:
+# ONE pass accumulates the d×d int64 Gram per partition, one d²-row
+# reduce, then the iterations run driver-side over plain-Python ints;
+# integer addition commutes, so the iterates are bit-identical to the
+# former per-round shuffles). The max-abs norm replaces L2 precisely
+# because it needs no sqrt — the iterate sequence replays in any
+# engine, so the oracle unrolls the same 3 rounds as CTEs and
+# verifies the DIRECTION, not just its shape.
 # --------------------------------------------------------------------------
 def _pca_oracle(n_iter: int) -> str:
     ctes = ["""
@@ -14304,7 +14305,7 @@ def x274_unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x275_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.dedup import (
-        longest_shared_spans,
+        cross_split_span_contamination,
         normalize_text,
     )
     from super_store_datawarehouse_spark.operators.sampling import split_column
@@ -14352,26 +14353,11 @@ def x275_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     quality = text_kept.filter(quality_keep("text"))
     labeled = quality.withColumn("split", split_column("doc_id"))
-    spans = longest_shared_spans(
+    # x273's operator, applied to the SURVIVING docs: one row per
+    # contaminated eval doc (same splitter, same salt)
+    contaminated = cross_split_span_contamination(
         quality.select("doc_id", "text"), n=5, max_doc_freq=10
-    )
-    lab = labeled.select("doc_id", "split")
-    crossed = (
-        spans.join(
-            lab.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
-            "doc_a",
-        )
-        .join(
-            lab.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
-            "doc_b",
-        )
-        .filter((F.col("sa") == "train") != (F.col("sb") == "train"))
-    )
-    contaminated = crossed.select(
-        F.when(F.col("sa") == "train", F.col("doc_b"))
-        .otherwise(F.col("doc_a"))
-        .alias("doc_id")
-    ).distinct()
+    ).select(F.col("eval_doc").alias("doc_id"))
     final = labeled.join(contaminated, "doc_id", "left_anti")
     return (
         final.groupBy("split", "lang")

@@ -954,20 +954,24 @@ def stream_ivf_index_update(
     queryable throughout, never rebuilt.
 
     Exactly-once: appends are additive, so replayed micro-batches must
-    be excluded. The applied-batch id written INSIDE each appended
-    parquet commit (``applied_batch`` column, same pattern as the
-    Misra–Gries sink) is only the fast path: micro-batch ids are
-    CHECKPOINT-scoped, so after a lost/recreated checkpoint (or a
-    second stream feeding the same index) ids restart at 0 and a
-    max-id guard alone would silently drop fresh data forever. A batch
-    whose id is not ahead of the stored maximum therefore falls back to
-    CONTENT dedup: its vectors are anti-joined on ``vec_id`` against
-    the inverted lists and only unseen ids are appended. The index
+    be excluded — and batch ids CANNOT be trusted for that. They are
+    checkpoint-scoped (a lost/recreated checkpoint, or a second stream,
+    restarts at 0, so a max-id guard drops fresh data forever), and
+    even replayed FILES can land on a higher id than the stored
+    maximum (FileStreamSource file ordering is not part of the
+    contract), which would duplicate their vectors under an
+    id-ordering fast path. Every batch therefore goes through CONTENT
+    dedup: its vectors are anti-joined on ``vec_id`` against the
+    inverted lists and only unseen ids are appended. The index
     contract this rests on is already append-only-by-id (re-sent ids
     are replays, never updates), so the anti-join is exact — a full
-    replay appends nothing, a fresh file under a recycled batch id
-    appends exactly its new vectors, and a partially-applied crash
-    batch self-heals. Returns micro-batches that appended rows.
+    replay appends nothing, fresh data appends exactly its new
+    vectors regardless of what id it arrives under, and a
+    partially-applied crash batch self-heals. The survivors frame is
+    persisted across the update's write + count actions, so the
+    per-batch cost is ONE scan of the inverted lists — the price of
+    content-level exactly-once. Returns micro-batches that appended
+    rows.
     """
     from super_store_datawarehouse_spark.operators.ann_index import (
         ivf_index_update,
@@ -987,38 +991,22 @@ def stream_ivf_index_update(
     cell_path = os.path.join(index_path, "cells")
     batches = {"n": 0}
 
-    def last_applied() -> int:
-        try:
-            row = (
-                spark.read.parquet(cell_path)
-                .agg(F.max("applied_batch"))
-                .collect()[0]
-            )
-            return -1 if row[0] is None else row[0]
-        except Exception:
-            return -1
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_applied():
-            # checkpoint-scoped id not ahead of the stored marker: this
-            # is EITHER a replay (in-checkpoint redelivery, or a wiped
-            # checkpoint re-reading old files) OR fresh data under a
-            # recycled id (new checkpoint, new files). Content dedup
-            # distinguishes them exactly: keep only unseen vec_ids.
-            sess = batch_df.sparkSession
-            id_col = "vec_id" if "vec_id" in batch_df.columns else batch_df.columns[0]
-            try:
-                seen = sess.read.parquet(cell_path).select(
-                    F.col("vid").alias(id_col)
-                )
-            except Exception:
-                seen = None
-            if seen is not None:
-                batch_df = batch_df.join(seen, id_col, "left_anti")
-            if not batch_df.take(1):
-                return
+        sess = batch_df.sparkSession
+        id_col = "vec_id" if "vec_id" in batch_df.columns else batch_df.columns[0]
+        try:
+            seen = sess.read.parquet(cell_path).select(F.col("vid").alias(id_col))
+        except Exception:
+            seen = None  # no cells yet: everything is new
+        survivors = (
+            batch_df.join(seen, id_col, "left_anti") if seen is not None else batch_df
+        )
+        # ivf_index_update persists the assigned rows, counts them
+        # BEFORE appending (the anti-join above reads the cells table —
+        # a post-write count would observe its own append), and skips
+        # the write entirely for a pure replay.
         appended = ivf_index_update(
-            batch_df.sparkSession, index_path, batch_df, applied_batch=batch_id
+            sess, index_path, survivors, applied_batch=batch_id
         )
         if appended:
             batches["n"] += 1

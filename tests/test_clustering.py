@@ -115,3 +115,26 @@ def test_pca_power_iteration_aligns_with_numpy_eigenvector(spark):
     top = vecs[:, -1]
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos > 0.99, cos
+
+
+def test_pca_ignores_null_and_empty_embeddings(spark):
+    """Code-review r5: the Gram path must skip NULL/empty embedding rows
+    (the former posexplode formulation dropped them implicitly) instead
+    of crashing in np.stack."""
+    import random
+
+    from super_store_datawarehouse_spark.operators.clustering import (
+        pca_power_iteration,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    clean = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(100, None), (101, [])], "vec_id long, embedding array<double>"
+        )
+    )
+    assert pca_power_iteration(dirty, n_iter=2) == pca_power_iteration(
+        clean, n_iter=2
+    )

@@ -934,10 +934,12 @@ def test_stream_ivf_index_update_applies_batches_exactly_once(tmp_path, spark):
 def test_stream_ivf_index_update_fresh_data_after_checkpoint_loss(tmp_path, spark):
     """ADVICE r4: micro-batch ids are CHECKPOINT-scoped. After a lost/
     recreated checkpoint, NEW embedding files arrive under recycled
-    batch ids (0, 1, ...) that sit below the stored max(applied_batch)
-    — a max-id replay guard alone would drop them forever. The content
-    fallback (anti-join on vec_id) must apply the fresh vectors while
-    still excluding genuine replays."""
+    batch ids — a max-id replay guard would either drop them forever
+    (id below the stored max) or duplicate replayed files (file
+    ordering is not contractual, so a replay can land ABOVE the max).
+    Every batch therefore content-dedups: the replayed files 0/1 must
+    append nothing, the fresh file must append exactly its new vectors
+    whatever id it lands on, and no vid may appear twice."""
     import os
     import random
     import shutil
@@ -974,7 +976,8 @@ def test_stream_ivf_index_update_fresh_data_after_checkpoint_loss(tmp_path, spar
     assert spark.read.parquet(index + "/cells").count() == 200
 
     # checkpoint lost; a NEW file arrives alongside the old two. The
-    # fresh stream replays batch ids 0..2 — all <= stored max (1).
+    # fresh stream delivers three batches whose ids say nothing about
+    # which files are replays — content dedup must sort them out.
     shutil.rmtree(ckpt)
     drop_file(200, 260, "embeddings2.parquet")
     applied = stream_ivf_index_update(
