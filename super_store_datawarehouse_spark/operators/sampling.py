@@ -334,3 +334,77 @@ def priority_sql(weight: str, key: str, salt: int = 0) -> str:
         f"CAST({weight} AS DOUBLE) / "
         f"((CAST({knuth_sql(key, salt)} AS DOUBLE) + 0.5) / {float(1 << 32)})"
     )
+
+
+def temperature_quotas(
+    df: DataFrame,
+    domain_col: str,
+    target_pct: int = 33,
+) -> DataFrame:
+    """Per-domain quotas for α=0.5 temperature-scaled mixture sampling.
+
+    Multilingual / multi-source corpora are rebalanced by sampling
+    domain d with probability ∝ n_d^α (Arivazhagan et al. 2019; the
+    GPT-3 / PaLM data-mixing recipe): α<1 upweights small domains
+    relative to proportional sampling. α is fixed at 0.5 because
+    ``sqrt`` is the one power IEEE-754 requires correctly rounded —
+    ``floor(sqrt(n_d))`` is therefore the identical integer on every
+    engine, keeping quota arithmetic exact where ``pow(n, 0.7)`` would
+    drift in the last ulp between libms.
+
+    Quota: ``w_d = floor(sqrt(n_d))``, ``T = total · target_pct / 100``
+    (integer div), ``quota_d = min(n_d, T · w_d / W)`` with
+    ``W = Σ w_d``. All int64.
+
+    Plan: one partial-agg shuffle for the counts; the totals row is a
+    1-row broadcast cross join (declared k-row BNLJ pattern). The quota
+    frame is |domains| rows — broadcast it into the selection join.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = counts.withColumn(
+        "weight", F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long")
+    )
+    totals = weighted.agg(
+        F.sum("n_docs").alias("__tot"), F.sum("weight").alias("__w_sum")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "target_n",
+            F.least(
+                F.col("n_docs"),
+                F.expr(f"((__tot * {int(target_pct)}) div 100) * weight div __w_sum"),
+            ),
+        )
+        .drop("__tot", "__w_sum")
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    quotas: DataFrame,
+    quota_col: str = "target_n",
+    salt: int = 0,
+) -> DataFrame:
+    """Keep exactly ``quota_d`` rows per domain — the lowest
+    :func:`knuth_hash` ranks, so the draw is deterministic, auditable in
+    portable SQL, and stable under any partitioning. Generalizes
+    :func:`stratified_exact_sample` from a single global percentage to a
+    per-domain quota frame (e.g. :func:`temperature_quotas`).
+
+    One shuffle on the domain column (rank window); the quota frame is
+    broadcast. Skew note: a single giant domain serializes its rank
+    scan — pre-split hot domains on a hash prefix and take per-split
+    quotas at the extreme.
+    """
+    w = Window.partitionBy(domain_col).orderBy(
+        knuth_hash(key_col, salt), F.col(key_col)
+    )
+    return (
+        df.join(F.broadcast(quotas.select(domain_col, quota_col)), domain_col)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= F.col(quota_col))
+        .drop("__r", quota_col)
+    )

@@ -9,7 +9,7 @@ Spark and any ANSI engine agree bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny embedded English stopword list — enough for a ratio heuristic;
@@ -583,4 +583,113 @@ def unigram_segment(
         final["seg"].alias("seg"),
         final["np"].alias("n_pieces"),
         final["cost"].alias("cost"),
+    )
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021, table A1): a doc
+# whose top 2-gram covers >20% of its characters, or >60% of whose
+# 3-gram occurrences are duplicated grams, is flagged repetitive.
+REPETITION_TOP_CHAR_FRAC = 0.20
+REPETITION_DUP_FRAC = 0.60
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    Rae et al. 2021 (Gopher, appendix A1.1) and Penedo et al. 2023
+    (RefinedWeb) drop documents whose character mass concentrates in a
+    few repeated n-grams — boilerplate, keyword stuffing, decoding
+    loops. Two signals per document:
+
+    * ``top_ngram_char_frac`` — characters covered by occurrences of
+      the single most frequent ``top_n``-gram (count × gram length,
+      space-joined) over the normalized character count. Ties on count
+      break lexicographically on the gram, so any engine picks the
+      same winner.
+    * ``dup_ngram_frac`` — fraction of ``dup_n``-gram occurrences whose
+      gram occurs more than once in the document (NULL when the doc is
+      shorter than ``dup_n`` words).
+    * ``repetitive`` — the Gopher gate over the two signals.
+
+    Documents shorter than ``top_n`` words produce no output row (they
+    have no n-grams to measure; length gates catch them earlier).
+
+    Plan shape: ONE positional explode of n-tagged grams (map-side), a
+    partial-agg shuffle on (doc, n, gram), and one window pass per
+    (doc, n) — no self-joins, no Python. Both fractions are single
+    int/int double divisions, so any IEEE-754 engine reproduces them
+    bit-exactly; overlapping grams share characters (the standard
+    Gopher approximation, kept so thresholds are comparable).
+    """
+    if top_n == dup_n:
+        raise ValueError("top_n and dup_n must differ (tagged union would double-count)")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("__ws")
+    )
+    w = F.col("__ws")
+
+    def grams(n: int) -> Column:
+        # bound-column lesson: `w` is an attribute reference, evaluated
+        # once per row, not once per gram
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda s: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", F.slice(w, s, n)).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+
+    tagged = base.select(
+        "doc_id",
+        F.length(F.concat_ws(" ", w)).alias("n_norm_chars"),
+        F.explode(F.concat(grams(top_n), grams(dup_n))).alias("t"),
+    )
+    counts = tagged.groupBy(
+        "doc_id", "n_norm_chars", F.col("t.n").alias("n"), F.col("t.g").alias("g")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wpd = Window.partitionBy("doc_id", "n")
+    wtop = wpd.orderBy(F.col("cnt").desc(), F.col("g"))
+    per_n = (
+        counts.withColumn("rn", F.row_number().over(wtop))
+        .withColumn("occ", F.sum("cnt").over(wpd))
+        .withColumn(
+            "dup_occ",
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))).over(wpd),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    is_top = F.col("n") == top_n
+    is_dup = F.col("n") == dup_n
+    out = per_n.groupBy("doc_id", "n_norm_chars").agg(
+        F.max(F.when(is_top, F.col("g"))).alias("top_ngram"),
+        F.max(F.when(is_top, F.col("cnt"))).alias("top_ngram_count"),
+        F.max(F.when(is_top, F.col("cnt") * F.length("g"))).alias("__top_chars"),
+        F.max(F.when(is_dup, F.col("dup_occ"))).alias("__dup_occ"),
+        F.max(F.when(is_dup, F.col("occ"))).alias("__occ"),
+    )
+    top_frac = F.try_divide(
+        F.col("__top_chars").cast("double"), F.col("n_norm_chars").cast("double")
+    )
+    dup_frac = F.try_divide(
+        F.col("__dup_occ").cast("double"), F.col("__occ").cast("double")
+    )
+    return out.select(
+        "doc_id",
+        "top_ngram",
+        F.col("top_ngram_count").cast("long").alias("top_ngram_count"),
+        top_frac.alias("top_ngram_char_frac"),
+        dup_frac.alias("dup_ngram_frac"),
+        (
+            (top_frac > F.lit(REPETITION_TOP_CHAR_FRAC))
+            | F.coalesce(dup_frac > F.lit(REPETITION_DUP_FRAC), F.lit(False))
+        ).alias("repetitive"),
     )

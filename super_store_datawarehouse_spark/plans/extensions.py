@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from super_store_datawarehouse_spark.functions.exact import cents
 from super_store_datawarehouse_spark.operators import dedup, similarity
 from super_store_datawarehouse_spark.operators.sampling import bucket_sql as _bucket_sql
+from super_store_datawarehouse_spark.operators.sampling import knuth_sql as _knuth_sql
 from super_store_datawarehouse_spark.operators.multimodal import (
     attach_binary_metadata,
     decode_assets,
@@ -14366,4 +14367,155 @@ def x275_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size(words("text"))).alias("total_tokens"),
         )
         .orderBy("split", "lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# x276 — Gopher-style repetition signals (operators/text.repetition_signals):
+# the repetition quality gate of Rae et al. 2021 A1.1 / RefinedWeb. Per doc:
+# characters covered by the most frequent 2-gram over normalized chars
+# (ties break lexicographically), fraction of 3-gram occurrences that are
+# duplicated grams, and the Gopher keep/drop flag. One tagged positional
+# explode + (doc,n,gram) partial-agg shuffle + one window pass; both
+# fractions are single int/int double divisions — bit-exact cross-engine.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x276_repetition_signals",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), g2 AS (
+      SELECT doc_id, 2 AS n, array_to_string(ws[i+1:i+2], ' ') AS g
+      FROM base, UNNEST(range(0, greatest(len(ws) - 1, 0))) t(i)
+    ), g3 AS (
+      SELECT doc_id, 3 AS n, array_to_string(ws[i+1:i+3], ' ') AS g
+      FROM base, UNNEST(range(0, greatest(len(ws) - 2, 0))) t(i)
+    ), counts AS (
+      SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+      GROUP BY doc_id, n, g
+    ), stats AS (
+      SELECT doc_id, n, g, cnt,
+        ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                           ORDER BY cnt DESC, g) AS rn,
+        CAST(SUM(cnt) OVER (PARTITION BY doc_id, n) AS BIGINT) AS occ,
+        CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)
+             OVER (PARTITION BY doc_id, n) AS BIGINT) AS dup_occ
+      FROM counts
+    ), chars AS (
+      SELECT doc_id,
+             CAST(length(array_to_string(ws, ' ')) AS BIGINT) AS n_norm_chars
+      FROM base
+    ), per AS (
+      SELECT p.doc_id, c.n_norm_chars,
+        MAX(CASE WHEN n = 2 THEN g END) AS top_ngram,
+        MAX(CASE WHEN n = 2 THEN cnt END) AS top_ngram_count,
+        MAX(CASE WHEN n = 2 THEN cnt * length(g) END) AS top_chars,
+        MAX(CASE WHEN n = 3 THEN dup_occ END) AS d_occ,
+        MAX(CASE WHEN n = 3 THEN occ END) AS t_occ
+      FROM (SELECT * FROM stats WHERE rn = 1) p
+      JOIN chars c USING (doc_id)
+      GROUP BY p.doc_id, c.n_norm_chars
+    )
+    SELECT doc_id, top_ngram,
+           CAST(top_ngram_count AS BIGINT) AS top_ngram_count,
+           CAST(top_chars AS DOUBLE) / CAST(n_norm_chars AS DOUBLE)
+             AS top_ngram_char_frac,
+           CAST(d_occ AS DOUBLE) / CAST(t_occ AS DOUBLE) AS dup_ngram_frac,
+           (CAST(top_chars AS DOUBLE) / CAST(n_norm_chars AS DOUBLE) > 0.20
+            OR COALESCE(
+                 CAST(d_occ AS DOUBLE) / CAST(t_occ AS DOUBLE) > 0.60,
+                 FALSE)) AS repetitive
+    FROM per
+    ORDER BY doc_id
+    """,
+)
+def x276_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x277 — α=0.5 temperature-scaled mixture sampling
+# (operators/sampling.temperature_quotas + quota_sample): the data-mixing
+# recipe that upweights small domains (Arivazhagan et al. 2019 / GPT-3).
+# Domains are derived with deliberately skewed sizes (floor(sqrt(doc_id %
+# 400)) — bucket k holds ~(2k+1)/400 of the docs); quotas are pure int64
+# arithmetic (floor-sqrt weights, integer division), selection is the
+# lowest Knuth-hash ranks per domain, so membership — audited here via
+# the kept-id checksum — is reproducible in portable SQL.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x277_temperature_mixture",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(floor(sqrt(CAST(doc_id % 400 AS DOUBLE))) AS BIGINT) AS dom
+      FROM documents
+    ), c AS (
+      SELECT dom, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS weight
+      FROM d GROUP BY dom
+    ), t AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS tot,
+             CAST(SUM(weight) AS BIGINT) AS w_sum
+      FROM c
+    ), q AS (
+      SELECT dom, n_docs, weight,
+             least(n_docs, ((tot * 33) // 100) * weight // w_sum) AS target_n
+      FROM c, t
+    ), r AS (
+      SELECT doc_id, dom,
+             ROW_NUMBER() OVER (
+               PARTITION BY dom
+               ORDER BY {_knuth_sql('doc_id')}, doc_id) AS rn
+      FROM d
+    ), k AS (
+      SELECT r.dom, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+      FROM r JOIN q USING (dom)
+      WHERE rn <= target_n
+      GROUP BY r.dom
+    )
+    SELECT q.dom, q.n_docs, q.weight,
+           CAST(q.target_n AS BIGINT) AS target_n,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.kept_id_sum, 0) AS kept_id_sum
+    FROM q LEFT JOIN k USING (dom)
+    ORDER BY dom
+    """,
+)
+def x277_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sampling import (
+        quota_sample,
+        temperature_quotas,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.floor(F.sqrt((F.col("doc_id") % 400).cast("double")))
+        .cast("long")
+        .alias("dom"),
+    )
+    quotas = temperature_quotas(docs, "dom", target_pct=33)
+    kept = quota_sample(docs, "doc_id", "dom", quotas)
+    kept_agg = kept.groupBy("dom").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("kept_id_sum")
+    )
+    return (
+        quotas.join(kept_agg, "dom", "left")
+        .select(
+            "dom",
+            "n_docs",
+            "weight",
+            F.col("target_n").cast("long").alias("target_n"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_id_sum", F.lit(0)).alias("kept_id_sum"),
+        )
+        .orderBy("dom")
     )
