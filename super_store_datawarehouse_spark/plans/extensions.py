@@ -14508,7 +14508,8 @@ def x277_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("kept_id_sum")
     )
     return (
-        quotas.join(kept_agg, "dom", "left")
+        # |domains|-row reporting join — broadcast (no stats on an agg)
+        quotas.join(F.broadcast(kept_agg), "dom", "left")
         .select(
             "dom",
             "n_docs",
@@ -14519,3 +14520,146 @@ def x277_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dom")
     )
+
+
+# --------------------------------------------------------------------------
+# x278 — inverted-index build (operators/search.inverted_index): per-term
+# posting-list summaries (df, cf, first doc, head of the (doc,pos)-sorted
+# posting list rendered doc:pos) for the 30 heaviest terms. Exercises the
+# ordered-collect the index payload needs (sort_array(collect_list(struct)))
+# against DuckDB's list(... ORDER BY ...); one term-key shuffle.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x278_inverted_index",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, i AS pos, ws[i+1] AS term
+      FROM base, UNNEST(range(0, len(ws))) t(i)
+    )
+    SELECT term,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS cf,
+           MIN(doc_id) AS first_doc,
+           array_to_string(
+             (list(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)
+                   ORDER BY doc_id, pos))[1:5], ',') AS postings_head
+    FROM tok
+    GROUP BY term
+    ORDER BY cf DESC, term
+    LIMIT 30
+    """,
+)
+def x278_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.search import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        inverted_index(docs, postings_head=5)
+        .orderBy(F.col("cf").desc(), F.col("term"))
+        .limit(30)
+    )
+
+
+# --------------------------------------------------------------------------
+# x279 — positional phrase search via the inverted index
+# (operators/search.phrase_matches): the query phrase is itself computed
+# (the corpus's top trigram, count desc / gram asc tie-break), exploded to
+# (offset, term) rows, broadcast-hash-joined against the postings, and an
+# anchor (pos - offset) holding ALL offsets is a verbatim occurrence — the
+# index-side phrase plan, no document rescan. Everything integer.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x279_phrase_search",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, i AS pos, ws[i+1] AS term
+      FROM base, UNNEST(range(0, len(ws))) t(i)
+    ), tri AS (
+      SELECT array_to_string(ws[i+1:i+3], ' ') AS phrase
+      FROM base, UNNEST(range(0, greatest(len(ws) - 2, 0))) t(i)
+    ), top AS (
+      SELECT phrase FROM tri GROUP BY phrase
+      ORDER BY COUNT(*) DESC, phrase LIMIT 1
+    ), terms AS (
+      SELECT phrase, i AS off, string_split(phrase, ' ')[i+1] AS term
+      FROM top, UNNEST(range(0, 3)) t(i)
+    ), hits AS (
+      SELECT tok.doc_id, terms.phrase, tok.pos - terms.off AS anchor,
+             terms.off
+      FROM tok JOIN terms USING (term)
+    ), occ AS (
+      SELECT doc_id, phrase, anchor
+      FROM hits GROUP BY doc_id, phrase, anchor
+      HAVING COUNT(DISTINCT off) = 3
+    )
+    SELECT doc_id, phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM occ GROUP BY doc_id, phrase
+    ORDER BY doc_id
+    """,
+)
+def x279_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.search import (
+        phrase_matches,
+        top_ngram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_matches(docs, top_ngram(docs, n=3)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x280 — corpus-frequency-rank rarity (operators/search.token_rarity): the
+# integer perplexity proxy — every vocabulary term ranked by (corpus count
+# desc, term asc), per-doc mean rank + rarest term. The rank window runs
+# over the VOCABULARY frame (|vocab| << corpus, Heaps' law — declared);
+# ranks are unique so the per-doc argmax needs no tie-break.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x280_token_rarity",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, i AS pos, ws[i+1] AS term
+      FROM base, UNNEST(range(0, len(ws))) t(i)
+    ), vocab AS (
+      SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+    ), ranked AS (
+      SELECT term,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT)
+               AS trank
+      FROM vocab
+    ), per AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(trank) AS BIGINT) AS rank_sum,
+             MAX(trank) AS rarest_rank,
+             arg_max(t.term, trank) AS rarest_term
+      FROM tok t JOIN ranked USING (term)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, rank_sum,
+           CAST(rank_sum AS DOUBLE) / CAST(n_tok AS DOUBLE) AS mean_rank,
+           rarest_term, rarest_rank
+    FROM per
+    ORDER BY doc_id
+    """,
+)
+def x280_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.search import token_rarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_rarity(docs).orderBy("doc_id")

@@ -2539,3 +2539,99 @@ def test_unigram_segment_lossless_and_prefers_frequent_pieces(spark):
     }
     assert got2["abcd"]["seg"] == "ab cd"
     assert got2["abcd"]["n_pieces"] == 2
+
+
+def test_repetition_signals_flags_repetitive_docs(spark):
+    from super_store_datawarehouse_spark.operators.text import repetition_signals
+
+    rows = [(1, "a a a a"), (2, "a b c d e f g h i j"), (3, "hi")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    # doc 1: top 2-gram "a a" x3 covers 9 chars of 7 normalized (overlap
+    # counts double — the standard Gopher approximation); all 3-gram
+    # occurrences duplicated
+    r1 = got[1]
+    assert r1["top_ngram"] == "a a" and r1["top_ngram_count"] == 3
+    assert r1["top_ngram_char_frac"] == 9 / 7
+    assert r1["dup_ngram_frac"] == 1.0
+    assert r1["repetitive"]
+    # doc 2: all grams unique; count-1 tie breaks to the lexicographic
+    # minimum gram; 3 of 19 chars is under the 20% gate
+    r2 = got[2]
+    assert r2["top_ngram"] == "a b" and r2["top_ngram_count"] == 1
+    assert r2["top_ngram_char_frac"] == 3 / 19
+    assert r2["dup_ngram_frac"] == 0.0
+    assert not r2["repetitive"]
+    # doc 3: one word — no 2-gram, no output row
+    assert 3 not in got
+
+
+def test_temperature_quota_sample_is_exact_and_partition_stable(spark):
+    from super_store_datawarehouse_spark.operators.sampling import (
+        quota_sample,
+        temperature_quotas,
+    )
+
+    # skewed domains: 100 docs in 'big', 9 in 'mid', 1 in 'tiny'
+    rows = [(i, "big") for i in range(100)]
+    rows += [(100 + i, "mid") for i in range(9)]
+    rows += [(200, "tiny")]
+    df = spark.createDataFrame(rows, ["doc_id", "dom"])
+    quotas = {r["dom"]: r for r in temperature_quotas(df, "dom", 50).collect()}
+    # w = floor(sqrt(n)): 10, 3, 1; T = 110*50//100 = 55; W = 14
+    assert quotas["big"]["weight"] == 10 and quotas["big"]["target_n"] == 55 * 10 // 14
+    assert quotas["mid"]["weight"] == 3 and quotas["mid"]["target_n"] == 9  # capped at n
+    assert quotas["tiny"]["target_n"] == 1  # 55*1//14 = 3, capped at n=1
+    # alpha=0.5 upweights small domains vs proportional: mid keeps 100%
+    # while big keeps ~39%
+    q = temperature_quotas(df, "dom", 50)
+    kept = quota_sample(df, "doc_id", "dom", q)
+    per_dom = {r["dom"]: r["n"] for r in kept.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert per_dom == {d: quotas[d]["target_n"] for d in quotas}
+    # membership is partitioning-independent
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    kept_ids2 = sorted(
+        r["doc_id"] for r in quota_sample(df.repartition(7), "doc_id", "dom", q).collect()
+    )
+    assert kept_ids == kept_ids2
+
+
+def test_phrase_matches_counts_overlapping_and_repeated_word_phrases(spark):
+    from super_store_datawarehouse_spark.operators.search import phrase_matches
+
+    rows = [
+        (1, "a b a b a"),   # "a b a" occurs at 0 and 2 (overlapping)
+        (2, "a b c a b a"), # once, at 3
+        (3, "b a a b"),     # never
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    phrase = spark.createDataFrame([("a b a",)], ["phrase"])
+    got = {r["doc_id"]: r["n_occurrences"] for r in phrase_matches(df, phrase).collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_inverted_index_postings_are_position_ordered(spark):
+    from super_store_datawarehouse_spark.operators.search import inverted_index
+
+    rows = [(2, "cat dog cat"), (1, "dog cat")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["term"]: r for r in inverted_index(df, postings_head=3).collect()}
+    assert got["cat"]["df"] == 2 and got["cat"]["cf"] == 3
+    assert got["cat"]["first_doc"] == 1
+    # postings sorted by (doc_id, pos) regardless of input order
+    assert got["cat"]["postings_head"] == "1:1,2:0,2:2"
+    assert got["dog"]["postings_head"] == "1:0,2:1"
+
+
+def test_token_rarity_ranks_and_argmax(spark):
+    from super_store_datawarehouse_spark.operators.search import token_rarity
+
+    rows = [(1, "the the cat"), (2, "cat dog")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in token_rarity(df).collect()}
+    # corpus counts: cat=2, the=2, dog=1 -> ranks: cat 1 (tie, 'cat'<'the'),
+    # the 2, dog 3
+    assert got[1]["n_tok"] == 3 and got[1]["rank_sum"] == 2 + 2 + 1
+    assert got[1]["mean_rank"] == 5 / 3
+    assert got[1]["rarest_term"] == "the" and got[1]["rarest_rank"] == 2
+    assert got[2]["rarest_term"] == "dog" and got[2]["rarest_rank"] == 3

@@ -206,3 +206,41 @@ def test_x270_url_dedup_is_map_side_plus_one_shuffle(plans):
     # projection; the only exchange is the canonical-key aggregation
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_x276_repetition_is_one_explode_no_join(plans):
+    p = plans("x276_repetition_signals")
+    # tagged union of 2- and 3-grams rides ONE generator; the signals
+    # come from aggregation + windows — no self-join, no Python
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" not in p  # no join operator of any kind
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Generate explode") == 1
+
+
+def test_x277_quota_sample_broadcasts_quotas(plans):
+    p = plans("x277_temperature_mixture")
+    # the domain-quota frame is broadcast into the selection join; the
+    # only BNLJs are the declared 1-row totals cross joins (the quota
+    # subtree appears twice: selection side and reporting side)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_x279_phrase_search_is_broadcast_index_join(plans):
+    p = plans("x279_phrase_search")
+    # postings join the k exploded phrase terms by broadcast hash join
+    # on the term key — never a cartesian against the corpus
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_x280_rarity_broadcasts_vocab_rank(plans):
+    p = plans("x280_token_rarity")
+    # the ranked vocabulary joins back to the token stream by broadcast;
+    # the rank window runs over the vocab frame only
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
