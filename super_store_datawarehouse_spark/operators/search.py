@@ -35,8 +35,12 @@ def token_postings(
     base = _widen_narrow_scan(df).select(
         F.col(id_col).alias("doc_id"), words(text_col).alias("__ws")
     )
-    return base.select("doc_id", F.posexplode("__ws").alias("pos", "term")).select(
-        "doc_id", F.col("pos").cast("long").alias("pos"), "term"
+    # outer explode + null-filter (see dedup.word_shingles): an inner
+    # explode's inferred `size>0` filter would re-inline the tokenization
+    return (
+        base.select("doc_id", F.posexplode_outer("__ws").alias("pos", "term"))
+        .filter(F.col("term").isNotNull())
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "term")
     )
 
 
@@ -136,7 +140,8 @@ def top_ngram(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        base.select(F.explode(grams).alias("phrase"))
+        base.select(F.explode_outer(grams).alias("phrase"))
+        .filter(F.col("phrase").isNotNull())
         .groupBy("phrase")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("phrase"))

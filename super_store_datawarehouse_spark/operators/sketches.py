@@ -254,3 +254,86 @@ def hll_distinct(
             .alias("est_distinct"),
         )
     )
+
+
+BLOOM_MOD = 1 << 31
+
+
+def bloom_positions(key: Column | str, m_bits: int, k_hashes: int, seed: int = 7) -> Column:
+    """The ``k_hashes`` bit positions a key sets in an ``m_bits`` Bloom
+    filter (Bloom 1970): affine maps ``(aᵢ·h + bᵢ) % 2³¹ % m`` over the
+    portable polynomial key hash — the same coefficient generator the
+    CMS rows use, so membership replays exactly in any SQL engine.
+    Returns array<long> of length ``k_hashes`` (positions may repeat;
+    a repeat just sets the same bit twice)."""
+    coeffs = _minhash_coeffs(k_hashes, seed=seed)
+    h = poly_word_hash(key)
+    return F.array(
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(BLOOM_MOD) % F.lit(m_bits)).cast("long")
+            for a, b in coeffs
+        ]
+    )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 256,
+    k_hashes: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """Build a Bloom filter over a key set as its SET-BIT LIST: one row
+    per distinct set position (≤ min(m_bits, k·|keys|) rows).
+
+    A bitmap and its set-bit list are the same object; the list form is
+    what makes the filter value-oracle-able and engine-portable, and at
+    any ``m_bits`` it stays at most ``m_bits`` rows — broadcastable by
+    construction. Build is one explode + distinct (hash-agg shuffle on
+    the position key, at most m distinct values).
+    """
+    return (
+        keys.select(
+            F.explode_outer(bloom_positions(key_col, m_bits, k_hashes, seed)).alias(
+                "pos"
+            )
+        )
+        .filter(F.col("pos").isNotNull())
+        .distinct()
+    )
+
+
+def bloom_bits(bloom: DataFrame) -> list[int]:
+    """Collect the set-bit list to the driver. The filter is
+    SKETCH-sized (≤ m rows) by construction — collecting it and
+    shipping it into the probe expression is the exact analogue of
+    broadcasting a real Bloom bitmap to every executor (same pattern as
+    the k-row centroid collects in clustering)."""
+    return sorted(r["pos"] for r in bloom.collect())
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bits: list[int],
+    m_bits: int = 256,
+    k_hashes: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """Flag each row whose key is Bloom-POSITIVE (all ``k_hashes``
+    positions set). One-sided like the real thing: every true member is
+    positive; non-members are positive with the classic
+    ``(1 - e^(-kn/m))^k`` false-positive rate.
+
+    Plan: pure MAP-SIDE — the probe is a ``forall(positions, p ∈
+    bits)`` expression over the ≤ m-entry in-set (codegen'd InSet, no
+    join, no shuffle), which is the standard cheap pre-filter in front
+    of an exact anti-join at 100 TB: the anti-join then only has to
+    process the Bloom-positive sliver.
+    """
+    pos = bloom_positions(key_col, m_bits, k_hashes, seed)
+    if not bits:
+        flag = F.lit(False)
+    else:
+        flag = F.forall(pos, lambda p: p.isin(*bits))
+    return df.withColumn("bloom_positive", flag)

@@ -385,9 +385,11 @@ def cdc_chunks(
             " ",
         ),
     )
+    # outer explode + null-filter (see dedup.word_shingles): an inner
+    # explode's inferred size>0 filter would re-inline the chunk transform
     return seg.select(
-        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
-    )
+        "doc_id", F.posexplode_outer(chunks).alias("chunk_idx", "chunk_text")
+    ).filter(F.col("chunk_text").isNotNull())
 
 
 # Query parameters that never affect content identity — the standard
@@ -620,12 +622,23 @@ def repetition_signals(
     Documents shorter than ``top_n`` words produce no output row (they
     have no n-grams to measure; length gates catch them earlier).
 
-    Plan shape: ONE positional explode of n-tagged grams (map-side), a
-    partial-agg shuffle on (doc, n, gram), and one window pass per
-    (doc, n) — no self-joins, no Python. Both fractions are single
-    int/int double divisions, so any IEEE-754 engine reproduces them
-    bit-exactly; overlapping grams share characters (the standard
-    Gopher approximation, kept so thresholds are comparable).
+    Plan shape: one tagged positional explode (map-side), a partial-agg
+    shuffle on (doc, n, gram), and one partial-agg shuffle on doc — all
+    whole-stage-codegen hash aggregates, no window sort, no join, no
+    Python. Two traps this formulation dodges, both measured at sf1:
+
+    * explode_OUTER + null-filter, not inner explode — an inner explode
+      makes InferFiltersFromGenerate add ``size(arr) > 0 AND
+      isnotnull(arr)`` and filter-pushdown inlines the whole
+      tokenize+transform expression into the pushed filter, tripling
+      the map work (78 s -> 11 s for this operator);
+    * the per-doc top gram is a plain MIN over ``lpad(BIG - cnt)·\\t·
+      gram`` strings — min/max over a STRUCT falls out of codegen into
+      interpreted ordering (+60 s over the same data).
+
+    Both fractions are single int/int double divisions, so any
+    IEEE-754 engine reproduces them bit-exactly; overlapping grams
+    share characters (the standard Gopher approximation).
     """
     if top_n == dup_n:
         raise ValueError("top_n and dup_n must differ (tagged union would double-count)")
@@ -648,44 +661,51 @@ def repetition_signals(
             ),
         ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
 
-    tagged = base.select(
+    bound = base.select(
         "doc_id",
-        F.length(F.concat_ws(" ", w)).alias("n_norm_chars"),
-        F.explode(F.concat(grams(top_n), grams(dup_n))).alias("t"),
+        # bound BEFORE the generate: an expression here would be
+        # re-evaluated once per exploded gram row, not once per doc
+        F.length(F.concat_ws(" ", w)).alias("__nc"),
+        F.concat(grams(top_n), grams(dup_n)).alias("__tg"),
     )
+    tagged = bound.select(
+        "doc_id", "__nc", F.explode_outer("__tg").alias("t")
+    ).filter(F.col("t").isNotNull())
     counts = tagged.groupBy(
-        "doc_id", "n_norm_chars", F.col("t.n").alias("n"), F.col("t.g").alias("g")
+        "doc_id", "__nc", F.col("t.n").alias("n"), F.col("t.g").alias("g")
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    wpd = Window.partitionBy("doc_id", "n")
-    wtop = wpd.orderBy(F.col("cnt").desc(), F.col("g"))
-    per_n = (
-        counts.withColumn("rn", F.row_number().over(wtop))
-        .withColumn("occ", F.sum("cnt").over(wpd))
-        .withColumn(
-            "dup_occ",
-            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))).over(wpd),
-        )
-        .filter(F.col("rn") == 1)
+
+    big = 1_000_000_000
+    # (count desc, gram asc) as ONE orderable string: min picks the
+    # largest count, then the lexicographically smallest gram. \t is
+    # safe — words() tokens are \S+ so grams never contain tabs.
+    enc = F.concat(
+        F.lpad((F.lit(big) - F.col("cnt")).cast("string"), 10, "0"),
+        F.lit("\t"),
+        F.col("g"),
     )
     is_top = F.col("n") == top_n
     is_dup = F.col("n") == dup_n
-    out = per_n.groupBy("doc_id", "n_norm_chars").agg(
-        F.max(F.when(is_top, F.col("g"))).alias("top_ngram"),
-        F.max(F.when(is_top, F.col("cnt"))).alias("top_ngram_count"),
-        F.max(F.when(is_top, F.col("cnt") * F.length("g"))).alias("__top_chars"),
-        F.max(F.when(is_dup, F.col("dup_occ"))).alias("__dup_occ"),
-        F.max(F.when(is_dup, F.col("occ"))).alias("__occ"),
+    out = counts.groupBy("doc_id", "__nc").agg(
+        F.min(F.when(is_top, enc)).alias("__top_enc"),
+        F.sum(
+            F.when(is_dup & (F.col("cnt") >= 2), F.col("cnt")).otherwise(F.lit(0))
+        ).alias("__dup_occ"),
+        F.sum(F.when(is_dup, F.col("cnt")).otherwise(F.lit(0))).alias("__occ"),
     )
+    top_g = F.substring(F.col("__top_enc"), 12, 1 << 20)
+    top_cnt = (F.lit(big) - F.substring("__top_enc", 1, 10).cast("long")).cast("long")
     top_frac = F.try_divide(
-        F.col("__top_chars").cast("double"), F.col("n_norm_chars").cast("double")
+        (top_cnt * F.length(top_g)).cast("double"), F.col("__nc").cast("double")
     )
     dup_frac = F.try_divide(
-        F.col("__dup_occ").cast("double"), F.col("__occ").cast("double")
+        F.col("__dup_occ").cast("double"),
+        F.nullif(F.col("__occ"), F.lit(0)).cast("double"),
     )
     return out.select(
         "doc_id",
-        "top_ngram",
-        F.col("top_ngram_count").cast("long").alias("top_ngram_count"),
+        top_g.alias("top_ngram"),
+        top_cnt.alias("top_ngram_count"),
         top_frac.alias("top_ngram_char_frac"),
         dup_frac.alias("dup_ngram_frac"),
         (

@@ -14372,7 +14372,10 @@ def x275_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # x276 — Gopher-style repetition signals (operators/text.repetition_signals):
-# the repetition quality gate of Rae et al. 2021 A1.1 / RefinedWeb. Per doc:
+# the repetition quality gate of Rae et al. 2021 A1.1 / RefinedWeb —
+# INTRA-document n-gram repetition, completing the family next to q32
+# (word-level distinct/top-share) and x140 (CROSS-document repeated
+# n-gram fraction), which are the other two Gopher signal groups. Per doc:
 # characters covered by the most frequent 2-gram over normalized chars
 # (ties break lexicographically), fraction of 3-gram occurrences that are
 # duplicated grams, and the Gopher keep/drop flag. One tagged positional
@@ -14523,9 +14526,11 @@ def x277_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x278 — inverted-index build (operators/search.inverted_index): per-term
-# posting-list summaries (df, cf, first doc, head of the (doc,pos)-sorted
-# posting list rendered doc:pos) for the 30 heaviest terms. Exercises the
+# x278 — POSITIONAL inverted-index build (operators/search.inverted_index):
+# per-term posting-list summaries (df, cf, first doc, head of the
+# (doc,pos)-sorted posting list rendered doc:pos) for the 30 heaviest
+# terms. x52 is the doc-level boolean index (df + doc-id postings); the
+# positional payload here is what phrase/proximity queries (x279) need. Exercises the
 # ordered-collect the index payload needs (sort_array(collect_list(struct)))
 # against DuckDB's list(... ORDER BY ...); one term-key shuffle.
 # --------------------------------------------------------------------------
@@ -14566,8 +14571,11 @@ def x278_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x279 — positional phrase search via the inverted index
-# (operators/search.phrase_matches): the query phrase is itself computed
+# x279 — k-term positional phrase search via the inverted index
+# (operators/search.phrase_matches). x152 answers a FIXED 2-word phrase
+# by a pairwise (doc, pos+1) self-join; this generalizes to k terms,
+# repeated words, and overlapping occurrences, and the query phrase is
+# itself computed
 # (the corpus's top trigram, count desc / gram asc tie-break), exploded to
 # (offset, term) rows, broadcast-hash-joined against the postings, and an
 # anchor (pos - offset) holding ALL offsets is a verbatim occurrence — the

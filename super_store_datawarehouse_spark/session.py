@@ -47,6 +47,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # InferFiltersFromGenerate adds `size(arr)>0 AND isnotnull(arr)`
+        # above every inner explode; filter-pushdown then substitutes the
+        # alias, INLINING the whole array-building expression (tokenize +
+        # n-gram transform) into the pushed filter — the map-side work
+        # triples. Measured 78 s -> 11 s on the repetition-signals explode
+        # at sf1. The rule is a pure optimization (prune empty-array rows
+        # early) that never wins on this workload — text/embedding arrays
+        # are almost never empty — so it is excluded engine-wide. Hot
+        # shared operators ALSO use explode_outer + null-filter, which
+        # dodges the rule for callers on foreign sessions.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
