@@ -14671,3 +14671,125 @@ def x280_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return token_rarity(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x281 — Bloom-filter decontamination pre-filter (operators/sketches.
+# bloom_build/bloom_bits/bloom_probe): the missing membership sketch in
+# the family (HLL=distinct, CMS=frequency, MG=heavy hitters, KMV/theta=
+# set ops). x136 uses an in-memory Bloom inside a mapInPandas join
+# prefilter (engine-internal bits, rows-only); this one is the PORTABLE
+# filter whose exact bit contents and decisions value-oracle. The filter is built over the benchmark key set — eval-split
+# normalized texts PLUS a deliberately "leaked" 3% of train texts (the
+# contamination a decontamination pass must catch, guaranteeing the
+# one-sidedness check is non-vacuous at every SF) — as its SET-BIT LIST
+# (a bitmap and its set-bit list are the same object, and the list form
+# value-oracles). Train docs probe it with a pure map-side forall-InSet
+# expression, the standard cheap pre-filter in front of an exact
+# anti-join. Reported per source against EXACT membership: n_missed must
+# be 0 (every true member flagged) and the false-positive mass follows
+# the (1-e^(-kn/m))^k fill curve. All affine/polynomial integer hashing —
+# the sketch contents replay in DuckDB.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x281_bloom_decontamination",
+    oracle=f"""
+    WITH doc AS (
+      SELECT doc_id, source,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+             {_bucket_sql('doc_id')} AS b
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, source, norm, b,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split_regex(norm, ''),
+                                ch -> CAST(ascii(ch) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % 2147483648) AS h
+      FROM doc
+    ), pos2 AS (
+      SELECT *,
+             (695425565 * h + 647892279) % 2147483648 % 256 AS p1,
+             (847877000 * h + 207388624) % 2147483648 % 256 AS p2
+      FROM keyed
+    ), keys AS (
+      SELECT DISTINCT norm, p1, p2 FROM pos2
+      WHERE b < 300 OR b >= 9700
+    ), tr AS (SELECT * FROM pos2 WHERE b >= 300),
+    bits AS (
+      SELECT DISTINCT p FROM (
+        SELECT p1 AS p FROM keys UNION ALL SELECT p2 AS p FROM keys)
+    ), flagged AS (
+      SELECT tr.*,
+             (tr.p1 IN (SELECT p FROM bits)
+              AND tr.p2 IN (SELECT p FROM bits)) AS bloom_positive,
+             (tr.norm IN (SELECT norm FROM keys)) AS is_dup
+      FROM tr
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN bloom_positive THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_dup,
+           CAST(SUM(CASE WHEN bloom_positive AND NOT is_dup THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN bloom_positive AND NOT is_dup THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / CAST(NULLIF(COUNT(*) - SUM(CASE WHEN is_dup THEN 1 ELSE 0 END),
+                           0) AS DOUBLE) AS fp_rate,
+           CAST(SUM(CASE WHEN is_dup AND NOT bloom_positive THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missed
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def x281_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sampling import hash_bucket
+    from super_store_datawarehouse_spark.operators.sketches import (
+        bloom_bits,
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("norm"),
+        hash_bucket("doc_id").alias("b"),
+    )
+    # benchmark keys: the eval split + a deliberately leaked 3% of train
+    keys = docs.filter((F.col("b") < 300) | (F.col("b") >= 9700)).select("norm")
+    tr = docs.filter(F.col("b") >= 300)
+    bits = bloom_bits(bloom_build(keys, "norm", m_bits=256, k_hashes=2))
+    probed = bloom_probe(tr, "norm", bits, m_bits=256, k_hashes=2)
+    # exact-membership audit join — this is the expensive path the Bloom
+    # pre-filter exists to shrink; no broadcast hint (the key set is a
+    # corpus fraction, so Catalyst/AQE must pick the strategy by size)
+    truth = probed.join(
+        keys.distinct().withColumn("is_dup", F.lit(True)), "norm", "left"
+    ).fillna(False, ["is_dup"])
+    fp = F.sum(
+        F.when(F.col("bloom_positive") & ~F.col("is_dup"), 1).otherwise(0)
+    )
+    n_true = F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+    return (
+        truth.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.when(F.col("bloom_positive"), 1).otherwise(0)).alias(
+                "n_flagged"
+            ),
+            n_true.alias("n_true_dup"),
+            fp.alias("n_false_pos"),
+            F.try_divide(
+                fp.cast("double"),
+                F.nullif(F.count(F.lit(1)) - n_true, F.lit(0)).cast("double"),
+            ).alias("fp_rate"),
+            F.sum(
+                F.when(F.col("is_dup") & ~F.col("bloom_positive"), 1).otherwise(0)
+            ).alias("n_missed"),
+        )
+        .orderBy("source")
+    )

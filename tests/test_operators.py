@@ -2635,3 +2635,47 @@ def test_token_rarity_ranks_and_argmax(spark):
     assert got[1]["mean_rank"] == 5 / 3
     assert got[1]["rarest_term"] == "the" and got[1]["rarest_rank"] == 2
     assert got[2]["rarest_term"] == "dog" and got[2]["rarest_rank"] == 3
+
+
+def test_bloom_filter_is_one_sided_and_portable(spark):
+    from super_store_datawarehouse_spark.operators.sketches import (
+        BLOOM_MOD,
+        bloom_bits,
+        bloom_build,
+        bloom_probe,
+    )
+    from super_store_datawarehouse_spark.operators.dedup import _minhash_coeffs
+
+    members = ["alpha", "beta", "gamma"]
+    others = ["delta", "epsilon", "zeta", "eta", "theta"]
+    keys = spark.createDataFrame([(m,) for m in members], ["k"])
+    bits = bloom_bits(bloom_build(keys, "k", m_bits=64, k_hashes=2))
+    # portable replay: recompute the set bits in plain python
+    def poly(s):
+        h = 7
+        for ch in s:
+            h = (h * 31 + ord(ch)) % BLOOM_MOD
+        return h
+    coeffs = _minhash_coeffs(2, seed=7)
+    expect = sorted(
+        {(a * poly(m) + b) % BLOOM_MOD % 64 for m in members for a, b in coeffs}
+    )
+    assert bits == expect
+    probe = spark.createDataFrame([(w,) for w in members + others], ["k"])
+    got = {r["k"]: r["bloom_positive"] for r in bloom_probe(probe, "k", bits, 64, 2).collect()}
+    # one-sided: every member positive; non-members may false-positive
+    assert all(got[m] for m in members)
+    fp = [w for w in others if got[w]]
+    true_fp = [
+        w for w in others
+        if all((a * poly(w) + b) % BLOOM_MOD % 64 in set(expect) for a, b in coeffs)
+    ]
+    assert fp == true_fp
+
+
+def test_bloom_probe_empty_filter_rejects_all(spark):
+    from super_store_datawarehouse_spark.operators.sketches import bloom_probe
+
+    probe = spark.createDataFrame([("x",), ("y",)], ["k"])
+    got = bloom_probe(probe, "k", [], 64, 2).collect()
+    assert all(not r["bloom_positive"] for r in got)

@@ -244,3 +244,13 @@ def test_x280_rarity_broadcasts_vocab_rank(plans):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_x281_bloom_probe_is_map_side(plans):
+    p = plans("x281_bloom_decontamination")
+    # the Bloom probe is a forall-InSet EXPRESSION (no join for the
+    # flag); the only joins are the exact-membership audit join and the
+    # aggregation — never a cartesian or Python eval
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "forall" in p
