@@ -91,3 +91,75 @@ def dedup_by_components(
         .withColumn("component", F.coalesce("component", F.col(id_col)))
         .withColumn("is_kept", F.col(id_col) == F.col("component"))
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts by degree-ordered orientation — the
+    node-iterator++ algorithm (Schank & Wagner 2005; the shape Cohen's
+    MapReduce triangle papers distribute).
+
+    Each undirected edge is oriented from its lower-(degree, id)
+    endpoint to the higher one; every triangle then has exactly ONE
+    wedge u→v, u→w with v→w, so the wedge join runs off the LOW-degree
+    side and total work is O(m^{3/2}) regardless of skew — a star node
+    of degree d generates no wedges from its center because all its
+    edges point INTO it. This is the standard defense against the
+    hub-explosion that kills the naive per-node wedge join at corpus
+    scale.
+
+    Input edges may carry duplicates/both directions; they are
+    canonicalized (a < b, distinct) first. Returns (node, degree,
+    n_triangles) for every node of the graph, triangles counted at
+    each of its 3 corners; the global count is sum(n_triangles)/3.
+    Three equi-joins + two hash aggregations, all shuffle-partitioned
+    on node/edge keys.
+    """
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient: u -> v iff (deg_u, u) < (deg_v, v)
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("__db"))
+    lower_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        canon.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    # wedges from the low end: u->v, u->w with v < w in orientation order
+    e1 = oriented.select(F.col("u"), F.col("v"))
+    e2 = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedges = e1.join(e2, "v").select("u", "v", "w")
+    closing = oriented.select(
+        F.col("u"), F.col("v").alias("w"), F.lit(True).alias("__closed")
+    )
+    tri = wedges.join(closing, ["u", "w"]).select("u", "v", "w")
+    corners = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(corners, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+    )

@@ -14793,3 +14793,64 @@ def x281_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# x282 — co-purchase triangle counting (operators/graph.triangle_count):
+# the graph-analytics companion to connected components (q43) and
+# PageRank (q47). Edges: part pairs co-occurring in >= 2 orders (the
+# bounded-per-order self-join), then degree-ordered orientation
+# (Schank & Wagner node-iterator++) so every triangle has exactly one
+# low-degree wedge — O(m^1.5) regardless of hub skew. The oracle counts
+# the same triangles algorithm-independently (canonical a<b triple
+# join), so the value match certifies the orientation trick preserves
+# semantics exactly.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x282_copurchase_triangles",
+    oracle="""
+    WITH e AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e)
+      GROUP BY node
+    ), tri AS (
+      SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+      FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+                JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ), corners AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS node FROM tri UNION ALL
+        SELECT y AS node FROM tri UNION ALL
+        SELECT z AS node FROM tri)
+      GROUP BY node
+    )
+    SELECT d.node, d.degree, COALESCE(c.n_triangles, 0) AS n_triangles
+    FROM deg d LEFT JOIN corners c USING (node)
+    ORDER BY node
+    """,
+)
+def x282_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_count(edges).orderBy("node")

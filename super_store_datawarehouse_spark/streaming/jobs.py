@@ -1020,3 +1020,128 @@ def stream_ivf_index_update(
     finally:
         q.stop()
     return batches["n"]
+
+
+def stream_bloom_dedup_to_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    state_dir: str,
+    m_bits: int = 4096,
+    k_hashes: int = 2,
+    checkpoint: str | None = None,
+) -> int:
+    """Streaming approximate first-occurrence dedup with BOUNDED state:
+    a Bloom filter (operators/sketches) gates (user_id, event_type)
+    keys — the pattern for unbounded-key streams where exact dedup
+    state would grow forever (Spark's dropDuplicates state is
+    per-key-unbounded; the Bloom stays ≤ m rows for the stream's whole
+    life, trading a quantified false-DROP rate, never a duplicate).
+
+    Per micro-batch, against the PRIOR filter state: batch keys that
+    are Bloom-negative are accepted (first occurrence of each new key
+    inside the batch by min event_id — deterministic), written to
+    ``out_dir/batch=<id>``, and their bits merged into the state.
+
+    Exactly-once publish: decisions land in the per-batch output
+    partition with ``mode=overwrite`` BEFORE the state swap, so the
+    crash-replay of a batch recomputes IDENTICAL decisions (state
+    unchanged) and idempotently overwrites its own partition; the state
+    parquet embeds ``applied_batch`` and publishes by the same atomic
+    rename chain as ``stream_misra_gries_to_parquet``. After a
+    CHECKPOINT LOSS (ids restart at 0), no id guard exists to drop
+    fresh data: every batch is processed and the Bloom state itself
+    suppresses re-emission of already-accepted keys — redelivered
+    files emit empty partitions, fresh keys emit once. Operational
+    contract (documented, same as the IVF index stream): state_dir and
+    out_dir belong to the checkpoint — recycle all three together,
+    since a recycled batch id may otherwise overwrite an old partition
+    of the same name.
+
+    Returns micro-batches processed.
+    """
+    import shutil
+    import tempfile
+
+    from super_store_datawarehouse_spark.operators.sketches import (
+        bloom_positions,
+    )
+
+    ev = read_events_stream(spark, src_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.concat_ws(":", "user_id", "event_type").alias("key"),
+    )
+    batches = {"n": 0}
+    prev_dir = state_dir + ".prev"
+
+    def read_bits(sess) -> list[int]:
+        if not os.path.isdir(state_dir) and os.path.isdir(prev_dir):
+            os.replace(prev_dir, state_dir)
+        if not os.path.isdir(state_dir):
+            return []
+        return sorted(
+            r["pos"] for r in sess.read.parquet(state_dir).select("pos").collect()
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        bits = read_bits(sess)
+        pos = bloom_positions("key", m_bits, k_hashes)
+        if bits:
+            negative = batch_df.filter(
+                ~F.forall(pos, lambda p: p.isin(*bits))
+            )
+        else:
+            negative = batch_df
+        # first occurrence per NEW key within the batch, deterministic
+        accepted = (
+            negative.groupBy("key", "user_id", "event_type")
+            .agg(F.min("event_id").alias("event_id"))
+            .select("event_id", "user_id", "event_type", "key")
+        )
+        accepted.persist()
+        try:
+            # decisions first (idempotent per-batch partition) ...
+            accepted.drop("key").withColumn(
+                "applied_batch", F.lit(batch_id).cast("long")
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={batch_id}")
+            )
+            # ... then the state swap (atomic rename chain)
+            new_bits = (
+                accepted.select(F.explode_outer(pos).alias("pos"))
+                .filter(F.col("pos").isNotNull())
+                .select(F.col("pos").cast("long").alias("pos"))
+            )
+            if bits:
+                old = sess.createDataFrame(
+                    [(int(p),) for p in bits], "pos long"
+                )
+                new_bits = new_bits.unionByName(old)
+            merged = new_bits.distinct().withColumn(
+                "applied_batch", F.lit(batch_id).cast("long")
+            )
+            tmp = tempfile.mkdtemp(dir=os.path.dirname(state_dir))
+            merged.write.mode("overwrite").parquet(tmp)
+            if os.path.isdir(prev_dir):
+                shutil.rmtree(prev_dir)
+            if os.path.isdir(state_dir):
+                os.replace(state_dir, prev_dir)
+            os.replace(tmp, state_dir)
+            if os.path.isdir(prev_dir):
+                shutil.rmtree(prev_dir)
+        finally:
+            accepted.unpersist()
+        batches["n"] += 1
+
+    writer = ev.writeStream.outputMode("append").foreachBatch(merge_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return batches["n"]

@@ -2679,3 +2679,20 @@ def test_bloom_probe_empty_filter_rejects_all(spark):
     probe = spark.createDataFrame([("x",), ("y",)], ["k"])
     got = bloom_probe(probe, "k", [], 64, 2).collect()
     assert all(not r["bloom_positive"] for r in got)
+
+
+def test_triangle_count_handcrafted_graphs(spark):
+    from super_store_datawarehouse_spark.operators.graph import triangle_count
+
+    # K4 on 1-4 (4 triangles, 3 per node) + star center 10 (no triangles)
+    # + duplicate and reversed edges to exercise canonicalization
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    star = [(10, 20), (20, 10), (10, 30), (10, 40), (10, 40)]
+    df = spark.createDataFrame(k4 + star, ["src", "dst"])
+    got = {r["node"]: r for r in triangle_count(df).collect()}
+    for n in (1, 2, 3, 4):
+        assert got[n]["n_triangles"] == 3 and got[n]["degree"] == 3
+    assert sum(r["n_triangles"] for r in got.values()) == 3 * 4  # 4 triangles
+    assert got[10]["degree"] == 3 and got[10]["n_triangles"] == 0
+    for leaf in (20, 30, 40):
+        assert got[leaf]["degree"] == 1 and got[leaf]["n_triangles"] == 0

@@ -254,3 +254,11 @@ def test_x281_bloom_probe_is_map_side(plans):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "forall" in p
+
+
+def test_x282_triangles_are_equi_joins_only(plans):
+    p = plans("x282_copurchase_triangles")
+    # orientation + wedge + closing joins are all hash equi-joins; a
+    # cartesian/BNLJ would mean the wedge join degenerated to all-pairs
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

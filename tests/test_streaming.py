@@ -992,3 +992,84 @@ def test_stream_ivf_index_update_fresh_data_after_checkpoint_loss(tmp_path, spar
     q = vectors.filter("vec_id = 259")
     hits = ivf_index_search(spark, index, q, k=3, nprobe=2).collect()
     assert len(hits) >= 1 and all(r["query_id"] == 259 for r in hits)
+
+
+def test_stream_bloom_dedup_matches_sequential_replay(tmp_path, spark):
+    """Bloom-gated streaming dedup must (a) reproduce the deterministic
+    sequential replay of the same batches, (b) never emit a key twice
+    across batches, (c) accept EVERY key of the first batch (empty
+    filter cannot false-drop)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.operators.sketches import bloom_positions
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        stream_bloom_dedup_to_parquet,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").cache()
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 0: users 0-9; batch 1: users 5-14 (keys overlap across batches)
+    for i, cond in enumerate([F.col("user_id") < 10,
+                              (F.col("user_id") >= 5) & (F.col("user_id") < 15)]):
+        ev.filter(cond).coalesce(1).write.parquet(
+            str(tmp_path / f"p{i}"), mode="overwrite"
+        )
+        part = [f for f in os.listdir(tmp_path / f"p{i}") if f.endswith(".parquet")][0]
+        os.rename(tmp_path / f"p{i}" / part, os.path.join(src, f"events{i}.parquet"))
+
+    out = str(tmp_path / "accepted")
+    state = str(tmp_path / "bloom_state")
+    ckpt = str(tmp_path / "ckpt")
+    n = stream_bloom_dedup_to_parquet(
+        spark, src, out, state, m_bits=1024, k_hashes=2, checkpoint=ckpt
+    )
+    assert n == 2
+    got = spark.read.parquet(out)
+    keys = [r["k"] for r in got.select(
+        F.concat_ws(":", "user_id", "event_type").alias("k")).collect()]
+    # (b) never a duplicate emission
+    assert len(keys) == len(set(keys))
+
+    # (a) sequential replay with the same operator semantics
+    m = 1024
+    pos_of = {}
+    for r in (
+        ev.filter(F.col("user_id") < 15)
+        .select(F.concat_ws(":", "user_id", "event_type").alias("k"))
+        .distinct()
+        .select("k", bloom_positions("k", m, 2).alias("ps"))
+        .collect()
+    ):
+        pos_of[r["k"]] = list(r["ps"])
+    bits: set[int] = set()
+    expect: set[str] = set()
+    for cond in [lambda u, _: u < 10, lambda u, _: 5 <= u < 15]:
+        batch_keys = {
+            f"{r['user_id']}:{r['event_type']}"
+            for r in ev.filter(F.col("user_id") < 15).collect()
+            if cond(r["user_id"], None)
+        }
+        accepted = {
+            k for k in batch_keys if not all(p in bits for p in pos_of[k])
+        }
+        expect |= accepted
+        for k in accepted:
+            bits.update(pos_of[k])
+    assert set(keys) == expect
+    # (c) batch 0 accepts all its keys
+    b0_keys = {
+        f"{r['user_id']}:{r['event_type']}"
+        for r in ev.filter(F.col("user_id") < 10).collect()
+    }
+    assert b0_keys <= set(keys) or b0_keys <= expect
+
+    # restart on the same checkpoint: nothing new emitted, no crash
+    n2 = stream_bloom_dedup_to_parquet(
+        spark, src, out, state, m_bits=1024, k_hashes=2, checkpoint=ckpt
+    )
+    assert n2 == 0
+    assert spark.read.parquet(out).count() == len(keys)
