@@ -217,3 +217,94 @@ def interval_join(
         *left.columns,
         *[F.col(f"__rrow.{c}").alias(f"r_{c}") for c in right.columns],
     )
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    ts_col: str = "h",
+    val_col: str = "y",
+    period: int = 24,
+    series_keys: list[str] | None = None,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method of Macaulay 1931, the `decompose()` of every stats stack):
+    trend by centered moving average, seasonal indices as the per-phase
+    mean of the detrended series, remainder as what's left.
+
+    Exactness contract (what lets the whole decomposition value-oracle
+    cross-engine): the trend numerator stays INTEGER. For even
+    ``period`` the classical 2×m MA weights the two window ends by ½ —
+    scaled by 2·period the numerator is ``2·Σwindow − (first+last)``,
+    pure int64; for odd ``period`` it is the plain window sum scaled by
+    ``period``. The per-phase seasonal mean likewise averages the
+    INTEGER quantity ``scale·y − trend_numerator``, so no float is ever
+    summed in either engine — each output value is produced by one or
+    two IEEE divisions/subtractions of identical operands, which every
+    engine rounds identically.
+
+    The input must be a gap-free series per key group (compose with the
+    q46 gap-fill operator upstream when it isn't); rows without the
+    full centered window (the first/last ``period//2``) are dropped, as
+    in every classical implementation.
+
+    Scale: one window pass ordered by time. With ``series_keys`` the
+    window partitions by key (a million independent series parallelize
+    perfectly); a single unkeyed series is a series-length frame — the
+    corpus was already reduced by the upstream aggregation, declared.
+    The 2·period-row seasonal-index frame broadcasts back.
+    """
+    keys = list(series_keys or [])
+    half = period // 2
+    scale = 2 * period if period % 2 == 0 else period
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(-half, half)
+    )
+    wlag = Window.partitionBy(*keys).orderBy(ts_col)
+    y = F.col(val_col).cast("long")
+    if period % 2 == 0:
+        # 2 x (sum of 2·half+1 rows) - ends == classical half-weighted MA,
+        # scaled by 2·period
+        tnum = (
+            F.lit(2) * F.sum(y).over(w)
+            - F.lag(y, half).over(wlag)
+            - F.lead(y, half).over(wlag)
+        )
+        full = F.count(F.lit(1)).over(w) == (period + 1)
+    else:
+        tnum = F.sum(y).over(w)
+        full = F.count(F.lit(1)).over(w) == period
+    # integer div end-to-end (CAST(double AS BIGINT) rounds in DuckDB
+    # but truncates in Spark — the house cross-engine trap)
+    phase = F.pmod(F.expr(f"unix_timestamp({ts_col}) div 3600"), F.lit(period))
+    base = (
+        series.select(
+            *keys,
+            F.col(ts_col).alias("h"),
+            y.alias("y"),
+            tnum.alias("__tnum"),
+            full.alias("__full"),
+            phase.alias("phase"),
+        )
+        .filter(F.col("__full"))
+    )
+    seas = base.groupBy(*keys, "phase").agg(
+        F.sum(F.lit(scale) * F.col("y") - F.col("__tnum")).alias("__snum"),
+        F.count(F.lit(1)).alias("__sn"),
+    )
+    trend = F.col("__tnum").cast("double") / F.lit(float(scale))
+    seasonal = F.col("__snum").cast("double") / (
+        F.lit(float(scale)) * F.col("__sn").cast("double")
+    )
+    return (
+        base.join(F.broadcast(seas), keys + ["phase"])
+        .select(
+            *keys,
+            "h",
+            "y",
+            trend.alias("trend"),
+            seasonal.alias("seasonal"),
+            ((F.col("y").cast("double") - trend) - seasonal).alias("remainder"),
+        )
+    )

@@ -14854,3 +14854,58 @@ def x282_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return triangle_count(edges).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# x283 — classical seasonal decomposition (operators/temporal.
+# seasonal_decompose): trend by the 2×24 half-weighted centered moving
+# average, per-hour-of-day seasonal indices, additive remainder — the
+# decompose() every stats stack ships, value-oracled because the trend
+# numerator and the per-phase seasonal sums stay INTEGER (scaled by
+# 2·period); each output is one or two IEEE divisions/subtractions of
+# identical operands. Input is the gap-free hourly count series (gap-free
+# here by construction; compose with q46's gap-fill when it isn't).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x283_seasonal_decomposition",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), win AS (
+      SELECT h, y,
+        2 * CAST(SUM(y) OVER w AS BIGINT)
+          - LAG(y, 12) OVER (ORDER BY h) - LEAD(y, 12) OVER (ORDER BY h)
+          AS tnum,
+        COUNT(*) OVER w = 25 AS fullw,
+        (CAST(epoch(h) AS BIGINT) // 3600) % 24 AS phase
+      FROM hourly
+      WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ), base AS (
+      SELECT * FROM win WHERE fullw
+    ), seas AS (
+      SELECT phase,
+             CAST(SUM(48 * y - tnum) AS BIGINT) AS snum,
+             CAST(COUNT(*) AS BIGINT) AS sn
+      FROM base GROUP BY phase
+    )
+    SELECT b.h, b.y,
+           CAST(b.tnum AS DOUBLE) / 48.0 AS trend,
+           CAST(s.snum AS DOUBLE) / (48.0 * CAST(s.sn AS DOUBLE)) AS seasonal,
+           (CAST(b.y AS DOUBLE) - CAST(b.tnum AS DOUBLE) / 48.0)
+             - CAST(s.snum AS DOUBLE) / (48.0 * CAST(s.sn AS DOUBLE))
+             AS remainder
+    FROM base b JOIN seas s USING (phase)
+    ORDER BY h
+    """,
+)
+def x283_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.temporal import (
+        seasonal_decompose,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    return seasonal_decompose(hourly, "h", "y", period=24).orderBy("h")

@@ -2696,3 +2696,30 @@ def test_triangle_count_handcrafted_graphs(spark):
     assert got[10]["degree"] == 3 and got[10]["n_triangles"] == 0
     for leaf in (20, 30, 40):
         assert got[leaf]["degree"] == 1 and got[leaf]["n_triangles"] == 0
+
+
+def test_seasonal_decompose_recovers_exact_components(spark):
+    """y_t = t + s[t mod 4]: a centered (half-weighted) MA reproduces a
+    linear trend exactly, so the decomposition must be EXACT — zero
+    remainder, per-phase seasonal = s - mean(s), trend = t + mean(s)."""
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.operators.temporal import (
+        seasonal_decompose,
+    )
+
+    s = [0, 8, 4, 0]  # seasonal pattern, mean 3
+    rows = [(i, i + s[i % 4]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["i", "y"]).select(
+        F.timestamp_seconds(F.col("i") * 3600).alias("h"), "y"
+    )
+    got = sorted(
+        seasonal_decompose(df, "h", "y", period=4).collect(),
+        key=lambda r: r["h"],
+    )
+    assert len(got) == 40 - 4  # the 2 edge rows each side drop
+    for r in got:
+        i = int(r["h"].timestamp() // 3600)
+        assert r["remainder"] == 0.0
+        assert r["trend"] == i + 3.0
+        assert r["seasonal"] == s[i % 4] - 3.0

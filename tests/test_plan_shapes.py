@@ -262,3 +262,12 @@ def test_x282_triangles_are_equi_joins_only(plans):
     # cartesian/BNLJ would mean the wedge join degenerated to all-pairs
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_x283_decomposition_is_window_plus_broadcast(plans):
+    p = plans("x283_seasonal_decomposition")
+    # one window pass over the (already-aggregated) series; the 24-row
+    # seasonal-index frame broadcasts back — never a shuffle join
+    assert "Window" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
