@@ -259,21 +259,34 @@ def hll_distinct(
 BLOOM_MOD = 1 << 31
 
 
-def bloom_positions(key: Column | str, m_bits: int, k_hashes: int, seed: int = 7) -> Column:
-    """The ``k_hashes`` bit positions a key sets in an ``m_bits`` Bloom
-    filter (Bloom 1970): affine maps ``(aᵢ·h + bᵢ) % 2³¹ % m`` over the
-    portable polynomial key hash — the same coefficient generator the
-    CMS rows use, so membership replays exactly in any SQL engine.
-    Returns array<long> of length ``k_hashes`` (positions may repeat;
-    a repeat just sets the same bit twice)."""
+def _positions_of_hash(
+    h: Column, m_bits: int, k_hashes: int, seed: int = 7
+) -> Column:
+    """Affine maps ``(aᵢ·h + bᵢ) % 2³¹ % m`` over an ALREADY-COMPUTED
+    key hash — callers bind the polynomial fold to a column first, so
+    the O(len) char fold runs once per row, not once per hash function
+    (the bound-column house rule: the array constructor references its
+    element expressions independently and HOF/array paths get no common
+    subexpression elimination)."""
     coeffs = _minhash_coeffs(k_hashes, seed=seed)
-    h = poly_word_hash(key)
     return F.array(
         *[
             ((F.lit(a) * h + F.lit(b)) % F.lit(BLOOM_MOD) % F.lit(m_bits)).cast("long")
             for a, b in coeffs
         ]
     )
+
+
+def bloom_positions(key: Column | str, m_bits: int, k_hashes: int, seed: int = 7) -> Column:
+    """The ``k_hashes`` bit positions a key sets in an ``m_bits`` Bloom
+    filter (Bloom 1970): affine maps over the portable polynomial key
+    hash — the same coefficient generator the CMS rows use, so
+    membership replays exactly in any SQL engine. Returns array<long>
+    of length ``k_hashes`` (positions may repeat; a repeat just sets
+    the same bit twice). Inline convenience form — inside operators,
+    bind ``poly_word_hash`` to a column and use ``_positions_of_hash``
+    so the char fold is evaluated once per row."""
+    return _positions_of_hash(poly_word_hash(key), m_bits, k_hashes, seed)
 
 
 def bloom_build(
@@ -293,10 +306,11 @@ def bloom_build(
     the position key, at most m distinct values).
     """
     return (
-        keys.select(
-            F.explode_outer(bloom_positions(key_col, m_bits, k_hashes, seed)).alias(
-                "pos"
-            )
+        keys.select(poly_word_hash(key_col).alias("__h"))
+        .select(
+            F.explode_outer(
+                _positions_of_hash(F.col("__h"), m_bits, k_hashes, seed)
+            ).alias("pos")
         )
         .filter(F.col("pos").isNotNull())
         .distinct()
@@ -331,9 +345,11 @@ def bloom_probe(
     of an exact anti-join at 100 TB: the anti-join then only has to
     process the Bloom-positive sliver.
     """
-    pos = bloom_positions(key_col, m_bits, k_hashes, seed)
     if not bits:
-        flag = F.lit(False)
-    else:
-        flag = F.forall(pos, lambda p: p.isin(*bits))
-    return df.withColumn("bloom_positive", flag)
+        return df.withColumn("bloom_positive", F.lit(False))
+    pos = _positions_of_hash(F.col("__h"), m_bits, k_hashes, seed)
+    return (
+        df.withColumn("__h", poly_word_hash(key_col))
+        .withColumn("bloom_positive", F.forall(pos, lambda p: p.isin(*bits)))
+        .drop("__h")
+    )
