@@ -253,6 +253,37 @@ def seasonal_decompose(
     corpus was already reduced by the upstream aggregation, declared.
     The 2·period-row seasonal-index frame broadcasts back.
     """
+    keys, base, seas, scale = _decompose_base(
+        series, ts_col, val_col, period, series_keys
+    )
+    trend = F.col("__tnum").cast("double") / F.lit(float(scale))
+    seasonal = F.col("__snum").cast("double") / (
+        F.lit(float(scale)) * F.col("__sn").cast("double")
+    )
+    return (
+        base.join(F.broadcast(seas), keys + ["phase"])
+        .select(
+            *keys,
+            "h",
+            "y",
+            trend.alias("trend"),
+            seasonal.alias("seasonal"),
+            ((F.col("y").cast("double") - trend) - seasonal).alias("remainder"),
+        )
+    )
+
+
+def _decompose_base(
+    series: DataFrame,
+    ts_col: str,
+    val_col: str,
+    period: int,
+    series_keys: list[str] | None,
+) -> tuple[list[str], DataFrame, DataFrame, int]:
+    """Shared integer core of the decomposition: per-row scaled trend
+    numerator + phase (``base``) and per-phase seasonal numerator sums
+    (``seas``), everything int64 — see :func:`seasonal_decompose` for
+    the exactness contract."""
     keys = list(series_keys or [])
     half = period // 2
     scale = 2 * period if period % 2 == 0 else period
@@ -293,18 +324,74 @@ def seasonal_decompose(
         F.sum(F.lit(scale) * F.col("y") - F.col("__tnum")).alias("__snum"),
         F.count(F.lit(1)).alias("__sn"),
     )
-    trend = F.col("__tnum").cast("double") / F.lit(float(scale))
-    seasonal = F.col("__snum").cast("double") / (
-        F.lit(float(scale)) * F.col("__sn").cast("double")
+    return keys, base, seas, scale
+
+
+def seasonal_anomalies(
+    series: DataFrame,
+    ts_col: str = "h",
+    val_col: str = "y",
+    period: int = 24,
+    n_sigma: int = 2,
+    series_keys: list[str] | None = None,
+) -> DataFrame:
+    """Anomaly flags on the decomposition remainder, judged against the
+    remainder's PER-PHASE spread (3 am behaves like other 3 ams) — and
+    the test is an INTEGER comparison, so the flag itself value-oracles
+    with no float tolerance anywhere:
+
+    with ``num_t = sn_p·(scale·y − tnum) − snum_p``, algebra gives
+    ``remainder_t = num_t / (scale·sn_p)`` exactly, and the per-phase
+    sum of ``num`` is IDENTICALLY zero (the seasonal index is the phase
+    mean of the detrended series), so the condition
+    ``|remainder| > n_sigma·σ_p`` is equivalent to
+
+        (n_p·num_t − Σnum)² > n_sigma² · (n_p·Σnum² − (Σnum)²)
+
+    — all int64 (the Σnum term is kept for form; it is exactly 0). The
+    reported ``deviation`` double (= the remainder) is a single
+    division of these integers.
+
+    Magnitude bound: |num| ≲ scale·n_p·y_max; the squared terms must
+    stay inside int64 — fine to ~10⁹ total scaled mass per phase, i.e.
+    any hourly-count series shy of ~10⁸ events/hour at period 24.
+    """
+    keys, base, seas, scale = _decompose_base(
+        series, ts_col, val_col, period, series_keys
+    )
+    joined = base.join(F.broadcast(seas), keys + ["phase"])
+    num = F.col("__sn") * (
+        F.lit(scale) * F.col("y") - F.col("__tnum")
+    ) - F.col("__snum")
+    scored = joined.select(
+        *keys,
+        "h",
+        "y",
+        "phase",
+        num.alias("__num"),
+        (F.lit(float(scale)) * F.col("__sn").cast("double")).alias("__d"),
+        "__sn",
+    )
+    stats = scored.groupBy(*keys, "phase").agg(
+        F.sum(F.col("__num") * F.col("__num")).alias("__ss"),
+        F.sum("__num").alias("__s1"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    dev = F.col("__num").cast("double") / F.col("__d")
+    lhs = F.col("__n") * F.col("__num") - F.col("__s1")
+    flag = (
+        lhs * lhs
+        > F.lit(n_sigma * n_sigma)
+        * (F.col("__n") * F.col("__ss") - F.col("__s1") * F.col("__s1"))
     )
     return (
-        base.join(F.broadcast(seas), keys + ["phase"])
+        scored.join(F.broadcast(stats), keys + ["phase"])
         .select(
             *keys,
             "h",
             "y",
-            trend.alias("trend"),
-            seasonal.alias("seasonal"),
-            ((F.col("y").cast("double") - trend) - seasonal).alias("remainder"),
+            "phase",
+            dev.alias("deviation"),
+            flag.alias("is_anomaly"),
         )
     )

@@ -14909,3 +14909,82 @@ def x283_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("y")
     )
     return seasonal_decompose(hourly, "h", "y", period=24).orderBy("h")
+
+
+# --------------------------------------------------------------------------
+# x284 — seasonal anomaly flags (operators/temporal.seasonal_anomalies):
+# |remainder| > 2σ judged against the remainder's PER-PHASE spread (a 3am
+# hour is compared to other 3am hours). The flag is an INTEGER comparison
+# — (n·num − Σnum)² > 4·(n·Σnum² − (Σnum)²) over the scaled numerators —
+# so the boolean itself value-oracles with no float tolerance; the
+# reported deviation is one IEEE division of the same integers.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x284_seasonal_anomalies",
+    oracle="""
+    WITH raw AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y0
+      FROM events GROUP BY 1
+    ), hourly AS (
+      -- planted spikes (idx % 97 = 50): deterministic ground truth the
+      -- detector must flag, same device as the planted-duplicate tests
+      SELECT h,
+             y0 + CASE WHEN (CAST(epoch(h) AS BIGINT) // 3600) % 97 = 50
+                       THEN 3 * y0 ELSE 0 END AS y
+      FROM raw
+    ), win AS (
+      SELECT h, y,
+        2 * CAST(SUM(y) OVER w AS BIGINT)
+          - LAG(y, 12) OVER (ORDER BY h) - LEAD(y, 12) OVER (ORDER BY h)
+          AS tnum,
+        COUNT(*) OVER w = 25 AS fullw,
+        (CAST(epoch(h) AS BIGINT) // 3600) % 24 AS phase
+      FROM hourly
+      WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ), base AS (
+      SELECT * FROM win WHERE fullw
+    ), seas AS (
+      SELECT phase,
+             CAST(SUM(48 * y - tnum) AS BIGINT) AS snum,
+             CAST(COUNT(*) AS BIGINT) AS sn
+      FROM base GROUP BY phase
+    ), scored AS (
+      SELECT b.h, b.y, b.phase,
+             s.sn * (48 * b.y - b.tnum) - s.snum AS num,
+             48.0 * CAST(s.sn AS DOUBLE) AS d
+      FROM base b JOIN seas s USING (phase)
+    ), stats AS (
+      SELECT phase,
+             CAST(SUM(num * num) AS BIGINT) AS ss,
+             CAST(SUM(num) AS BIGINT) AS s1,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM scored GROUP BY phase
+    )
+    SELECT sc.h, sc.y, sc.phase,
+           CAST(sc.num AS DOUBLE) / sc.d AS deviation,
+           ((st.n * sc.num - st.s1) * (st.n * sc.num - st.s1)
+              > 4 * (st.n * st.ss - st.s1 * st.s1)) AS is_anomaly
+    FROM scored sc JOIN stats st USING (phase)
+    ORDER BY h
+    """,
+)
+def x284_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.temporal import (
+        seasonal_anomalies,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("y0")
+    )
+    idx = F.expr("unix_timestamp(h) div 3600")
+    hourly = raw.select(
+        "h",
+        (
+            F.col("y0")
+            + F.when(F.pmod(idx, F.lit(97)) == 50, 3 * F.col("y0")).otherwise(
+                F.lit(0)
+            )
+        ).alias("y"),
+    )
+    return seasonal_anomalies(hourly, "h", "y", period=24, n_sigma=2).orderBy("h")

@@ -2723,3 +2723,29 @@ def test_seasonal_decompose_recovers_exact_components(spark):
         assert r["remainder"] == 0.0
         assert r["trend"] == i + 3.0
         assert r["seasonal"] == s[i % 4] - 3.0
+
+
+def test_seasonal_anomalies_flags_planted_spike(spark):
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.operators.temporal import (
+        seasonal_anomalies,
+    )
+
+    s = [0, 8, 4, 0]
+    # exact series + one massive spike at i=21 (phase 1)
+    rows = [(i, 100 + s[i % 4] + (500 if i == 21 else 0)) for i in range(48)]
+    df = spark.createDataFrame(rows, ["i", "y"]).select(
+        F.timestamp_seconds(F.col("i") * 3600).alias("h"), "y"
+    )
+    got = {
+        int(r["h"].timestamp() // 3600): r
+        for r in seasonal_anomalies(df, "h", "y", period=4, n_sigma=3).collect()
+    }
+    assert got[21]["is_anomaly"]
+    # the spike leaks into its neighbors' trend windows, but the flagged
+    # set must stay a small neighborhood of the spike, and the clean
+    # far-field must be entirely unflagged
+    flagged = {i for i, r in got.items() if r["is_anomaly"]}
+    assert flagged and flagged <= set(range(19, 24))
+    assert all(not got[i]["is_anomaly"] for i in got if i < 15 or i > 30)

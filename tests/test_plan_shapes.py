@@ -271,3 +271,9 @@ def test_x283_decomposition_is_window_plus_broadcast(plans):
     assert "Window" in p
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_x284_anomalies_is_window_plus_broadcasts(plans):
+    p = plans("x284_seasonal_anomalies")
+    assert "Window" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
