@@ -14988,3 +14988,76 @@ def x284_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     )
     return seasonal_anomalies(hourly, "h", "y", period=24, n_sigma=2).orderBy("h")
+
+
+# --------------------------------------------------------------------------
+# x285 — inter-annotator agreement (operators/quality_eval.cohen_kappa):
+# the label-QA gate a dataset release runs between two labelers (rule
+# gate vs model score, two model versions, human vs heuristic). Kappa
+# from an INTEGER confusion matrix with ONE final IEEE division
+# (kappa = (N·Σn_cc − Σr_c·c_c)/(N² − Σr_c·c_c)), so the chance-corrected
+# statistic value-oracles bit-exactly. Annotator A = the quality_keep
+# gate; annotator B = a stopword-density heuristic — correlated but
+# disagreeing labelers, per source.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x285_annotator_agreement",
+    oracle=f"""
+    WITH lab AS (
+      SELECT source,
+        (len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '')) >= 10
+         AND CAST(length(text) AS DOUBLE)
+             <= 12.0 * len(list_filter(
+                 string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> x <> ''))) AS la,
+        (10 * len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x IN {EN_STOP_SQL}))
+         >= len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x <> ''))) AS lb
+      FROM documents
+    ), conf AS (
+      SELECT source, la, lb, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lab GROUP BY source, la, lb
+    ), ra AS (
+      SELECT source, la AS c, CAST(SUM(n) AS BIGINT) AS r FROM conf
+      GROUP BY source, la
+    ), cb AS (
+      SELECT source, lb AS c, CAST(SUM(n) AS BIGINT) AS col_n FROM conf
+      GROUP BY source, lb
+    ), chance AS (
+      SELECT source, CAST(SUM(r * col_n) AS BIGINT) AS sum_rc
+      FROM ra JOIN cb USING (source, c) GROUP BY source
+    ), agg AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN la = lb THEN n ELSE 0 END) AS BIGINT)
+               AS n_agree
+      FROM conf GROUP BY source
+    )
+    SELECT a.source, a.n, a.n_agree,
+           a.n_agree * 1000000 // a.n AS agree_ppm,
+           CAST(a.n * a.n_agree - c.sum_rc AS DOUBLE)
+             / CAST(NULLIF(a.n * a.n - c.sum_rc, 0) AS DOUBLE) AS kappa
+    FROM agg a JOIN chance c USING (source)
+    ORDER BY source
+    """,
+)
+def x285_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.quality_eval import cohen_kappa
+    from super_store_datawarehouse_spark.operators.text import (
+        EN_STOPWORDS,
+        quality_keep,
+        words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("source", "text", words("text").alias("__w"))
+    labeled = ws.select(
+        "source",
+        quality_keep("text").alias("la"),
+        (
+            10 * F.size(F.filter(F.col("__w"), lambda x: x.isin(*EN_STOPWORDS)))
+            >= F.size("__w")
+        ).alias("lb"),
+    )
+    return cohen_kappa(labeled, "la", "lb", ["source"]).orderBy("source")

@@ -2749,3 +2749,28 @@ def test_seasonal_anomalies_flags_planted_spike(spark):
     flagged = {i for i, r in got.items() if r["is_anomaly"]}
     assert flagged and flagged <= set(range(19, 24))
     assert all(not got[i]["is_anomaly"] for i in got if i < 15 or i > 30)
+
+
+def test_cohen_kappa_known_values(spark):
+    from super_store_datawarehouse_spark.operators.quality_eval import cohen_kappa
+
+    # classic worked example: confusion [[20,5],[10,15]] -> po=0.7,
+    # pe = (30*25 + 20*25)/2500 = 0.5, kappa = 0.4
+    rows = (
+        [(True, True)] * 20 + [(True, False)] * 5
+        + [(False, True)] * 10 + [(False, False)] * 15
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 50 and r["n_agree"] == 35
+    assert r["agree_ppm"] == 700000
+    assert r["kappa"] == (50 * 35 - (30 * 25 + 20 * 25)) / (2500 - (30 * 25 + 20 * 25))
+    assert abs(r["kappa"] - 0.4) < 1e-12
+    # degenerate: both annotators constant -> chance = 1 -> NULL kappa
+    const = spark.createDataFrame([(True, True)] * 4, ["a", "b"])
+    assert cohen_kappa(const, "a", "b").collect()[0]["kappa"] is None
+    # multi-class, perfect agreement -> kappa exactly 1
+    mc = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("z", "z"), ("x", "x")], ["a", "b"]
+    )
+    assert cohen_kappa(mc, "a", "b").collect()[0]["kappa"] == 1.0
