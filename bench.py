@@ -44,7 +44,7 @@ HEADLINE = [
     "q17_ngram_jaccard_pairs",
     "q19_minhash_lsh_pairs",
     "q20_ann_bruteforce_topk",
-    "q21_events_hourly",
+    "x290_events_hourly",
     "q22_sessionize",
     "q34_embedding_near_dup",
     "q35_ann_lsh_topk",
@@ -53,7 +53,7 @@ HEADLINE = [
     "x265_group_median_price",  # ex-q40; same computation, keeps the 24-query total comparable
     "q44_tfidf_top_terms",
     "q45_kmeans_clusters",
-    "q46_gapfill_locf",
+    "x288_gapfill_locf",
     "q49_training_pipeline",
 ]
 

@@ -30,7 +30,7 @@ BASELINE = {  # round-2, sf0.1, min-of-2 warm runs, Arrow drain (BASELINE.md)
     "q17_ngram_jaccard_pairs": 1.30,
     "q19_minhash_lsh_pairs": 0.97,
     "q20_ann_bruteforce_topk": 0.46,
-    "q21_events_hourly": 0.23,
+    "x290_events_hourly": 0.23,
     "q22_sessionize": 0.35,
     "q34_embedding_near_dup": 0.96,
     "q35_ann_lsh_topk": 0.79,
@@ -39,7 +39,7 @@ BASELINE = {  # round-2, sf0.1, min-of-2 warm runs, Arrow drain (BASELINE.md)
     "x265_group_median_price": 0.94,  # ex-q40, renamed in the round-4 slot rotation
     "q44_tfidf_top_terms": 0.74,
     "q45_kmeans_clusters": 0.85,
-    "q46_gapfill_locf": 0.28,
+    "x288_gapfill_locf": 0.28,
     "q49_training_pipeline": 0.61,
 }
 BASELINE_TOTAL = 15.654

@@ -287,7 +287,7 @@ def q09_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x08 — token counting (whitespace + BPE-ish regex) aggregated per source.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q10_token_counts_by_source",
+    "x286_token_counts_by_source",
     oracle=f"""
     SELECT source,
            COUNT(*) AS n_docs,
@@ -298,7 +298,7 @@ def q09_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY source
     """,
 )
-def q10_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x286_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.text import token_count_ws
 
     docs = load_table(spark, sf_dir, "documents")
@@ -318,7 +318,7 @@ def q10_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-agnostic, unlike xxhash), bucketed to count prefix collisions.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q13_poly_fingerprint",
+    "x287_poly_fingerprint",
     oracle="""
     WITH fp AS (
       SELECT doc_id,
@@ -333,7 +333,7 @@ def q10_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fp GROUP BY fingerprint
     """,
 )
-def q13_poly_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x287_poly_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", poly_fingerprint("text", 64).alias("fingerprint"))
@@ -347,7 +347,7 @@ def q13_poly_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming job in streaming/jobs.py; F.window ↔ date_trunc for 1h).
 # --------------------------------------------------------------------------
 @harness_query(
-    "q21_events_hourly",
+    "x290_events_hourly",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
@@ -357,7 +357,7 @@ def q13_poly_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1, 2
     """,
 )
-def q21_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x290_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -1997,7 +1997,7 @@ def x53_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # epoch-micros BIGINT to dodge engine timestamp stringification.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q46_gapfill_locf",
+    "x288_gapfill_locf",
     oracle="""
     WITH ev AS (
       SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
@@ -2021,7 +2021,7 @@ def x53_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1, 2
     """,
 )
-def q46_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x288_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") < 10)
@@ -2372,7 +2372,7 @@ def x61_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nodes with no in-edges keep the teleport mass via left join.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q47_trade_pagerank",
+    "x289_trade_pagerank",
     oracle="""
     WITH edges AS (
       SELECT nc.n_nationkey AS src, ns.n_nationkey AS dst, COUNT(*) AS w
@@ -2407,7 +2407,7 @@ def x61_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY rank_ppm DESC, nationkey
     """,
 )
-def q47_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x289_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -14383,7 +14383,7 @@ def x275_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fractions are single int/int double divisions — bit-exact cross-engine.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x276_repetition_signals",
+    "q13_repetition_signals",
     oracle="""
     WITH base AS (
       SELECT doc_id,
@@ -14436,7 +14436,7 @@ def x275_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
 )
-def x276_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.text import repetition_signals
 
     docs = load_table(spark, sf_dir, "documents")
@@ -14692,7 +14692,7 @@ def x280_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the sketch contents replay in DuckDB.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x281_bloom_decontamination",
+    "q10_bloom_decontamination",
     oracle=f"""
     WITH doc AS (
       SELECT doc_id, source,
@@ -14745,7 +14745,7 @@ def x280_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY source
     """,
 )
-def x281_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.sampling import hash_bucket
     from super_store_datawarehouse_spark.operators.sketches import (
         bloom_bits,
@@ -14807,7 +14807,7 @@ def x281_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantics exactly.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x282_copurchase_triangles",
+    "q47_copurchase_triangles",
     oracle="""
     WITH e AS (
       SELECT a.l_partkey AS pa, b.l_partkey AS pb
@@ -14834,7 +14834,7 @@ def x281_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY node
     """,
 )
-def x282_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q47_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.graph import triangle_count
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -14867,7 +14867,7 @@ def x282_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # here by construction; compose with q46's gap-fill when it isn't).
 # --------------------------------------------------------------------------
 @harness_query(
-    "x283_seasonal_decomposition",
+    "q46_seasonal_decomposition",
     oracle="""
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y
@@ -14899,7 +14899,7 @@ def x282_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY h
     """,
 )
-def x283_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q46_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.temporal import (
         seasonal_decompose,
     )
@@ -14920,7 +14920,7 @@ def x283_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reported deviation is one IEEE division of the same integers.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x284_seasonal_anomalies",
+    "q21_seasonal_anomalies",
     oracle="""
     WITH raw AS (
       SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y0
@@ -14968,7 +14968,7 @@ def x283_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY h
     """,
 )
-def x284_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q21_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.temporal import (
         seasonal_anomalies,
     )

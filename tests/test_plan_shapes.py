@@ -57,7 +57,7 @@ def test_q39_eight_table_join_is_all_broadcast(plans):
 
 
 def test_x62_pagerank_iterations_are_broadcast_only(plans):
-    p = plans("q47_trade_pagerank")
+    p = plans("x289_trade_pagerank")
     assert "SortMergeJoin" not in p
 
 
@@ -209,7 +209,7 @@ def test_x270_url_dedup_is_map_side_plus_one_shuffle(plans):
 
 
 def test_x276_repetition_is_one_explode_no_join(plans):
-    p = plans("x276_repetition_signals")
+    p = plans("q13_repetition_signals")
     # tagged union of 2- and 3-grams rides ONE generator; the signals
     # come from aggregation + windows — no self-join, no Python
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
@@ -247,7 +247,7 @@ def test_x280_rarity_broadcasts_vocab_rank(plans):
 
 
 def test_x281_bloom_probe_is_map_side(plans):
-    p = plans("x281_bloom_decontamination")
+    p = plans("q10_bloom_decontamination")
     # the Bloom probe is a forall-InSet EXPRESSION (no join for the
     # flag); the only joins are the exact-membership audit join and the
     # aggregation — never a cartesian or Python eval
@@ -257,7 +257,7 @@ def test_x281_bloom_probe_is_map_side(plans):
 
 
 def test_x282_triangles_are_equi_joins_only(plans):
-    p = plans("x282_copurchase_triangles")
+    p = plans("q47_copurchase_triangles")
     # orientation + wedge + closing joins are all hash equi-joins; a
     # cartesian/BNLJ would mean the wedge join degenerated to all-pairs
     assert "CartesianProduct" not in p
@@ -265,7 +265,7 @@ def test_x282_triangles_are_equi_joins_only(plans):
 
 
 def test_x283_decomposition_is_window_plus_broadcast(plans):
-    p = plans("x283_seasonal_decomposition")
+    p = plans("q46_seasonal_decomposition")
     # one window pass over the (already-aggregated) series; the 24-row
     # seasonal-index frame broadcasts back — never a shuffle join
     assert "Window" in p
@@ -274,6 +274,6 @@ def test_x283_decomposition_is_window_plus_broadcast(plans):
 
 
 def test_x284_anomalies_is_window_plus_broadcasts(plans):
-    p = plans("x284_seasonal_anomalies")
+    p = plans("q21_seasonal_anomalies")
     assert "Window" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p

@@ -11,7 +11,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def test_hourly_counts_stream_equals_batch(spark):
-    from super_store_datawarehouse_spark.plans.extensions import q21_events_hourly
+    from super_store_datawarehouse_spark.plans.extensions import x290_events_hourly
     from super_store_datawarehouse_spark.streaming.jobs import hourly_counts_stream
 
     stream_rows = {
@@ -20,7 +20,7 @@ def test_hourly_counts_stream_equals_batch(spark):
     }
     batch_rows = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
-        for r in q21_events_hourly(spark, SF_DIR).collect()
+        for r in x290_events_hourly(spark, SF_DIR).collect()
     }
     assert stream_rows == batch_rows
 
@@ -161,11 +161,11 @@ def test_foreach_batch_parquet_sink(tmp_path, spark):
     assert n_batches >= 1
     back = spark.read.parquet(out)
     # complete-mode rewrite per batch: final directory equals the batch agg
-    from super_store_datawarehouse_spark.plans.extensions import q21_events_hourly
+    from super_store_datawarehouse_spark.plans.extensions import x290_events_hourly
 
     want = {
         (r["window_start"], r["event_type"]): r["n_events"]
-        for r in q21_events_hourly(spark, SF_DIR).collect()
+        for r in x290_events_hourly(spark, SF_DIR).collect()
     }
     got = {
         (r["window_start"], r["event_type"]): r["n_events"]
