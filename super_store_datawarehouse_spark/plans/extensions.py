@@ -15061,3 +15061,83 @@ def x285_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lb"),
     )
     return cohen_kappa(labeled, "la", "lb", ["source"]).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# x291 — Matryoshka truncation recall (MRL, Kusupati et al. 2022): how
+# much exact-top-5 recall survives when the 64-dim embeddings are
+# truncated to their first 32 dims — the dimension-vs-quality trade
+# every MRL deployment measures before shipping the short vectors. Both
+# rankings are the exact blocked-GEMM brute force (ascending-dimension
+# accumulation == the SQL fold bit-exactly, q20's machinery — the
+# truncated run simply slices the vectors first), so recall itself
+# value-oracles.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x291_mrl_truncation_recall",
+    oracle=f"""
+    WITH fe AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt({_COSINE_FOLD.format(a='CAST(embedding AS DOUBLE[])', b='CAST(embedding AS DOUBLE[])')}) AS nrm
+      FROM embeddings
+    ), fq AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM fe WHERE vec_id < 10
+    ), ftop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT fq.query_id, fe.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY fq.query_id
+                 ORDER BY {_COSINE_FOLD.format(a='qv', b='v')} / (fq.qnrm * fe.nrm) DESC,
+                          fe.vec_id) AS rank
+        FROM fq JOIN fe ON fe.vec_id != fq.query_id
+      ) WHERE rank <= 5
+    ), te0 AS (
+      SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:32] AS v
+      FROM embeddings
+    ), te AS (
+      SELECT vec_id, v,
+             sqrt({_COSINE_FOLD.format(a='v', b='v')}) AS nrm
+      FROM te0
+    ), tq AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM te WHERE vec_id < 10
+    ), ttop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT tq.query_id, te.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY tq.query_id
+                 ORDER BY {_COSINE_FOLD.format(a='qv', b='v')} / (tq.qnrm * te.nrm) DESC,
+                          te.vec_id) AS rank
+        FROM tq JOIN te ON te.vec_id != tq.query_id
+        WHERE te.nrm > 0 AND tq.qnrm > 0
+      ) WHERE rank <= 5
+    )
+    SELECT f.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+           CAST((COUNT(t.neighbor_id) * 1000) // 5 AS BIGINT) AS recall_pm
+    FROM ftop f LEFT JOIN ttop t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id ORDER BY f.query_id
+    """,
+)
+def x291_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    full_q = emb.filter(F.col("vec_id") < 10)
+    full_top = similarity.brute_force_topk(emb, full_q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    trunc = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    trunc_q = trunc.filter(F.col("vec_id") < 10)
+    trunc_top = (
+        similarity.brute_force_topk(trunc, trunc_q, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        full_top.join(trunc_top, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+            F.expr("CAST(sum(coalesce(hit, 0)) * 1000 div 5 AS BIGINT)").alias(
+                "recall_pm"
+            ),
+        )
+        .orderBy("query_id")
+    )
