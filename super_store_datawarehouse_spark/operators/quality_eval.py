@@ -59,17 +59,21 @@ def cohen_kappa(
             "n_agree"
         ),
     )
-    chance = margins.groupBy(*keys).agg(F.sum("__rc").alias("__sum_rc"))
+    chance = margins.groupBy(*keys).agg(F.sum("__rc").alias("__rc_sum"))
+    # LEFT join + coalesce-to-0: when the annotators share no label
+    # value (disjoint vocabularies / total disagreement) the marginal
+    # inner join is empty, chance has no row, and an inner join here
+    # would silently DROP the group — the correct chance term is 0 and
+    # kappa = n·n_agree/n² (0 for total disagreement).
     joined = (
-        per_group.join(F.broadcast(chance), keys)
+        per_group.join(F.broadcast(chance), keys, "left")
         if keys
-        else per_group.crossJoin(F.broadcast(chance))
+        else per_group.join(F.broadcast(chance), F.lit(True), "left")
     )
+    sum_rc = F.coalesce(F.col("__rc_sum"), F.lit(0))
     kappa = F.try_divide(
-        (F.col("n") * F.col("n_agree") - F.col("__sum_rc")).cast("double"),
-        F.nullif(F.col("n") * F.col("n") - F.col("__sum_rc"), F.lit(0)).cast(
-            "double"
-        ),
+        (F.col("n") * F.col("n_agree") - sum_rc).cast("double"),
+        F.nullif(F.col("n") * F.col("n") - sum_rc, F.lit(0)).cast("double"),
     )
     return joined.select(
         *keys,

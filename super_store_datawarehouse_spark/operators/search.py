@@ -102,16 +102,22 @@ def phrase_matches(
 
     Output: (doc_id, phrase, n_occurrences), docs with ≥1 occurrence.
     """
+    # the phrase goes through the SAME normalization as the postings
+    # (words(): lowercase, \s+ split, empties dropped) — a raw
+    # single-space split would leave "New York" or doubled spaces
+    # silently matching nothing against the lowercased index
     terms = phrase.select(
         "phrase",
-        F.posexplode(F.split("phrase", " ")).alias("off", "term"),
-    ).select("phrase", F.col("off").cast("long").alias("off"), "term")
+        F.posexplode_outer(words("phrase")).alias("off", "term"),
+    ).filter(F.col("term").isNotNull()).select(
+        "phrase", F.col("off").cast("long").alias("off"), "term"
+    )
     k = F.count_distinct("off")
     p = token_postings(df, text_col, id_col)
     hits = p.join(F.broadcast(terms), "term").select(
         "doc_id", "phrase", (F.col("pos") - F.col("off")).alias("anchor"), "off"
     )
-    n_terms = F.size(F.split(F.col("phrase"), " "))
+    n_terms = F.size(words(F.col("phrase")))
     occurrences = (
         hits.groupBy("doc_id", "phrase", "anchor")
         .agg(k.alias("n_off"))

@@ -256,7 +256,8 @@ def hll_distinct(
     )
 
 
-BLOOM_MOD = 1 << 31
+BLOOM_MOD = CMS_MOD  # one load-bearing modulus: the affine maps reduce
+# over the same field as poly_word_hash, or cross-engine replay breaks
 
 
 def _positions_of_hash(

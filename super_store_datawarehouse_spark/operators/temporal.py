@@ -19,7 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKET_SECONDS = {"1 hour": 3600, "1 day": 86400, "1 minute": 60}
@@ -225,6 +225,7 @@ def seasonal_decompose(
     val_col: str = "y",
     period: int = 24,
     series_keys: list[str] | None = None,
+    phase_expr: Column | None = None,
 ) -> DataFrame:
     """Classical additive seasonal decomposition (the moving-average
     method of Macaulay 1931, the `decompose()` of every stats stack):
@@ -254,7 +255,7 @@ def seasonal_decompose(
     The 2·period-row seasonal-index frame broadcasts back.
     """
     keys, base, seas, scale = _decompose_base(
-        series, ts_col, val_col, period, series_keys
+        series, ts_col, val_col, period, series_keys, phase_expr
     )
     trend = F.col("__tnum").cast("double") / F.lit(float(scale))
     seasonal = F.col("__snum").cast("double") / (
@@ -279,6 +280,7 @@ def _decompose_base(
     val_col: str,
     period: int,
     series_keys: list[str] | None,
+    phase_expr: Column | None = None,
 ) -> tuple[list[str], DataFrame, DataFrame, int]:
     """Shared integer core of the decomposition: per-row scaled trend
     numerator + phase (``base``) and per-phase seasonal numerator sums
@@ -307,8 +309,13 @@ def _decompose_base(
         tnum = F.sum(y).over(w)
         full = F.count(F.lit(1)).over(w) == period
     # integer div end-to-end (CAST(double AS BIGINT) rounds in DuckDB
-    # but truncates in Spark — the house cross-engine trap)
-    phase = F.pmod(F.expr(f"unix_timestamp({ts_col}) div 3600"), F.lit(period))
+    # but truncates in Spark — the house cross-engine trap). The default
+    # assumes HOURLY spacing — see seasonal_anomalies' docstring.
+    phase = (
+        phase_expr
+        if phase_expr is not None
+        else F.pmod(F.expr(f"unix_timestamp({ts_col}) div 3600"), F.lit(period))
+    )
     base = (
         series.select(
             *keys,
@@ -334,6 +341,7 @@ def seasonal_anomalies(
     period: int = 24,
     n_sigma: int = 2,
     series_keys: list[str] | None = None,
+    phase_expr: Column | None = None,
 ) -> DataFrame:
     """Anomaly flags on the decomposition remainder, judged against the
     remainder's PER-PHASE spread (3 am behaves like other 3 ams) — and
@@ -343,21 +351,30 @@ def seasonal_anomalies(
     with ``num_t = sn_p·(scale·y − tnum) − snum_p``, algebra gives
     ``remainder_t = num_t / (scale·sn_p)`` exactly, and the per-phase
     sum of ``num`` is IDENTICALLY zero (the seasonal index is the phase
-    mean of the detrended series), so the condition
-    ``|remainder| > n_sigma·σ_p`` is equivalent to
+    mean of the detrended series) — which collapses the usual
+    ``(n·num − Σnum)² > k²(n·Σnum² − (Σnum)²)`` to
 
-        (n_p·num_t − Σnum)² > n_sigma² · (n_p·Σnum² − (Σnum)²)
+        n_p · num_t² > n_sigma² · Σnum²
 
-    — all int64 (the Σnum term is kept for form; it is exactly 0). The
-    reported ``deviation`` double (= the remainder) is a single
-    division of these integers.
+    — all int64. The reported ``deviation`` double (= the remainder)
+    is a single division of these integers.
 
-    Magnitude bound: |num| ≲ scale·n_p·y_max; the squared terms must
-    stay inside int64 — fine to ~10⁹ total scaled mass per phase, i.e.
-    any hourly-count series shy of ~10⁸ events/hour at period 24.
+    Overflow envelope (ANSI off ⇒ silent wraparound, so respect it):
+    the limiting term is ``n_p·num²``, i.e. ``|num| ≲ √(2⁶³/n_p)``
+    with ``num ≈ scale·sn_p·residual``. Period 24 over 30 days
+    (sn≈29): residuals to ~1.5·10⁵ events/hour; over a year (sn≈365):
+    ~8·10³. Beyond that, pre-scale ``y`` down (the flag is
+    scale-invariant) or window the series.
+
+    ``phase_expr`` overrides the phase derivation — the default
+    (hours-since-epoch mod period) assumes an HOURLY series; any other
+    spacing aliases phases silently (a daily series at period 12 puts
+    every row in one phase), so pass e.g.
+    ``F.pmod(F.expr("datediff(h, DATE'2024-01-01')"), F.lit(7))`` for
+    daily data with weekly seasonality.
     """
     keys, base, seas, scale = _decompose_base(
-        series, ts_col, val_col, period, series_keys
+        series, ts_col, val_col, period, series_keys, phase_expr
     )
     joined = base.join(F.broadcast(seas), keys + ["phase"])
     num = F.col("__sn") * (
@@ -378,11 +395,12 @@ def seasonal_anomalies(
         F.count(F.lit(1)).alias("__n"),
     )
     dev = F.col("__num").cast("double") / F.col("__d")
-    lhs = F.col("__n") * F.col("__num") - F.col("__s1")
+    # Σnum ≡ 0 per phase (integer identity, see docstring), so the
+    # general form collapses — one factor of n_p less on each side
+    # widens the overflow envelope
     flag = (
-        lhs * lhs
-        > F.lit(n_sigma * n_sigma)
-        * (F.col("__n") * F.col("__ss") - F.col("__s1") * F.col("__s1"))
+        F.col("__n") * F.col("__num") * F.col("__num")
+        > F.lit(n_sigma * n_sigma) * F.col("__ss")
     )
     return (
         scored.join(F.broadcast(stats), keys + ["phase"])

@@ -642,7 +642,11 @@ def repetition_signals(
     """
     if top_n == dup_n:
         raise ValueError("top_n and dup_n must differ (tagged union would double-count)")
-    base = df.select(
+    # narrow-scan widen guard, same as every sibling explode operator
+    # (function-local import: dedup imports text at module level)
+    from super_store_datawarehouse_spark.operators.dedup import _widen_narrow_scan
+
+    base = _widen_narrow_scan(df).select(
         F.col(id_col).alias("doc_id"), words(text_col).alias("__ws")
     )
     w = F.col("__ws")

@@ -14915,7 +14915,7 @@ def q46_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x284 — seasonal anomaly flags (operators/temporal.seasonal_anomalies):
 # |remainder| > 2σ judged against the remainder's PER-PHASE spread (a 3am
 # hour is compared to other 3am hours). The flag is an INTEGER comparison
-# — (n·num − Σnum)² > 4·(n·Σnum² − (Σnum)²) over the scaled numerators —
+# — n·num² > 4·Σnum² over the scaled remainder numerators (Σnum ≡ 0) —
 # so the boolean itself value-oracles with no float tolerance; the
 # reported deviation is one IEEE division of the same integers.
 # --------------------------------------------------------------------------
@@ -14962,8 +14962,7 @@ def q46_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT sc.h, sc.y, sc.phase,
            CAST(sc.num AS DOUBLE) / sc.d AS deviation,
-           ((st.n * sc.num - st.s1) * (st.n * sc.num - st.s1)
-              > 4 * (st.n * st.ss - st.s1 * st.s1)) AS is_anomaly
+           (st.n * sc.num * sc.num > 4 * st.ss) AS is_anomaly
     FROM scored sc JOIN stats st USING (phase)
     ORDER BY h
     """,
@@ -15036,9 +15035,10 @@ def q21_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.source, a.n, a.n_agree,
            a.n_agree * 1000000 // a.n AS agree_ppm,
-           CAST(a.n * a.n_agree - c.sum_rc AS DOUBLE)
-             / CAST(NULLIF(a.n * a.n - c.sum_rc, 0) AS DOUBLE) AS kappa
-    FROM agg a JOIN chance c USING (source)
+           CAST(a.n * a.n_agree - COALESCE(c.sum_rc, 0) AS DOUBLE)
+             / CAST(NULLIF(a.n * a.n - COALESCE(c.sum_rc, 0), 0) AS DOUBLE)
+             AS kappa
+    FROM agg a LEFT JOIN chance c USING (source)
     ORDER BY source
     """,
 )

@@ -1044,19 +1044,26 @@ def stream_bloom_dedup_to_parquet(
     ``out_dir/batch=<id>``, and their bits merged into the state.
 
     Exactly-once publish: decisions land in the per-batch output
-    partition with ``mode=overwrite`` BEFORE the state swap, so the
-    crash-replay of a batch recomputes IDENTICAL decisions (state
-    unchanged) and idempotently overwrites its own partition; the state
-    parquet embeds ``applied_batch`` and publishes by the same atomic
-    rename chain as ``stream_misra_gries_to_parquet``. After a
+    partition with ``mode=overwrite`` BEFORE the state swap, and a
+    batch that accepts NOTHING writes nothing. The two crash windows:
+    crash before the state swap → the replay recomputes IDENTICAL
+    decisions (state unchanged) and idempotently overwrites its own
+    partition; crash AFTER the swap (but before the checkpoint commit)
+    → the replay finds all its keys already in the filter, accepts
+    nothing, and — because empty results skip the write — the
+    originally-published partition survives intact. (Overwriting with
+    the empty frame there would ERASE the batch's accepted rows, the
+    classic at-least-once data-loss hole.) The state parquet embeds
+    ``applied_batch`` for observability and publishes by the same
+    atomic rename chain as ``stream_misra_gries_to_parquet``. After a
     CHECKPOINT LOSS (ids restart at 0), no id guard exists to drop
     fresh data: every batch is processed and the Bloom state itself
     suppresses re-emission of already-accepted keys — redelivered
-    files emit empty partitions, fresh keys emit once. Operational
-    contract (documented, same as the IVF index stream): state_dir and
-    out_dir belong to the checkpoint — recycle all three together,
-    since a recycled batch id may otherwise overwrite an old partition
-    of the same name.
+    files emit nothing, fresh keys emit once. Operational contract
+    (documented, same as the IVF index stream): state_dir and out_dir
+    belong to the checkpoint — recycle all three together, since a
+    recycled batch id may otherwise overwrite an old partition of the
+    same name.
 
     Returns micro-batches processed.
     """
@@ -1086,25 +1093,39 @@ def stream_bloom_dedup_to_parquet(
         )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from super_store_datawarehouse_spark.operators.sketches import (
+            _positions_of_hash,
+            poly_word_hash,
+        )
+
         sess = batch_df.sparkSession
         bits = read_bits(sess)
-        pos = bloom_positions("key", m_bits, k_hashes)
+        # bind the O(len) char fold to a column once per row (the
+        # bound-column house rule); the affine maps over it are cheap
+        hashed = batch_df.withColumn("__h", poly_word_hash("key"))
+        pos = _positions_of_hash(F.col("__h"), m_bits, k_hashes)
         if bits:
-            negative = batch_df.filter(
-                ~F.forall(pos, lambda p: p.isin(*bits))
-            )
+            negative = hashed.filter(~F.forall(pos, lambda p: p.isin(*bits)))
         else:
-            negative = batch_df
+            negative = hashed
         # first occurrence per NEW key within the batch, deterministic
         accepted = (
-            negative.groupBy("key", "user_id", "event_type")
+            negative.groupBy("key", "__h", "user_id", "event_type")
             .agg(F.min("event_id").alias("event_id"))
-            .select("event_id", "user_id", "event_type", "key")
+            .select("event_id", "user_id", "event_type", "key", "__h")
         )
         accepted.persist()
         try:
+            if accepted.isEmpty():
+                # nothing new — and writing the empty frame would
+                # OVERWRITE this partition's rows when we are a replay
+                # of a batch whose state swap already landed (the
+                # crash-after-swap window); skipping keeps the
+                # originally-published decisions intact
+                batches["n"] += 1
+                return
             # decisions first (idempotent per-batch partition) ...
-            accepted.drop("key").withColumn(
+            accepted.drop("key", "__h").withColumn(
                 "applied_batch", F.lit(batch_id).cast("long")
             ).write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"batch={batch_id}")

@@ -2774,3 +2774,33 @@ def test_cohen_kappa_known_values(spark):
         [("x", "x"), ("y", "y"), ("z", "z"), ("x", "x")], ["a", "b"]
     )
     assert cohen_kappa(mc, "a", "b").collect()[0]["kappa"] == 1.0
+
+
+def test_cohen_kappa_disjoint_labels_yields_zero_not_missing(spark):
+    """Annotators sharing NO label value (total disagreement / disjoint
+    vocabularies) must yield kappa=0 rows, not silently drop groups."""
+    from super_store_datawarehouse_spark.operators.quality_eval import cohen_kappa
+
+    df = spark.createDataFrame(
+        [("g1", True, False)] * 3 + [("g2", "pass", "keep")] * 2,
+        ["g", "a", "b"],
+    )
+    d1 = spark.createDataFrame([(True, False)] * 3, ["a", "b"])
+    r = cohen_kappa(d1, "a", "b").collect()
+    assert len(r) == 1 and r[0]["n"] == 3 and r[0]["n_agree"] == 0
+    assert r[0]["kappa"] == 0.0
+    grouped = {x["g"]: x for x in cohen_kappa(
+        spark.createDataFrame([("g1", True, False)] * 3 + [("g2", True, True)] * 2,
+                              ["g", "a", "b"]), "a", "b", ["g"]).collect()}
+    assert set(grouped) == {"g1", "g2"}
+    assert grouped["g1"]["kappa"] == 0.0
+
+
+def test_phrase_matches_normalizes_caller_phrase(spark):
+    from super_store_datawarehouse_spark.operators.search import phrase_matches
+
+    df = spark.createDataFrame([(1, "we love new york a lot")], ["doc_id", "text"])
+    # mixed case + doubled space must still match the lowercased index
+    phrase = spark.createDataFrame([("New  York",)], ["phrase"])
+    got = phrase_matches(df, phrase).collect()
+    assert len(got) == 1 and got[0]["n_occurrences"] == 1
