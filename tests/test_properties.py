@@ -337,3 +337,76 @@ def test_longest_shared_spans_matches_bruteforce(spark, docs):
                 assert got.get((i, j)) == want, (docs[i], docs[j], got.get((i, j)), want)
             else:
                 assert (i, j) not in got
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=25
+    )
+)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Degree-ordered counting must agree with the O(n^3) definition on
+    arbitrary small graphs (self-loops, duplicates, both directions)."""
+    from itertools import combinations
+
+    from super_store_datawarehouse_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    adj = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({v for e in adj for v in e})
+    want = {v: 0 for v in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= adj:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 4)), min_size=2, max_size=40
+    ).filter(lambda r: len({k for k, _ in r}) == len(r)),
+    pct=st.integers(1, 100),
+)
+def test_temperature_quota_sample_invariants(spark, rows, pct):
+    """Per-domain kept counts equal the integer-arithmetic quotas, the
+    kept sets are the lowest Knuth ranks, and membership is stable
+    under repartitioning."""
+    import math
+
+    from super_store_datawarehouse_spark.operators.sampling import (
+        KNUTH,
+        quota_sample,
+        temperature_quotas,
+    )
+
+    df = spark.createDataFrame(rows, ["doc_id", "dom"])
+    quotas = temperature_quotas(df, "dom", pct)
+    qrows = {r["dom"]: r for r in quotas.collect()}
+    # quotas replicate in plain python
+    counts = {}
+    for _, d in rows:
+        counts[d] = counts.get(d, 0) + 1
+    tot = sum(counts.values())
+    wsum = sum(math.isqrt(n) for n in counts.values())
+    for d, n in counts.items():
+        want = min(n, (tot * pct // 100) * math.isqrt(n) // wsum)
+        assert qrows[d]["target_n"] == want and qrows[d]["weight"] == math.isqrt(n)
+    kept = sorted(r["doc_id"] for r in quota_sample(df, "doc_id", "dom", quotas).collect())
+    kept7 = sorted(
+        r["doc_id"]
+        for r in quota_sample(df.repartition(7), "doc_id", "dom", quotas).collect()
+    )
+    assert kept == kept7
+    # lowest-rank selection per domain
+    def krank(k):
+        return ((k % (1 << 31)) * KNUTH) % (1 << 32), k
+    for d, n in counts.items():
+        ids = sorted((k for k, dd in rows if dd == d), key=krank)
+        want_ids = sorted(ids[: qrows[d]["target_n"]])
+        got_ids = sorted(k for k in kept if dict(rows)[k] == d)
+        assert got_ids == want_ids
