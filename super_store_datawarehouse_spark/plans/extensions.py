@@ -15141,3 +15141,149 @@ def x291_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x292 — LSH recall S-curve (sketch-quality eval): of the EXACT 3-gram
+# Jaccard pairs (≥ 0.05), what fraction does banded portable MinHash
+# (16 hashes, 4 bands × 4 rows, x261's signatures) catch, per Jaccard
+# decile? The catch probability 1-(1-s^r)^b rises steeply with s — the
+# textbook S-curve, here measured on real signatures and fully
+# value-oracled because every hash is the portable polynomial/affine
+# chain. Completes the sketch-eval family (x150/x213 ANN recall, x188
+# HLL error, x247 CMS error) for the dedup sketches.
+# --------------------------------------------------------------------------
+_X292_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    + " || ',' || ".join(f"CAST(m{4 * b + j:02d} AS VARCHAR)" for j in range(4))
+    + " AS bucket FROM sig"
+    for b in range(4)
+)
+
+
+@harness_query(
+    "x292_lsh_recall_curve",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS l
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(l[i:i+2], ' ') AS shingle
+      FROM w CROSS JOIN range(1, 10000) r(i)
+      WHERE i <= len(l) - 2
+    ), h AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split_regex(shingle, ''),
+                                ch -> CAST(ascii(ch) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % 2147483648) AS hs
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, {_X73_MINS} FROM h GROUP BY doc_id
+    ), bands AS ({_X292_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT i.doc_a, i.doc_b, i.n_inter,
+             sa.n_sh + sb.n_sh - i.n_inter AS n_union
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE 20 * i.n_inter >= sa.n_sh + sb.n_sh - i.n_inter
+    ), scored AS (
+      SELECT p.*, (10 * p.n_inter) // p.n_union AS jacc_decile,
+             (c.doc_a IS NOT NULL) AS caught
+      FROM pairs p LEFT JOIN cand c
+        ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+    )
+    SELECT jacc_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_caught,
+           CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+                AS BIGINT) AS catch_pm
+    FROM scored
+    GROUP BY jacc_decile
+    ORDER BY jacc_decile
+    """,
+)
+def x292_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # n=3: DuckDB's l[i:i+2] slice is INCLUSIVE (3 elements) — the same
+    # 3-gram shingles x261's signatures use
+    sig = dedup.minhash_portable(docs, n=3, num_hashes=16, seed=42)
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"m{4 * b + j:02d}").cast("string") for j in range(4)]
+            ).alias("bucket"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .withColumn("caught", F.lit(True))
+    )
+    sh = dedup.word_shingles(docs, n=3)
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.sid") < F.col("sb.sid")),
+        )
+        .groupBy(
+            F.col("sa.sid").alias("doc_a"), F.col("sb.sid").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    pairs = (
+        inter.join(sizes.withColumnRenamed("sid", "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "na")
+        .join(sizes.withColumnRenamed("sid", "doc_b"), "doc_b")
+        .withColumnRenamed("n_sh", "nb")
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_inter"))
+        .filter(20 * F.col("n_inter") >= F.col("n_union"))
+    )
+    scored = pairs.join(cand, ["doc_a", "doc_b"], "left").select(
+        F.expr("(10 * n_inter) div n_union").alias("jacc_decile"),
+        F.coalesce("caught", F.lit(False)).alias("caught"),
+    )
+    return (
+        scored.groupBy("jacc_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("caught"), 1).otherwise(0)).alias("n_caught"),
+            F.expr(
+                "CAST(sum(CASE WHEN caught THEN 1 ELSE 0 END) * 1000"
+                " div count(1) AS BIGINT)"
+            ).alias("catch_pm"),
+        )
+        .orderBy("jacc_decile")
+    )

@@ -1073,3 +1073,48 @@ def test_stream_bloom_dedup_matches_sequential_replay(tmp_path, spark):
     )
     assert n2 == 0
     assert spark.read.parquet(out).count() == len(keys)
+
+
+def test_stream_bloom_dedup_checkpoint_loss_self_heals(tmp_path, spark):
+    """Deleting the checkpoint (ids restart at 0) and re-running against
+    the SAME state/output must re-emit nothing: every redelivered batch
+    finds its keys in the filter, accepts nothing, and the empty-skip
+    path leaves the originally-published partitions untouched."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        stream_bloom_dedup_to_parquet,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("user_id") < 12).cache()
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, cond in enumerate([F.col("user_id") < 6, F.col("user_id") >= 6]):
+        ev.filter(cond).coalesce(1).write.parquet(
+            str(tmp_path / f"p{i}"), mode="overwrite"
+        )
+        part = [f for f in os.listdir(tmp_path / f"p{i}") if f.endswith(".parquet")][0]
+        os.rename(tmp_path / f"p{i}" / part, os.path.join(src, f"events{i}.parquet"))
+
+    out = str(tmp_path / "accepted")
+    state = str(tmp_path / "bloom_state")
+    ckpt = str(tmp_path / "ckpt")
+    stream_bloom_dedup_to_parquet(spark, src, out, state, 1024, 2, checkpoint=ckpt)
+    before = sorted(
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert before
+    # checkpoint loss: ids restart, every file redelivered
+    shutil.rmtree(ckpt)
+    n = stream_bloom_dedup_to_parquet(spark, src, out, state, 1024, 2, checkpoint=ckpt)
+    assert n == 2  # batches processed, none emitted
+    after = sorted(
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert after == before
