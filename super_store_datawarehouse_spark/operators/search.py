@@ -128,6 +128,67 @@ def phrase_matches(
     )
 
 
+def bm25_scores_multi(
+    df: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+) -> DataFrame:
+    """Integer BM25 scores for a batch of queries in one pass.
+
+    ``queries`` is a (query_id, term) frame — one row per query term,
+    already normalized the way :func:`~.text.words` normalizes (single
+    lowercase tokens). The scoring is x137's fixed-point formulation
+    (RSJ odds ratio ×1000 in place of the transcendental log, trunc-div
+    saturation/length terms) generalized to many queries: tf/df/dl are
+    computed ONCE over the union of all query terms and each query sums
+    only its own terms' contributions, so adding queries adds broadcast
+    rows, not corpus scans. Output: (query_id, doc_id, score_micro) for
+    every document containing ≥1 term of the query.
+
+    Plan: posting tf agg (one term-key shuffle) → tiny df/const
+    broadcasts → broadcast fan-out to query ids → one (query, doc) hash
+    agg. Same 100 TB shape as TF-IDF (q44) / single-query BM25 (x137).
+    """
+    qterms = queries.select("query_id", "term")
+    p = token_postings(df, text_col, id_col)
+    dl = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        p.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfw = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    consts = (
+        df.agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(dl.agg(F.sum("dl").alias("sumdl")))
+        .withColumn("avgdl_s", F.expr("(sumdl * 1000) div n"))
+    )
+    k1p = k1_milli + 1000
+    bc = 1000 - b_milli
+    bs = b_milli * 1000
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfw), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "score_term",
+            F.expr(
+                f"(((((n - df) * 1000 + 500) * 1000) div (df * 1000 + 500))"
+                f" * tf * {k1p})"
+                f" div (tf * 1000"
+                f"      + ({k1_milli} * ({bc} + ({bs} * dl) div avgdl_s))"
+                f"        div 1000)"
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score_term").cast("long").alias("score_micro"))
+    )
+
+
 def top_ngram(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -153,6 +214,60 @@ def top_ngram(
         .orderBy(F.col("cnt").desc(), F.col("phrase"))
         .limit(1)
         .select("phrase")
+    )
+
+
+def bigram_surprise(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean bigram surprise — the integer stand-in for
+    bigram-LM perplexity (CCNet-style quality filtering scores each doc
+    under a corpus LM and keeps the low-perplexity tail; here the LM is
+    the corpus itself and the "surprise" of an occurrence of bigram
+    (w1,w2) is the inverse conditional frequency c(w1)/c(w1,w2), scaled
+    ×1000 and trunc-divided so every value is exact int64).
+
+    c(w1) counts w1 as a HISTORY (i.e. occurrences of bigrams starting
+    with w1), so surprise_milli ≥ 1000 always and equals 1000/p(w2|w1)
+    exactly. Documents with fewer than 2 tokens have no bigrams and are
+    absent from the output.
+
+    Plan: one bound-column bigram explode (no re-tokenization per
+    element — the lambda-recompute rule), one bigram-key count shuffle,
+    one broadcast of the unigram-history counts (|vocab| rows, small by
+    Heaps' law), one doc-key groupBy. The bigram-count join shuffles on
+    the bigram key — the standard LM-training shape.
+    """
+    base = _widen_narrow_scan(df).select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("__ws")
+    )
+    w = F.col("__ws")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda s: F.struct(
+                F.element_at(w, s).alias("w1"),
+                F.concat_ws(" ", F.slice(w, s, 2)).alias("bigram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,bigram:string>>"))
+    occ = (
+        base.select("doc_id", F.explode_outer(bigrams).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.bigram").alias("bigram"))
+    )
+    c2 = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        occ.join(c2, "bigram")
+        .join(F.broadcast(c1), "w1")
+        .withColumn("surprise_milli", F.expr("(1000 * c1) div c2"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("surprise_milli").alias("sum_surprise_milli"),
+        F.expr("sum(surprise_milli) div count(1)").alias("mean_surprise_milli"),
     )
 
 

@@ -275,6 +275,46 @@ def _prep(df: DataFrame, id_col: str, vec_col: str, id_out: str, v: str, nrm: st
     )
 
 
+def scalar_quantize_unit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 127,
+) -> DataFrame:
+    """Symmetric int8-style scalar quantization of L2-normalized vectors.
+
+    The standard embedding-compression step (n-dim float32 → n bytes):
+    each vector is divided by its L2 norm, then every component is
+    mapped to ``floor(x/‖x‖ · levels + 0.5)`` — an integer in
+    [-levels, levels] for the default ``levels=127``. Zero-norm and
+    non-finite vectors are dropped under the same contract as
+    :func:`_prep`.
+
+    Every step is deterministic IEEE: the norm is the canonical
+    left-to-right fold + sqrt, the per-component scale is two IEEE ops
+    on identical operands, and ``floor`` is exact — so the quantized
+    grid is bit-identical on any engine, and downstream dot products
+    over the (small-integer-valued) quantized vectors are EXACT in any
+    accumulation order. The output keeps ``array<double>`` so it feeds
+    :func:`brute_force_topk` / the blocked GEMM unchanged.
+
+    Map-side only — no shuffle; at 100 TB this is the one-pass
+    compression sweep before the index build.
+    """
+    v = "__v"
+    prepped = _prep(df, id_col, vec_col, id_col, v, "__nrm")
+    scale = float(levels)
+    return prepped.select(
+        id_col,
+        F.transform(
+            F.col(v),
+            lambda x: F.floor(x / F.col("__nrm") * scale + F.lit(0.5)).cast(
+                "double"
+            ),
+        ).alias(vec_col),
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     fraction: float | str = 0.03,

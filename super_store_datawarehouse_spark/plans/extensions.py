@@ -15287,3 +15287,387 @@ def x292_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jacc_decile")
     )
+
+# --------------------------------------------------------------------------
+# x293 — retrieval ranking eval (P@10 / R@10 / MRR@10): the eval leg of
+# the search family (x137 BM25, x278 index, x279 phrase) — every ranked
+# retrieval stack ships with exactly this harness before anyone trusts
+# its top-k. Three multi-term queries are scored by the fixed-point BM25
+# (one corpus pass for all queries); relevance ground truth is boolean:
+# a doc is relevant to a query iff EVERY query term appears ≥3 times.
+# All metrics are integers (‰ / ppm trunc-divs; the reciprocal rank is
+# 1e6 div rank) so the whole scorecard value-oracles bit-exact.
+# --------------------------------------------------------------------------
+_X293_QUERIES = (
+    (1, "vector"), (1, "hash"),
+    (2, "stream"), (2, "window"),
+    (3, "merge"), (3, "filter"), (3, "spark"),
+)
+_X293_VALUES = ", ".join(f"({qid}, '{t}')" for qid, t in _X293_QUERIES)
+
+
+@harness_query(
+    "x293_retrieval_eval",
+    oracle=f"""
+    WITH q(query_id, term) AS (VALUES {_X293_VALUES}),
+    toks AS (
+      SELECT doc_id, w AS term FROM (
+        SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2
+    ), dfw AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), c2 AS (
+      SELECT n, (sumdl * 1000) // n AS avgdl_s FROM (
+        SELECT (SELECT COUNT(*) FROM documents) AS n,
+               (SELECT SUM(dl) FROM dl) AS sumdl
+      )
+    ), scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(SUM(
+               (((((c2.n - dfw.df) * 1000 + 500) * 1000) // (dfw.df * 1000 + 500))
+                * tf.tf * 2200)
+               // (tf.tf * 1000
+                   + (1200 * (250 + (750000 * dl.dl) // c2.avgdl_s)) // 1000)
+             ) AS BIGINT) AS score_micro
+      FROM q JOIN tf USING (term) JOIN dl USING (doc_id)
+      JOIN dfw ON dfw.term = q.term CROSS JOIN c2
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id) AS rank
+      FROM scored QUALIFY rank <= 10
+    ), nq AS (
+      SELECT query_id, COUNT(*) AS n_terms FROM q GROUP BY 1
+    ), rel AS (
+      SELECT r.query_id, r.doc_id FROM (
+        SELECT q.query_id, tf.doc_id, MIN(tf.tf) AS min_tf,
+               COUNT(*) AS n_present
+        FROM q JOIN tf USING (term) GROUP BY 1, 2
+      ) r JOIN nq USING (query_id)
+      WHERE r.min_tf >= 3 AND r.n_present = nq.n_terms
+    ), nrel AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1
+    ), hits AS (
+      SELECT r.query_id,
+             CAST(COUNT(rel.doc_id) AS BIGINT) AS n_hits10,
+             MIN(CASE WHEN rel.doc_id IS NOT NULL THEN r.rank END) AS first_rank
+      FROM ranked r LEFT JOIN rel
+        ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+      GROUP BY 1
+    )
+    SELECT CAST(qs.query_id AS BIGINT) AS query_id,
+           COALESCE(nrel.n_rel, 0) AS n_rel,
+           COALESCE(hits.n_hits10, 0) AS n_hits10,
+           CAST(COALESCE(hits.n_hits10, 0) * 100 AS BIGINT) AS prec_at10_pm,
+           CAST(CASE WHEN COALESCE(nrel.n_rel, 0) = 0 THEN 0
+                ELSE (COALESCE(hits.n_hits10, 0) * 1000) // nrel.n_rel
+                END AS BIGINT) AS recall_at10_pm,
+           CAST(COALESCE(1000000 // hits.first_rank, 0) AS BIGINT) AS rr_ppm
+    FROM (SELECT DISTINCT query_id FROM q) qs
+    LEFT JOIN nrel USING (query_id) LEFT JOIN hits USING (query_id)
+    ORDER BY qs.query_id
+    """,
+)
+def x293_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators import search
+
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        list(_X293_QUERIES), "query_id long, term string"
+    )
+    scores = search.bm25_scores_multi(docs, qdf)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), "doc_id")
+    ranked = (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    # boolean qrels: every query term present >= 3 times
+    p = search.token_postings(docs)
+    tf = (
+        p.join(F.broadcast(qdf.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nq = qdf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    rel = (
+        qdf.join(tf, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("tf").alias("min_tf"), F.count(F.lit(1)).alias("n_present"))
+        .join(F.broadcast(nq), "query_id")
+        .filter((F.col("min_tf") >= 3) & (F.col("n_present") == F.col("n_terms")))
+        .select("query_id", "doc_id")
+    )
+    nrel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = (
+        ranked.join(rel.withColumn("is_rel", F.lit(1)), ["query_id", "doc_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("is_rel", F.lit(0))).alias("n_hits10"),
+            F.min(F.when(F.col("is_rel") == 1, F.col("rank"))).alias("first_rank"),
+        )
+    )
+    qs = qdf.select("query_id").distinct()
+    return (
+        qs.join(nrel, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
+            F.coalesce("n_hits10", F.lit(0)).alias("n_hits10"),
+            (F.coalesce("n_hits10", F.lit(0)) * 100).cast("long").alias("prec_at10_pm"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_rel, 0) = 0 THEN 0"
+                " ELSE (coalesce(n_hits10, 0) * 1000) div n_rel END AS BIGINT)"
+            ).alias("recall_at10_pm"),
+            F.expr(
+                "CAST(coalesce(1000000 div first_rank, 0) AS BIGINT)"
+            ).alias("rr_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x294 — int8 scalar-quantization recall: the compression-quality eval
+# every vector store runs before switching the index to 1-byte
+# components (4× smaller, integer SIMD dots). Vectors are L2-normalized
+# and quantized to floor(x·127 + 0.5) (similarity.scalar_quantize_unit
+# — exact IEEE grid, bit-identical cross-engine); both the quantized and
+# the full-precision rankings run through the bit-exact blocked GEMM
+# (x291's machinery), so recall@5 of quantized-vs-exact value-oracles.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x294_int8_quant_recall",
+    oracle=f"""
+    WITH fe AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt({_COSINE_FOLD.format(a='CAST(embedding AS DOUBLE[])', b='CAST(embedding AS DOUBLE[])')}) AS nrm
+      FROM embeddings
+    ), fq AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM fe WHERE vec_id < 10
+    ), ftop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT fq.query_id, fe.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY fq.query_id
+                 ORDER BY {_COSINE_FOLD.format(a='qv', b='v')} / (fq.qnrm * fe.nrm) DESC,
+                          fe.vec_id) AS rank
+        FROM fq JOIN fe ON fe.vec_id != fq.query_id
+      ) WHERE rank <= 5
+    ), qe0 AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor((x / nrm) * 127.0 + 0.5) AS DOUBLE)) AS v
+      FROM fe WHERE nrm > 0 AND isfinite(nrm)
+    ), qe AS (
+      SELECT vec_id, v,
+             sqrt({_COSINE_FOLD.format(a='v', b='v')}) AS nrm
+      FROM qe0
+    ), qq AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM qe WHERE vec_id < 10
+    ), qtop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qq.query_id, qe.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY qq.query_id
+                 ORDER BY {_COSINE_FOLD.format(a='qv', b='v')} / (qq.qnrm * qe.nrm) DESC,
+                          qe.vec_id) AS rank
+        FROM qq JOIN qe ON qe.vec_id != qq.query_id
+        WHERE qe.nrm > 0 AND qq.qnrm > 0
+      ) WHERE rank <= 5
+    )
+    SELECT f.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+           CAST((COUNT(t.neighbor_id) * 1000) // 5 AS BIGINT) AS recall_pm
+    FROM ftop f LEFT JOIN qtop t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id ORDER BY f.query_id
+    """,
+)
+def x294_int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    full_q = emb.filter(F.col("vec_id") < 10)
+    full_top = similarity.brute_force_topk(emb, full_q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    quant = similarity.scalar_quantize_unit(emb)
+    quant_q = quant.filter(F.col("vec_id") < 10)
+    quant_top = (
+        similarity.brute_force_topk(quant, quant_q, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        full_top.join(quant_top, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+            F.expr("CAST(sum(coalesce(hit, 0)) * 1000 div 5 AS BIGINT)").alias(
+                "recall_pm"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x295 — data-quality expectations report (dq.expectations_report): the
+# publish gate a warehouse load runs — null/unique/FK/range/cross-column
+# rules, one report row each with checked/violating counts and a pass
+# flag. The ship-after-order rule genuinely FIRES on this data (the
+# synthetic shipdate is uncorrelated with orderdate), so the report's
+# fail path is non-vacuous. Extends the reference's load-time hygiene
+# (reference etl.py:119-141 duplicate-merge + reject reporting) into an
+# explicit rule surface.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x295_dq_expectations",
+    oracle="""
+    SELECT check_name, n_checked, n_violations,
+           n_violations = 0 AS passed
+    FROM (
+      SELECT 'lineitem.l_discount.range_0_1' AS check_name,
+             CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(COALESCE(SUM(CASE WHEN l_discount IS NULL
+                    OR NOT (l_discount BETWEEN 0 AND 1) THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_orderkey.fk_orders',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), 0)
+                  AS BIGINT)
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_quantity.positive',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0
+                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.ship_not_before_order',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'orders.o_orderkey.not_null',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0)
+                  AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders.o_orderkey.unique',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM orders GROUP BY 1)
+    ) r
+    ORDER BY check_name
+    """,
+)
+def x295_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.dq import expectations_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    okeys = orders.select("o_orderkey")
+    li_fk = li.select("l_orderkey").join(
+        okeys, li["l_orderkey"] == okeys["o_orderkey"], "left"
+    )
+    li_ship = li.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    key_counts = orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return expectations_report(
+        [
+            (
+                "lineitem.l_discount.range_0_1",
+                li,
+                ~F.col("l_discount").between(0, 1),
+            ),
+            ("lineitem.l_orderkey.fk_orders", li_fk, F.col("o_orderkey").isNull()),
+            ("lineitem.l_quantity.positive", li, F.col("l_quantity") <= 0),
+            (
+                "lineitem.ship_not_before_order",
+                li_ship,
+                F.col("l_shipdate") < F.col("o_orderdate"),
+            ),
+            ("orders.o_orderkey.not_null", orders, F.col("o_orderkey").isNull()),
+            ("orders.o_orderkey.unique", key_counts, F.col("cnt") > 1),
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
+# x296 — bigram-LM perplexity filter (search.bigram_surprise): CCNet-
+# style quality gating — score every document under a corpus bigram LM
+# (surprise of (w1,w2) = 1000·c(w1)/c(w1,w2), exact int64) and keep the
+# docs at or below the corpus-mean surprise (the low-perplexity tail a
+# curation pipeline feeds to training). The threshold is data-derived
+# (global mean), so both keep values occur by construction. Completes
+# the quality family next to the rank proxy (x280) and the heuristic
+# gates (q09/x276).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x296_bigram_lm_filter",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS l
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, l[i] AS w1, array_to_string(l[i:i+1], ' ') AS bigram
+      FROM w CROSS JOIN range(1, 10000) r(i)
+      WHERE i <= len(l) - 1
+    ), c2 AS (
+      SELECT bigram, COUNT(*) AS c2 FROM occ GROUP BY 1
+    ), c1 AS (
+      SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY 1
+    ), scored AS (
+      SELECT occ.doc_id, (1000 * c1.c1) // c2.c2 AS surprise_milli
+      FROM occ JOIN c2 USING (bigram) JOIN c1 USING (w1)
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(surprise_milli) AS BIGINT) AS sum_surprise_milli,
+             CAST(SUM(surprise_milli) // COUNT(*) AS BIGINT)
+               AS mean_surprise_milli
+      FROM scored GROUP BY 1
+    ), thr AS (
+      SELECT CAST(SUM(sum_surprise_milli) // SUM(n_bigrams) AS BIGINT)
+               AS global_mean
+      FROM per_doc
+    )
+    SELECT p.doc_id, p.n_bigrams, p.sum_surprise_milli, p.mean_surprise_milli,
+           p.mean_surprise_milli <= t.global_mean AS keep
+    FROM per_doc p CROSS JOIN thr t
+    ORDER BY p.doc_id
+    """,
+)
+def x296_bigram_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators import search
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = search.bigram_surprise(docs)
+    thr = per_doc.agg(
+        F.expr(
+            "CAST(sum(sum_surprise_milli) div sum(n_bigrams) AS BIGINT)"
+        ).alias("global_mean")
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_surprise_milli",
+            "mean_surprise_milli",
+            (F.col("mean_surprise_milli") <= F.col("global_mean")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2804,3 +2804,107 @@ def test_phrase_matches_normalizes_caller_phrase(spark):
     phrase = spark.createDataFrame([("New  York",)], ["phrase"])
     got = phrase_matches(df, phrase).collect()
     assert len(got) == 1 and got[0]["n_occurrences"] == 1
+
+
+def test_expectations_report_counts_planted_violations(spark):
+    from super_store_datawarehouse_spark.operators.dq import expectations_report
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, None), (3, -0.1), (3, 1.5)], "id long, v double"
+    )
+    key_counts = df.groupBy("id").agg(F.count(F.lit(1)).alias("cnt"))
+    rep = expectations_report(
+        [
+            ("v.not_null", df, F.col("v").isNull()),
+            ("v.range_0_1", df, ~F.col("v").between(0, 1)),
+            ("id.unique", key_counts, F.col("cnt") > 1),
+        ]
+    ).collect()
+    by_name = {r["check_name"]: r for r in rep}
+    assert [r["check_name"] for r in rep] == sorted(by_name)
+    assert (by_name["v.not_null"]["n_checked"], by_name["v.not_null"]["n_violations"]) == (4, 1)
+    # NULL v: the range expectation cannot be evaluated -> violation
+    assert by_name["v.range_0_1"]["n_violations"] == 3
+    assert (by_name["id.unique"]["n_checked"], by_name["id.unique"]["n_violations"]) == (3, 1)
+    assert not by_name["v.range_0_1"]["passed"]
+    assert all(not r["passed"] for r in rep)
+
+
+def test_expectations_report_empty_frame_passes(spark):
+    from super_store_datawarehouse_spark.operators.dq import expectations_report
+
+    empty = spark.createDataFrame([], "id long")
+    row = expectations_report([("none.checked", empty, F.col("id") < 0)]).collect()[0]
+    assert (row["n_checked"], row["n_violations"], row["passed"]) == (0, 0, True)
+
+
+def test_bigram_surprise_hand_computed(spark):
+    from super_store_datawarehouse_spark.operators.search import bigram_surprise
+
+    # corpus bigrams: "a b" x3 (docs 1,1,2), "b a" x1 (doc 1), "a c" x1 (doc 2)
+    # c1(a)=4, c1(b)=1; surprise(a b)=1000*4//3=1333, (b a)=1000*1//1=1000,
+    # (a c)=1000*4//1=4000
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x"), (4, "a c")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_surprise(docs).collect()}
+    assert 3 not in rows  # single-token doc has no bigrams
+    assert (rows[1]["n_bigrams"], rows[1]["sum_surprise_milli"]) == (3, 1333 + 1000 + 1333)
+    assert rows[1]["mean_surprise_milli"] == (1333 + 1000 + 1333) // 3
+    assert (rows[2]["n_bigrams"], rows[2]["mean_surprise_milli"]) == (1, 1333)
+    assert (rows[4]["n_bigrams"], rows[4]["mean_surprise_milli"]) == (1, 4000)
+
+
+def test_bm25_scores_multi_orders_by_term_frequency(spark):
+    from super_store_datawarehouse_spark.operators.search import bm25_scores_multi
+
+    # equal-length docs, same df for 'cat': the tf=3 doc must outscore
+    # tf=1; a doc without the term is absent; the two-term query sums
+    # both terms' contributions
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog"),
+            (2, "cat fish fish dog"),
+            (3, "fish fish fish fish"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "cat"), (2, "cat"), (2, "dog")], "query_id long, term string"
+    )
+    rows = {(r["query_id"], r["doc_id"]): r["score_micro"]
+            for r in bm25_scores_multi(docs, q).collect()}
+    assert (1, 3) not in rows
+    assert rows[(1, 1)] > rows[(1, 2)]
+    assert rows[(2, 1)] == rows[(1, 1)] + (rows[(2, 2)] - rows[(1, 2)])
+    assert rows[(2, 2)] > rows[(1, 2)]  # dog contributes on doc 2
+
+
+def test_scalar_quantize_unit_grid_and_recall_shape(spark):
+    import math
+
+    from super_store_datawarehouse_spark.operators.similarity import (
+        scalar_quantize_unit,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0]),
+            (2, [0.0, 0.0]),          # zero norm: dropped
+            (3, [float("nan"), 1.0]),  # non-finite: dropped
+            (4, [-1.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r["embedding"] for r in scalar_quantize_unit(docs).collect()}
+    assert set(rows) == {1, 4}
+    assert rows[1] == [
+        math.floor(3.0 / 5.0 * 127.0 + 0.5),
+        math.floor(4.0 / 5.0 * 127.0 + 0.5),
+    ]
+    s = math.sqrt(2.0)
+    assert rows[4] == [
+        math.floor(-1.0 / s * 127.0 + 0.5),
+        math.floor(1.0 / s * 127.0 + 0.5),
+    ]
