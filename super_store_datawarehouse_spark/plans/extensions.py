@@ -1211,7 +1211,7 @@ def x265_group_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reproducibility of the sample membership.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q39_det_split_counts",
+    "x297_det_split_counts",
     oracle=f"""
     WITH b AS (
       SELECT lang,
@@ -1225,7 +1225,7 @@ def x265_group_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
-def q39_det_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x297_det_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.sampling import split_column
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4797,7 +4797,7 @@ def x147_winsorized_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vector, its nearest train vector by cosine — the embedding-space twin
 # of q25's n-gram contamination audit (decontamination as run for LLM
 # eval suites). Splits come from the oracled deterministic hash
-# splitter (q39); cosines are the bit-exact fold, so the top-1 ranking
+# splitter (x297); cosines are the bit-exact fold, so the top-1 ranking
 # replays identically in DuckDB. Exact-baseline formulation; the
 # IVF/LSH modules bound the candidate set at production scale.
 # --------------------------------------------------------------------------
@@ -6581,7 +6581,7 @@ def x173_lang_alpha_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # x174 — exact-allocation stratified split: exactly n_h // 10 docs per
-# source (vs q39/x121's hash-threshold draws whose per-stratum counts
+# source (vs x297/x121's hash-threshold draws whose per-stratum counts
 # are binomial). operators/sampling.stratified_exact_sample keeps the
 # lowest knuth-hash ranks per stratum; the oracle replays the identical
 # hash in portable SQL, so membership — not just counts — is verified.
@@ -8632,7 +8632,7 @@ def x199_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (x183), (2) exact dedup keeping the lowest doc_id per normalized
 # text (q14), (3) alpha-smoothed language quotas over a 200-doc budget
 # (x173) filled by exact-allocation lowest-hash draws (x174), then
-# (4) a deterministic 90/10 train/eval hash split (q39). Every stage
+# (4) a deterministic 90/10 train/eval hash split (x297). Every stage
 # is individually driver-oracled; this query oracles the COMPOSITION —
 # the end state a data-curation run would actually ship. Output: final
 # doc and token counts per (split, lang).
@@ -14194,7 +14194,7 @@ def x274_unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # end-to-end (q49 is v1, q42 v2): (1) canonical-URL dedup keeping the
 # lowest doc_id per canonical identity (x270), (2) exact text dedup
 # (q14 rule), (3) quality_keep gate (q09 family), (4) deterministic
-# train/val/test split (q39), then (5) span-level decontamination —
+# train/val/test split (x297), then (5) span-level decontamination —
 # val/test docs sharing a verbatim >=6-token span with any surviving
 # train doc are DROPPED (x273). Every stage is individually oracled
 # elsewhere; this query oracles the COMPOSITION — the kept-set shape a
@@ -15289,7 +15289,7 @@ def x292_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # --------------------------------------------------------------------------
-# x293 — retrieval ranking eval (P@10 / R@10 / MRR@10): the eval leg of
+# q39 — retrieval ranking eval (ex-x293) (P@10 / R@10 / MRR@10): the eval leg of
 # the search family (x137 BM25, x278 index, x279 phrase) — every ranked
 # retrieval stack ships with exactly this harness before anyone trusts
 # its top-k. Three multi-term queries are scored by the fixed-point BM25
@@ -15307,7 +15307,7 @@ _X293_VALUES = ", ".join(f"({qid}, '{t}')" for qid, t in _X293_QUERIES)
 
 
 @harness_query(
-    "x293_retrieval_eval",
+    "q39_retrieval_eval",
     oracle=f"""
     WITH q(query_id, term) AS (VALUES {_X293_VALUES}),
     toks AS (
@@ -15375,7 +15375,7 @@ _X293_VALUES = ", ".join(f"({qid}, '{t}')" for qid, t in _X293_QUERIES)
     ORDER BY qs.query_id
     """,
 )
-def x293_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q39_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators import search
 
     docs = load_table(spark, sf_dir, "documents")
@@ -15516,7 +15516,7 @@ def x294_int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x295 — data-quality expectations report (dq.expectations_report): the
+# q30 — data-quality expectations report (ex-x295) (dq.expectations_report): the
 # publish gate a warehouse load runs — null/unique/FK/range/cross-column
 # rules, one report row each with checked/violating counts and a pass
 # flag. The ship-after-order rule genuinely FIRES on this data (the
@@ -15526,7 +15526,7 @@ def x294_int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # explicit rule surface.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x295_dq_expectations",
+    "q30_dq_expectations",
     oracle="""
     SELECT check_name, n_checked, n_violations,
            n_violations = 0 AS passed
@@ -15570,7 +15570,7 @@ def x294_int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY check_name
     """,
 )
-def x295_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q30_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.dq import expectations_report
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -1116,12 +1116,12 @@ def x269_order_gaps_and_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
-# q30 — left-semi join (EXISTS): customers with at least one open order.
+# x298 (ex-q30) — left-semi join (EXISTS): customers with at least one open order.
 # Complements q16's left_anti; semi avoids the row-multiplication a plain
 # join + distinct would shuffle.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q30_customers_with_open_orders",
+    "x298_customers_with_open_orders",
     oracle="""
     SELECT c.c_custkey, c.c_name, c.c_nationkey
     FROM customer c
@@ -1132,7 +1132,7 @@ def x269_order_gaps_and_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame
     ORDER BY c.c_custkey
     """,
 )
-def q30_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x298_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
     return (
@@ -1488,7 +1488,7 @@ def x97_bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q39 — TPC-H Q8 shape (market share): one nation's revenue share of a
+# x98 (sometime q39) — TPC-H Q8 shape (market share): one nation's revenue share of a
 # region's yearly volume for one part type. Share is a ratio of two
 # exact cent sums → single IEEE division, bit-exact.
 # --------------------------------------------------------------------------
