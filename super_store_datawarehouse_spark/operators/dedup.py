@@ -149,6 +149,94 @@ def word_shingles(
     return out
 
 
+def shingle_tf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Word n-gram shingles WITH multiplicity: (sid, shingle, tf) rows.
+
+    The multiset twin of :func:`word_shingles` (which deduplicates per
+    document) — weighted similarity needs how MANY times a shingle
+    occurs, not just whether it does. Same bound-tokenization + outer
+    explode discipline; one (sid, shingle) hash agg on top.
+    """
+    base = _widen_narrow_scan(df).select(
+        F.col(id_col).alias("sid"), words(text_col).alias("__ws")
+    )
+    w = F.col("__ws")
+    shingles = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select(
+        "sid", F.explode_outer(shingles).alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    return occ.groupBy("sid", "shingle").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_doc_freq: int = 50,
+    threshold_permille: int = 50,
+) -> DataFrame:
+    """Generalized (tf-weighted) Jaccard near-dup pairs.
+
+    J_w(A,B) = Σ_s min(tf_A, tf_B) / Σ_s max(tf_A, tf_B) over shingle
+    MULTISETS — the weighted axis plain Jaccard (q17) misses: templated
+    documents that repeat the same shingles many times look far more
+    alike under tf weighting. Using max = tf_A + tf_B − min per shingle,
+    the denominator is w_total(A) + w_total(B) − Σmin, so only per-doc
+    total shingle mass and the per-pair Σmin over SHARED shingles are
+    needed — the same self-equi-join shape as q17/x138, with
+    SUM(LEAST(tf_a, tf_b)) in place of COUNT(*).
+
+    Skew/scale guard (part of the CONTRACT, not an approximation knob
+    bolted on later): shingles with document frequency > ``max_doc_freq``
+    are excluded from the similarity entirely — numerator AND
+    denominator — before the self-join, exactly like the stop-shingle
+    guard in :func:`longest_shared_spans`. Hub shingles would otherwise
+    fan the join quadratically at corpus scale while carrying no
+    discriminative weight. df-1 shingles keep their denominator mass
+    (they simply never produce join rows). All similarity arithmetic is
+    exact int64; the output permille is one trunc-div.
+    """
+    tf = shingle_tf(df, text_col, id_col, n).cache()
+    dfw = tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = tf.join(dfw.filter(F.col("df") <= max_doc_freq), "shingle").select(
+        "sid", "shingle", "tf"
+    )
+    sizes = kept.groupBy("sid").agg(F.sum("tf").alias("w_total"))
+    left = kept.select(F.col("sid").alias("doc_a"), "shingle", F.col("tf").alias("tf_a"))
+    right = kept.select(F.col("sid").alias("doc_b"), "shingle", F.col("tf").alias("tf_b"))
+    inter = (
+        left.join(right, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("tf_a", "tf_b")).alias("min_sum"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("sid", "doc_a").withColumnRenamed("w_total", "wa"), "doc_a")
+        .join(sizes.withColumnRenamed("sid", "doc_b").withColumnRenamed("w_total", "wb"), "doc_b")
+        .withColumn("union_sum", F.col("wa") + F.col("wb") - F.col("min_sum"))
+        .filter(1000 * F.col("min_sum") >= threshold_permille * F.col("union_sum"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "min_sum",
+            "union_sum",
+            F.expr("(1000 * min_sum) div union_sum").alias("wj_pm"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

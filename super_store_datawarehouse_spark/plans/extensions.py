@@ -15671,3 +15671,127 @@ def x296_bigram_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+# --------------------------------------------------------------------------
+# x299 — weighted (generalized) Jaccard near-dup pairs: Σmin(tf)/Σmax(tf)
+# over 2-gram shingle MULTISETS — the tf-weighted axis plain Jaccard
+# (q17) misses; templated docs that repeat shingles look far more alike
+# under weighting (349 of 500 sf0.01 docs carry tf>1 shingles). The
+# df≤25 stop-shingle guard is part of the contract (it binds on 632 of
+# 916 shingles here — hub shingles carry no discriminative weight and
+# would fan the self-join quadratically at corpus scale). Top-100 pairs
+# under a total order; all arithmetic exact int64.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x299_weighted_jaccard_pairs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS l
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, array_to_string(l[i:i+1], ' ') AS shingle
+      FROM w CROSS JOIN range(1, 10000) r(i)
+      WHERE i <= len(l) - 1
+    ), tf AS (
+      SELECT doc_id, shingle, COUNT(*) AS tf FROM occ GROUP BY 1, 2
+    ), dfw AS (
+      SELECT shingle, COUNT(*) AS df FROM tf GROUP BY 1
+    ), kept AS (
+      SELECT tf.doc_id, tf.shingle, tf.tf
+      FROM tf JOIN dfw USING (shingle) WHERE dfw.df <= 25
+    ), sizes AS (
+      SELECT doc_id, SUM(tf) AS w_total FROM kept GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS min_sum
+      FROM kept a JOIN kept b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT i.doc_a, i.doc_b, i.min_sum,
+             CAST(sa.w_total + sb.w_total - i.min_sum AS BIGINT) AS union_sum
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE 1000 * i.min_sum >= 100 * (sa.w_total + sb.w_total - i.min_sum)
+    )
+    SELECT doc_a, doc_b, min_sum, union_sum,
+           CAST((1000 * min_sum) // union_sum AS BIGINT) AS wj_pm
+    FROM pairs
+    ORDER BY wj_pm DESC, min_sum DESC, doc_a, doc_b
+    LIMIT 100
+    """,
+)
+def x299_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.weighted_jaccard_pairs(
+        docs, n=2, max_doc_freq=25, threshold_permille=100
+    )
+    return pairs.orderBy(
+        F.desc("wj_pm"), F.desc("min_sum"), "doc_a", "doc_b"
+    ).limit(100)
+
+
+# --------------------------------------------------------------------------
+# x300 — snapshot diff (incremental.snapshot_diff): row-level
+# reconciliation between two table versions — the lakehouse "table
+# diff" / CDC-backfill audit. Both snapshots are deterministic
+# derivations of orders (cur drops keys ≡0 mod 89; prev drops keys ≡0
+# mod 97 and doubles o_totalprice on keys ≡0 mod 101), so all four
+# statuses occur by construction and the per-status count + key
+# checksum value-oracle bit-exact.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x300_snapshot_diff",
+    oracle="""
+    WITH cur AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 89 != 0
+    ), prev AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 != 0
+    ), diff AS (
+      SELECT COALESCE(c.o_orderkey, p.o_orderkey) AS o_orderkey,
+             CASE
+               WHEN p.o_orderkey IS NULL THEN 'added'
+               WHEN c.o_orderkey IS NULL THEN 'removed'
+               WHEN c.o_orderstatus IS DISTINCT FROM p.o_orderstatus
+                 OR c.o_totalprice IS DISTINCT FROM p.o_totalprice
+                 THEN 'changed'
+               ELSE 'unchanged'
+             END AS diff_status
+      FROM cur c FULL OUTER JOIN prev p ON c.o_orderkey = p.o_orderkey
+    )
+    SELECT diff_status,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+    FROM diff GROUP BY 1 ORDER BY 1
+    """,
+)
+def x300_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.incremental import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cur = orders.filter(F.col("o_orderkey") % 89 != 0)
+    prev = orders.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    d = snapshot_diff(
+        cur, prev, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    return (
+        d.groupBy("diff_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+        .orderBy("diff_status")
+    )

@@ -2908,3 +2908,80 @@ def test_scalar_quantize_unit_grid_and_recall_shape(spark):
         math.floor(-1.0 / s * 127.0 + 0.5),
         math.floor(1.0 / s * 127.0 + 0.5),
     ]
+
+
+def test_weighted_jaccard_weights_multiplicity_and_caps_df(spark):
+    from super_store_datawarehouse_spark.operators.dedup import (
+        weighted_jaccard_pairs,
+    )
+
+    # docs 1/2 share the same shingle SET {"a b", "b a"} (plain Jaccard
+    # would call them identical) but different multiplicities:
+    # doc1 "a b a b a b": tf(a b)=3, tf(b a)=2 -> w_total 5
+    # doc2 "a b a b":     tf(a b)=2, tf(b a)=1 -> w_total 3
+    # min_sum = 2+1 = 3, union = 5+3-3 = 5 -> wj = 600 permille
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b a b"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in weighted_jaccard_pairs(
+            docs, n=2, max_doc_freq=10, threshold_permille=1
+        ).collect()
+    }
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert (r["min_sum"], r["union_sum"], r["wj_pm"]) == (3, 5, 600)
+
+    # a hub shingle present in every doc is excluded from numerator AND
+    # denominator once df exceeds the cap
+    docs2 = spark.createDataFrame(
+        [(1, "h h a b"), (2, "h h a b"), (3, "h h q r")],
+        "doc_id long, text string",
+    )
+    # shingle "h h" has df=3; with cap 2 it drops, leaving doc1/doc2
+    # sharing {"h a"(1), "a b"(1)} fully: wj = 1000
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["wj_pm"]
+        for r in weighted_jaccard_pairs(
+            docs2, n=2, max_doc_freq=2, threshold_permille=100
+        ).collect()
+    }
+    assert capped[(1, 2)] == 1000
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["wj_pm"]
+        for r in weighted_jaccard_pairs(
+            docs2, n=2, max_doc_freq=10, threshold_permille=100
+        ).collect()
+    }
+    assert uncapped[(1, 2)] == 1000  # all 3 shingles shared
+    # doc3 shares only the hub shingle (wj 1/5 = 200 permille
+    # uncapped): visible uncapped, gone capped
+    assert uncapped[(1, 3)] == 200 and (1, 3) not in capped
+
+
+def test_snapshot_diff_statuses_and_null_safety(spark):
+    from super_store_datawarehouse_spark.operators.incremental import (
+        snapshot_diff,
+    )
+
+    cur = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", None), (3, "C", 30.0), (5, "E", 50.0)],
+        "k long, s string, v double",
+    )
+    prev = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (4, "D", 40.0), (5, "E", 55.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r["k"]: r["diff_status"]
+        for r in snapshot_diff(cur, prev, ["k"], ["s", "v"]).collect()
+    }
+    assert got == {
+        1: "unchanged",   # identical
+        2: "changed",     # NULL vs 20.0 differs null-safely
+        3: "added",
+        4: "removed",
+        5: "changed",
+    }
