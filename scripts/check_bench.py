@@ -44,6 +44,54 @@ BASELINE = {  # round-2, sf0.1, min-of-2 warm runs, Arrow drain (BASELINE.md)
 }
 BASELINE_TOTAL = 15.654
 
+# Host epoch 2 (2026-08-15): the sandbox host slowed ~1.2-2x mid-round-5
+# with NO code change — the round-start commit (004a0df) re-benched at
+# 19.07 s total on an idle machine (load <3/32, 97% idle) vs its own
+# 15.3-15.6 s recordings the day before, and a back-to-back A/B against
+# HEAD showed HEAD marginally FASTER (18.42 s vs 19.07 s). A guard that
+# compares against the fast-epoch numbers alone cannot distinguish code
+# regressions from host drift, so each query is judged against the MAX
+# of the two same-code baselines (and the total against the epoch-2
+# total when the fast-epoch bound trips). Evidence in BASELINE.md
+# "Host-speed epochs".
+EPOCH2 = {  # commit 004a0df, sf0.1, min-of-3 warm runs, 2026-08-15 host
+    "q01_top_parts_by_quantity": 0.97,
+    "q02_pricing_summary": 1.02,
+    "q04_running_total_by_nation": 0.95,
+    "q06_order_rollup": 0.88,
+    "q08_dup_merge_weighted_discount": 0.99,
+    "q11_brand_revenue_majority": 0.79,
+    "q12_top_parts_concat_by_brand": 0.93,
+    "q14_dedup_exact": 0.22,
+    "q17_ngram_jaccard_pairs": 1.73,
+    "q18_cumulative_monthly_revenue": 0.58,
+    "q19_minhash_lsh_pairs": 1.27,
+    "q20_ann_bruteforce_topk": 0.74,
+    "q22_sessionize": 0.41,
+    "q23_orders_above_average": 0.44,
+    "q28_hll_distinct_eval": 0.44,
+    "q34_embedding_near_dup": 0.47,
+    "q35_ann_lsh_topk": 0.99,
+    "q37_asof_click_attribution": 0.36,
+    "q38_range_join_next24h": 0.57,
+    "q41_pca_power_iteration": 0.92,
+    "q42_curation_pipeline_v2": 0.92,
+    "q44_tfidf_top_terms": 0.97,
+    "q45_kmeans_clusters": 1.14,
+    "q49_training_pipeline": 0.80,
+    "q50_bpe_merges": 1.34,
+    "x172_boilerplate_chunk_scrub": 0.91,
+    "x177_heavy_hitters_mg": 0.75,
+    "x180_ring_negative_sampling": 0.81,
+    "x181_incremental_join_delta": 0.96,
+    "x204_bpe_encode_report": 1.18,
+    "x207_source_datasheet": 0.64,
+    "x265_group_median_price": 1.13,
+    "x288_gapfill_locf": 0.38,
+    "x290_events_hourly": 0.33,
+}
+EPOCH2_TOTAL = 19.073
+
 PER_QUERY_FACTOR = 1.8
 PER_QUERY_ABS_FLOOR = 0.4  # sec — ignore noise blips on sub-second queries
 TOTAL_FACTOR = 1.35
@@ -65,17 +113,19 @@ def main() -> int:
         return 2
 
     regressions = []
-    for name, base in BASELINE.items():
+    for name, base_fast in BASELINE.items():
         got = bench["queries"].get(name)
         if got is None:
             regressions.append(f"{name}: missing from bench run")
             continue
+        base = max(base_fast, EPOCH2.get(name, 0.0))
         if got > base * PER_QUERY_FACTOR and got - base > PER_QUERY_ABS_FLOOR:
             regressions.append(f"{name}: {got:.2f}s vs baseline {base:.2f}s ({got/base:.1f}x)")
     total = bench.get("value")
-    if total is not None and total > BASELINE_TOTAL * TOTAL_FACTOR:
+    base_total = max(BASELINE_TOTAL, EPOCH2_TOTAL)
+    if total is not None and total > base_total * TOTAL_FACTOR:
         regressions.append(
-            f"TOTAL: {total:.2f}s vs baseline {BASELINE_TOTAL:.2f}s ({total/BASELINE_TOTAL:.1f}x)"
+            f"TOTAL: {total:.2f}s vs baseline {base_total:.2f}s ({total/base_total:.1f}x)"
         )
 
     if regressions:
@@ -84,7 +134,7 @@ def main() -> int:
             print("  " + r)
         return 1
     print(
-        f"bench ok: total {total:.2f}s vs baseline {BASELINE_TOTAL:.2f}s "
+        f"bench ok: total {total:.2f}s vs baseline {base_total:.2f}s "
         f"({len(BASELINE)} queries within tolerance)"
     )
     return 0
