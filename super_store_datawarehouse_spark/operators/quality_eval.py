@@ -82,3 +82,111 @@ def cohen_kappa(
         F.expr("n_agree * 1000000 div n").alias("agree_ppm"),
         kappa.alias("kappa"),
     )
+
+
+def ranking_auc(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """ROC AUC of an integer score against a boolean label, as the
+    tie-corrected Mann-Whitney rank statistic — entirely in int64 until
+    one final ppm trunc-div, so the metric value-oracles bit-exactly.
+
+    With average midranks R_i over the combined sample,
+    U = Σ_{i∈pos} R_i − n_pos(n_pos+1)/2 and AUC = U/(n_pos·n_neg).
+    Everything is doubled to stay integral under .5 midranks:
+    2·R_avg(s) = 2·min_rank(s) + cnt(s) − 1, summed per distinct score
+    weighted by its positive count; ``u2`` = 2U; ``auc_ppm`` =
+    10⁶·u2 div (2·n_pos·n_neg).
+
+    Plan: one (score) hash agg, then a window over the DISTINCT-SCORE
+    frame only (the value-domain frame, same pattern as token_rarity's
+    vocab window — range-partition by score bands at true scale), one
+    single-row reduce. The int64 envelope holds to n ≈ 2·10⁶ rows at
+    ppm scaling (10⁶·2n² < 2⁶³); beyond that, drop to per-thousand or
+    128-bit decimals.
+
+    ``score_col`` must be integral (exact ranks need exact equality);
+    NULL scores/labels are excluded (can't be ranked / have no class).
+    """
+    from pyspark.sql import Window
+
+    per = df.select(
+        F.col(score_col).alias("score"), F.col(label_col).alias("pos")
+    ).filter(F.col("score").isNotNull() & F.col("pos").isNotNull())
+    byscore = per.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("npos"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byscore.withColumn(
+        "min_rank", F.lit(1) + F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    return ranked.agg(
+        F.sum("npos").cast("long").alias("n_pos"),
+        (F.sum("n") - F.sum("npos")).cast("long").alias("n_neg"),
+        F.expr(
+            "CAST(sum(npos * (2 * min_rank + n - 1))"
+            " - sum(npos) * (sum(npos) + 1) AS BIGINT)"
+        ).alias("u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.expr(
+            "CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL"
+            " ELSE (1000000 * u2) div (2 * n_pos * n_neg) END AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+def classification_report(
+    df: DataFrame, truth_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision / recall / F1 from (truth, pred) pairs, all
+    integer ppm trunc-divs of int64 counts — the classifier release
+    gate next to :func:`cohen_kappa`'s agreement check.
+
+    Classes are the union of truth and prediction values (a class never
+    predicted still reports recall; a hallucinated class still reports
+    precision). Denominator-zero metrics are NULL, not 0 — "no
+    prediction made" is not "0% precision". One confusion-matrix
+    groupBy (|classes|² rows) then class-level arithmetic.
+    """
+    pairs = df.select(
+        F.col(truth_col).alias("truth"), F.col(pred_col).alias("pred")
+    )
+    conf = pairs.groupBy("truth", "pred").agg(F.count(F.lit(1)).alias("n"))
+    by_truth = conf.groupBy(F.col("truth").alias("label")).agg(
+        F.sum("n").alias("n_truth"),
+        F.sum(F.when(F.col("pred") == F.col("truth"), F.col("n")).otherwise(0)).alias("tp_t"),
+    )
+    by_pred = conf.groupBy(F.col("pred").alias("label")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    rep = (
+        by_truth.join(by_pred, "label", "full_outer")
+        .select(
+            "label",
+            F.coalesce("n_truth", F.lit(0)).cast("long").alias("n_truth"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp_t", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    return rep.select(
+        "label",
+        "n_truth",
+        "n_pred",
+        "tp",
+        F.expr(
+            "CAST(CASE WHEN n_pred = 0 THEN NULL"
+            " ELSE (tp * 1000000) div n_pred END AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n_truth = 0 THEN NULL"
+            " ELSE (tp * 1000000) div n_truth END AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n_truth + n_pred = 0 THEN NULL"
+            " ELSE (2 * tp * 1000000) div (n_truth + n_pred) END AS BIGINT)"
+        ).alias("f1_ppm"),
+    ).orderBy("label")

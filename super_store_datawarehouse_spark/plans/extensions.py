@@ -15795,3 +15795,172 @@ def x300_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("diff_status")
     )
+
+# --------------------------------------------------------------------------
+# x301 — ROC AUC as the tie-corrected Mann-Whitney rank statistic
+# (quality_eval.ranking_auc): does the bigram-LM surprise score (x296)
+# separate rare-word documents (token-rarity mean rank > 13.5, x280's
+# signal as an exact integer compare 2·rank_sum > 27·n_tok) from
+# common-word ones? Everything int64 until one ppm trunc-div — the AUC
+# value-oracles bit-exactly, ties handled by doubled midranks. Label
+# split 42/458 at sf0.01 with real score separation, so the statistic
+# is informative, not saturated.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x301_quality_auc",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS l
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, UNNEST(l) AS term FROM w
+    ), vocab AS (
+      SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1
+    ), vranked AS (
+      SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank
+      FROM vocab
+    ), rar AS (
+      SELECT doc_id, COUNT(*) AS n_tok, SUM(rank) AS rank_sum
+      FROM toks JOIN vranked USING (term) GROUP BY 1
+    ), occ AS (
+      SELECT doc_id, l[i] AS w1, array_to_string(l[i:i+1], ' ') AS bigram
+      FROM w CROSS JOIN range(1, 10000) r(i)
+      WHERE i <= len(l) - 1
+    ), c2 AS (
+      SELECT bigram, COUNT(*) AS c2 FROM occ GROUP BY 1
+    ), c1 AS (
+      SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY 1
+    ), sc AS (
+      SELECT occ.doc_id, (1000 * c1.c1) // c2.c2 AS s
+      FROM occ JOIN c2 USING (bigram) JOIN c1 USING (w1)
+    ), per_doc AS (
+      SELECT doc_id, SUM(s) // COUNT(*) AS score FROM sc GROUP BY 1
+    ), lab AS (
+      SELECT p.score, 2 * r.rank_sum > 27 * r.n_tok AS pos
+      FROM per_doc p JOIN rar r USING (doc_id)
+    ), byscore AS (
+      SELECT score, COUNT(*) AS n,
+             SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS npos
+      FROM lab GROUP BY 1
+    ), rankedsc AS (
+      SELECT score, n, npos,
+             1 + COALESCE(SUM(n) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS min_rank
+      FROM byscore
+    ), agg AS (
+      SELECT CAST(SUM(npos) AS BIGINT) AS n_pos,
+             CAST(SUM(n) - SUM(npos) AS BIGINT) AS n_neg,
+             CAST(SUM(npos * (2 * min_rank + n - 1))
+                  - SUM(npos) * (SUM(npos) + 1) AS BIGINT) AS u2
+      FROM rankedsc
+    )
+    SELECT n_pos, n_neg, u2,
+           CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE (1000000 * u2) // (2 * n_pos * n_neg) END AS BIGINT)
+             AS auc_ppm
+    FROM agg
+    """,
+)
+def x301_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators import search
+    from super_store_datawarehouse_spark.operators.quality_eval import ranking_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = search.bigram_surprise(docs).select(
+        "doc_id", F.col("mean_surprise_milli").alias("score")
+    )
+    rar = search.token_rarity(docs).select(
+        "doc_id", (2 * F.col("rank_sum") > 27 * F.col("n_tok")).alias("pos")
+    )
+    return ranking_auc(score.join(rar, "doc_id"), "score", "pos")
+
+
+# --------------------------------------------------------------------------
+# x302 — per-class precision / recall / F1 of the kNN label vote
+# (quality_eval.classification_report over x132's predictions): the
+# classifier release gate — per class, truth support, prediction count,
+# true positives, and ppm metrics (F1 = 2tp/(n_truth+n_pred) exactly).
+# Denominator-zero metrics are NULL, not 0. All counts int64; every
+# metric one trunc-div — fully value-oracled.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x302_knn_classification_report",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt({_COSINE_FOLD.format(a='CAST(embedding AS DOUBLE[])', b='CAST(embedding AS DOUBLE[])')}) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label AS own_label, v AS qv, nrm AS qnrm
+      FROM e WHERE vec_id < 100
+    ), scored AS (
+      SELECT q.query_id, q.own_label, e.vec_id AS neighbor_id, e.label AS n_label,
+             {_COSINE_FOLD.format(a='qv', b='v')} / (q.qnrm * e.nrm) AS cosine
+      FROM q JOIN e ON e.vec_id != q.query_id
+    ), ranked AS (
+      SELECT query_id, own_label, n_label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ), votes AS (
+      SELECT query_id, own_label, n_label, COUNT(*) AS n_votes
+      FROM ranked WHERE rank <= 5
+      GROUP BY 1, 2, 3
+    ), winner AS (
+      SELECT query_id, own_label AS truth, n_label AS pred FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY n_votes DESC, n_label) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    ), conf AS (
+      SELECT truth, pred, COUNT(*) AS n FROM winner GROUP BY 1, 2
+    ), by_truth AS (
+      SELECT truth AS label, SUM(n) AS n_truth,
+             SUM(CASE WHEN pred = truth THEN n ELSE 0 END) AS tp_t
+      FROM conf GROUP BY 1
+    ), by_pred AS (
+      SELECT pred AS label, SUM(n) AS n_pred FROM conf GROUP BY 1
+    ), rep AS (
+      SELECT COALESCE(t.label, p.label) AS label,
+             CAST(COALESCE(t.n_truth, 0) AS BIGINT) AS n_truth,
+             CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
+             CAST(COALESCE(t.tp_t, 0) AS BIGINT) AS tp
+      FROM by_truth t FULL OUTER JOIN by_pred p ON t.label = p.label
+    )
+    SELECT label, n_truth, n_pred, tp,
+           CAST(CASE WHEN n_pred = 0 THEN NULL
+                ELSE (tp * 1000000) // n_pred END AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN n_truth = 0 THEN NULL
+                ELSE (tp * 1000000) // n_truth END AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN n_truth + n_pred = 0 THEN NULL
+                ELSE (2 * tp * 1000000) // (n_truth + n_pred) END AS BIGINT)
+             AS f1_ppm
+    FROM rep ORDER BY label
+    """,
+)
+def x302_knn_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.quality_eval import (
+        classification_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)
+    topk = similarity.brute_force_topk(emb, queries, k=5)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(labels, topk["neighbor_id"] == labels["vec_id"])
+        .groupBy("query_id", F.col("label").alias("n_label"))
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), "n_label")
+    winner = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("query_id", F.col("n_label").alias("pred"))
+    )
+    own = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("truth")
+    )
+    return classification_report(winner.join(own, "query_id"), "truth", "pred")

@@ -2985,3 +2985,44 @@ def test_snapshot_diff_statuses_and_null_safety(spark):
         4: "removed",
         5: "changed",
     }
+
+
+def test_ranking_auc_hand_computed_with_ties(spark):
+    from super_store_datawarehouse_spark.operators.quality_eval import ranking_auc
+
+    # scores [1, 2, 2, 3], labels [F, F, T, T]: midranks 1, 2.5, 2.5, 4
+    # U = (2.5 + 4) - 2*3/2 = 3.5 -> u2 = 7, AUC = 3.5/4 = 0.875
+    df = spark.createDataFrame(
+        [(1, False), (2, False), (2, True), (3, True)], "score long, pos boolean"
+    )
+    r = ranking_auc(df, "score", "pos").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["u2"], r["auc_ppm"]) == (2, 2, 7, 875000)
+
+    # perfect separation -> AUC 1.0; reversed -> 0.0
+    perfect = spark.createDataFrame(
+        [(1, False), (2, True)], "score long, pos boolean"
+    )
+    assert ranking_auc(perfect, "score", "pos").collect()[0]["auc_ppm"] == 1000000
+    # degenerate single-class input -> NULL metric, not a crash
+    onecls = spark.createDataFrame([(1, True), (2, True)], "score long, pos boolean")
+    assert ranking_auc(onecls, "score", "pos").collect()[0]["auc_ppm"] is None
+
+
+def test_classification_report_hand_computed(spark):
+    from super_store_datawarehouse_spark.operators.quality_eval import (
+        classification_report,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "b"), ("c", "a")],
+        "truth string, pred string",
+    )
+    rows = {r["label"]: r for r in classification_report(df, "truth", "pred").collect()}
+    a, b, c = rows["a"], rows["b"], rows["c"]
+    # a: n_truth 2, n_pred 2 (one from c), tp 1
+    assert (a["n_truth"], a["n_pred"], a["tp"]) == (2, 2, 1)
+    assert (a["precision_ppm"], a["recall_ppm"], a["f1_ppm"]) == (500000, 500000, 500000)
+    # b: n_truth 1, n_pred 2, tp 1 -> P .5, R 1, F1 2/3
+    assert (b["precision_ppm"], b["recall_ppm"], b["f1_ppm"]) == (500000, 1000000, 666666)
+    # c: never predicted -> precision NULL (not 0), recall 0
+    assert (c["n_pred"], c["precision_ppm"], c["recall_ppm"], c["f1_ppm"]) == (0, None, 0, 0)
