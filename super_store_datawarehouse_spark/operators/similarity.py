@@ -253,6 +253,66 @@ def lsh_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-probe hyperplane LSH (Lv et al. 2007): each query probes
+    its own bucket PLUS every 1-bit-flip bucket in each table.
+
+    The recall/memory trade that multi-probe buys: a near-neighbor that
+    lands one sign-bit away (a projection near the hyperplane) is
+    caught by probing the flipped bucket instead of by building more
+    tables — so the CORPUS index stays at ``n_tables`` buckets per
+    vector (index size unchanged) while the query side fans out to
+    ``n_planes + 1`` probes per table. At corpus scale the query side
+    is the tiny broadcast side, so extra probes cost broadcast rows,
+    not another corpus explode — the cheapest recall knob there is.
+    Candidates are exact-cosine re-ranked like :func:`lsh_topk`.
+    """
+    sig_udf = _all_table_signatures(n_planes, n_tables, dim)
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "cv", "cnrm")
+    q = _prep(queries, id_col, vec_col, "query_id", "qv", "qnrm")
+    cb = c.select(
+        "neighbor_id", "cv", "cnrm",
+        F.posexplode(sig_udf(F.col("cv"))).alias("tbl", "sig"),
+    )
+    q0 = q.select(
+        "query_id", "qv", "qnrm",
+        F.posexplode(sig_udf(F.col("qv"))).alias("tbl", "sig0"),
+    )
+    probes = F.array(
+        F.col("sig0"),
+        *[F.col("sig0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+    )
+    qb = q0.select(
+        "query_id", "qv", "qnrm", "tbl", F.explode(probes).alias("sig")
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv", "qnrm", "cnrm")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def _prep(df: DataFrame, id_col: str, vec_col: str, id_out: str, v: str, nrm: str) -> DataFrame:
     """Project to (id, array<double>, norm), dropping zero-norm AND
     non-finite vectors.

@@ -15964,3 +15964,147 @@ def x302_knn_classification_report(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("vec_id").alias("query_id"), F.col("label").alias("truth")
     )
     return classification_report(winner.join(own, "query_id"), "truth", "pred")
+
+# --------------------------------------------------------------------------
+# x303 — multi-probe LSH vs single-probe, recall@5 head-to-head (Lv et
+# al. 2007): same 4-table/4-plane index, but each query additionally
+# probes every 1-bit-flip bucket — the recall/memory trade (index size
+# unchanged, query fan-out ×5) every production LSH deploys before
+# adding tables. Both variants exact-cosine re-rank their candidates;
+# the oracle replays every sign bit, every probe, every candidate and
+# both rankings (q35's signature-replay technique), so BOTH recall
+# columns value-oracle bit-exactly.
+# --------------------------------------------------------------------------
+def _x303_oracle() -> str:
+    from super_store_datawarehouse_spark.operators.similarity import (
+        _scramble_sign,
+    )
+
+    n_planes, n_tables, dim = 4, 4, 64
+
+    def fold(col: str, t: int, p: int) -> str:
+        signs = ",".join(
+            "1.0" if _scramble_sign(t * 1024 + p, d) > 0 else "-1.0"
+            for d in range(dim)
+        )
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),"
+            f" i -> {col}[i] * ([{signs}])[i])), (acc, x) -> acc + x)"
+        )
+
+    sig_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN {fold('v', t, p)} > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(n_planes)
+        )
+        + f") AS sig{t:02d}"
+        for t in range(n_tables)
+    )
+    band_union = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {t} AS tbl, sig{t:02d} AS sig FROM sigs"
+        for t in range(n_tables)
+    )
+    offsets = [0] + [1 << p for p in range(n_planes)]
+    probe_union = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {t} AS tbl, xor(sig{t:02d}, {off}) AS sig,"
+        f" {1 if off == 0 else 0} AS p0 FROM qsigs"
+        for t in range(n_tables)
+        for off in offsets
+    )
+    cos = _COSINE_FOLD.format(a="qv", b="v")
+    return f"""
+    WITH e0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt({_COSINE_FOLD.format(a='CAST(embedding AS DOUBLE[])', b='CAST(embedding AS DOUBLE[])')}) AS nrm
+      FROM embeddings
+    ), e AS (
+      SELECT * FROM e0 WHERE nrm > 0 AND isfinite(nrm)
+    ), sigs AS (
+      SELECT vec_id, {sig_cols} FROM e
+    ), band AS (
+      {band_union}
+    ), qsigs AS (
+      SELECT * FROM sigs WHERE vec_id < 10
+    ), qprobe AS (
+      {probe_union}
+    ), cand_m AS (
+      SELECT DISTINCT p.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM qprobe p JOIN band b
+        ON b.tbl = p.tbl AND b.sig = p.sig AND b.vec_id != p.vec_id
+    ), cand_s AS (
+      SELECT DISTINCT p.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM qprobe p JOIN band b
+        ON b.tbl = p.tbl AND b.sig = p.sig AND b.vec_id != p.vec_id
+      WHERE p.p0 = 1
+    ), eq AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 10
+    ), approx_m AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                 ORDER BY {cos} / (eq.qnrm * e.nrm) DESC, c.neighbor_id) AS rank
+        FROM cand_m c JOIN eq ON eq.query_id = c.query_id
+        JOIN e ON e.vec_id = c.neighbor_id
+      ) WHERE rank <= 5
+    ), approx_s AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                 ORDER BY {cos} / (eq.qnrm * e.nrm) DESC, c.neighbor_id) AS rank
+        FROM cand_s c JOIN eq ON eq.query_id = c.query_id
+        JOIN e ON e.vec_id = c.neighbor_id
+      ) WHERE rank <= 5
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT eq.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY eq.query_id
+                 ORDER BY {cos} / (eq.qnrm * e.nrm) DESC, e.vec_id) AS rank
+        FROM eq JOIN e ON e.vec_id != eq.query_id
+      ) WHERE rank <= 5
+    )
+    SELECT x.query_id,
+           CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000 // 5 AS BIGINT) AS recall_single_pm,
+           CAST(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000 // 5 AS BIGINT) AS recall_multi_pm
+    FROM exact x
+    LEFT JOIN approx_s s
+      ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
+    LEFT JOIN approx_m m
+      ON m.query_id = x.query_id AND m.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id ORDER BY x.query_id
+    """
+
+
+@harness_query("x303_lsh_multiprobe_recall", oracle=_x303_oracle())
+def x303_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    single = (
+        similarity.lsh_topk(emb, q, k=5, n_planes=4, n_tables=4)
+        .select("query_id", "neighbor_id")
+        .withColumn("s_hit", F.lit(1))
+    )
+    multi = (
+        similarity.lsh_multiprobe_topk(emb, q, k=5, n_planes=4, n_tables=4)
+        .select("query_id", "neighbor_id")
+        .withColumn("m_hit", F.lit(1))
+    )
+    return (
+        exact.join(single, ["query_id", "neighbor_id"], "left")
+        .join(multi, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "CAST(sum(coalesce(s_hit, 0)) * 1000 div 5 AS BIGINT)"
+            ).alias("recall_single_pm"),
+            F.expr(
+                "CAST(sum(coalesce(m_hit, 0)) * 1000 div 5 AS BIGINT)"
+            ).alias("recall_multi_pm"),
+        )
+        .orderBy("query_id")
+    )

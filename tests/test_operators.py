@@ -3026,3 +3026,34 @@ def test_classification_report_hand_computed(spark):
     assert (b["precision_ppm"], b["recall_ppm"], b["f1_ppm"]) == (500000, 1000000, 666666)
     # c: never predicted -> precision NULL (not 0), recall 0
     assert (c["n_pred"], c["precision_ppm"], c["recall_ppm"], c["f1_ppm"]) == (0, None, 0, 0)
+
+
+def test_lsh_multiprobe_recall_dominates_single_probe(spark):
+    from super_store_datawarehouse_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_multiprobe_topk,
+        lsh_topk,
+    )
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+
+    # multi-probe candidates are a strict superset of single-probe
+    # candidates (offset 0 is among the probes), and an exact-top-5
+    # member inside any candidate set always survives that set's
+    # re-ranked top-5 — so per-query recall is monotone in the probes
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    def hits(df):
+        got = {}
+        for r in df.collect():
+            key = (r["query_id"], r["neighbor_id"])
+            got.setdefault(r["query_id"], 0)
+            if key in exact:
+                got[r["query_id"]] += 1
+        return got
+    single = hits(lsh_topk(emb, q, k=5, n_planes=4, n_tables=4))
+    multi = hits(lsh_multiprobe_topk(emb, q, k=5, n_planes=4, n_tables=4))
+    assert multi and all(multi.get(k, 0) >= v for k, v in single.items())
