@@ -1166,3 +1166,83 @@ def stream_bloom_dedup_to_parquet(
     finally:
         q.stop()
     return batches["n"]
+
+
+def stream_dq_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    reference: DataFrame,
+    out_path: str,
+    checkpoint: str | None = None,
+) -> int:
+    """Streaming data-quality circuit breaker: every micro-batch of the
+    events file stream is scored against a FIXED expectation set
+    (``operators/dq.py``) and its report lands under
+    ``out_path/batch=<id>/`` — the gate an ingest pipeline reads before
+    promoting a batch.
+
+    Thresholds are frozen from ``reference`` once, on the driver
+    (value min/max, the known event_type domain), so every batch is
+    judged against the same contract — a batch cannot loosen the rules
+    for its successors. Four expectations per batch: value non-null,
+    value inside the reference range, event_type inside the reference
+    domain, event_id unique within the batch.
+
+    Exactly-once: the report for batch ``b`` is a deterministic pure
+    function of that batch's content, and it is written with
+    mode=overwrite into the batch's own directory — a replayed batch
+    rewrites byte-identical rows instead of appending duplicates, and a
+    crash between write and checkpoint commit self-heals the same way.
+    Returns the number of micro-batches that produced a report.
+    """
+    from super_store_datawarehouse_spark.operators.dq import expectations_report
+
+    stats = reference.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    ).collect()[0]
+    lo, hi = stats["lo"], stats["hi"]
+    domain = sorted(
+        r["event_type"]
+        for r in reference.select("event_type").distinct().collect()
+    )
+
+    ev = read_events_stream(spark, src_dir)
+    batches = {"n": 0}
+
+    def report_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        key_counts = batch_df.groupBy("event_id").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        report = expectations_report(
+            [
+                ("value.not_null", batch_df, F.col("value").isNull()),
+                (
+                    "value.in_reference_range",
+                    batch_df,
+                    ~F.col("value").between(lo, hi),
+                ),
+                (
+                    "event_type.in_reference_domain",
+                    batch_df,
+                    ~F.col("event_type").isin(*domain),
+                ),
+                ("event_id.unique_in_batch", key_counts, F.col("cnt") > 1),
+            ]
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        report.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}")
+        )
+        batches["n"] += 1
+
+    writer = ev.writeStream.outputMode("append").foreachBatch(report_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return batches["n"]

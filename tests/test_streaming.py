@@ -1118,3 +1118,101 @@ def test_stream_bloom_dedup_checkpoint_loss_self_heals(tmp_path, spark):
         for r in spark.read.parquet(out).collect()
     )
     assert after == before
+
+
+def test_stream_dq_monitor_reports_planted_violations(tmp_path, spark):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from super_store_datawarehouse_spark.streaming.jobs import stream_dq_monitor
+
+    events = load_table(spark, SF_DIR, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    clean = events.limit(1000).select(*cols)
+    # planted batch: NULL values, out-of-range values, a bogus event
+    # type, and duplicated event_ids (4 rows unioned twice)
+    dirty = (
+        clean.withColumn(
+            "value",
+            F.when(F.col("event_id") % 100 == 0, F.lit(None).cast("double"))
+            .when(F.col("event_id") % 100 == 1, F.col("value") + 1e12)
+            .otherwise(F.col("value")),
+        )
+        .withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 100 == 2, F.lit("__bogus__"))
+            .otherwise(F.col("event_type")),
+        )
+        .unionByName(clean.filter(F.col("event_id") % 250 == 3))
+    )
+    n_rows = dirty.count()
+    n_null = dirty.filter(F.col("value").isNull()).count()
+    n_range = dirty.filter(~F.col("value").between(-1e11, 1e11) | F.col("value").isNull()).count()
+    n_bogus = dirty.filter(F.col("event_type") == "__bogus__").count()
+    n_dupkeys = (
+        dirty.groupBy("event_id").count().filter("count > 1").count()
+    )
+    assert min(n_null, n_bogus, n_dupkeys) > 0  # the plants actually planted
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, df in enumerate((clean, dirty)):
+        part_dir = tmp_path / f"part{i}"
+        df.coalesce(1).write.parquet(str(part_dir), mode="overwrite")
+        part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        os.rename(part_dir / part, os.path.join(src, f"events{i}.parquet"))
+
+    out = str(tmp_path / "dq")
+    n = stream_dq_monitor(
+        spark, src, reference=clean, out_path=out,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert n == 2
+    rep = spark.read.parquet(out + "/batch=*")
+    rows = {(r["batch_id"], r["check_name"]): r for r in rep.collect()}
+    assert len(rows) == 8  # 2 batches x 4 checks
+    by_batch = {}
+    for (b, _), r in rows.items():
+        by_batch.setdefault(b, []).append(r)
+    # one batch fully clean, the other carries every planted violation
+    clean_b = [b for b, rs in by_batch.items() if all(x["passed"] for x in rs)]
+    dirty_b = [b for b, rs in by_batch.items() if not all(x["passed"] for x in rs)]
+    assert len(clean_b) == 1 and len(dirty_b) == 1
+    d = {r["check_name"]: r for r in by_batch[dirty_b[0]]}
+    assert d["value.not_null"]["n_violations"] == n_null
+    assert d["value.not_null"]["n_checked"] == n_rows
+    # NULL value cannot satisfy the range expectation either
+    assert d["value.in_reference_range"]["n_violations"] == n_range
+    assert d["event_type.in_reference_domain"]["n_violations"] == n_bogus
+    assert d["event_id.unique_in_batch"]["n_violations"] == n_dupkeys
+
+
+def test_stream_dq_monitor_replay_is_idempotent(tmp_path, spark):
+    import os
+    import shutil
+
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from super_store_datawarehouse_spark.streaming.jobs import stream_dq_monitor
+
+    events = load_table(spark, SF_DIR, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    clean = events.limit(500).select(*cols)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    part_dir = tmp_path / "part0"
+    clean.coalesce(1).write.parquet(str(part_dir), mode="overwrite")
+    part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+    os.rename(part_dir / part, os.path.join(src, "events0.parquet"))
+
+    out = str(tmp_path / "dq")
+    stream_dq_monitor(spark, src, reference=clean, out_path=out,
+                      checkpoint=str(tmp_path / "ckpt"))
+    first = sorted(tuple(r) for r in spark.read.parquet(out + "/batch=*").collect())
+    # checkpoint loss: the whole stream replays from scratch
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    stream_dq_monitor(spark, src, reference=clean, out_path=out,
+                      checkpoint=str(tmp_path / "ckpt"))
+    second = sorted(tuple(r) for r in spark.read.parquet(out + "/batch=*").collect())
+    assert first == second and len(first) == 4
