@@ -113,12 +113,12 @@ def main() -> int:
         return 2
 
     regressions = []
-    for name, base_fast in BASELINE.items():
+    for name in sorted(set(BASELINE) | set(EPOCH2)):
         got = bench["queries"].get(name)
         if got is None:
             regressions.append(f"{name}: missing from bench run")
             continue
-        base = max(base_fast, EPOCH2.get(name, 0.0))
+        base = max(BASELINE.get(name, 0.0), EPOCH2.get(name, 0.0))
         if got > base * PER_QUERY_FACTOR and got - base > PER_QUERY_ABS_FLOOR:
             regressions.append(f"{name}: {got:.2f}s vs baseline {base:.2f}s ({got/base:.1f}x)")
     total = bench.get("value")
@@ -135,7 +135,7 @@ def main() -> int:
         return 1
     print(
         f"bench ok: total {total:.2f}s vs baseline {base_total:.2f}s "
-        f"({len(BASELINE)} queries within tolerance)"
+        f"({len(set(BASELINE) | set(EPOCH2))} queries within tolerance)"
     )
     return 0
 

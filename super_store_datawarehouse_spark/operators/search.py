@@ -153,7 +153,10 @@ def bm25_scores_multi(
     agg. Same 100 TB shape as TF-IDF (q44) / single-query BM25 (x137).
     """
     qterms = queries.select("query_id", "term")
-    p = token_postings(df, text_col, id_col)
+    # the postings explode feeds BOTH dl and tf — cache it so the
+    # dominant tokenize+explode map work runs once (same convention as
+    # dedup.ngram_jaccard_pairs' cached shingle frame)
+    p = token_postings(df, text_col, id_col).cache()
     dl = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     tf = (
         p.join(F.broadcast(qterms.select("term").distinct()), "term")
@@ -257,6 +260,7 @@ def bigram_surprise(
         .filter(F.col("bg").isNotNull())
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.bigram").alias("bigram"))
     )
+    occ = occ.cache()  # feeds c2, c1 AND the scored join — one explode
     c2 = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
     c1 = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     scored = (

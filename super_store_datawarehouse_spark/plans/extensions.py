@@ -15552,7 +15552,9 @@ def x294_int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT 'lineitem.ship_not_before_order',
              CAST(COUNT(*) AS BIGINT),
-             CAST(COALESCE(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+             CAST(COALESCE(SUM(CASE WHEN l.l_shipdate IS NULL
+                    OR o.o_orderdate IS NULL
+                    OR l.l_shipdate < o.o_orderdate
                     THEN 1 ELSE 0 END), 0) AS BIGINT)
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       UNION ALL

@@ -1202,10 +1202,25 @@ def stream_dq_monitor(
         F.max("value").alias("hi"),
     ).collect()[0]
     lo, hi = stats["lo"], stats["hi"]
+    # a reference that cannot define the contract is a caller error —
+    # fail loudly at arm time, not per-batch (an all-NULL value column
+    # would otherwise flag 100% of every batch, and NULL event_types
+    # would crash sorted() / an empty domain would crash isin())
+    if lo is None or hi is None:
+        raise ValueError(
+            "stream_dq_monitor: reference has no non-null 'value' rows; "
+            "cannot freeze a range expectation"
+        )
     domain = sorted(
         r["event_type"]
         for r in reference.select("event_type").distinct().collect()
+        if r["event_type"] is not None
     )
+    if not domain:
+        raise ValueError(
+            "stream_dq_monitor: reference has no non-null 'event_type' "
+            "rows; cannot freeze a domain expectation"
+        )
 
     ev = read_events_stream(spark, src_dir)
     batches = {"n": 0}

@@ -3040,7 +3040,7 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark):
     # candidates (offset 0 is among the probes), and an exact-top-5
     # member inside any candidate set always survives that set's
     # re-ranked top-5 — so per-query recall is monotone in the probes
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load_table(spark, SF_DIR, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     exact = {
         (r["query_id"], r["neighbor_id"])
