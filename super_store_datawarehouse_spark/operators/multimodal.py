@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -343,3 +344,114 @@ def sample_frames(
             )
 
     return df.mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
+PCM_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("peak_abs", LongType(), True),
+        StructField("dc_sum", LongType(), True),
+        StructField("sum_sq", LongType(), True),
+    ]
+)
+
+
+def synth_wav_assets(df: DataFrame, id_col: str = "doc_id", rate: int = 8000) -> DataFrame:
+    """Deterministic mono 16-bit PCM WAV synthesis, one asset per id:
+    ``n = 64 + id % 64`` samples with
+    ``s_k = ((id·7919 + k·104729) mod 65536) − 32768``.
+
+    The point is not the audio — it is that the ENTIRE byte payload is
+    a pure integer function of the id, so a SQL oracle can state the
+    expected sample statistics without parsing a byte, and any
+    header-offset / endianness / sample-width bug in either the writer
+    here or the reader (:func:`wav_pcm_stats`) breaks the value hash.
+    Real RIFF/WAVE container bytes, stdlib-only, built per Arrow batch.
+    """
+    import struct
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = 64 + i % 64
+                samples = ((i * 7919 + np.arange(n, dtype=np.int64) * 104729) % 65536) - 32768
+                data = samples.astype("<i2").tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                ids.append(i)
+                payloads.append(hdr + data)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="int64"),
+                    "media_type": ["audio/wav"] * len(ids),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        synth, "asset_id long, media_type string, payload binary"
+    )
+
+
+def wav_pcm_stats(df: DataFrame) -> DataFrame:
+    """REAL PCM sample decode (not just the header): walk the RIFF
+    chunks for fmt + data, reinterpret the data chunk as little-endian
+    int16 frames, and aggregate per asset — sample count, peak |s|, DC
+    sum, and energy Σs² (all exact int64, so the stats value-oracle).
+
+    The feature-extraction step an audio pipeline runs before
+    loudness-gating or silence-trimming; one mapInPandas pass over
+    Arrow batches, no Python per sample (numpy reinterpretation + three
+    vector reductions per payload). Non-WAV / non-16-bit payloads yield
+    NULL stats (the route-to-transcode queue, same contract as
+    :func:`decode_audio_meta`).
+    """
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, peaks, dcs, sqs = [], [], [], [], []
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                ids.append(int(aid))
+                meta = _sniff_wav(bytes(b)) if b is not None else None
+                if meta is None or meta[2] != 16:
+                    ns.append(None); peaks.append(None)
+                    dcs.append(None); sqs.append(None)
+                    continue
+                payload = bytes(b)
+                # locate the data chunk body (same walk as _sniff_wav)
+                i, body = 12, b""
+                while i + 8 <= len(payload):
+                    tag = payload[i:i + 4]
+                    size = int.from_bytes(payload[i + 4:i + 8], "little")
+                    if tag == b"data":
+                        body = payload[i + 8:i + 8 + size]
+                        break
+                    i += 8 + size + (size % 2)
+                samples = np.frombuffer(
+                    body[: len(body) - (len(body) % 2)], dtype="<i2"
+                ).astype(np.int64)
+                ns.append(len(samples))
+                peaks.append(int(np.max(np.abs(samples))) if len(samples) else 0)
+                dcs.append(int(np.sum(samples)))
+                sqs.append(int(np.sum(samples * samples)))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="int64"),
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "peak_abs": pd.array(peaks, dtype="Int64"),
+                    "dc_sum": pd.array(dcs, dtype="Int64"),
+                    "sum_sq": pd.array(sqs, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(stats, PCM_STATS_SCHEMA)

@@ -16110,3 +16110,44 @@ def x303_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+# --------------------------------------------------------------------------
+# x304 — WAV PCM roundtrip stats: REAL audio sample decode, value-
+# oracled. synth_wav_assets writes genuine RIFF/WAVE 16-bit PCM bytes
+# whose samples are a pure integer function of the doc id
+# (s_k = ((id·7919 + k·104729) mod 65536) − 32768, n = 64 + id mod 64);
+# wav_pcm_stats walks the chunk list and reinterprets the data chunk as
+# int16 frames. The oracle states the expected n/peak/DC/energy straight
+# from the FORMULA — it never parses a byte — so any header-offset,
+# endianness, or sample-width bug in EITHER the writer or the reader
+# breaks the hash. Deepens the multimodal family beyond header sniffing
+# (x129/q36) into real sample-level feature extraction.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x304_wav_pcm_roundtrip",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id FROM documents WHERE doc_id < 200
+    ), samp AS (
+      SELECT doc_id,
+             ((doc_id * 7919 + k * 104729) % 65536) - 32768 AS s
+      FROM ids CROSS JOIN range(0, 128) r(k)
+      WHERE k < 64 + doc_id % 64
+    )
+    SELECT doc_id AS asset_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+           CAST(SUM(s) AS BIGINT) AS dc_sum,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq
+    FROM samp GROUP BY 1 ORDER BY 1
+    """,
+)
+def x304_wav_pcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.multimodal import (
+        synth_wav_assets,
+        wav_pcm_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    assets = synth_wav_assets(docs)
+    return wav_pcm_stats(assets).orderBy("asset_id")

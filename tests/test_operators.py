@@ -3057,3 +3057,38 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark):
     single = hits(lsh_topk(emb, q, k=5, n_planes=4, n_tables=4))
     multi = hits(lsh_multiprobe_topk(emb, q, k=5, n_planes=4, n_tables=4))
     assert multi and all(multi.get(k, 0) >= v for k, v in single.items())
+
+
+def test_wav_pcm_stats_reads_independent_writer_and_rejects_nonwav(spark):
+    import io
+    import wave
+
+    import numpy as np
+
+    from super_store_datawarehouse_spark.operators.multimodal import wav_pcm_stats
+
+    # a WAV written by the STDLIB wave module (independent of
+    # synth_wav_assets) must decode to exactly the planted samples
+    samples = np.array([0, 1, -1, 32767, -32768, 12345], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    rows = {
+        r["asset_id"]: r
+        for r in wav_pcm_stats(
+            spark.createDataFrame(
+                [(1, "audio/wav", bytearray(buf.getvalue())),
+                 (2, "text/plain", bytearray(b"not a wav"))],
+                "asset_id long, media_type string, payload binary",
+            )
+        ).collect()
+    }
+    s = samples.astype(np.int64)
+    r = rows[1]
+    assert (r["n_samples"], r["peak_abs"]) == (len(s), int(np.max(np.abs(s))))
+    assert (r["dc_sum"], r["sum_sq"]) == (int(s.sum()), int((s * s).sum()))
+    bad = rows[2]
+    assert bad["n_samples"] is None and bad["sum_sq"] is None
