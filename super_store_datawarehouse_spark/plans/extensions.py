@@ -16151,3 +16151,155 @@ def x304_wav_pcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     assets = synth_wav_assets(docs)
     return wav_pcm_stats(assets).orderBy("asset_id")
+
+# --------------------------------------------------------------------------
+# x305 — corpus release gate: the go/no-go report a training-data
+# release runs, composing this round's operators — exact-dup rate
+# (q14's normalization), heuristic quality keep rate (q09), language
+# coverage, corpus mean length, and the bigram-LM high-perplexity tail
+# share (x296). One integer value + literal threshold + pass flag per
+# criterion; the perplexity criterion genuinely FAILS on this corpus
+# (348‰ tail vs ≤300‰), so the gate's blocking path is non-vacuous.
+# All values are trunc-div integers — the whole report value-oracles.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x305_release_gate",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS l,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, l[i] AS w1, array_to_string(l[i:i+1], ' ') AS bigram
+      FROM w CROSS JOIN range(1, 10000) r(i)
+      WHERE i <= len(l) - 1
+    ), c2 AS (
+      SELECT bigram, COUNT(*) AS c2 FROM occ GROUP BY 1
+    ), c1 AS (
+      SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY 1
+    ), sc AS (
+      SELECT occ.doc_id, (1000 * c1.c1) // c2.c2 AS s
+      FROM occ JOIN c2 USING (bigram) JOIN c1 USING (w1)
+    ), per_doc AS (
+      SELECT doc_id, CAST(SUM(s) AS BIGINT) AS sum_s,
+             CAST(COUNT(*) AS BIGINT) AS n_bg,
+             CAST(SUM(s) // COUNT(*) AS BIGINT) AS mean_s
+      FROM sc GROUP BY 1
+    ), thr AS (
+      SELECT CAST(SUM(sum_s) // SUM(n_bg) AS BIGINT) AS g FROM per_doc
+    ), crits AS (
+      SELECT 'dedup.exact_dup_rate_pm' AS criterion,
+             CAST(1000 - (COUNT(DISTINCT norm_text) * 1000) // COUNT(*)
+                  AS BIGINT) AS value,
+             '<= 100' AS threshold,
+             1000 - (COUNT(DISTINCT norm_text) * 1000) // COUNT(*) <= 100
+               AS passed
+      FROM w
+      UNION ALL
+      SELECT 'quality.keep_rate_pm',
+             CAST((SUM(CASE WHEN len(l) >= 10
+                    AND (length(text) / len(l)) <= 12.0 THEN 1 ELSE 0 END)
+                   * 1000) // COUNT(*) AS BIGINT),
+             '>= 900',
+             (SUM(CASE WHEN len(l) >= 10
+                AND (length(text) / len(l)) <= 12.0 THEN 1 ELSE 0 END)
+              * 1000) // COUNT(*) >= 900
+      FROM w
+      UNION ALL
+      SELECT 'coverage.n_languages',
+             CAST(COUNT(DISTINCT lang) AS BIGINT),
+             '>= 3',
+             COUNT(DISTINCT lang) >= 3
+      FROM w
+      UNION ALL
+      SELECT 'length.mean_tokens',
+             CAST(SUM(len(l)) // COUNT(*) AS BIGINT),
+             'in [20, 80]',
+             SUM(len(l)) // COUNT(*) BETWEEN 20 AND 80
+      FROM w
+      UNION ALL
+      SELECT 'lm.perplexity_tail_pm',
+             CAST((SUM(CASE WHEN p.mean_s > t.g THEN 1 ELSE 0 END) * 1000)
+                  // COUNT(*) AS BIGINT),
+             '<= 300',
+             (SUM(CASE WHEN p.mean_s > t.g THEN 1 ELSE 0 END) * 1000)
+               // COUNT(*) <= 300
+      FROM per_doc p CROSS JOIN thr t
+    )
+    SELECT criterion, value, threshold, passed
+    FROM crits ORDER BY criterion
+    """,
+)
+def x305_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators import search
+    from super_store_datawarehouse_spark.operators.text import (
+        quality_keep,
+        token_count_ws,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def crit(name: str, threshold: str, value_col, passed_col) -> DataFrame:
+        return docs.agg(
+            value_col.cast("long").alias("value"), passed_col.alias("passed")
+        ).select(
+            F.lit(name).alias("criterion"),
+            "value",
+            F.lit(threshold).alias("threshold"),
+            "passed",
+        )
+
+    dup_rate = F.lit(1000) - F.expr(
+        "count(DISTINCT regexp_replace(lower(trim(text)), '\\\\s+', ' '))"
+        " * 1000 div count(1)"
+    )
+    report = crit(
+        "dedup.exact_dup_rate_pm", "<= 100", dup_rate, dup_rate <= 100
+    )
+    kr = F.expr("(sum(CASE WHEN __keep THEN 1 ELSE 0 END) * 1000) div count(1)")
+    keep_docs = docs.withColumn("__keep", quality_keep("text"))
+    report = report.unionByName(
+        keep_docs.agg(kr.cast("long").alias("value")).select(
+            F.lit("quality.keep_rate_pm").alias("criterion"),
+            "value",
+            F.lit(">= 900").alias("threshold"),
+            (F.col("value") >= 900).alias("passed"),
+        )
+    )
+    nl = F.count_distinct("lang")
+    report = report.unionByName(
+        crit("coverage.n_languages", ">= 3", nl, nl >= 3)
+    )
+    mt_docs = docs.withColumn("__nt", token_count_ws("text"))
+    report = report.unionByName(
+        mt_docs.agg(
+            F.expr("sum(__nt) div count(1)").cast("long").alias("value")
+        ).select(
+            F.lit("length.mean_tokens").alias("criterion"),
+            "value",
+            F.lit("in [20, 80]").alias("threshold"),
+            F.col("value").between(20, 80).alias("passed"),
+        )
+    )
+    per_doc = search.bigram_surprise(docs)
+    thr = per_doc.agg(
+        F.expr("CAST(sum(sum_surprise_milli) div sum(n_bigrams) AS BIGINT)").alias("g")
+    )
+    tail = (
+        per_doc.crossJoin(F.broadcast(thr))
+        .agg(
+            F.expr(
+                "(sum(CASE WHEN mean_surprise_milli > g THEN 1 ELSE 0 END)"
+                " * 1000) div count(1)"
+            ).cast("long").alias("value")
+        )
+        .select(
+            F.lit("lm.perplexity_tail_pm").alias("criterion"),
+            "value",
+            F.lit("<= 300").alias("threshold"),
+            (F.col("value") <= 300).alias("passed"),
+        )
+    )
+    return report.unionByName(tail).orderBy("criterion")
