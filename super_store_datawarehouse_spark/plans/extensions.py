@@ -16303,3 +16303,122 @@ def x305_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return report.unionByName(tail).orderBy("criterion")
+
+# --------------------------------------------------------------------------
+# x306 — IVF nprobe recall/cost frontier: the tuning table every IVF
+# deployment produces before fixing nprobe — at nprobe ∈ {1,2,4} on the
+# same hash-sampled coarse quantizer (x263's machinery), how much
+# recall@5 does each extra probed cell buy, and at what candidate-count
+# cost? Completes the ANN tuning story beside x303's multi-probe LSH
+# (probe MORE buckets on the same index) — here the knob is how many
+# CELLS each query re-ranks. Both axes are exact integers; the whole
+# frontier value-oracles via x263's full-replay technique.
+# --------------------------------------------------------------------------
+def _x306_oracle() -> str:
+    blocks, finals = [], []
+    for np_ in (1, 2, 4):
+        blocks.append(f"""
+    qa{np_} AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT e.vec_id AS query_id, cent.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COSINE_FOLD.format(a='e.v', b='cent.cv')} / (e.nrm * cent.cnrm) DESC,
+                          cent.centroid_id) AS rn
+        FROM e CROSS JOIN cent
+        WHERE e.vec_id < 10
+      ) WHERE rn <= {np_}
+    ), cand{np_} AS (
+      SELECT DISTINCT qa.query_id, ca.neighbor_id
+      FROM qa{np_} qa JOIN ca ON ca.centroid_id = qa.centroid_id
+      WHERE qa.query_id != ca.neighbor_id
+    ), approx{np_} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                 ORDER BY {_COSINE_FOLD.format(a='qe.v', b='ce.v')} / (qe.nrm * ce.nrm) DESC,
+                          c.neighbor_id) AS rank
+        FROM cand{np_} c
+        JOIN e qe ON qe.vec_id = c.query_id
+        JOIN e ce ON ce.vec_id = c.neighbor_id
+      ) WHERE rank <= 5
+    )""")
+        finals.append(f"""
+      SELECT * FROM (
+        SELECT CAST({np_} AS BIGINT) AS nprobe,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{np_}) AS n_candidates,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM approx{np_} a
+                JOIN exact x ON x.query_id = a.query_id
+                            AND x.neighbor_id = a.neighbor_id) AS n_hits
+      )""")
+    sweep = ",".join(blocks)
+    union = "\n      UNION ALL\n".join(finals)
+    return f"""
+    WITH e0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt({_E_FOLD}) AS nrm
+      FROM embeddings
+    ), e AS (SELECT * FROM e0 WHERE nrm > 0),
+    cent AS (
+      SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+      FROM e WHERE {_bucket_sql('vec_id', 7)} < 300
+    ),
+    ca AS (
+      SELECT neighbor_id, centroid_id FROM (
+        SELECT e.vec_id AS neighbor_id, cent.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COSINE_FOLD.format(a='e.v', b='cent.cv')} / (e.nrm * cent.cnrm) DESC,
+                          cent.centroid_id) AS rn
+        FROM e CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY qe.vec_id
+                 ORDER BY {_COSINE_FOLD.format(a='qe.v', b='ce.v')} / (qe.nrm * ce.nrm) DESC,
+                          ce.vec_id) AS rank
+        FROM e qe JOIN e ce ON ce.vec_id != qe.vec_id
+        WHERE qe.vec_id < 10
+      ) WHERE rank <= 5
+    ),{sweep}
+    SELECT nprobe, n_candidates, n_hits,
+           CAST(n_hits * 1000 // 50 AS BIGINT) AS recall_pm
+    FROM ({union})
+    ORDER BY nprobe
+    """
+
+
+@harness_query("x306_ivf_nprobe_frontier", oracle=_x306_oracle())
+def x306_ivf_nprobe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    cents = similarity.ivf_centroids(emb, 0.03)
+    out = None
+    for np_ in (1, 2, 4):
+        approx = (
+            similarity.ivf_topk(emb, q, k=5, centroid_fraction=0.03, nprobe=np_)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
+        )
+        ca = similarity.ivf_assign(emb, cents, 1, "vec_id", "embedding", "neighbor_id")
+        qa = similarity.ivf_assign(q, cents, np_, "vec_id", "embedding", "query_id")
+        cand_n = (
+            qa.join(ca, "centroid_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_candidates"))
+        )
+        hits = exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits")
+        )
+        row = cand_n.crossJoin(hits).select(
+            F.lit(np_).cast("long").alias("nprobe"),
+            "n_candidates",
+            "n_hits",
+            F.expr("CAST(n_hits * 1000 div 50 AS BIGINT)").alias("recall_pm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")
