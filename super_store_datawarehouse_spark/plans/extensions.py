@@ -16422,3 +16422,90 @@ def x306_ivf_nprobe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("nprobe")
+
+# --------------------------------------------------------------------------
+# x307 — next-event Markov predictor accuracy: train the x81 transition
+# model on a 90% hash split of per-user event transitions and measure
+# top-1 accuracy on the held-out 10% — the baseline every sequence
+# model must beat, with the argmax encoded as a lpad'd (count DESC,
+# type ASC) string MIN (the house codegen-safe argmax; count envelope
+# < 10⁹ documented). Unseen-prev test transitions predict NULL and
+# score as misses. Everything is integer counts + string ops — the
+# whole scorecard value-oracles.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x307_markov_next_event_accuracy",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), tr AS (
+      SELECT prev, event_type AS nxt, event_id
+      FROM seq WHERE prev IS NOT NULL
+    ), train AS (
+      SELECT * FROM tr WHERE {_bucket_sql('event_id', 11)} < 9000
+    ), test AS (
+      SELECT * FROM tr WHERE {_bucket_sql('event_id', 11)} >= 9000
+    ), counts AS (
+      SELECT prev, nxt, COUNT(*) AS cnt FROM train GROUP BY 1, 2
+    ), model AS (
+      SELECT prev,
+             substr(MIN(lpad(CAST(999999999 - cnt AS VARCHAR), 10, '0')
+                        || nxt), 11) AS predicted
+      FROM counts GROUP BY 1
+    )
+    SELECT t.prev,
+           MIN(m.predicted) AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN m.predicted = t.nxt THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN m.predicted = t.nxt THEN 1 ELSE 0 END) * 1000
+                // COUNT(*) AS BIGINT) AS acc_pm
+    FROM test t LEFT JOIN model m ON m.prev = t.prev
+    GROUP BY t.prev ORDER BY t.prev
+    """,
+)
+def x307_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            "event_id",
+            F.col("event_type").alias("nxt"),
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .withColumn("bucket", hash_bucket("event_id", 11))
+    )
+    counts = (
+        tr.filter(F.col("bucket") < 9000)
+        .groupBy("prev", "nxt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    model = counts.groupBy("prev").agg(
+        F.expr(
+            "substr(MIN(concat(lpad(CAST(999999999 - cnt AS STRING), 10, '0'),"
+            " nxt)), 11)"
+        ).alias("predicted")
+    )
+    test = tr.filter(F.col("bucket") >= 9000)
+    return (
+        test.join(F.broadcast(model), "prev", "left")
+        .groupBy("prev")
+        .agg(
+            F.min("predicted").alias("predicted"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("nxt"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+            F.expr(
+                "CAST(SUM(CASE WHEN predicted = nxt THEN 1 ELSE 0 END) * 1000"
+                " div COUNT(1) AS BIGINT)"
+            ).alias("acc_pm"),
+        )
+        .orderBy("prev")
+    )
