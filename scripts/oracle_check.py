@@ -20,7 +20,10 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from super_store_datawarehouse_spark.session import get_spark
+from super_store_datawarehouse_spark.session import (
+    get_spark,
+    release_scoped_caches,
+)
 from super_store_datawarehouse_spark.sources.testdata import TESTDATA_TABLES
 
 import __spark_entry__ as entrymod
@@ -92,6 +95,10 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # operators register multi-consumer caches via scoped_cache;
+            # the action above is their consumption window — release.
+            release_scoped_caches()
         if name not in oracles:
             print(f"ok*   {name}: rows-only ({len(spark_rows)} rows, "
                   f"{time.time()-t0:.1f}s) — no oracle")

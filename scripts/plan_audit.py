@@ -27,7 +27,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from super_store_datawarehouse_spark.session import get_spark
+from super_store_datawarehouse_spark.session import (
+    get_spark,
+    release_scoped_caches,
+)
 
 # Declared-by-design exceptions, each with the reason the shape is ok.
 ALLOW: dict[str, str] = {
@@ -114,6 +117,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — audit must see every query
             bad.append((name, [f"plan build failed: {exc}"]))
             continue
+        release_scoped_caches()
         findings = audit_plan(name, plan)
         if findings and name in ALLOW:
             rows.append((name, findings, ALLOW[name]))

@@ -23,7 +23,10 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from super_store_datawarehouse_spark.session import get_spark  # noqa: E402
+from super_store_datawarehouse_spark.session import (  # noqa: E402
+    get_spark,
+    release_scoped_caches,
+)
 
 
 def smoke(queries, spark, sf_dir: str, verbose: bool = True) -> list[str]:
@@ -43,6 +46,8 @@ def smoke(queries, spark, sf_dir: str, verbose: bool = True) -> list[str]:
             if verbose:
                 print(f"  FAIL {name}")
                 traceback.print_exc()
+        finally:
+            release_scoped_caches()
     return failures
 
 

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from super_store_datawarehouse_spark.session import scoped_cache
 
 
 def _trunc_div(a: int, b: int) -> int:
@@ -175,9 +176,11 @@ def kmeans_quantized(
     # Iterative working set: cache the quantized vectors so each
     # assignment/update pass reads memory, not the source scan (at 100 TB
     # re-scanning per iteration would dominate; MLlib caches likewise).
-    qdf = emb.select(
-        F.col(id_col), quantize_vec(F.col(vec_col), scale).alias("q")
-    ).persist()
+    qdf = scoped_cache(
+        emb.select(
+            F.col(id_col), quantize_vec(F.col(vec_col), scale).alias("q")
+        )
+    )
     seed_rows = qdf.orderBy(id_col).limit(k).collect()
     centroids = [(i, list(row["q"])) for i, row in enumerate(seed_rows)]
     assigned = assign(qdf, centroids)
@@ -253,6 +256,13 @@ def pca_power_iteration(
             acc = g if acc is None else acc + g
         if acc is not None:
             dd = acc.shape[0]
+            # Sentinel row (__j=-1, __k=width): the in-batch ragged check
+            # above can't see ACROSS partitions — two partitions holding
+            # 8-d and 16-d vectors would each pass locally, and their
+            # differently-sized Gram blocks would merge silently through
+            # the (j,k) reduce (the 8×8 block lands in the 16×16's
+            # corner). The driver verifies exactly one distinct width.
+            yield pd.DataFrame({"__j": [-1], "__k": [dd], "__g": [1]})
             yield pd.DataFrame(
                 {
                     "__j": np.repeat(np.arange(dd, dtype=np.int32), dd),
@@ -269,7 +279,14 @@ def pca_power_iteration(
     )
     if not g_rows:
         return []
-    d = max(r["__j"] for r in g_rows) + 1
+    widths = sorted({r["__k"] for r in g_rows if r["__j"] == -1})
+    if len(widths) > 1:
+        raise ValueError(
+            f"pca_power_iteration: embedding widths differ across partitions"
+            f" {widths} — uniform dimensionality is required"
+        )
+    g_rows = [r for r in g_rows if r["__j"] >= 0]
+    d = widths[0]
     G = [[0] * d for _ in range(d)]
     for r in g_rows:
         G[r["__j"]][r["__k"]] = r["__g"]

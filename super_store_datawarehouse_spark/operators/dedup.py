@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from super_store_datawarehouse_spark.operators.text import words
+from super_store_datawarehouse_spark.session import scoped_cache
 
 MERSENNE61 = (1 << 61) - 1
 
@@ -208,7 +209,7 @@ def weighted_jaccard_pairs(
     (they simply never produce join rows). All similarity arithmetic is
     exact int64; the output permille is one trunc-div.
     """
-    tf = shingle_tf(df, text_col, id_col, n).cache()
+    tf = scoped_cache(shingle_tf(df, text_col, id_col, n))
     dfw = tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     kept = tf.join(dfw.filter(F.col("df") <= max_doc_freq), "shingle").select(
         "sid", "shingle", "tf"
@@ -253,7 +254,7 @@ def ngram_jaccard_pairs(
     Shingles are pre-hashed to 8-byte ints so the self-join shuffles
     fixed-width keys, not strings.
     """
-    sh = word_shingles(df, text_col, id_col, n, hashed=True).cache()
+    sh = scoped_cache(word_shingles(df, text_col, id_col, n, hashed=True))
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     left = sh.select(F.col("sid").alias("id_a"), "shingle")
@@ -308,7 +309,7 @@ def ppjoin_jaccard_pairs(
     lossless. ``test_ppjoin_equals_plain_and_prunes`` additionally pins
     that the candidate set is strictly smaller.
     """
-    sh = word_shingles(df, text_col, id_col, n, hashed=True).cache()
+    sh = scoped_cache(word_shingles(df, text_col, id_col, n, hashed=True))
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
 
@@ -390,7 +391,7 @@ def ngram_containment_pairs(
     two directed pairs, each thresholded against its own source size
     (integer compare; the emitted score is a single exact division).
     """
-    sh = word_shingles(df, text_col, id_col, n, hashed=True).cache()
+    sh = scoped_cache(word_shingles(df, text_col, id_col, n, hashed=True))
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     left = sh.select(F.col("sid").alias("id_a"), "shingle")
@@ -545,7 +546,7 @@ def minhash_lsh_pairs_md5(
     disappears under the explode+join that dominates at scale.
     """
     rows_per_band = num_hashes // bands
-    sh = word_shingles(df, text_col, id_col, n, hashed=False).cache()
+    sh = scoped_cache(word_shingles(df, text_col, id_col, n, hashed=False))
     base = md5_hash31(F.col("shingle"))
     feats = sh.withColumn("hs", base)
     coeffs = _minhash_coeffs(num_hashes, seed=seed)
@@ -608,7 +609,7 @@ def minhash_lsh_pairs(
     # one shingle explosion feeds both the signature build and the exact
     # verification below — at 100 TB this halves the dominant scan+explode;
     # hashed shingles keep the candidate-verification join fixed-width
-    sh = word_shingles(df, text_col, id_col, n, hashed=True).cache()
+    sh = scoped_cache(word_shingles(df, text_col, id_col, n, hashed=True))
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed, shingles=sh)
     band_rows = sig.select(
         F.col(id_col).alias("sid"),

@@ -35,8 +35,16 @@ def cohen_kappa(
     Returns one row per group: n, n_agree, agree_ppm (raw agreement in
     parts-per-million, integer), and kappa (double; NULL for the
     degenerate single-class case where chance agreement is 1).
+
+    Non-null-label contract: rows where either label is NULL are
+    excluded up front. Without the filter, ``__a == __b`` is NULL for
+    NULL labels, so a (NULL, NULL) pair — two annotators both
+    abstaining — would silently count as *disagreement*, biasing kappa
+    downward. "Missing label" is not a label class; callers that want
+    abstention scored must encode it as a real value first.
     """
     keys = list(group_keys or [])
+    df = df.filter(F.col(label_a).isNotNull() & F.col(label_b).isNotNull())
     conf = df.groupBy(
         *keys, F.col(label_a).alias("__a"), F.col(label_b).alias("__b")
     ).agg(F.count(F.lit(1)).alias("__n"))
@@ -151,10 +159,18 @@ def classification_report(
     precision). Denominator-zero metrics are NULL, not 0 — "no
     prediction made" is not "0% precision". One confusion-matrix
     groupBy (|classes|² rows) then class-level arithmetic.
+
+    Non-null-label contract (same as :func:`cohen_kappa`): rows where
+    either label is NULL are excluded up front. NULL can't be a class
+    here — the full_outer marginal join matches on equality, so a NULL
+    truth class and a NULL pred class would land in two separate rows,
+    and ``pred == truth`` is NULL for NULL labels, so (NULL, NULL)
+    pairs would silently score as non-TP. Encode abstention as a real
+    label value to have it scored.
     """
     pairs = df.select(
         F.col(truth_col).alias("truth"), F.col(pred_col).alias("pred")
-    )
+    ).filter(F.col("truth").isNotNull() & F.col("pred").isNotNull())
     conf = pairs.groupBy("truth", "pred").agg(F.count(F.lit(1)).alias("n"))
     by_truth = conf.groupBy(F.col("truth").alias("label")).agg(
         F.sum("n").alias("n_truth"),

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from super_store_datawarehouse_spark.operators.dedup import _widen_narrow_scan
 from super_store_datawarehouse_spark.operators.text import words
+from super_store_datawarehouse_spark.session import scoped_cache
 
 
 def token_postings(
@@ -156,7 +157,7 @@ def bm25_scores_multi(
     # the postings explode feeds BOTH dl and tf — cache it so the
     # dominant tokenize+explode map work runs once (same convention as
     # dedup.ngram_jaccard_pairs' cached shingle frame)
-    p = token_postings(df, text_col, id_col).cache()
+    p = scoped_cache(token_postings(df, text_col, id_col))
     dl = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     tf = (
         p.join(F.broadcast(qterms.select("term").distinct()), "term")
@@ -260,7 +261,7 @@ def bigram_surprise(
         .filter(F.col("bg").isNotNull())
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.bigram").alias("bigram"))
     )
-    occ = occ.cache()  # feeds c2, c1 AND the scored join — one explode
+    occ = scoped_cache(occ)  # feeds c2, c1 AND the scored join — one explode
     c2 = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
     c1 = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     scored = (

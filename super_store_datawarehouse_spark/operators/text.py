@@ -481,8 +481,18 @@ def unigram_segment(
     Returns (word, freq, seg, n_pieces, cost); ``seg`` joins pieces
     with single spaces and concatenates back to the word exactly.
     """
-    base = df.select(
-        F.col(word_col).alias("__w"), F.col(freq_col).cast("long").alias("__f")
+    # Collapse duplicate words up front (freqs sum). Without this, the
+    # piece-map dropDuplicates([__w, piece]) below would arbitrarily
+    # assign each piece to ONE of the duplicate (__w, __f) groups; the
+    # other group's map would be incomplete, element_at returns NULL,
+    # and the DP output turns nondeterministic.
+    base = (
+        df.select(
+            F.col(word_col).alias("__w"),
+            F.col(freq_col).cast("long").alias("__f"),
+        )
+        .groupBy("__w")
+        .agg(F.sum("__f").alias("__f"))
     )
 
     def piece_rows(src: DataFrame) -> DataFrame:

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from super_store_datawarehouse_spark.functions.exact import cents
+from super_store_datawarehouse_spark.session import scoped_cache
 from super_store_datawarehouse_spark.operators import dedup, similarity
 from super_store_datawarehouse_spark.operators.sampling import bucket_sql as _bucket_sql
 from super_store_datawarehouse_spark.operators.sampling import knuth_sql as _knuth_sql
@@ -2429,7 +2430,7 @@ def x289_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the expensive part of PageRank is building the edge
     # rollup from the fact join — each unrolled iteration references it,
     # and without a cache Spark re-executes that whole subtree per use
-    ew = edges.join(F.broadcast(outw), "src").persist()
+    ew = scoped_cache(edges.join(F.broadcast(outw), "src"))
     nodes = nation.select(F.col("n_nationkey").alias("id"))
 
     def rank_step(ranks: DataFrame | None) -> DataFrame:

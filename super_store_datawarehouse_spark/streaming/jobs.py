@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from super_store_datawarehouse_spark.functions.exact import cents
@@ -1022,6 +1022,21 @@ def stream_ivf_index_update(
     return batches["n"]
 
 
+def length_prefixed_key(first: str, second: str) -> Column:
+    """Collision-free two-field dedup key: ``{len(first)}:{first}:{second}``.
+
+    A plain ``concat_ws(":")`` makes ("a:b", "c") and ("a", "b:c")
+    collide on "a:b:c" — in a Bloom-gated dedup stream that permanently
+    drops one fresh pair as a duplicate of the other. Prefixing the
+    first field's byte length pins the split point regardless of the
+    fields' contents. NULL fields coalesce to "" (NULL and empty share
+    a key — documented, harmless for dedup semantics).
+    """
+    a = F.coalesce(F.col(first).cast("string"), F.lit(""))
+    b = F.coalesce(F.col(second).cast("string"), F.lit(""))
+    return F.concat(F.length(a).cast("string"), F.lit(":"), a, F.lit(":"), b)
+
+
 def stream_bloom_dedup_to_parquet(
     spark: SparkSession,
     src_dir: str,
@@ -1078,7 +1093,7 @@ def stream_bloom_dedup_to_parquet(
         "event_id",
         "user_id",
         "event_type",
-        F.concat_ws(":", "user_id", "event_type").alias("key"),
+        length_prefixed_key("user_id", "event_type").alias("key"),
     )
     batches = {"n": 0}
     prev_dir = state_dir + ".prev"
