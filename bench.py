@@ -50,7 +50,7 @@ HEADLINE = [
     "x290_events_hourly",
     "q22_sessionize",
     "q34_embedding_near_dup",
-    "q35_ann_lsh_topk",
+    "x308_ann_lsh_topk",  # ex-q35; same computation, keeps the 24-query total comparable
     "q37_asof_click_attribution",
     "q38_range_join_next24h",
     "x265_group_median_price",  # ex-q40; same computation, keeps the 24-query total comparable

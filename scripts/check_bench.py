@@ -33,7 +33,7 @@ BASELINE = {  # round-2, sf0.1, min-of-2 warm runs, Arrow drain (BASELINE.md)
     "x290_events_hourly": 0.23,
     "q22_sessionize": 0.35,
     "q34_embedding_near_dup": 0.96,
-    "q35_ann_lsh_topk": 0.79,
+    "x308_ann_lsh_topk": 0.79,
     "q37_asof_click_attribution": 0.31,
     "q38_range_join_next24h": 0.54,
     "x265_group_median_price": 0.94,  # ex-q40, renamed in the round-4 slot rotation
@@ -71,7 +71,7 @@ EPOCH2 = {  # commit 004a0df, sf0.1, min-of-3 warm runs, 2026-08-15 host
     "q23_orders_above_average": 0.44,
     "q28_hll_distinct_eval": 0.44,
     "q34_embedding_near_dup": 0.47,
-    "q35_ann_lsh_topk": 0.99,
+    "x308_ann_lsh_topk": 0.99,
     "q37_asof_click_attribution": 0.36,
     "q38_range_join_next24h": 0.57,
     "q41_pca_power_iteration": 0.92,

@@ -629,8 +629,8 @@ _E_FOLD2 = (
 )
 
 
-@harness_query("q35_ann_lsh_topk", oracle=_q35_oracle())
-def q35_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@harness_query("x308_ann_lsh_topk", oracle=_q35_oracle())
+def x308_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_topk(emb, queries, k=5)
@@ -2471,7 +2471,7 @@ def x289_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pure window ordering, exact. Timestamps travel as epoch micros.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q48_scd2_intervals",
+    "x312_scd2_intervals",
     oracle="""
     WITH src AS (
       SELECT user_id, epoch_ns(ts) // 1000 AS tus,
@@ -2492,7 +2492,7 @@ def x289_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, valid_from_us
     """,
 )
-def q48_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x312_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") < 5)
@@ -3385,7 +3385,7 @@ def x81_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first shuffle); no Python in the hot path.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q32_repetition_quality",
+    "x311_repetition_quality",
     oracle="""
     WITH toks AS (
       SELECT doc_id, w FROM (
@@ -3412,7 +3412,7 @@ def x81_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
 )
-def q32_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x311_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
@@ -9834,12 +9834,12 @@ def x212_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x213 — ranking-quality eval (MRR + NDCG@5) of the LSH ANN (q35)
+# x213 — ranking-quality eval (MRR + NDCG@5) of the LSH ANN (x308, ex-q35)
 # against the exact ranking (q20) — completes the retrieval eval suite
 # beside x150's recall: graded relevance = 6 − exact_rank, DCG uses a
 # baked integer discount LUT (round(10⁶/log2(i+1)), the x188 trick
 # again), IDCG@5 is the constant 10_271_927 micro, so NDCG lands in
-# exact ppm. The oracle literally composes q20's and q35's registered
+# exact ppm. The oracle literally composes q20's and x308's registered
 # oracle SQL as CTEs — evaluator and evaluated share one definition.
 # --------------------------------------------------------------------------
 from super_store_datawarehouse_spark.plans import HARNESS as _HARNESS  # noqa: E402
@@ -9852,7 +9852,7 @@ _IDCG5 = 5 * 1000000 + 4 * 630930 + 3 * 500000 + 2 * 430677 + 1 * 386853
     "x213_ranking_metrics_eval",
     oracle=f"""
     WITH exact_r AS ({_HARNESS["q20_ann_bruteforce_topk"][1]}),
-    approx_r AS ({_HARNESS["q35_ann_lsh_topk"][1]}),
+    approx_r AS ({_HARNESS["x308_ann_lsh_topk"][1]}),
     graded AS (
       SELECT a.query_id, a.rank AS arank,
              COALESCE(6 - e.rank, 0) AS rel
@@ -9874,7 +9874,7 @@ def x213_ranking_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = q20_ann_bruteforce_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.col("rank").alias("erank")
     )
-    approx = q35_ann_lsh_topk(spark, sf_dir).select(
+    approx = x308_ann_lsh_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.col("rank").alias("arank")
     )
     lut = F.array(*[F.lit(v) for v in _NDCG_LUT])
@@ -13518,7 +13518,7 @@ def x258_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # difference — integer cents, one shuffle per model.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q29_attribution_models",
+    "x310_attribution_models",
     oracle="""
     WITH clicks AS (
       SELECT user_id, epoch_us(ts) AS tus FROM events
@@ -13554,7 +13554,7 @@ def x258_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY day
     """,
 )
-def q29_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x310_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     purch = events.filter(F.col("event_type") == "purchase").select(
         "event_id",
@@ -13703,7 +13703,7 @@ def x260_partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # portable integer arithmetic, so the oracle replays it list-for-list.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q26_cdc_chunk_dups",
+    "x309_cdc_chunk_dups",
     oracle="""
     WITH base AS (
       SELECT doc_id,
@@ -13747,7 +13747,7 @@ def x260_partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY chunk_md5
     """,
 )
-def q26_cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x309_cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.text import cdc_chunks
 
     docs = load_table(spark, sf_dir, "documents")
@@ -14921,7 +14921,7 @@ def q46_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reported deviation is one IEEE division of the same integers.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q21_seasonal_anomalies",
+    "x313_seasonal_anomalies",
     oracle="""
     WITH raw AS (
       SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y0
@@ -14968,7 +14968,7 @@ def q46_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY h
     """,
 )
-def q21_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x313_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.temporal import (
         seasonal_anomalies,
     )
@@ -15686,7 +15686,7 @@ def x296_bigram_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # under a total order; all arithmetic exact int64.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x299_weighted_jaccard_pairs",
+    "q26_weighted_jaccard_pairs",
     oracle="""
     WITH w AS (
       SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
@@ -15726,7 +15726,7 @@ def x296_bigram_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
 )
-def x299_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q26_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.weighted_jaccard_pairs(
         docs, n=2, max_doc_freq=25, threshold_permille=100
@@ -15810,7 +15810,7 @@ def x300_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is informative, not saturated.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x301_quality_auc",
+    "q32_quality_auc",
     oracle="""
     WITH w AS (
       SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
@@ -15866,7 +15866,7 @@ def x300_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg
     """,
 )
-def x301_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q32_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators import search
     from super_store_datawarehouse_spark.operators.quality_eval import ranking_auc
 
@@ -15889,7 +15889,7 @@ def x301_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # metric one trunc-div — fully value-oracled.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x302_knn_classification_report",
+    "q29_knn_classification_report",
     oracle=f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
@@ -15943,7 +15943,7 @@ def x301_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM rep ORDER BY label
     """,
 )
-def x302_knn_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q29_knn_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.quality_eval import (
         classification_report,
     )
@@ -15975,7 +15975,7 @@ def x302_knn_classification_report(spark: SparkSession, sf_dir: str) -> DataFram
 # unchanged, query fan-out ×5) every production LSH deploys before
 # adding tables. Both variants exact-cosine re-rank their candidates;
 # the oracle replays every sign bit, every probe, every candidate and
-# both rankings (q35's signature-replay technique), so BOTH recall
+# both rankings (x308's signature-replay technique), so BOTH recall
 # columns value-oracle bit-exactly.
 # --------------------------------------------------------------------------
 def _x303_oracle() -> str:
@@ -16080,8 +16080,8 @@ def _x303_oracle() -> str:
     """
 
 
-@harness_query("x303_lsh_multiprobe_recall", oracle=_x303_oracle())
-def x303_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+@harness_query("q35_lsh_multiprobe_recall", oracle=_x303_oracle())
+def q35_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     exact = similarity.brute_force_topk(emb, q, k=5).select(
@@ -16125,7 +16125,7 @@ def x303_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (x129/q36) into real sample-level feature extraction.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x304_wav_pcm_roundtrip",
+    "q21_wav_pcm_roundtrip",
     oracle="""
     WITH ids AS (
       SELECT doc_id FROM documents WHERE doc_id < 200
@@ -16143,7 +16143,7 @@ def x303_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM samp GROUP BY 1 ORDER BY 1
     """,
 )
-def x304_wav_pcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q21_wav_pcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.multimodal import (
         synth_wav_assets,
         wav_pcm_stats,
@@ -16164,7 +16164,7 @@ def x304_wav_pcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # All values are trunc-div integers — the whole report value-oracles.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x305_release_gate",
+    "q48_release_gate",
     oracle="""
     WITH w AS (
       SELECT doc_id, lang, text,
@@ -16233,7 +16233,7 @@ def x304_wav_pcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM crits ORDER BY criterion
     """,
 )
-def x305_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q48_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators import search
     from super_store_datawarehouse_spark.operators.text import (
         quality_keep,

@@ -132,3 +132,23 @@ def test_pca_rejects_cross_partition_width_mismatch(spark):
     # uniform width still works and returns a d-length direction
     v = pca_power_iteration(d16)
     assert len(v) == 16
+
+
+def test_query_registry_matches_queries_md_index():
+    """Every registered harness query must appear in QUERIES.md (and
+    vice versa) — a registered-but-undocumented query defeats the
+    'every query in every gate' invariant (round-5 x307 lesson)."""
+    import os
+    import re
+
+    import __spark_entry__ as entrymod
+
+    registered = set(entrymod.queries())
+    md_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "QUERIES.md")
+    with open(md_path) as fh:
+        indexed = set(re.findall(r"^\| ([qx]\d+\w+) \|", fh.read(), re.M))
+    assert registered == indexed, (
+        f"registry vs QUERIES.md drift: only-registered="
+        f"{sorted(registered - indexed)} only-indexed={sorted(indexed - registered)}"
+        " — regenerate with python scripts/gen_query_index.py"
+    )

@@ -274,6 +274,6 @@ def test_x283_decomposition_is_window_plus_broadcast(plans):
 
 
 def test_x284_anomalies_is_window_plus_broadcasts(plans):
-    p = plans("q21_seasonal_anomalies")
+    p = plans("x313_seasonal_anomalies")
     assert "Window" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
