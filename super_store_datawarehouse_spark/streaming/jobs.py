@@ -417,6 +417,68 @@ def stream_upserts_to_txn(
     return batches["n"]
 
 
+class _QueryIdHolder:
+    """Hands the StreamingQuery's id (assigned by ``start()``) to
+    foreachBatch callbacks that may already be running.
+
+    The query id is CHECKPOINT-durable: a restart from the same
+    checkpoint keeps it, a lost/recreated checkpoint (or a run without
+    one) gets a fresh id. That makes it the right lineage token for
+    additive sinks whose replay guard is otherwise just a batch-id
+    watermark — batch ids restart at 0 under a new id, and skipping
+    "replays" from a different lineage silently drops fresh data
+    forever (the round-5 advisory on the MG/CMS sinks).
+    """
+
+    def __init__(self) -> None:
+        import threading
+
+        self._ready = threading.Event()
+        self._id: str | None = None
+
+    def set(self, query_id: str) -> None:
+        self._id = str(query_id)
+        self._ready.set()
+
+    def get(self) -> str:
+        # start() returns before the first trigger in practice, but the
+        # stream thread is asynchronous — wait rather than race.
+        if not self._ready.wait(timeout=120):
+            raise RuntimeError("streaming query id never became available")
+        assert self._id is not None
+        return self._id
+
+
+def _check_query_lineage(
+    sink: str, out_dir: str, stored_qid: str | None, current_qid: str
+) -> None:
+    """Raise — loudly, not skip — when additive sink state was written
+    under a different streaming query id.
+
+    Additive counts (count-min counters, Misra-Gries summaries) cannot
+    be content-deduped the way the IVF stream dedups vector ids, so
+    when the lineage token changes there is no safe interpretation of
+    the batch-id watermark: ids at-or-below it may be fresh data (drop
+    = silent data loss) and ids above it may be replays (merge =
+    double-count). The only correct move is an explicit operator
+    decision, so fail with instructions. Legacy state without a stored
+    query id passes (the batch-id guard still covers the tested
+    restart-with-checkpoint contract).
+    """
+    if stored_qid is not None and stored_qid != current_qid:
+        raise RuntimeError(
+            f"{sink}: state at {out_dir} was written by streaming query "
+            f"{stored_qid}, but this run's query id is {current_qid} "
+            "(lost/recreated checkpoint, or run without its original "
+            "checkpoint). Batch ids are checkpoint-scoped, so the replay "
+            "guard cannot tell replays from fresh data across lineages, and "
+            "additive sketch counts cannot be content-deduped. Refusing to "
+            "merge: either restore the original checkpoint, or reset "
+            "explicitly by deleting the state directory and its marker "
+            "together with the new checkpoint."
+        )
+
+
 def stream_countmin_to_parquet(
     spark: SparkSession,
     src_dir: str,
@@ -440,11 +502,18 @@ def stream_countmin_to_parquet(
     would double-add it. The sink therefore records the last applied
     batch_id next to the sketch and skips batches at-or-below it (the
     standard transactional-foreachBatch pattern), making restart from
-    ``checkpoint`` re-add nothing. ``test_stream_countmin_equals_batch``
+    ``checkpoint`` re-add nothing. The marker also records the
+    streaming QUERY id (checkpoint-durable): on a run whose query id
+    differs from the marker's — a lost/recreated checkpoint, where
+    batch ids restart at 0 and the watermark would silently drop fresh
+    batches forever — the sink RAISES instead of skipping
+    (``_check_query_lineage``). ``test_stream_countmin_equals_batch``
     pins batch≡stream; ``test_stream_countmin_restart_exactly_once``
-    pins the restart path. Returns micro-batches processed (skips
-    excluded).
+    pins the restart path;
+    ``test_stream_countmin_checkpoint_loss_fails_loud`` pins the
+    lineage guard. Returns micro-batches processed (skips excluded).
     """
+    import json
     import shutil
     import tempfile
 
@@ -455,16 +524,27 @@ def stream_countmin_to_parquet(
     )
     batches = {"n": 0}
     applied_marker = out_dir + ".applied_batch"
+    qid = _QueryIdHolder()
 
-    def last_applied() -> int:
+    def read_marker() -> tuple[str | None, int]:
         try:
             with open(applied_marker) as fh:
-                return int(fh.read().strip())
-        except (OSError, ValueError):
-            return -1
+                raw = fh.read().strip()
+        except OSError:
+            return None, -1
+        try:
+            rec = json.loads(raw)
+            return rec.get("query_id"), int(rec.get("applied_batch", -1))
+        except (ValueError, AttributeError):
+            try:  # legacy plain-int marker (pre-query-id format)
+                return None, int(raw)
+            except ValueError:
+                return None, -1
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_applied():
+        stored_qid, applied = read_marker()
+        _check_query_lineage("stream_countmin_to_parquet", out_dir, stored_qid, qid.get())
+        if batch_id <= applied:
             return  # replayed batch: already folded into the sketch
         delta = countmin_build(batch_df, "word", depth=depth, width=width)
         if os.path.isdir(out_dir):
@@ -482,7 +562,7 @@ def stream_countmin_to_parquet(
             shutil.rmtree(out_dir)
         os.replace(tmp, out_dir)
         with open(applied_marker + ".tmp", "w") as fh:
-            fh.write(str(batch_id))
+            fh.write(json.dumps({"applied_batch": batch_id, "query_id": qid.get()}))
         os.replace(applied_marker + ".tmp", applied_marker)
         batches["n"] += 1
 
@@ -490,6 +570,7 @@ def stream_countmin_to_parquet(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
+    qid.set(q.id)
     try:
         q.processAllAvailable()
     finally:
@@ -676,10 +757,15 @@ def stream_misra_gries_to_parquet(
     Exactly-once: foreachBatch is at-least-once and this sink is
     additive, so replays must be excluded transactionally. The applied
     batch id is embedded as a constant ``applied_batch`` column INSIDE
-    the state parquet itself, so state and marker publish in one atomic
-    directory swap — there is no window where the new state is visible
-    with the old marker (the double-count hazard of a separate marker
-    file). The swap itself is crash-recoverable: the previous state is
+    the state parquet itself (together with the streaming QUERY id —
+    see below), so state and marker publish in one atomic directory
+    swap — there is no window where the new state is visible with the
+    old marker (the double-count hazard of a separate marker file).
+    On a run whose query id differs from the embedded one (lost or
+    recreated checkpoint: batch ids restart at 0 and the watermark
+    would silently drop fresh batches forever), the sink RAISES
+    instead of skipping (``_check_query_lineage``). The swap itself is
+    crash-recoverable: the previous state is
     renamed to ``<out>.prev`` before the new directory lands, and
     ``last_applied`` restores it if a crash strands the rename.
     Returns micro-batches processed (skips excluded).
@@ -694,20 +780,29 @@ def stream_misra_gries_to_parquet(
     )
     batches = {"n": 0}
     prev_dir = out_dir + ".prev"
+    qid = _QueryIdHolder()
 
-    def last_applied() -> int:
+    def read_state_marker() -> tuple[str | None, int]:
         # crash recovery: publish renames out_dir away before the new
         # version lands; if we died in between, the .prev copy is the
         # durable state — restore it.
         if not os.path.isdir(out_dir) and os.path.isdir(prev_dir):
             os.replace(prev_dir, out_dir)
         if not os.path.isdir(out_dir):
-            return -1
-        row = spark.read.parquet(out_dir).agg(F.max("applied_batch")).collect()[0]
-        return -1 if row[0] is None else row[0]
+            return None, -1
+        state = spark.read.parquet(out_dir)
+        # query_id is embedded beside applied_batch (same atomic swap);
+        # legacy state predating the column reads as no lineage token
+        qcol = (
+            F.max("query_id") if "query_id" in state.columns else F.lit(None)
+        )
+        row = state.agg(F.max("applied_batch"), qcol.alias("q")).collect()[0]
+        return row["q"], -1 if row[0] is None else row[0]
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_applied():
+        stored_qid, applied = read_state_marker()
+        _check_query_lineage("stream_misra_gries_to_parquet", out_dir, stored_qid, qid.get())
+        if batch_id <= applied:
             return
         sess = batch_df.sparkSession
         delta = batch_df.groupBy("word").agg(F.count(F.lit(1)).alias("mg_cnt"))
@@ -744,6 +839,8 @@ def stream_misra_gries_to_parquet(
         tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir))
         trimmed.withColumn(
             "applied_batch", F.lit(batch_id).cast("long")
+        ).withColumn(
+            "query_id", F.lit(qid.get())
         ).write.mode("overwrite").parquet(tmp)
         # atomic publish with recovery: retire current state to .prev,
         # land the new version, then discard .prev. A crash at any point
@@ -763,6 +860,7 @@ def stream_misra_gries_to_parquet(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
+    qid.set(q.id)
     try:
         q.processAllAvailable()
     finally:

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import shutil
 
 import pytest
 from pyspark.sql import functions as F
@@ -827,13 +828,16 @@ def test_stream_drift_monitor_flags_downward_shift(tmp_path, spark):
 
 
 def test_stream_misra_gries_replay_guard_is_atomic(tmp_path, spark):
-    """The applied-batch id lives INSIDE the state parquet (one atomic
-    publish). A full at-least-once replay of every batch — simulated by
-    wiping the checkpoint so foreachBatch redelivers ids 0..n with the
-    state already at n — must re-apply nothing."""
+    """The applied-batch id (and query id) live INSIDE the state parquet
+    — one atomic publish, no side file. Same-lineage restarts re-apply
+    nothing; a wiped checkpoint (new query id, recycled batch ids) must
+    RAISE rather than silently skip, and the crash-recovery rename
+    (state parked at ``.prev``) must restore the state even on the
+    refused run."""
     import os
     import shutil
 
+    import pytest as _pytest
     from pyspark.sql import functions as F
 
     from super_store_datawarehouse_spark.sources.testdata import load_table
@@ -861,17 +865,28 @@ def test_stream_misra_gries_replay_guard_is_atomic(tmp_path, spark):
     assert state.agg(F.max("applied_batch")).collect()[0][0] == 2
     before = {r["word"]: r["mg_cnt"] for r in state.collect()}
 
-    # wipe the checkpoint: the restarted query redelivers batches 0-2
-    # (at-least-once); the embedded marker must exclude every replay
-    shutil.rmtree(ckpt)
+    # same-lineage restart (checkpoint intact): nothing new, no re-adds
     assert stream_misra_gries_to_parquet(spark, src, out, k=3, checkpoint=ckpt) == 0
     after = {r["word"]: r["mg_cnt"] for r in spark.read.parquet(out).collect()}
     assert after == before
-    # crash-window recovery: state parked at .prev is restored
+
+    # wiped checkpoint = NEW query id redelivering ids 0-2: pre-round-6
+    # the embedded batch-id watermark silently skipped them — which also
+    # silently drops genuinely fresh batches after checkpoint loss. The
+    # lineage guard now refuses loudly, leaving the state untouched.
+    shutil.rmtree(ckpt)
+    with _pytest.raises(Exception, match="query id|lineage|checkpoint"):
+        stream_misra_gries_to_parquet(spark, src, out, k=3, checkpoint=ckpt)
+    after = {r["word"]: r["mg_cnt"] for r in spark.read.parquet(out).collect()}
+    assert after == before
+
+    # crash-window recovery still runs BEFORE the lineage check: state
+    # parked at .prev is restored even though the run is then refused
     os.replace(out, out + ".prev")
-    assert stream_misra_gries_to_parquet(
-        spark, src, out, k=3, checkpoint=str(tmp_path / "ckpt2")
-    ) == 0
+    with _pytest.raises(Exception, match="query id|lineage|checkpoint"):
+        stream_misra_gries_to_parquet(
+            spark, src, out, k=3, checkpoint=str(tmp_path / "ckpt2")
+        )
     restored = {r["word"]: r["mg_cnt"] for r in spark.read.parquet(out).collect()}
     assert restored == before
 
@@ -1006,8 +1021,12 @@ def test_stream_bloom_dedup_matches_sequential_replay(tmp_path, spark):
     from super_store_datawarehouse_spark.operators.sketches import bloom_positions
     from super_store_datawarehouse_spark.sources.testdata import load_table
     from super_store_datawarehouse_spark.streaming.jobs import (
+        length_prefixed_key,
         stream_bloom_dedup_to_parquet,
     )
+
+    def lp(uid, etype):  # the sink's length-prefixed key, python-side
+        return f"{len(str(uid))}:{uid}:{etype}"
 
     ev = load_table(spark, SF_DIR, "events").cache()
     src = str(tmp_path / "src")
@@ -1030,7 +1049,7 @@ def test_stream_bloom_dedup_matches_sequential_replay(tmp_path, spark):
     assert n == 2
     got = spark.read.parquet(out)
     keys = [r["k"] for r in got.select(
-        F.concat_ws(":", "user_id", "event_type").alias("k")).collect()]
+        length_prefixed_key("user_id", "event_type").alias("k")).collect()]
     # (b) never a duplicate emission
     assert len(keys) == len(set(keys))
 
@@ -1039,7 +1058,7 @@ def test_stream_bloom_dedup_matches_sequential_replay(tmp_path, spark):
     pos_of = {}
     for r in (
         ev.filter(F.col("user_id") < 15)
-        .select(F.concat_ws(":", "user_id", "event_type").alias("k"))
+        .select(length_prefixed_key("user_id", "event_type").alias("k"))
         .distinct()
         .select("k", bloom_positions("k", m, 2).alias("ps"))
         .collect()
@@ -1049,7 +1068,7 @@ def test_stream_bloom_dedup_matches_sequential_replay(tmp_path, spark):
     expect: set[str] = set()
     for cond in [lambda u, _: u < 10, lambda u, _: 5 <= u < 15]:
         batch_keys = {
-            f"{r['user_id']}:{r['event_type']}"
+            lp(r["user_id"], r["event_type"])
             for r in ev.filter(F.col("user_id") < 15).collect()
             if cond(r["user_id"], None)
         }
@@ -1062,7 +1081,7 @@ def test_stream_bloom_dedup_matches_sequential_replay(tmp_path, spark):
     assert set(keys) == expect
     # (c) batch 0 accepts all its keys
     b0_keys = {
-        f"{r['user_id']}:{r['event_type']}"
+        lp(r["user_id"], r["event_type"])
         for r in ev.filter(F.col("user_id") < 10).collect()
     }
     assert b0_keys <= set(keys) or b0_keys <= expect
@@ -1216,3 +1235,87 @@ def test_stream_dq_monitor_replay_is_idempotent(tmp_path, spark):
                       checkpoint=str(tmp_path / "ckpt"))
     second = sorted(tuple(r) for r in spark.read.parquet(out + "/batch=*").collect())
     assert first == second and len(first) == 4
+
+
+def _plant_events_split(spark, tmp_path, src, i, mod=3):
+    """Write 1/mod of the events table as src/events{i}.parquet."""
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    stage = tmp_path / f"part{i}"
+    events.filter(F.col("event_id") % mod == i).coalesce(1).write.parquet(
+        str(stage), mode="overwrite"
+    )
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    os.rename(stage / part, os.path.join(src, f"events{i}.parquet"))
+
+
+def test_stream_countmin_checkpoint_loss_fails_loud(tmp_path, spark):
+    """ADVICE r5 / VERDICT r5 #3: with the checkpoint lost, batch ids
+    restart at 0 and the additive CMS sink's watermark guard would
+    silently skip FRESH batches as 'replays'. Counters can't be
+    content-deduped, so the sink must refuse loudly — state unchanged —
+    rather than drop or double-add."""
+    import pytest as _pytest
+
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        stream_countmin_to_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _plant_events_split(spark, tmp_path, src, 0)
+    _plant_events_split(spark, tmp_path, src, 1)
+    out = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    assert stream_countmin_to_parquet(spark, src, out, checkpoint=ckpt) >= 1
+    before = {(r["r"], r["pos"]): r["cnt"] for r in spark.read.parquet(out).collect()}
+
+    # checkpoint lost; fresh data arrives; a NEW query id re-reads all
+    # files under recycled batch ids starting at 0
+    shutil.rmtree(ckpt)
+    _plant_events_split(spark, tmp_path, src, 2)
+    with _pytest.raises(Exception, match="query id|lineage|checkpoint"):
+        stream_countmin_to_parquet(
+            spark, src, out, checkpoint=str(tmp_path / "ckpt2")
+        )
+    # loud refusal, not partial merge: state is bit-identical
+    after = {(r["r"], r["pos"]): r["cnt"] for r in spark.read.parquet(out).collect()}
+    assert after == before
+
+    # the original checkpoint lineage (same query id) still restarts fine
+    # against legacy-format/own state: same-checkpoint restart path is
+    # covered by test_stream_countmin_restart_exactly_once.
+
+
+def test_stream_misra_gries_checkpoint_loss_fails_loud(tmp_path, spark):
+    """Same lineage guard for the MG summary: the query id is embedded
+    INSIDE the state parquet (atomic with applied_batch); a run under a
+    different query id must raise, leaving the summary untouched."""
+    import pytest as _pytest
+
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        stream_misra_gries_to_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _plant_events_split(spark, tmp_path, src, 0)
+    _plant_events_split(spark, tmp_path, src, 1)
+    out = str(tmp_path / "mg")
+    ckpt = str(tmp_path / "ckpt")
+    assert stream_misra_gries_to_parquet(spark, src, out, k=4, checkpoint=ckpt) >= 1
+    state = spark.read.parquet(out)
+    assert "query_id" in state.columns  # lineage token rides the swap
+    before = {(r["word"], r["mg_cnt"]) for r in state.collect()}
+
+    shutil.rmtree(ckpt)
+    _plant_events_split(spark, tmp_path, src, 2)
+    with _pytest.raises(Exception, match="query id|lineage|checkpoint"):
+        stream_misra_gries_to_parquet(
+            spark, src, out, k=4, checkpoint=str(tmp_path / "ckpt2")
+        )
+    after = {(r["word"], r["mg_cnt"]) for r in spark.read.parquet(out).collect()}
+    assert after == before
