@@ -26,7 +26,10 @@ import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+try:  # engine import: resolves via `pip install -e .` / `setup.py develop`
+    import super_store_datawarehouse_spark  # noqa: F401
+except ImportError:  # raw checkout without an editable install
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from super_store_datawarehouse_spark.session import (
     get_spark,

@@ -18,7 +18,16 @@ import time
 
 import duckdb
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:  # engine import: resolves via `pip install -e .` / `setup.py develop`
+    import super_store_datawarehouse_spark  # noqa: F401
+except ImportError:  # raw checkout without an editable install
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+else:
+    # __spark_entry__ (the driver-contract adapter) lives at the repo
+    # root by contract, outside the installed package — always reachable
+    # relative to this script, installed or not.
+    if os.path.dirname(os.path.dirname(os.path.abspath(__file__))) not in sys.path:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from super_store_datawarehouse_spark.session import (
     get_spark,
