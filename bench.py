@@ -79,6 +79,15 @@ EXTENDED = [
     "q42_curation_pipeline_v2",
     "x204_bpe_encode_report",
     "x207_source_datasheet",
+    # round-5/6 flagship families (VERDICT r5 #5: give the eval/DQ/
+    # multiprobe/weighted-Jaccard families a recurring perf trail)
+    "q30_dq_expectations",
+    "q39_retrieval_eval",
+    "x294_int8_quant_recall",
+    "x296_bigram_lm_filter",
+    "q26_weighted_jaccard_pairs",  # ex-x299, promoted round 6
+    "q35_lsh_multiprobe_recall",  # ex-x303, promoted round 6
+    "x306_ivf_nprobe_frontier",
 ]
 
 

@@ -89,6 +89,19 @@ EPOCH2 = {  # commit 004a0df, sf0.1, min-of-3 warm runs, 2026-08-15 host
     "x265_group_median_price": 1.13,
     "x288_gapfill_locf": 0.38,
     "x290_events_hourly": 0.33,
+    # round-6 additions to the EXTENDED trail (VERDICT r5 #5), recorded
+    # under the same 2026-08-15 epoch-2 host at commit b01e120. x294 and
+    # x306 are declared sweeps (exact double-GEMM recall baseline; the
+    # nprobe recall/cost frontier runs the IVF search at several nprobe
+    # settings), hence their size — they are extended-trail only and do
+    # not enter the 24-query headline total.
+    "q30_dq_expectations": 0.67,
+    "q39_retrieval_eval": 2.68,
+    "x294_int8_quant_recall": 4.64,
+    "x296_bigram_lm_filter": 0.86,
+    "q26_weighted_jaccard_pairs": 2.11,
+    "q35_lsh_multiprobe_recall": 2.11,
+    "x306_ivf_nprobe_frontier": 8.99,
 }
 EPOCH2_TOTAL = 19.073
 
