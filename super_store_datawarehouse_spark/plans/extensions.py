@@ -16510,3 +16510,55 @@ def x307_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("prev")
     )
+
+
+# --------------------------------------------------------------------------
+# x314/x315 — the q17 hot-key guard, both directions proved (VERDICT r5
+# #7). x314 runs ngram_jaccard_pairs with a df cap far above any corpus
+# df; its oracle IS the uncapped q17 SQL, so the value hash proves the
+# capped code path (the extra df aggregate + semi filter) is a
+# bit-identical no-op when nothing prunes. x315 runs a LOW cap and
+# oracles the exact capped-universe semantics in SQL (filter shingles by
+# document frequency FIRST, then the same sizes/join/threshold) —
+# proving the cap is well-defined pruning, not an unoracled recall hole.
+# --------------------------------------------------------------------------
+_Q17_SQL_BODY = _HARNESS["q17_ngram_jaccard_pairs"][1]
+
+
+@harness_query("x314_ngram_jaccard_dfcap_noop", oracle=_Q17_SQL_BODY)
+def x314_ngram_jaccard_dfcap_noop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=1_000_000)
+
+
+@harness_query(
+    "x315_ngram_jaccard_dfcap",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ), sh0 AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+    ), dfreq AS (
+      SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle
+    ), sh AS (
+      SELECT sh0.doc_id, sh0.shingle
+      FROM sh0 JOIN dfreq USING (shingle) WHERE dfreq.df <= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 1000 * n_inter >= 200 * (sa.n_shingles + sb.n_shingles - n_inter)
+    """,
+)
+def x315_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=3)

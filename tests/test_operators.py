@@ -3092,3 +3092,71 @@ def test_wav_pcm_stats_reads_independent_writer_and_rejects_nonwav(spark):
     assert (r["dc_sum"], r["sum_sq"]) == (int(s.sum()), int((s * s).sum()))
     bad = rows[2]
     assert bad["n_samples"] is None and bad["sum_sq"] is None
+
+
+def test_ngram_jaccard_dfcap_noop_and_pruning(spark, docs):
+    """VERDICT r5 #7: the hot-key df cap on the exact Jaccard join. A
+    cap above the corpus max df is bit-identical to the uncapped join;
+    a low cap computes the exact Jaccard of the CAPPED shingle sets —
+    hot boilerplate shingles leave both intersection and union."""
+    from super_store_datawarehouse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    plain = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.2).collect()
+    }
+    noop = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.2, max_doc_freq=10**9
+        ).collect()
+    }
+    assert noop == plain  # bit-identical no-op (x314's oracle pins this too)
+
+    # hand-built pruning case: the hot shingle "a b c" appears in all 4
+    # docs; with cap 3 it is dropped, so docs 1/2 (which only share it)
+    # no longer pair, while docs 3/4 (sharing rare shingles) still do.
+    # all four docs share the 5-word boilerplate prefix "a b c d e";
+    # its three 3-gram shingles have df=4 and vanish under cap 3
+    tiny = spark.createDataFrame(
+        [
+            (1, "a b c d e x1"),
+            (2, "a b c d e x2"),
+            (3, "a b c d e p q r s"),
+            (4, "a b c d e p q r t"),
+        ],
+        ["doc_id", "text"],
+    )
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(tiny, n=3, threshold=0.2).collect()
+    }
+    capped_rows = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            tiny, n=3, threshold=0.2, max_doc_freq=3
+        ).collect()
+    }
+    assert (1, 2) in uncapped  # boilerplate-only pair under no cap
+    assert (1, 2) not in capped_rows  # pruned with the shared hot shingle
+    assert (3, 4) in capped_rows  # genuinely-similar pair survives
+    # capped jaccard == exact jaccard of the filtered sets, by hand:
+    # doc3 capped shingles {b c p, c p q, p q r, q r s}; doc4 swaps the
+    # last for {q r t}; plus per-doc uniques from "a b c" tail overlap
+    sh = word_shingles(tiny, "text", "doc_id", 3, hashed=False)
+    dfreq = {
+        r["shingle"]: r["cnt"]
+        for r in sh.groupBy("shingle").count().withColumnRenamed("count", "cnt").collect()
+    }
+    kept = {
+        (r["sid"], r["shingle"])
+        for r in sh.collect()
+        if dfreq[r["shingle"]] <= 3
+    }
+    s3 = {s for d, s in kept if d == 3}
+    s4 = {s for d, s in kept if d == 4}
+    want = len(s3 & s4) / len(s3 | s4)
+    assert abs(capped_rows[(3, 4)] - want) < 1e-12
