@@ -513,10 +513,23 @@ def _exact_jaccard_on_candidates(
     """Exact shingle-Jaccard verification bounded to a candidate-pair
     frame (id_a, id_b). ``sh`` is (sid, shingle) with either string or
     pre-hashed shingles; the integer threshold compare keeps membership
-    bit-exact. Shared by every LSH front end."""
+    bit-exact. Shared by every LSH front end.
+
+    The shingle joins carry an explicit ``merge`` hint (round-6 sf10
+    finding): ``sh`` is CORPUS-SCALED, but it arrives here as a cached,
+    not-yet-materialized relation with no shuffle boundary below it, so
+    Catalyst's size estimate is garbage and the static planner happily
+    picks BroadcastHashJoin with the ENTIRE shingle frame as build side
+    — measured to OOM the driver at sf10 (500k docs, ~50M shingle
+    rows), while "working" at bench scale only because 5k docs of
+    shingles fit in 12 MB. With the hint the static plan is
+    sort-merge (spills, scales to any corpus), and AQE remains free to
+    convert it back to broadcast at runtime from REAL shuffle sizes —
+    small corpora keep the fast plan, decided on facts not estimates.
+    """
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sh_a = sh.select(F.col("sid").alias("id_a"), "shingle")
-    sh_b = sh.select(F.col("sid").alias("id_b"), "shingle")
+    sh_a = sh.select(F.col("sid").alias("id_a"), "shingle").hint("merge")
+    sh_b = sh.select(F.col("sid").alias("id_b"), "shingle").hint("merge")
     inter = (
         cand.join(sh_a, "id_a")
         .join(sh_b, ["id_b", "shingle"])
