@@ -58,6 +58,7 @@ ALLOW: dict[str, str] = {
     # inner BroadcastNestedLoopJoins whose build side is k rows or a
     # scalar aggregate — the broadcast side is bounded by construction
     "q33_pq_ivf_ann_topk": "probe x sqrt(n)-row centroid table",
+    "x316_pq_ivf_fixed_budget": "probe x <=512-cell centroid table / <=256-codeword book (fixed budgets)",
     "x263_ivf_ann_topk": "probe x sqrt(n)-row centroid table",
     "x125_pq_ann_topk": "probe x m-row codebook",
     "x134_pq_refined_topk": "probe x m-row codebook",

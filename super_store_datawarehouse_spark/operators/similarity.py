@@ -380,6 +380,7 @@ def ivf_centroids(
     fraction: float | str = 0.03,
     id_col: str = "vec_id",
     salt: int = 7,
+    max_cells: int | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: a deterministic hash-sample of the corpus
     serves as the centroid set.
@@ -398,6 +399,14 @@ def ivf_centroids(
     at test scale but not the setting to ship at 100 TB. ("auto" costs
     one count() before planning; the oracle-pinned harness queries keep
     fixed fractions because a static SQL oracle can't see n.)
+
+    ``max_cells`` caps nlist at a FIXED count: the ``max_cells``
+    lowest-id vectors of the hash sample (one TakeOrderedAndProject —
+    no count(), so unlike "auto" this stays expressible in a static
+    SQL oracle: ``... ORDER BY id LIMIT k``). Round-6 sf10 finding:
+    with fraction semantics both the IVF cell set AND the PQ codebook
+    grow linearly with the corpus, making assignment/encode
+    O(fraction·n²) — the fixed budget is the ship configuration.
     """
     import math
 
@@ -406,7 +415,10 @@ def ivf_centroids(
     if fraction == "auto":
         n = corpus.count()
         fraction = 1.0 / math.sqrt(n) if n else 1.0
-    return hash_sample(corpus, id_col, fraction, salt=salt)
+    out = hash_sample(corpus, id_col, fraction, salt=salt)
+    if max_cells is not None:
+        out = out.orderBy(id_col).limit(max_cells)
+    return out
 
 
 def ivf_assign(
@@ -573,6 +585,7 @@ def pq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    codebook_size: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al., PAMI 2011): split each
     vector into ``m`` subspaces, encode every corpus vector as its
@@ -610,7 +623,8 @@ def pq_topk(
     sd = dim // m
 
     codes, dtab = _pq_codes_and_dtab(
-        corpus, queries, m, sd, codebook_buckets, salt, vec_col, id_col
+        corpus, queries, m, sd, codebook_buckets, salt, vec_col, id_col,
+        codebook_size=codebook_size,
     )
     approx = (
         codes.join(dtab, ["j", "code"])
@@ -643,6 +657,7 @@ def _pq_codes_and_dtab(
     vec_col: str,
     id_col: str,
     sub: DataFrame | None = None,
+    codebook_size: int | None = None,
 ):
     """Shared PQ machinery: the integer code table for the corpus and the
     per-query ADC distance tables.
@@ -659,7 +674,9 @@ def _pq_codes_and_dtab(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
     if sub is None:
-        sub = _pq_sampled_codebook(e, m, sd, codebook_buckets, salt)
+        sub = _pq_sampled_codebook(
+            e, m, sd, codebook_buckets, salt, codebook_size=codebook_size
+        )
 
     def sub_dist(vcol: Column) -> Column:
         # distance of the row's j-th sub-vector to the codeword
@@ -732,13 +749,31 @@ def _pq_codes_and_dtab(
 
 
 def _pq_sampled_codebook(
-    e: DataFrame, m: int, sd: int, codebook_buckets: int, salt: int
+    e: DataFrame,
+    m: int,
+    sd: int,
+    codebook_buckets: int,
+    salt: int,
+    codebook_size: int | None = None,
 ) -> DataFrame:
     """Initial PQ codebook: one sub-vector per subspace per hash-sampled
-    corpus vector — (code, j, cv<array<double>>)."""
+    corpus vector — (code, j, cv<array<double>>).
+
+    ``codebook_buckets`` is a HASH-BUCKET threshold out of 10,000 — a
+    sampling *fraction*, not a codeword count — so by itself the
+    codebook grows linearly with the corpus and the encode pass is
+    O(fraction·n²) (the round-6 sf10 probe measured 264 s of encode at
+    200k vectors ≈ 6,000 codewords). ``codebook_size`` caps it at a
+    fixed count — the ``codebook_size`` lowest-vid sampled vectors
+    (TakeOrderedAndProject; statically SQL-oracle-able as
+    ``ORDER BY vid LIMIT k``) — which is how real PQ runs (a constant
+    ~256-codeword book per subspace regardless of corpus size).
+    """
     from super_store_datawarehouse_spark.operators.sampling import hash_bucket
 
     sampled = e.filter(hash_bucket(F.col("vid"), salt) < codebook_buckets)
+    if codebook_size is not None:
+        sampled = sampled.orderBy("vid").limit(codebook_size)
     return sampled.select(
         F.col("vid").alias("code"),
         F.posexplode(
@@ -939,6 +974,8 @@ def pq_ivf_topk(
     centroid_salt: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cells: int | None = None,
+    codebook_size: int | None = None,
 ) -> DataFrame:
     """IVF-restricted product quantization — the composition real PQ
     deployments run (IVFADC in Jégou et al., PAMI 2011 §V).
@@ -964,7 +1001,9 @@ def pq_ivf_topk(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sd = dim // m
 
-    cents = ivf_centroids(corpus, centroid_fraction, id_col, salt=centroid_salt)
+    cents = ivf_centroids(
+        corpus, centroid_fraction, id_col, salt=centroid_salt, max_cells=max_cells
+    )
     c_assign = ivf_assign(corpus, cents, 1, id_col, vec_col, "neighbor_id")
     q_assign = ivf_assign(queries, cents, nprobe, id_col, vec_col, "query_id")
     # candidate pairs: bounded by cell co-membership, never corpus×queries
@@ -977,7 +1016,8 @@ def pq_ivf_topk(
     )
 
     codes, dtab = _pq_codes_and_dtab(
-        corpus, queries, m, sd, codebook_buckets, salt, vec_col, id_col
+        corpus, queries, m, sd, codebook_buckets, salt, vec_col, id_col,
+        codebook_size=codebook_size,
     )
     approx = (
         cand.join(codes, cand["neighbor_id"] == codes["vid"])

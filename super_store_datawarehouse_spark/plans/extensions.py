@@ -16562,3 +16562,57 @@ def x314_ngram_jaccard_dfcap_noop(spark: SparkSession, sf_dir: str) -> DataFrame
 def x315_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=3)
+
+
+# --------------------------------------------------------------------------
+# x316 — IVFADC with FIXED index budgets (round-6 sf10 finding): q33's
+# oracle-pinned configuration samples BOTH the coarse-quantizer cells
+# and the PQ codebook as hash FRACTIONS of the corpus, so nlist and
+# |codebook| grow linearly with n and assignment/encode are
+# O(fraction·n²) — measured 257 s at sf10, with the PQ encode against a
+# 6,000-codeword book the dominant 264 s term. Real deployments fix both
+# budgets (Jégou et al. use 256-codeword books regardless of corpus
+# size). x316 runs the identical composition with nlist ≤ 512 and
+# |codebook| ≤ 256 — each the lowest-id vectors of the same hash sample,
+# so the cap is ONE TakeOrderedAndProject and stays expressible in a
+# static SQL oracle (ORDER BY id LIMIT k): sf10 drops 257 s → ~20 s with
+# the value oracle intact. At sf0.01 the sample is smaller than both
+# caps, so x316 ≡ q33 there — the oracle proves the capped code path
+# bit-identical in the no-op regime, same posture as x314.
+# --------------------------------------------------------------------------
+_X316_ORACLE = _HARNESS["q33_pq_ivf_ann_topk"][1].replace(
+    "SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm\n"
+    "      FROM e WHERE {b7} < 300".format(b7=_bucket_sql("vec_id", 7)),
+    "SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm\n"
+    "      FROM e WHERE {b7} < 300 ORDER BY vec_id LIMIT 512".format(
+        b7=_bucket_sql("vec_id", 7)
+    ),
+).replace(
+    "SELECT vid AS code, v FROM pe WHERE {b13} < 300".format(
+        b13=_bucket_sql("vid", 13)
+    ),
+    "SELECT vid AS code, v FROM pe WHERE {b13} < 300 ORDER BY vid LIMIT 256".format(
+        b13=_bucket_sql("vid", 13)
+    ),
+)
+assert "LIMIT 512" in _X316_ORACLE and "LIMIT 256" in _X316_ORACLE
+
+
+@harness_query("x316_pq_ivf_fixed_budget", oracle=_X316_ORACLE)
+def x316_pq_ivf_fixed_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_ivf_topk(
+        emb,
+        queries,
+        k=5,
+        m=4,
+        dim=64,
+        codebook_buckets=300,
+        salt=13,
+        centroid_fraction=0.03,
+        nprobe=2,
+        centroid_salt=7,
+        max_cells=512,
+        codebook_size=256,
+    )

@@ -152,3 +152,40 @@ def test_query_registry_matches_queries_md_index():
         f"{sorted(registered - indexed)} only-indexed={sorted(indexed - registered)}"
         " — regenerate with python scripts/gen_query_index.py"
     )
+
+
+def test_pq_ivf_fixed_budget_caps_and_noop(spark):
+    """Round-6 sf10 finding: q33's sampled IVF cells and PQ codebook are
+    hash FRACTIONS (linear in n). The fixed-budget caps take the k
+    lowest-id sample vectors — a no-op when the sample is smaller than
+    the cap, binding (and deterministic) when it is larger."""
+    from super_store_datawarehouse_spark.operators.similarity import (
+        _pq_sampled_codebook,
+        ivf_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(2000)],
+        "vec_id long, embedding array<double>",
+    )
+    uncapped = ivf_centroids(emb, 0.5, salt=7)
+    n_sample = uncapped.count()
+    assert n_sample > 50
+    capped = ivf_centroids(emb, 0.5, salt=7, max_cells=50)
+    got = [r["vec_id"] for r in capped.select("vec_id").collect()]
+    want = sorted(r["vec_id"] for r in uncapped.select("vec_id").collect())[:50]
+    assert sorted(got) == want  # exactly the 50 lowest-id sample members
+    # cap above the sample size is a no-op
+    noop = ivf_centroids(emb, 0.5, salt=7, max_cells=n_sample + 10)
+    assert noop.count() == n_sample
+
+    e = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v"))
+    book = _pq_sampled_codebook(e, 2, 4, 5000, 13, codebook_size=16)
+    codes = {r["code"] for r in book.select("code").distinct().collect()}
+    assert len(codes) == 16
+    full = _pq_sampled_codebook(e, 2, 4, 5000, 13)
+    lowest = sorted(
+        r["code"] for r in full.select("code").distinct().collect()
+    )[:16]
+    assert sorted(codes) == lowest
