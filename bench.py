@@ -88,6 +88,7 @@ EXTENDED = [
     "q26_weighted_jaccard_pairs",  # ex-x299, promoted round 6
     "q35_lsh_multiprobe_recall",  # ex-x303, promoted round 6
     "x306_ivf_nprobe_frontier",
+    "x316_pq_ivf_fixed_budget",  # round-6 fixed-budget IVFADC scale fix
 ]
 
 

@@ -102,6 +102,9 @@ EPOCH2 = {  # commit 004a0df, sf0.1, min-of-3 warm runs, 2026-08-15 host
     "q26_weighted_jaccard_pairs": 2.11,
     "q35_lsh_multiprobe_recall": 2.11,
     "x306_ivf_nprobe_frontier": 8.99,
+    # round-6 fixed-budget IVFADC (caps are no-ops at sf0.1 — same plan as
+    # q33 plus two TakeOrderedAndProject)
+    "x316_pq_ivf_fixed_budget": 2.64,
 }
 EPOCH2_TOTAL = 19.073
 

@@ -47,10 +47,19 @@ def ivf_index_build(
     salt: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cells: int | None = None,
 ) -> dict:
-    """Build and persist the index; returns {n_centroids, n_vectors}."""
+    """Build and persist the index; returns {n_centroids, n_vectors}.
+
+    ``fraction="auto"`` (default) sizes nlist at √n; ``max_cells``
+    additionally caps it at a fixed count (the k lowest-id sample
+    vectors — see ``ivf_centroids``), the bound real deployments pin so
+    the quantizer that gets FROZEN into the index has a known size.
+    """
     cent_path, cell_path = _paths(path)
-    cents = ivf_centroids(corpus, fraction, id_col, salt=salt).select(
+    cents = ivf_centroids(
+        corpus, fraction, id_col, salt=salt, max_cells=max_cells
+    ).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("embedding")
     )
     cents.write.mode("overwrite").parquet(cent_path)
