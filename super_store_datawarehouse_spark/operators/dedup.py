@@ -287,6 +287,19 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     left = sh.select(F.col("sid").alias("id_a"), "shingle")
+    # Join-strategy note (round-6 sf10 audit): Catalyst broadcasts the
+    # right side here on a garbage estimate (stat-less cached frame) —
+    # ~50M shingle rows into the driver at sf10. A merge hint was tried
+    # and MEASURED 10x slower at sf10: the hot-shingle keys that
+    # dominate this join serialize inside a sort-merge (one buffered
+    # d_left x d_right block per key) while the parallel hash probe
+    # spreads them across every slot. Since this operator is the
+    # DECLARED exact baseline whose O(sum df^2) fan-out — not the join
+    # strategy — is the documented scale ceiling (use q19's LSH, x161's
+    # PPJoin, or the df cap at scale), the planner's choice is kept; the
+    # broadcast side outgrowing the driver is part of the same declared
+    # ceiling. The SCALE paths (LSH verification, PQ codes, SemDeDup
+    # assignment) do carry explicit non-broadcast hints.
     right = sh.select(F.col("sid").alias("id_b"), "shingle")
     inter = (
         left.join(right, "shingle")
@@ -424,6 +437,19 @@ def ngram_containment_pairs(
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     left = sh.select(F.col("sid").alias("id_a"), "shingle")
+    # Join-strategy note (round-6 sf10 audit): Catalyst broadcasts the
+    # right side here on a garbage estimate (stat-less cached frame) —
+    # ~50M shingle rows into the driver at sf10. A merge hint was tried
+    # and MEASURED 10x slower at sf10: the hot-shingle keys that
+    # dominate this join serialize inside a sort-merge (one buffered
+    # d_left x d_right block per key) while the parallel hash probe
+    # spreads them across every slot. Since this operator is the
+    # DECLARED exact baseline whose O(sum df^2) fan-out — not the join
+    # strategy — is the documented scale ceiling (use q19's LSH, x161's
+    # PPJoin, or the df cap at scale), the planner's choice is kept; the
+    # broadcast side outgrowing the driver is part of the same declared
+    # ceiling. The SCALE paths (LSH verification, PQ codes, SemDeDup
+    # assignment) do carry explicit non-broadcast hints.
     right = sh.select(F.col("sid").alias("id_b"), "shingle")
     inter = (
         left.join(right, "shingle")
@@ -909,7 +935,9 @@ def semantic_near_dup_pairs(
         )
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
         .filter(F.col("nrm") > 0)
-        .join(assigned, "vid")
+        # merge hint: `assigned` is one row per corpus vector behind a
+        # stat-less mapInPandas — never broadcast it (round-6 sf10 audit)
+        .join(assigned.hint("merge"), "vid")
     )
     # Within-cluster pair blocks run as one GEMM per cluster via
     # applyInPandas (dimension-ascending accumulation == the SQL dot

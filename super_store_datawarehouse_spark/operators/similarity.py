@@ -627,7 +627,9 @@ def pq_topk(
         codebook_size=codebook_size,
     )
     approx = (
-        codes.join(dtab, ["j", "code"])
+        # merge hint: codes is n·m rows behind a stat-less mapInPandas —
+        # Catalyst would broadcast it on a garbage estimate (sf10 audit)
+        codes.hint("merge").join(dtab, ["j", "code"])
         .filter(F.col("query_id") != F.col("vid"))
         .groupBy("query_id", F.col("vid").alias("neighbor_id"))
         .agg(F.array_sort(F.collect_list(F.struct("j", "d"))).alias("parts"))
@@ -941,7 +943,9 @@ def pq_topk_refined(
         corpus, queries, m, sd, codebook_buckets, salt, vec_col, id_col, sub=sub
     )
     approx = (
-        codes.join(dtab, ["j", "code"])
+        # merge hint: codes is n·m rows behind a stat-less mapInPandas —
+        # Catalyst would broadcast it on a garbage estimate (sf10 audit)
+        codes.hint("merge").join(dtab, ["j", "code"])
         .filter(F.col("query_id") != F.col("vid"))
         .groupBy("query_id", F.col("vid").alias("neighbor_id"))
         .agg(F.array_sort(F.collect_list(F.struct("j", "d"))).alias("parts"))
@@ -1020,7 +1024,8 @@ def pq_ivf_topk(
         codebook_size=codebook_size,
     )
     approx = (
-        cand.join(codes, cand["neighbor_id"] == codes["vid"])
+        # merge hint on codes: same stat-less n·m-row frame as pq_topk
+        cand.join(codes.hint("merge"), cand["neighbor_id"] == codes["vid"])
         .join(dtab, ["query_id", "j", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.array_sort(F.collect_list(F.struct("j", "d"))).alias("parts"))
