@@ -1,0 +1,184 @@
+"""Broadcast-hazard audit: scan every harness query's STATIC plan at a
+large scale factor for BroadcastExchange nodes built over stat-less
+subtrees — an InMemoryTableScan (cached relation) or MapInPandas above
+a corpus-table FileScan with no intervening aggregate or limit.
+
+That is the exact pattern that OOM'd q19 at sf10 in round 6: Catalyst
+has no usable size estimate for a cached-but-unmaterialized or
+Python-produced relation, happily plans a broadcast of a corpus-scaled
+frame, and — because there is no shuffle boundary below the exchange —
+AQE never sees real sizes and cannot demote the join at runtime. The
+hazard is invisible at small scale (the frame fits) and invisible to
+value oracles (the plan is semantically correct); only a plan scan at
+a scale factor where the frame is plausibly large surfaces it.
+
+Usage: python scripts/broadcast_audit.py [sf_dir] [--expect-clean]
+
+Known-accepted flags (ALLOW below):
+- x169_mmr_rerank: the flagged broadcasts are WindowGroupLimit-bounded
+  top-k-per-query frames (<= 10 * |queries| rows) — auto-cleared by the
+  WindowGroupLimit bound check, kept in ALLOW as documentation.
+- The exact-Jaccard / containment shingle SELF-joins: the planner's
+  hash-probe (broadcast) choice is DELIBERATELY kept — a merge hint was
+  measured >10x slower at sf10 because hot-shingle keys serialize in a
+  sort-merge, and these are declared exact baselines whose fan-out, not
+  join strategy, is the documented ceiling (see the declaration at the
+  join site in operators/dedup.py; LSH/PPJoin/df-cap are the scale
+  paths).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+try:  # engine import: resolves via `pip install -e .` / `setup.py develop`
+    import super_store_datawarehouse_spark  # noqa: F401
+except ImportError:  # raw checkout without an editable install
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from super_store_datawarehouse_spark.session import (  # noqa: E402
+    get_spark,
+    release_scoped_caches,
+)
+from super_store_datawarehouse_spark.plans.registry import HARNESS  # noqa: E402
+
+for _m in ("harness", "extensions", "pipeline_ops"):
+    try:
+        __import__(f"super_store_datawarehouse_spark.plans.{_m}")
+    except ModuleNotFoundError:
+        pass
+
+CORPUS_TABLES = ("documents", "embeddings", "lineitem", "events", "orders")
+AGGREGATES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+LIMITS = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+
+# name -> reason the flag is accepted (bounded by construction)
+_BASELINE_SELF_JOIN = (
+    "declared exact-baseline shingle self-join: hash probe kept on purpose "
+    "(merge measured 10x slower at sf10 on hot keys); scale paths are "
+    "q19 LSH / x161 PPJoin / x315 df cap — see operators/dedup.py"
+)
+ALLOW = {
+    "x169_mmr_rerank": "WindowGroupLimit-bounded top-k-per-query frames (<=10*|queries| rows)",
+    "q17_ngram_jaccard_pairs": _BASELINE_SELF_JOIN,
+    "x138_ngram_containment_pairs": _BASELINE_SELF_JOIN,
+    "x151_minhash_estimate_eval": _BASELINE_SELF_JOIN,
+    "x163_cross_source_dup_matrix": _BASELINE_SELF_JOIN,
+    "x220_near_dup_overlap_eval": _BASELINE_SELF_JOIN,
+    "x314_ngram_jaccard_dfcap_noop": _BASELINE_SELF_JOIN,
+    "x315_ngram_jaccard_dfcap": _BASELINE_SELF_JOIN,
+}
+
+
+def _depth(line: str) -> int:
+    return len(re.match(r"[\s:+|-]*", line).group(0))
+
+
+def audit_plan(plan: str) -> list[str]:
+    """Heads of BroadcastExchange nodes whose build subtree is stat-less
+    AND corpus-scaled AND not bounded by an aggregate/limit."""
+    lines = plan.splitlines()
+    hits: list[str] = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = _depth(line)
+        sub = [line]
+        for nxt in lines[i + 1:]:
+            if not nxt.strip() or _depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        body = "\n".join(sub)
+        statless = "InMemoryTableScan" in body or "MapInPandas" in body
+        corpus = any(
+            "FileScan parquet" in s and any(t in s for t in CORPUS_TABLES)
+            for s in sub
+        )
+        bounded = any(a in body for a in AGGREGATES) or any(
+            l in body for l in LIMITS
+        ) or "WindowGroupLimit" in body
+        if statless and corpus and not bounded:
+            hits.append(sub[0].strip()[:100])
+    return hits
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/repo/testdata_sf10"
+    if not os.path.isdir(sf_dir):
+        print(f"sf dir {sf_dir} missing — generate with "
+              f"SF1_COPIES=100 python scripts/make_sf1.py /root/testdata/sf0.1 {sf_dir}")
+        return 2
+
+    def fresh_session():
+        # a builder that eagerly materializes (localCheckpoint / collect
+        # inside) can kill the JVM at audit scale; a dead py4j gateway
+        # would then poison every later plan with "Connection refused".
+        # Clearing pyspark's cached gateway lets a new JVM come up.
+        from pyspark import SparkContext
+        from pyspark.sql import SparkSession
+
+        try:
+            active = SparkSession.getActiveSession()
+            if active is not None:
+                active.stop()
+        except Exception:  # gateway already dead
+            pass
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        SparkContext._active_spark_context = None
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        s = get_spark("broadcast-audit")
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    spark = fresh_session()
+
+    flagged: dict[str, list[str]] = {}
+    skips: list[str] = []
+    errors: list[str] = []
+    for name in sorted(HARNESS):
+        try:
+            df = HARNESS[name][0](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — audit must see every query
+            msg = str(exc)
+            if "Connection refused" in msg or "Java gateway" in msg or "Answer from Java side is empty" in msg:
+                spark = fresh_session()  # JVM died: restart and retry once
+                try:
+                    df = HARNESS[name][0](spark, sf_dir)
+                    plan = df._jdf.queryExecution().executedPlan().toString()
+                except Exception as exc2:  # noqa: BLE001
+                    skips.append(f"{name}: {str(exc2)[:90]}")
+                    continue
+            else:
+                # eager materialization inside the builder failed at audit
+                # scale — a cost/limit of the builder, not a plan hazard;
+                # reported but non-gating
+                skips.append(f"{name}: {msg[:90]}")
+                continue
+        finally:
+            release_scoped_caches()
+        hits = audit_plan(plan)
+        if hits:
+            flagged[name] = hits
+
+    bad = {n: h for n, h in flagged.items() if n not in ALLOW}
+    print(f"broadcast audit at {sf_dir}: {len(HARNESS)} plans scanned, "
+          f"{len(flagged)} flagged ({len(flagged) - len(bad)} allow-listed), "
+          f"{len(bad)} violations, {len(skips)} plan-unavailable "
+          f"(eager materialization at audit scale), {len(errors)} errors")
+    for n, h in sorted(bad.items()):
+        print(f"VIOLATION {n}")
+        for line in h:
+            print(f"    {line}")
+    for s in skips:
+        print(f"SKIP {s}")
+    return 1 if bad or errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -189,3 +189,43 @@ def test_pq_ivf_fixed_budget_caps_and_noop(spark):
         r["code"] for r in full.select("code").distinct().collect()
     )[:16]
     assert sorted(codes) == lowest
+
+
+def test_length_prefixed_key_injective_property(spark):
+    """Property: distinct (first, second) string pairs never share a
+    length-prefixed key (the injection concat_ws lacks)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # pure-python replica of the column expression
+    def lp(a, b):
+        a = "" if a is None else str(a)
+        b = "" if b is None else str(b)
+        return f"{len(a)}:{a}:{b}"
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.tuples(st.text(max_size=8), st.text(max_size=8)),
+        st.tuples(st.text(max_size=8), st.text(max_size=8)),
+    )
+    def check(p1, p2):
+        if p1 != p2:
+            assert lp(*p1) != lp(*p2)
+
+    check()
+    # the python replica matches the Spark column on a colliding sample
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        length_prefixed_key,
+    )
+
+    rows = spark.createDataFrame(
+        [("a:b", "c"), ("a", "b:c"), ("", ""), ("::", ":")],
+        "user_id string, event_type string",
+    ).select(
+        "user_id", "event_type",
+        length_prefixed_key("user_id", "event_type").alias("k"),
+    ).collect()
+    for r in rows:
+        assert r["k"] == lp(r["user_id"], r["event_type"])
