@@ -17,6 +17,7 @@ Defaults are chosen for correctness-vs-oracle and for scale-out behavior:
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -80,12 +81,22 @@ def get_spark(
 # those block-manager entries accumulate until LRU eviction.
 #
 # scoped_cache() is cache()/persist() plus registration; harness drivers
-# (oracle_check, bench, plan_audit, the pytest session fixture) call
-# release_scoped_caches() after each query's action completes. Frames
-# released this way simply recompute if a caller re-executes an old plan
-# — correctness is unaffected, only the reuse window.
+# (oracle_check, bench, plan_audit, broadcast_audit, and a per-test
+# autouse finalizer in tests/conftest.py) call release_scoped_caches()
+# after each query's action completes. Frames released this way simply
+# recompute if a caller re-executes an old plan — correctness is
+# unaffected, only the reuse window.
+#
+# Concurrency contract: registration and release are lock-guarded, so
+# the registry itself cannot corrupt under concurrent drivers — but
+# release_scoped_caches() releases EVERY registered frame, including
+# ones another in-flight query just registered (that query's plan then
+# recomputes instead of reusing its cache; correctness unaffected).
+# The drivers above are all single-threaded; a concurrent driver should
+# scope its releases to its own frames or accept the recompute.
 # ---------------------------------------------------------------------------
 
+_SCOPED_CACHE_LOCK = threading.Lock()
 _SCOPED_CACHED_FRAMES: list = []
 
 
@@ -93,7 +104,8 @@ def scoped_cache(df, storage_level=None):
     """``df.cache()`` (or ``persist(storage_level)``) registered for
     deferred release via :func:`release_scoped_caches`."""
     df = df.persist(storage_level) if storage_level is not None else df.cache()
-    _SCOPED_CACHED_FRAMES.append(df)
+    with _SCOPED_CACHE_LOCK:
+        _SCOPED_CACHED_FRAMES.append(df)
     return df
 
 
@@ -101,11 +113,16 @@ def release_scoped_caches() -> int:
     """Unpersist every frame registered since the last release.
 
     Non-blocking; safe to call with no live SparkSession (dead frames
-    are skipped). Returns the number of frames released.
+    are skipped). Returns the number of frames released. See the
+    concurrency contract above: this releases ALL registered frames,
+    whoever registered them.
     """
     n = 0
-    while _SCOPED_CACHED_FRAMES:
-        frame = _SCOPED_CACHED_FRAMES.pop()
+    while True:
+        with _SCOPED_CACHE_LOCK:
+            if not _SCOPED_CACHED_FRAMES:
+                break
+            frame = _SCOPED_CACHED_FRAMES.pop()
         try:
             frame.unpersist(False)
             n += 1

@@ -16,17 +16,42 @@ import os
 
 from pyspark.sql import DataFrame
 
+# export_tables is a COLLECT-side sink (a workbook is a driver-local
+# artifact by nature): every sheet round-trips through toPandas(). The
+# reference's largest table is ~10k rows (SURVEY §3.3); this cap is 10x
+# that, mirroring reporting/svg.py's MAX_CHART_ROWS — an accidental
+# fact-table export should fail loudly at the cap, not OOM the driver.
+MAX_EXPORT_ROWS = 100_000
+
 
 def write_parquet_tables(tables: dict[str, DataFrame], out_dir: str) -> None:
     for name, df in tables.items():
         df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
 
 
+def _collect_capped(name: str, df: DataFrame):
+    """toPandas() bounded by MAX_EXPORT_ROWS, loud on overflow.
+
+    The probe reads cap+1 rows through a limit, so the overflow check
+    itself never materializes more than cap+1 rows driver-side.
+    """
+    pdf = df.limit(MAX_EXPORT_ROWS + 1).toPandas()
+    if len(pdf) > MAX_EXPORT_ROWS:
+        raise ValueError(
+            f"export_tables: table {name!r} exceeds MAX_EXPORT_ROWS="
+            f"{MAX_EXPORT_ROWS} — a workbook export is a driver-side "
+            "collect and is meant for reference-scale dimension/report "
+            "tables. Write large tables with write_parquet_tables / "
+            "write_partitioned, or aggregate before exporting."
+        )
+    return pdf
+
+
 def export_tables(tables: dict[str, DataFrame], out_path: str) -> str:
     """Export every table to one workbook (sheet per table), as the
     reference's generate_excel.py does — or CSV-per-table when no Excel
-    writer library is installed. Collect-side: the largest reference
-    table is ~10k rows (SURVEY §3.3).
+    writer library is installed. Collect-side, capped at
+    MAX_EXPORT_ROWS per table (loud ValueError beyond).
     """
     try:
         import openpyxl  # noqa: F401
@@ -45,14 +70,18 @@ def export_tables(tables: dict[str, DataFrame], out_path: str) -> str:
 
         with pd.ExcelWriter(out_path) as writer:
             for name, df in tables.items():
-                df.toPandas().to_excel(writer, sheet_name=name[:31], index=False)
+                _collect_capped(name, df).to_excel(
+                    writer, sheet_name=name[:31], index=False
+                )
         return out_path
 
     # fallback: CSV directory next to the requested path
     out_dir = out_path + ".csvdir"
     os.makedirs(out_dir, exist_ok=True)
     for name, df in tables.items():
-        df.toPandas().to_csv(os.path.join(out_dir, f"{name}.csv"), index=False)
+        _collect_capped(name, df).to_csv(
+            os.path.join(out_dir, f"{name}.csv"), index=False
+        )
     return out_dir
 
 

@@ -1120,15 +1120,26 @@ def stream_ivf_index_update(
     return batches["n"]
 
 
+# Version token for the Bloom state's key derivation, embedded in the
+# state parquet. Bloom bit positions are a pure function of the key
+# string, so a key-format change invalidates EVERY persisted bit: a
+# resumed stream reading old-format state would silently re-admit
+# previously-seen pairs as fresh. Bump this constant whenever
+# length_prefixed_key (or the hash over it) changes shape, and the
+# resume guard below fails loudly instead.
+BLOOM_KEY_FORMAT = "lpk1"
+
+
 def length_prefixed_key(first: str, second: str) -> Column:
     """Collision-free two-field dedup key: ``{len(first)}:{first}:{second}``.
 
     A plain ``concat_ws(":")`` makes ("a:b", "c") and ("a", "b:c")
     collide on "a:b:c" — in a Bloom-gated dedup stream that permanently
     drops one fresh pair as a duplicate of the other. Prefixing the
-    first field's byte length pins the split point regardless of the
-    fields' contents. NULL fields coalesce to "" (NULL and empty share
-    a key — documented, harmless for dedup semantics).
+    first field's character length (``F.length`` counts characters, not
+    UTF-8 octets) pins the split point regardless of the fields'
+    contents. NULL fields coalesce to "" (NULL and empty share a key —
+    documented, harmless for dedup semantics).
     """
     a = F.coalesce(F.col(first).cast("string"), F.lit(""))
     b = F.coalesce(F.col(second).cast("string"), F.lit(""))
@@ -1201,9 +1212,29 @@ def stream_bloom_dedup_to_parquet(
             os.replace(prev_dir, state_dir)
         if not os.path.isdir(state_dir):
             return []
-        return sorted(
-            r["pos"] for r in sess.read.parquet(state_dir).select("pos").collect()
-        )
+        state = sess.read.parquet(state_dir)
+        # Key-format guard (mirrors the MG/CMS query-lineage guards):
+        # bit positions are a pure function of the key string, so state
+        # written under a different key derivation would silently
+        # re-admit previously-seen pairs. Fail loudly instead of
+        # resuming wrong.
+        if "key_format" not in state.columns:
+            raise RuntimeError(
+                f"bloom dedup state at {state_dir} predates key-format "
+                f"versioning (expected key_format={BLOOM_KEY_FORMAT!r}); "
+                "its bit positions were computed from a different key "
+                "derivation and cannot be resumed. Reset state_dir, "
+                "out_dir, and the checkpoint together to re-derive."
+            )
+        fmts = {r["key_format"] for r in state.select("key_format").distinct().collect()}
+        if fmts != {BLOOM_KEY_FORMAT}:
+            raise RuntimeError(
+                f"bloom dedup state at {state_dir} was written with key "
+                f"format(s) {sorted(fmts)!r}, expected {BLOOM_KEY_FORMAT!r}; "
+                "resuming would silently re-admit previously-seen keys. "
+                "Reset state_dir, out_dir, and the checkpoint together."
+            )
+        return sorted(r["pos"] for r in state.select("pos").collect())
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         from super_store_datawarehouse_spark.operators.sketches import (
@@ -1254,8 +1285,10 @@ def stream_bloom_dedup_to_parquet(
                     [(int(p),) for p in bits], "pos long"
                 )
                 new_bits = new_bits.unionByName(old)
-            merged = new_bits.distinct().withColumn(
-                "applied_batch", F.lit(batch_id).cast("long")
+            merged = (
+                new_bits.distinct()
+                .withColumn("applied_batch", F.lit(batch_id).cast("long"))
+                .withColumn("key_format", F.lit(BLOOM_KEY_FORMAT))
             )
             tmp = tempfile.mkdtemp(dir=os.path.dirname(state_dir))
             merged.write.mode("overwrite").parquet(tmp)

@@ -30,6 +30,22 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _release_scoped_caches_per_module():
+    """Release operator-registered scoped caches between test modules.
+
+    Without this, every scoped_cache() an operator takes during a test
+    stays in the block manager for the rest of the pytest session — the
+    exact accumulation the mechanism exists to prevent. Module scope
+    (not per-test) keeps intra-module cache reuse, which some tests
+    lean on for speed, while bounding session-wide growth.
+    """
+    from super_store_datawarehouse_spark.session import release_scoped_caches
+
+    yield
+    release_scoped_caches()
+
+
 @pytest.fixture(scope="session")
 def warehouse(spark):
     from super_store_datawarehouse_spark.warehouse import build_warehouse

@@ -207,6 +207,27 @@ def test_export_tables_and_rejects_sinks(tmp_path, spark):
     assert [r["id"] for r in back.collect()] == [2]
 
 
+def test_export_tables_row_cap_fails_loudly(tmp_path, spark, monkeypatch):
+    """An accidental fact-table export must hit the MAX_EXPORT_ROWS gate
+    (actionable error), not silently collect the table onto the driver —
+    the same contract as reporting/svg.py's MAX_CHART_ROWS. The cap is
+    monkeypatched down so the test stays sub-second; the real value is
+    asserted to be driver-safe (O(100k) rows)."""
+    import pytest as _pytest
+
+    from super_store_datawarehouse_spark.sources import sinks
+
+    assert sinks.MAX_EXPORT_ROWS <= 1_000_000
+    monkeypatch.setattr(sinks, "MAX_EXPORT_ROWS", 50)
+    big = spark.range(200).withColumnRenamed("id", "v")
+    with _pytest.raises(ValueError, match="MAX_EXPORT_ROWS"):
+        sinks.export_tables({"big": big}, str(tmp_path / "big.xlsx"))
+    # reference-sized tables still export unchanged
+    small = spark.range(10).withColumnRenamed("id", "v")
+    out = sinks.export_tables({"small": small}, str(tmp_path / "small.xlsx"))
+    assert os.path.exists(out)
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """With one key holding 95% of rows, AQE's skew-join handling must
     split the hot partition (skew=true in the final adaptive plan) —
