@@ -47,7 +47,7 @@ HEADLINE = [
     "q18_cumulative_monthly_revenue",
     "q23_orders_above_average",
     "q14_dedup_exact",
-    "q17_ngram_jaccard_pairs",
+    "x317_ngram_jaccard_exact",  # ex-q17; same computation, keeps the 24-query total comparable
     "q19_minhash_lsh_pairs",
     "q20_ann_bruteforce_topk",
     "x290_events_hourly",
@@ -88,7 +88,11 @@ EXTENDED = [
     "q26_weighted_jaccard_pairs",  # ex-x299, promoted round 6
     "q35_lsh_multiprobe_recall",  # ex-x303, promoted round 6
     "x306_ivf_nprobe_frontier",
-    "x316_pq_ivf_fixed_budget",  # round-6 fixed-budget IVFADC scale fix
+    "q33_pq_ivf_ann_topk",  # ex-x316 fixed-budget IVFADC, promoted to the q33 slot round 7
+    # round-7 rotation promotions: the driver-checked configurations get
+    # their own perf trail (the demoted computations keep theirs above)
+    "q17_ngram_jaccard_dfcap",  # ex-x315, promoted round 7
+    "q46_markov_next_event_accuracy",  # ex-x307, promoted round 7
 ]
 
 

@@ -58,17 +58,17 @@ LIMITS = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
 _BASELINE_SELF_JOIN = (
     "declared exact-baseline shingle self-join: hash probe kept on purpose "
     "(merge measured 10x slower at sf10 on hot keys); scale paths are "
-    "q19 LSH / x161 PPJoin / x315 df cap — see operators/dedup.py"
+    "q19 LSH / x161 PPJoin / q17 df cap — see operators/dedup.py"
 )
 ALLOW = {
     "x169_mmr_rerank": "WindowGroupLimit-bounded top-k-per-query frames (<=10*|queries| rows)",
-    "q17_ngram_jaccard_pairs": _BASELINE_SELF_JOIN,
+    "x317_ngram_jaccard_exact": _BASELINE_SELF_JOIN,
     "x138_ngram_containment_pairs": _BASELINE_SELF_JOIN,
     "x151_minhash_estimate_eval": _BASELINE_SELF_JOIN,
     "x163_cross_source_dup_matrix": _BASELINE_SELF_JOIN,
     "x220_near_dup_overlap_eval": _BASELINE_SELF_JOIN,
     "x314_ngram_jaccard_dfcap_noop": _BASELINE_SELF_JOIN,
-    "x315_ngram_jaccard_dfcap": _BASELINE_SELF_JOIN,
+    "q17_ngram_jaccard_dfcap": _BASELINE_SELF_JOIN,
 }
 
 

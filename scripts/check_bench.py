@@ -27,7 +27,7 @@ BASELINE = {  # round-2, sf0.1, min-of-2 warm runs, Arrow drain (BASELINE.md)
     "q18_cumulative_monthly_revenue": 0.51,
     "q23_orders_above_average": 0.38,
     "q14_dedup_exact": 0.18,
-    "q17_ngram_jaccard_pairs": 1.30,
+    "x317_ngram_jaccard_exact": 1.30,  # ex-q17, renamed in the round-7 slot rotation
     "q19_minhash_lsh_pairs": 0.97,
     "q20_ann_bruteforce_topk": 0.46,
     "x290_events_hourly": 0.23,
@@ -63,7 +63,7 @@ EPOCH2 = {  # commit 004a0df, sf0.1, min-of-3 warm runs, 2026-08-15 host
     "q11_brand_revenue_majority": 0.79,
     "q12_top_parts_concat_by_brand": 0.93,
     "q14_dedup_exact": 0.22,
-    "q17_ngram_jaccard_pairs": 1.73,
+    "x317_ngram_jaccard_exact": 1.73,  # ex-q17, renamed in the round-7 slot rotation
     "q18_cumulative_monthly_revenue": 0.58,
     # q19 re-baselined at the round-6 post-merge-hint measurement: the
     # non-broadcast hint that fixed the sf10 driver OOM costs ~0.3 s warm
@@ -107,9 +107,10 @@ EPOCH2 = {  # commit 004a0df, sf0.1, min-of-3 warm runs, 2026-08-15 host
     "q26_weighted_jaccard_pairs": 2.11,
     "q35_lsh_multiprobe_recall": 2.11,
     "x306_ivf_nprobe_frontier": 8.99,
-    # round-6 fixed-budget IVFADC (caps are no-ops at sf0.1 — same plan as
-    # q33 plus two TakeOrderedAndProject)
-    "x316_pq_ivf_fixed_budget": 2.64,
+    # fixed-budget IVFADC, promoted to the q33 slot in the round-7
+    # rotation (caps are no-ops at sf0.1 — same plan as the x318 baseline
+    # plus two TakeOrderedAndProject); baseline recorded as x316 round 6
+    "q33_pq_ivf_ann_topk": 2.64,
 }
 EPOCH2_TOTAL = 19.073
 

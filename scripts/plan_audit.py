@@ -39,7 +39,7 @@ from super_store_datawarehouse_spark.session import (
 ALLOW: dict[str, str] = {
     # exact all-pairs baselines, documented as the oracle twins of the
     # banded/bucketed production paths
-    "q17_ngram_jaccard_pairs": "exact-baseline self-join (LSH twin: q19)",
+    "x317_ngram_jaccard_exact": "exact-baseline self-join (LSH twin: q19; ex-q17)",
     "q34_embedding_near_dup": "exact near-dup baseline (SemDeDup twin: x135)",
     "q20_ann_bruteforce_topk": "exact ANN baseline (LSH/IVF twins: q35/q42)",
     "q40_selection_median": "selection-vs-sort demo on a scalar",
@@ -57,8 +57,8 @@ ALLOW: dict[str, str] = {
     "x146_dedup_representatives": "within-cluster exact verify by design",
     # inner BroadcastNestedLoopJoins whose build side is k rows or a
     # scalar aggregate — the broadcast side is bounded by construction
-    "q33_pq_ivf_ann_topk": "probe x sqrt(n)-row centroid table",
-    "x316_pq_ivf_fixed_budget": "probe x <=512-cell centroid table / <=256-codeword book (fixed budgets)",
+    "x318_pq_ivf_hash_fraction": "probe x sqrt(n)-row centroid table (declared baseline, ex-q33)",
+    "q33_pq_ivf_ann_topk": "probe x <=512-cell centroid table / <=256-codeword book (fixed budgets; ex-x316)",
     "x263_ivf_ann_topk": "probe x sqrt(n)-row centroid table",
     "x125_pq_ann_topk": "probe x m-row codebook",
     "x134_pq_refined_topk": "probe x m-row codebook",

