@@ -93,6 +93,7 @@ EXTENDED = [
     # their own perf trail (the demoted computations keep theirs above)
     "q17_ngram_jaccard_dfcap",  # ex-x315, promoted round 7
     "q46_markov_next_event_accuracy",  # ex-x307, promoted round 7
+    "x161_ppjoin_jaccard_pairs",  # re-registered at its measured win threshold (t=0.8) round 7
 ]
 
 

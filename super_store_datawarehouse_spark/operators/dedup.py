@@ -413,6 +413,52 @@ def ppjoin_jaccard_pairs(
     )
 
 
+# Measured dispatch boundary for exact-Jaccard joins (SCALE.md "PPJoin
+# threshold crossover at sf10", 60M-row decade): prefix filtering wins
+# at t=0.8 (33.9 s vs 52.6 s plain — prefixes ≈ 20% of each doc prune
+# ~96% of candidate mass), TIES at t=0.5 (45.8 s vs 42.3 s), and LOSES
+# at t=0.2 (307.6 s vs 65.0 s — prefixes ≈ 80% of each doc plus the
+# rarest-first sort overhead). The sf4 decade reads the same ordering.
+# 0.7 is the lowest measured-winning threshold, so auto dispatches to
+# prefix filtering at t ≥ 0.7 and to the plain join below it (where the
+# df cap / LSH are the declared scale paths).
+PPJOIN_CROSSOVER_THRESHOLD = 0.7
+
+
+def jaccard_strategy_for(threshold: float) -> str:
+    """'ppjoin' when prefix filtering is the measured winner at this
+    threshold, else 'plain'. Pure so the decision boundary is unit-
+    pinnable."""
+    return "ppjoin" if threshold >= PPJOIN_CROSSOVER_THRESHOLD else "plain"
+
+
+def jaccard_pairs_auto(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Exact n-gram Jaccard join with measured strategy dispatch.
+
+    Both strategies return IDENTICAL rows (prefix filtering is lossless
+    — x161's value oracle is the plain construction), so the choice is
+    purely a cost decision and safe to automate: ``auto`` applies the
+    sf10-measured crossover above, ``ppjoin``/``plain`` force a side.
+    """
+    if strategy == "auto":
+        strategy = jaccard_strategy_for(threshold)
+    if strategy == "ppjoin":
+        return ppjoin_jaccard_pairs(df, text_col, id_col, n, threshold)
+    if strategy == "plain":
+        return ngram_jaccard_pairs(df, text_col, id_col, n, threshold)
+    raise ValueError(
+        f"jaccard_pairs_auto: unknown strategy {strategy!r} "
+        "(expected 'auto', 'ppjoin', or 'plain')"
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     text_col: str = "text",

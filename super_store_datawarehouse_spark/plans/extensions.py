@@ -5636,8 +5636,14 @@ def x160_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only from each document's rarest ⌈(1−t)·|s|⌉+1 shingles (pigeonhole:
 # a ≥t pair must share a prefix shingle), excluding the hot tail from
 # the join with zero recall loss. The oracle is deliberately the PLAIN
-# q17 construction — the value-hash match is the proof that the
-# pruning is lossless.
+# construction — the value-hash match is the proof that the pruning is
+# lossless. Registered at t=0.8 through the measured-crossover
+# dispatcher since round 7: prefix filtering WINS there (33.9 s vs
+# 52.6 s plain at sf10 — ~96% of candidate mass pruned); the old t=0.2
+# registration ran the algorithm in its measured LOSING region (307.6 s
+# vs 65.0 s at sf10 — prefixes ≈ 80% of each doc), kept only as the
+# documented negative result in SCALE.md. jaccard_pairs_auto encodes
+# the boundary (ppjoin at t ≥ 0.7, plain below), pinned by unit test.
 # --------------------------------------------------------------------------
 @harness_query(
     "x161_ppjoin_jaccard_pairs",
@@ -5659,12 +5665,14 @@ def x160_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE 1000 * n_inter >= 200 * (sa.n_shingles + sb.n_shingles - n_inter)
+    WHERE 1000 * n_inter >= 800 * (sa.n_shingles + sb.n_shingles - n_inter)
     """,
 )
 def x161_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ppjoin_jaccard_pairs(docs, threshold=0.2)
+    # auto resolves to 'ppjoin' at 0.8 — the dispatcher, not a forced
+    # side, so the registered query exercises the crossover logic
+    return dedup.jaccard_pairs_auto(docs, threshold=0.8)
 
 
 # --------------------------------------------------------------------------

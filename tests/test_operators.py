@@ -1951,6 +1951,43 @@ def test_ppjoin_equals_plain_and_prunes(spark, docs):
     assert cand < all_pairs
 
 
+def test_jaccard_auto_dispatch_boundary_and_equivalence(spark, docs):
+    """The auto dispatcher must encode the sf10-measured crossover
+    (SCALE.md: PPJoin wins at t>=0.7, ties at 0.5, loses below) and both
+    strategies must return identical rows on either side of it."""
+    from super_store_datawarehouse_spark.operators.dedup import (
+        PPJOIN_CROSSOVER_THRESHOLD,
+        jaccard_pairs_auto,
+        jaccard_strategy_for,
+        ngram_jaccard_pairs,
+        ppjoin_jaccard_pairs,
+    )
+
+    # decision boundary, pinned to the measurements
+    assert PPJOIN_CROSSOVER_THRESHOLD == 0.7
+    assert jaccard_strategy_for(0.2) == "plain"
+    assert jaccard_strategy_for(0.5) == "plain"   # measured tie -> cheaper plan
+    assert jaccard_strategy_for(0.69) == "plain"
+    assert jaccard_strategy_for(0.7) == "ppjoin"
+    assert jaccard_strategy_for(0.8) == "ppjoin"
+
+    def pairs(df):
+        return {(r["id_a"], r["id_b"]): r["jaccard"] for r in df.collect()}
+
+    # below the boundary auto == plain; at/above it auto == ppjoin == plain
+    assert pairs(jaccard_pairs_auto(docs, threshold=0.2)) == pairs(
+        ngram_jaccard_pairs(docs, threshold=0.2)
+    )
+    hi_auto = pairs(jaccard_pairs_auto(docs, threshold=0.8))
+    assert hi_auto == pairs(ppjoin_jaccard_pairs(docs, threshold=0.8))
+    assert hi_auto == pairs(ngram_jaccard_pairs(docs, threshold=0.8))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        jaccard_pairs_auto(docs, threshold=0.5, strategy="bogus")
+
+
 def test_stratified_exact_sample_allocation(spark):
     from super_store_datawarehouse_spark.operators.sampling import (
         stratified_exact_sample,
