@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from super_store_datawarehouse_spark.functions.exact import cents
 from super_store_datawarehouse_spark.session import scoped_cache
 from super_store_datawarehouse_spark.operators import dedup, similarity
+from super_store_datawarehouse_spark.operators import sampling as sampling_ops
 from super_store_datawarehouse_spark.operators.sampling import bucket_sql as _bucket_sql
 from super_store_datawarehouse_spark.operators.sampling import knuth_sql as _knuth_sql
 from super_store_datawarehouse_spark.operators.multimodal import (
@@ -15515,15 +15516,35 @@ def q39_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x294_int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _int8_recall_eval(spark, sf_dir, corpus_sample_n=None)
+
+
+def _int8_recall_eval(
+    spark: SparkSession, sf_dir: str, corpus_sample_n: int | None, salt: int = 17
+) -> DataFrame:
+    """x294's quantization-recall eval, optionally over a deterministic
+    fixed-size hash sample of the CORPUS side (queries always come from
+    the full table). With the bound set, both brute-force rankings are
+    GEMMs over ``sample_n`` vectors regardless of corpus scale — the
+    flat-cost eval contract (VERDICT r6 #7); unset, it is x294
+    verbatim. x320 proves the sampled code path a bit-identical no-op
+    (bound >> any corpus); x321 value-oracles the BINDING semantics at
+    sample_n=500 (already binding at sf0.01 — the x316 lesson: capacity
+    caps must be exercised where they bind)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    corpus = (
+        sampling_ops.hash_sample_n(emb, "vec_id", corpus_sample_n, salt=salt)
+        if corpus_sample_n is not None
+        else emb
+    )
     full_q = emb.filter(F.col("vec_id") < 10)
-    full_top = similarity.brute_force_topk(emb, full_q, k=5).select(
+    full_top = similarity.brute_force_topk(corpus, full_q, k=5).select(
         "query_id", "neighbor_id"
     )
-    quant = similarity.scalar_quantize_unit(emb)
-    quant_q = quant.filter(F.col("vec_id") < 10)
+    quant_corpus = similarity.scalar_quantize_unit(corpus)
+    quant_q = similarity.scalar_quantize_unit(emb).filter(F.col("vec_id") < 10)
     quant_top = (
-        similarity.brute_force_topk(quant, quant_q, k=5)
+        similarity.brute_force_topk(quant_corpus, quant_q, k=5)
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
     )
@@ -16644,4 +16665,94 @@ def q33_pq_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_salt=7,
         max_cells=512,
         codebook_size=256,
+    )
+
+
+# --------------------------------------------------------------------------
+# x320/x321 — sample-bounded brute-force ground truth (VERDICT r6 #7).
+# The recall evals (x294/x291/x148/x220 family) run EXACT rankings as
+# their ground truth; with the corpus unsampled that cost grows
+# linearly with corpus size even at a fixed query count. hash_sample_n
+# (operators/sampling.py) bounds the corpus side to a deterministic
+# fixed-size hash sample — one TakeOrderedAndProject, statically SQL-
+# expressible — so the eval is flat-cost at any corpus scale. Both
+# directions proved, the x314/x315 pattern: x320 runs the sampled code
+# path with a 10^6 bound — a no-op at every oracle scale (the sf0.1
+# corpus is 2·10^4 vectors) while staying inside hash_sample_n's
+# MAX_SAMPLE_N heap contract — and oracles against x294's UNSAMPLED
+# SQL (bit-identical no-op); x321 runs sample_n=200 — BINDING at
+# sf0.01's 500-vector corpus (the x316 lesson: capacity bounds must be
+# exercised where they bind; 500 would NOT bind there, verified the
+# hard way) — with the sampled-universe semantics spelled out in SQL
+# (corpus CTE hash-sampled, queries from the full table).
+# --------------------------------------------------------------------------
+_X294_SQL_BODY = _HARNESS["x294_int8_quant_recall"][1]
+
+
+@harness_query("x320_int8_recall_gt_noop", oracle=_X294_SQL_BODY)
+def x320_int8_recall_gt_noop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _int8_recall_eval(spark, sf_dir, corpus_sample_n=1_000_000)
+
+
+_X321_SAMPLE_N = 200
+_X321_SALT = 17
+
+
+@harness_query(
+    "x321_int8_recall_gt_sampled",
+    oracle=f"""
+    WITH fe_full AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt({_COSINE_FOLD.format(a='CAST(embedding AS DOUBLE[])', b='CAST(embedding AS DOUBLE[])')}) AS nrm
+      FROM embeddings
+    ), fe AS (
+      SELECT * FROM fe_full
+      {sampling_ops.hash_sample_n_sql('vec_id', _X321_SAMPLE_N, _X321_SALT)}
+    ), fq AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM fe_full WHERE vec_id < 10
+    ), ftop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT fq.query_id, fe.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY fq.query_id
+                 ORDER BY {_COSINE_FOLD.format(a='qv', b='v')} / (fq.qnrm * fe.nrm) DESC,
+                          fe.vec_id) AS rank
+        FROM fq JOIN fe ON fe.vec_id != fq.query_id
+      ) WHERE rank <= 5
+    ), qe0 AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor((x / nrm) * 127.0 + 0.5) AS DOUBLE)) AS v
+      FROM fe WHERE nrm > 0 AND isfinite(nrm)
+    ), qe AS (
+      SELECT vec_id, v,
+             sqrt({_COSINE_FOLD.format(a='v', b='v')}) AS nrm
+      FROM qe0
+    ), qq0 AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor((x / nrm) * 127.0 + 0.5) AS DOUBLE)) AS v
+      FROM fe_full WHERE nrm > 0 AND isfinite(nrm) AND vec_id < 10
+    ), qq AS (
+      SELECT vec_id AS query_id, v AS qv,
+             sqrt({_COSINE_FOLD.format(a='v', b='v')}) AS qnrm
+      FROM qq0
+    ), qtop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qq.query_id, qe.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY qq.query_id
+                 ORDER BY {_COSINE_FOLD.format(a='qv', b='v')} / (qq.qnrm * qe.nrm) DESC,
+                          qe.vec_id) AS rank
+        FROM qq JOIN qe ON qe.vec_id != qq.query_id
+        WHERE qe.nrm > 0 AND qq.qnrm > 0
+      ) WHERE rank <= 5
+    )
+    SELECT f.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+           CAST((COUNT(t.neighbor_id) * 1000) // 5 AS BIGINT) AS recall_pm
+    FROM ftop f LEFT JOIN qtop t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id ORDER BY f.query_id
+    """,
+)
+def x321_int8_recall_gt_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _int8_recall_eval(
+        spark, sf_dir, corpus_sample_n=_X321_SAMPLE_N, salt=_X321_SALT
     )

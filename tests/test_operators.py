@@ -1988,6 +1988,40 @@ def test_jaccard_auto_dispatch_boundary_and_equivalence(spark, docs):
         jaccard_pairs_auto(docs, threshold=0.5, strategy="bogus")
 
 
+def test_hash_sample_n_fixed_size_deterministic_and_capped(spark):
+    from super_store_datawarehouse_spark.operators.sampling import (
+        MAX_SAMPLE_N,
+        hash_sample_n,
+        hash_sample_n_sql,
+        knuth_hash,
+    )
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    got = sorted(r["k"] for r in hash_sample_n(df, "k", 37, salt=5).collect())
+    assert len(got) == 37
+    # deterministic across reruns and repartitioning
+    again = sorted(
+        r["k"] for r in hash_sample_n(df.repartition(7), "k", 37, salt=5).collect()
+    )
+    assert got == again
+    # exactly the 37 lowest (hash, key) ranks — replicate driver-side
+    ranked = sorted(
+        (r["h"], r["k"])
+        for r in df.select("k", knuth_hash("k", 5).alias("h")).collect()
+    )
+    assert got == sorted(k for _, k in ranked[:37])
+    # plans as TakeOrderedAndProject (streaming top-n, never a full sort)
+    plan = hash_sample_n(df, "k", 37)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # SQL twin composes as an ORDER BY ... LIMIT clause
+    assert hash_sample_n_sql("k", 37, 5).startswith("ORDER BY")
+    # the heap contract is loud: the top-n queue pre-allocates at n
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="MAX_SAMPLE_N"):
+        hash_sample_n(df, "k", MAX_SAMPLE_N + 1)
+
+
 def test_stratified_exact_sample_allocation(spark):
     from super_store_datawarehouse_spark.operators.sampling import (
         stratified_exact_sample,
