@@ -137,29 +137,81 @@ def main() -> int:
 
     spark = fresh_session()
 
+    # Builders whose construction eagerly materializes (k-core peeling,
+    # BPE merge rounds, datasheet stats, PCA iterates call
+    # localCheckpoint/collect while BUILDING the plan) can fail or OOM
+    # at the sf10 decade. Their final STATIC plan is still auditable at
+    # a smaller decade: the hazard pattern this audit hunts —
+    # BroadcastExchange over a stat-less subtree — is a property of plan
+    # TOPOLOGY (Catalyst has no stats for cached/Python relations at ANY
+    # scale, so the broadcast choice is scale-invariant), not of data
+    # volume. So a query that cannot construct at sf_dir falls back to
+    # FALLBACK_SF_DIR (sf1 by default) and is audited there, labeled;
+    # a query that fails at BOTH scales is a gating error. Per-query
+    # justifications are pinned in COVERAGE.md.
+    fallback_dir = os.environ.get(
+        "BCAST_AUDIT_FALLBACK_SF", "/root/repo/testdata_sf1"
+    )
+
+    def is_jvm_death(msg: str) -> bool:
+        return (
+            "Connection refused" in msg
+            or "Java gateway" in msg
+            or "Answer from Java side is empty" in msg
+            or "Connection reset" in msg
+        )
+
+    def build_plan(name: str, d: str) -> str:
+        df = HARNESS[name][0](spark, d)
+        return df._jdf.queryExecution().executedPlan().toString()
+
     flagged: dict[str, list[str]] = {}
-    skips: list[str] = []
-    errors: list[str] = []
+    fallback_audited: list[str] = []
+    errors: list[str] = []  # gating: unauditable at BOTH scales
     for name in sorted(HARNESS):
+        plan = None
+        primary_msg = ""
         try:
-            df = HARNESS[name][0](spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-        except Exception as exc:  # noqa: BLE001 — audit must see every query
-            msg = str(exc)
-            if "Connection refused" in msg or "Java gateway" in msg or "Answer from Java side is empty" in msg:
-                spark = fresh_session()  # JVM died: restart and retry once
+            try:
+                plan = build_plan(name, sf_dir)
+            except Exception as exc:  # noqa: BLE001 — audit must see every query
+                primary_msg = str(exc)
+                if is_jvm_death(primary_msg):
+                    spark = fresh_session()  # JVM died: restart, retry once
+                    try:
+                        plan = build_plan(name, sf_dir)
+                    except Exception as exc2:  # noqa: BLE001
+                        primary_msg = str(exc2)
+                        if is_jvm_death(primary_msg):
+                            spark = fresh_session()
+            if plan is None:
+                # eager materialization failed at audit scale — audit the
+                # same static plan at the fallback decade instead
                 try:
-                    df = HARNESS[name][0](spark, sf_dir)
-                    plan = df._jdf.queryExecution().executedPlan().toString()
-                except Exception as exc2:  # noqa: BLE001
-                    skips.append(f"{name}: {str(exc2)[:90]}")
-                    continue
-            else:
-                # eager materialization inside the builder failed at audit
-                # scale — a cost/limit of the builder, not a plan hazard;
-                # reported but non-gating
-                skips.append(f"{name}: {msg[:90]}")
-                continue
+                    plan = build_plan(name, fallback_dir)
+                    fallback_audited.append(
+                        f"{name}: sf10 [{primary_msg[:70]}]"
+                    )
+                except Exception as exc3:  # noqa: BLE001
+                    if is_jvm_death(str(exc3)):
+                        spark = fresh_session()
+                        try:
+                            plan = build_plan(name, fallback_dir)
+                            fallback_audited.append(
+                                f"{name}: sf10 [{primary_msg[:70]}]"
+                            )
+                        except Exception as exc4:  # noqa: BLE001
+                            errors.append(
+                                f"{name}: sf10 [{primary_msg[:70]}] "
+                                f"fallback [{str(exc4)[:70]}]"
+                            )
+                            continue
+                    else:
+                        errors.append(
+                            f"{name}: sf10 [{primary_msg[:70]}] "
+                            f"fallback [{str(exc3)[:70]}]"
+                        )
+                        continue
         finally:
             release_scoped_caches()
         hits = audit_plan(plan)
@@ -167,16 +219,19 @@ def main() -> int:
             flagged[name] = hits
 
     bad = {n: h for n, h in flagged.items() if n not in ALLOW}
-    print(f"broadcast audit at {sf_dir}: {len(HARNESS)} plans scanned, "
+    print(f"broadcast audit at {sf_dir}: {len(HARNESS)} plans scanned "
+          f"({len(HARNESS) - len(fallback_audited) - len(errors)} at {sf_dir}, "
+          f"{len(fallback_audited)} at the {fallback_dir} fallback), "
           f"{len(flagged)} flagged ({len(flagged) - len(bad)} allow-listed), "
-          f"{len(bad)} violations, {len(skips)} plan-unavailable "
-          f"(eager materialization at audit scale), {len(errors)} errors")
+          f"{len(bad)} violations, {len(errors)} unauditable (gating)")
     for n, h in sorted(bad.items()):
         print(f"VIOLATION {n}")
         for line in h:
             print(f"    {line}")
-    for s in skips:
-        print(f"SKIP {s}")
+    for s in fallback_audited:
+        print(f"FALLBACK {s}")
+    for e in errors:
+        print(f"ERROR {e}")
     return 1 if bad or errors else 0
 
 

@@ -1,0 +1,212 @@
+"""Streaming throughput / batch-latency / state-size measurement
+(SCALE.md §12, VERDICT r6 #4).
+
+The streaming family carries stream≡batch value oracles and
+exactly-once restart proofs (tests/test_streaming.py) but until round 7
+had no measured scale point. This script replays a large events table
+(sf1 = 1,000,000 rows by default) through four representative jobs as a
+file stream of N time-ordered micro-batches (maxFilesPerTrigger=1) and
+records, per job:
+
+- sustained throughput (total input rows / wall seconds),
+- per-batch latency (mean + max of the query's own progress log),
+- state size over the run (peak stateOperators memory for jobs with
+  Spark-managed state; final on-disk state bytes for the parquet-state
+  sketch sinks), so state GROWTH over >=20 micro-batches is visible.
+
+Jobs: sessionize (session_window stateful agg, native parquet sink),
+hourly counts (windowed agg, complete mode), count-min sketch sink,
+Bloom-gated dedup — the set VERDICT r6 #4 names.
+
+Usage:
+  python scripts/streaming_bench.py [sf_dir] [n_batches] [--json out.json]
+
+Timing discipline: run on an idle host (no concurrent Spark JVMs) —
+same contention rule as bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+try:
+    import super_store_datawarehouse_spark  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from super_store_datawarehouse_spark.session import get_spark  # noqa: E402
+
+
+def stage_batches(spark, sf_dir: str, staging: str, n_batches: int) -> int:
+    """Split the events table into n_batches time-contiguous parquet
+    files named so the file stream replays them in event-time order
+    (FileStreamSource picks files by modification time; names are for
+    humans). Returns total rows staged."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    total = ev.count()
+    w = Window.orderBy("ts", "event_id")
+    part_dir = os.path.join(staging, "_parts")
+    (
+        ev.withColumn("__b", F.ntile(n_batches).over(w) - 1)
+        .repartition(n_batches, "__b")
+        .write.mode("overwrite")
+        .partitionBy("__b")
+        .parquet(part_dir)
+    )
+    os.makedirs(os.path.join(staging, "src"), exist_ok=True)
+    now = time.time()
+    for b in range(n_batches):
+        d = os.path.join(part_dir, f"__b={b}")
+        parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(parts) == 1, f"batch {b}: expected 1 file, got {parts}"
+        dst = os.path.join(staging, "src", f"events_{b:04d}.parquet")
+        shutil.move(os.path.join(d, parts[0]), dst)
+        os.utime(dst, (now + b, now + b))  # replay order = event-time order
+    shutil.rmtree(part_dir)
+    return total
+
+
+class _Capture:
+    """StreamingQueryListener that keeps every progress JSON."""
+
+    def __init__(self):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                outer.progress.append(json.loads(event.progress.json))
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self.progress: list[dict] = []
+        self.listener = L()
+
+    def summarize(self) -> dict:
+        rows = [p for p in self.progress if p.get("numInputRows", 0) > 0]
+        durs = [p["durationMs"].get("triggerExecution", 0) for p in rows]
+        state_rows = []
+        state_mem = []
+        for p in rows:
+            for so in p.get("stateOperators", []) or []:
+                state_rows.append(so.get("numRowsTotal", 0))
+                state_mem.append(so.get("memoryUsedBytes", 0))
+        return {
+            "batches": len(rows),
+            "input_rows": sum(p["numInputRows"] for p in rows),
+            "batch_ms_mean": round(sum(durs) / len(durs), 1) if durs else None,
+            "batch_ms_max": max(durs) if durs else None,
+            "state_rows_peak": max(state_rows) if state_rows else None,
+            "state_mem_peak_bytes": max(state_mem) if state_mem else None,
+        }
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/repo/testdata_sf1"
+    n_batches = int(args[1]) if len(args) > 1 else 25
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+
+    spark = get_spark("streaming-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from super_store_datawarehouse_spark.streaming import jobs
+
+    staging = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        total = stage_batches(spark, sf_dir, staging, n_batches)
+        src = os.path.join(staging, "src")
+        print(f"staged {total} rows into {n_batches} files at {src}")
+
+        results: dict[str, dict] = {}
+
+        def run(name, fn, state_dir=None):
+            cap = _Capture()
+            spark.streams.addListener(cap.listener)
+            t0 = time.perf_counter()
+            fn()
+            wall = time.perf_counter() - t0
+            time.sleep(2)  # listener events are async; let them drain
+            spark.streams.removeListener(cap.listener)
+            s = cap.summarize()
+            s["wall_s"] = round(wall, 2)
+            s["rows_per_s"] = round(s["input_rows"] / wall) if s["input_rows"] else 0
+            if state_dir is not None and os.path.isdir(state_dir):
+                s["state_disk_bytes"] = dir_bytes(state_dir)
+            results[name] = s
+            print(f"{name}: {s}")
+
+        out = lambda n: os.path.join(staging, n)  # noqa: E731
+
+        run(
+            "sessionize",
+            lambda: jobs.stream_sessionize_to_parquet(
+                spark, src, out("sessions"),
+                checkpoint=out("ck_sess"),
+            ),
+        )
+        run(
+            "hourly_counts",
+            lambda: jobs.hourly_counts_to_parquet(spark, src, out("hourly")),
+        )
+        run(
+            "countmin_sink",
+            lambda: jobs.stream_countmin_to_parquet(
+                spark, src, out("cms"), checkpoint=out("ck_cms")
+            ),
+            state_dir=out("cms"),
+        )
+        run(
+            "bloom_dedup",
+            lambda: jobs.stream_bloom_dedup_to_parquet(
+                spark, src, out("bloom_out"), out("bloom_state"),
+                m_bits=1 << 16, k_hashes=2, checkpoint=out("ck_bloom"),
+            ),
+            state_dir=out("bloom_state"),
+        )
+
+        line = {
+            "metric": "streaming_bench",
+            "sf_dir": sf_dir,
+            "rows": total,
+            "n_batches": n_batches,
+            "jobs": results,
+        }
+        print(json.dumps(line))
+        if json_out:
+            with open(json_out, "w") as fh:
+                fh.write(json.dumps(line) + "\n")
+        return 0
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

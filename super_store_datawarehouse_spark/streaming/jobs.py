@@ -260,6 +260,61 @@ def hourly_counts_to_parquet(
     return batches["n"]
 
 
+def stream_sessionize_to_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    checkpoint: str | None = None,
+) -> int:
+    """Streaming sessionization: ``session_window`` gap-merge per user
+    (the streaming twin of x26's batch session build / q22's operator),
+    append-mode, finalized sessions land in parquet exactly once.
+
+    The watermark bounds session state: an open session is held only
+    until the watermark passes its end + gap (no new event can extend
+    it), then emits ONCE and its state is dropped — the 100 TB/day
+    contract (state ∝ open sessions inside the watermark horizon, not
+    stream history). The native parquet sink + checkpoint give
+    exactly-once file commits without a foreachBatch escape hatch.
+    Returns the number of micro-batches processed (from the query's
+    progress log).
+    """
+    sess = (
+        read_events_stream(spark, src_dir)
+        .withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "first_event_id",
+        )
+    )
+    writer = (
+        sess.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+    )
+    writer = writer.option(
+        "checkpointLocation",
+        checkpoint or os.path.join(out_dir, "_checkpoint"),
+    )
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+        n = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    finally:
+        q.stop()
+    return n
+
+
 def enriched_nation_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the events stream enriched against the static
     customer table (broadcast — no stream state at all), aggregated per

@@ -1319,3 +1319,53 @@ def test_stream_misra_gries_checkpoint_loss_fails_loud(tmp_path, spark):
         )
     after = {(r["word"], r["mg_cnt"]) for r in spark.read.parquet(out).collect()}
     assert after == before
+
+
+def test_stream_sessionize_matches_batch_on_finalized_sessions(tmp_path, spark):
+    """Append-mode session_window stream: every emitted session must
+    exactly match the batch session build, and every session ending
+    comfortably before the final watermark must have been emitted
+    (finalized-and-dropped, the bounded-state contract)."""
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        stream_sessionize_to_parquet,
+    )
+
+    out = str(tmp_path / "sessions")
+    n = stream_sessionize_to_parquet(spark, SF_DIR, out, gap="30 minutes",
+                                     watermark="2 hours")
+    assert n >= 1
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]):
+        (r["n_events"], r["first_event_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) > 0
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("event_id").alias("first_event_id"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events", "first_event_id")
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]):
+        (r["n_events"], r["first_event_id"])
+        for r in batch.collect()
+    }
+    # (a) everything emitted is a true finalized session, values exact
+    for k, v in got.items():
+        assert want[k] == v
+    # (b) completeness: sessions ending >= gap+watermark+1h before the
+    # stream's max event time are unambiguously finalized -> must emit
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=3, minutes=30)
+    must_emit = {k for k in want if k[2] < cutoff}
+    assert must_emit, "fixture too small to exercise finalization"
+    missing = must_emit - set(got)
+    assert not missing
