@@ -154,21 +154,38 @@ def main() -> int:
     )
 
     def is_jvm_death(msg: str) -> bool:
-        return (
-            "Connection refused" in msg
-            or "Java gateway" in msg
-            or "Answer from Java side is empty" in msg
-            or "Connection reset" in msg
+        # an executor OOM inside an eager builder stops the SparkContext:
+        # later calls on the same session raise IllegalStateException /
+        # "stopped SparkContext" / py4j gateway errors — all mean "this
+        # session is unusable", not "this query is unauditable"
+        return any(
+            pat in msg
+            for pat in (
+                "Connection refused",
+                "Java gateway",
+                "Answer from Java side is empty",
+                "Connection reset",
+                "IllegalStateException",
+                "stopped SparkContext",
+                "SparkContext was shut down",
+                "SparkEnv",
+                "Py4JNetworkError",
+            )
         )
 
     def build_plan(name: str, d: str) -> str:
         df = HARNESS[name][0](spark, d)
         return df._jdf.queryExecution().executedPlan().toString()
 
+    # optional positional query names after sf_dir: audit only those
+    # (targeted re-runs of fallback/error queries without the full sweep)
+    subset = [a for a in args[1:] if a in HARNESS]
+    names = subset or sorted(HARNESS)
+
     flagged: dict[str, list[str]] = {}
     fallback_audited: list[str] = []
     errors: list[str] = []  # gating: unauditable at BOTH scales
-    for name in sorted(HARNESS):
+    for name in names:
         plan = None
         primary_msg = ""
         try:
@@ -186,32 +203,33 @@ def main() -> int:
                             spark = fresh_session()
             if plan is None:
                 # eager materialization failed at audit scale — audit the
-                # same static plan at the fallback decade instead
-                try:
-                    plan = build_plan(name, fallback_dir)
-                    fallback_audited.append(
-                        f"{name}: sf10 [{primary_msg[:70]}]"
-                    )
-                except Exception as exc3:  # noqa: BLE001
-                    if is_jvm_death(str(exc3)):
-                        spark = fresh_session()
-                        try:
-                            plan = build_plan(name, fallback_dir)
-                            fallback_audited.append(
-                                f"{name}: sf10 [{primary_msg[:70]}]"
-                            )
-                        except Exception as exc4:  # noqa: BLE001
-                            errors.append(
-                                f"{name}: sf10 [{primary_msg[:70]}] "
-                                f"fallback [{str(exc4)[:70]}]"
-                            )
-                            continue
-                    else:
-                        errors.append(
-                            f"{name}: sf10 [{primary_msg[:70]}] "
-                            f"fallback [{str(exc3)[:70]}]"
+                # same static plan at the fallback decade instead. The
+                # primary failure may have stopped the SparkContext (an
+                # OOM inside the builder), so ALWAYS start from a fresh
+                # session here; one more restart+retry after that, then
+                # give up (gating).
+                def one_line(m: str) -> str:
+                    return " ".join(m.split())[:90]
+
+                plan_err = None
+                for _attempt in range(2):
+                    spark = fresh_session()
+                    try:
+                        plan = build_plan(name, fallback_dir)
+                        fallback_audited.append(
+                            f"{name}: sf10 [{one_line(primary_msg)}]"
                         )
-                        continue
+                        break
+                    except Exception as exc3:  # noqa: BLE001
+                        plan_err = exc3
+                        if not is_jvm_death(str(exc3)):
+                            break  # a real builder failure, retry won't help
+                if plan is None:
+                    errors.append(
+                        f"{name}: sf10 [{one_line(primary_msg)}] "
+                        f"fallback [{one_line(str(plan_err))}]"
+                    )
+                    continue
         finally:
             release_scoped_caches()
         hits = audit_plan(plan)
@@ -219,8 +237,8 @@ def main() -> int:
             flagged[name] = hits
 
     bad = {n: h for n, h in flagged.items() if n not in ALLOW}
-    print(f"broadcast audit at {sf_dir}: {len(HARNESS)} plans scanned "
-          f"({len(HARNESS) - len(fallback_audited) - len(errors)} at {sf_dir}, "
+    print(f"broadcast audit at {sf_dir}: {len(names)} plans scanned "
+          f"({len(names) - len(fallback_audited) - len(errors)} at {sf_dir}, "
           f"{len(fallback_audited)} at the {fallback_dir} fallback), "
           f"{len(flagged)} flagged ({len(flagged) - len(bad)} allow-listed), "
           f"{len(bad)} violations, {len(errors)} unauditable (gating)")
