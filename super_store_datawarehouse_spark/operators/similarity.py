@@ -64,7 +64,19 @@ def brute_force_topk(
     4k×16k scoring — vs milliseconds as a GEMM.
     """
     spark = corpus.sparkSession
-    q = _prep(queries, id_col, vec_col, "query_id", "qv", "qnrm")
+    # Cache-barrier the query frame before _prep: the norm filter _prep
+    # adds is a predicate over a computed column, and predicate pushdown
+    # will otherwise collapse it through the caller's projections into
+    # the query frame's SCAN — with the (possibly nested) fold expression
+    # inlined in an interpreted Filter conjunct evaluated before any
+    # cheap id predicate. For a `corpus.filter(id < 10)` query set that
+    # turns a 10-row prep into a full-corpus fold pass (measured: 94 s of
+    # a 110 s eval at sf10). The query side is contractually small (it is
+    # collected + broadcast below), so the cache is bounded; the first
+    # materialization evaluates only the CALLER's own plan.
+    from super_store_datawarehouse_spark.session import scoped_cache
+
+    q = _prep(scoped_cache(queries), id_col, vec_col, "query_id", "qv", "qnrm")
     q_rows = q.toPandas()
     if len(q_rows) == 0:
         return spark.createDataFrame(
