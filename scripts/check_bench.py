@@ -111,6 +111,11 @@ EPOCH2 = {  # commit 004a0df, sf0.1, min-of-3 warm runs, 2026-08-15 host
     # rotation (caps are no-ops at sf0.1 — same plan as the x318 baseline
     # plus two TakeOrderedAndProject); baseline recorded as x316 round 6
     "q33_pq_ivf_ann_topk": 2.64,
+    # round-7 rotation promotions + the re-registered PPJoin showcase,
+    # recorded on the 2026-08-15 epoch-2 host at the round-7 final bench
+    "q17_ngram_jaccard_dfcap": 1.17,
+    "q46_markov_next_event_accuracy": 0.60,
+    "x161_ppjoin_jaccard_pairs": 1.19,
 }
 EPOCH2_TOTAL = 19.073
 
