@@ -73,11 +73,18 @@ def brute_force_topk(
     # turns a 10-row prep into a full-corpus fold pass (measured: 94 s of
     # a 110 s eval at sf10). The query side is contractually small (it is
     # collected + broadcast below), so the cache is bounded; the first
-    # materialization evaluates only the CALLER's own plan.
-    from super_store_datawarehouse_spark.session import scoped_cache
-
-    q = _prep(scoped_cache(queries), id_col, vec_col, "query_id", "qv", "qnrm")
-    q_rows = q.toPandas()
+    # materialization evaluates only the CALLER's own plan. The persist
+    # is scoped to THIS collect and released immediately: Spark's cache
+    # is plan-keyed, so a lingering entry would rewrite the CALLER's own
+    # later uses of the same frame into stat-less InMemoryTableScans
+    # (observed: six filter-bounded query-side broadcasts tripping the
+    # sf10 broadcast-hazard audit).
+    queries = queries.persist()
+    try:
+        q = _prep(queries, id_col, vec_col, "query_id", "qv", "qnrm")
+        q_rows = q.toPandas()
+    finally:
+        queries.unpersist(False)
     if len(q_rows) == 0:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank long, cosine double"

@@ -15543,15 +15543,10 @@ def _int8_recall_eval(
         if corpus_sample_n is not None
         else emb
     )
-    # cache-barrier the 10-row query set: without it, predicate pushdown
-    # collapses _prep's norm filter through the (quantize) projection
-    # into the full-table scan, with the nested fold expression inlined
-    # in an INTERPRETED Filter conjunct that evaluates BEFORE the cheap
-    # id predicate — measured 94 s of the sampled eval's 110 s at sf10,
-    # for 10 query rows. The cache cuts the pushdown at a 10-row
-    # boundary and feeds BOTH ranking branches; values identical
-    # (row-wise ops commute with the id filter — the oracle pins it).
-    queries_raw = scoped_cache(emb.filter(F.col("vec_id") < 10))
+    # the 10-row query set feeds both ranking branches; the pushdown
+    # cache-barrier itself lives inside brute_force_topk (scoped to its
+    # query collect), so no extra cache is taken here
+    queries_raw = emb.filter(F.col("vec_id") < 10)
     full_top = similarity.brute_force_topk(corpus, queries_raw, k=5).select(
         "query_id", "neighbor_id"
     )
