@@ -10446,8 +10446,11 @@ def x219_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(sizes.n_exact AS BIGINT) AS n_exact,
            CAST(sizes.n_lsh AS BIGINT) AS n_lsh,
            CAST(i.n_common AS BIGINT) AS n_common,
+           -- NULL agreement when neither detector finds a pair (a tiny
+           -- sample at huge corpus scale): both engines integer-divide
+           -- by NULLIF(0) -> NULL, keeping the hash compare aligned
            CAST(i.n_common * 1000000
-                // (sizes.n_exact + sizes.n_lsh - i.n_common) AS BIGINT)
+                // NULLIF(sizes.n_exact + sizes.n_lsh - i.n_common, 0) AS BIGINT)
              AS pairset_jaccard_ppm
     FROM i CROSS JOIN sizes
     """,
@@ -10465,7 +10468,7 @@ def x220_near_dup_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(n_exact AS bigint) AS n_exact",
             "cast(n_lsh AS bigint) AS n_lsh",
             "cast(n_common AS bigint) AS n_common",
-            "n_common * 1000000 div (n_exact + n_lsh - n_common)"
+            "n_common * 1000000 div nullif(n_exact + n_lsh - n_common, 0)"
             " AS pairset_jaccard_ppm",
         )
     )
@@ -16764,4 +16767,60 @@ _X321_SALT = 17
 def x321_int8_recall_gt_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _int8_recall_eval(
         spark, sf_dir, corpus_sample_n=_X321_SAMPLE_N, salt=_X321_SALT
+    )
+
+
+# --------------------------------------------------------------------------
+# x322 — sample-bounded near-dup detector agreement (the hash_sample_n
+# composition proof across the DEDUP family, extending x320/x321's
+# ANN-eval proofs): x220's exact-vs-LSH pair-set agreement, run over a
+# deterministic fixed-size document sample. At 100 TB the agreement
+# eval (whose exact side is the O(Σdf²) ground truth) runs on a pinned
+# sample, flat-cost vs corpus size; the sample is one
+# TakeOrderedAndProject and the whole composition — shingles, MinHash
+# signatures, band buckets, exact verification, the agreement numbers —
+# stays value-oracled over the sampled universe. sample_n=200 BINDS at
+# sf0.01's 500-doc corpus (the x316/x321 lesson). Caveat, measured at
+# sf10: a uniform sample catches a dup PAIR only when both members
+# land in it, so a fixed tiny sample over a huge corpus yields zero
+# pairs (ppm goes NULL via the NULLIF guard) — size sample_n to the
+# pair coverage you need; the flat-cost property is what this slot
+# pins (14.5 s at sf10 vs ~110 s for the unsampled composition).
+# --------------------------------------------------------------------------
+_X322_SAMPLE_N = 200
+_X322_SALT = 23
+_X322_ORACLE = (
+    "WITH documents_s AS (\n      SELECT * FROM documents "
+    + sampling_ops.hash_sample_n_sql("doc_id", _X322_SAMPLE_N, _X322_SALT)
+    + "\n    ), "
+    + _HARNESS["x220_near_dup_overlap_eval"][1]
+    .replace("FROM documents", "FROM documents_s")
+    .strip()
+    .removeprefix("WITH ")
+)
+assert _X322_ORACLE.count("FROM documents_s") == 2
+
+
+@harness_query("x322_near_dup_overlap_sampled", oracle=_X322_ORACLE)
+def x322_near_dup_overlap_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # one cached sample feeds BOTH detectors (single selection scan)
+    docs_s = scoped_cache(
+        sampling_ops.hash_sample_n(docs, "doc_id", _X322_SAMPLE_N, salt=_X322_SALT)
+    )
+    e = dedup.ngram_jaccard_pairs(docs_s, n=3, threshold=0.2).select("id_a", "id_b")
+    l = dedup.minhash_lsh_pairs_md5(docs_s, threshold=0.2).select("id_a", "id_b")
+    i = e.join(l, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_common"))
+    sizes = e.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        l.agg(F.count(F.lit(1)).alias("n_lsh"))
+    )
+    return (
+        i.crossJoin(F.broadcast(sizes))
+        .selectExpr(
+            "cast(n_exact AS bigint) AS n_exact",
+            "cast(n_lsh AS bigint) AS n_lsh",
+            "cast(n_common AS bigint) AS n_common",
+            "n_common * 1000000 div nullif(n_exact + n_lsh - n_common, 0)"
+            " AS pairset_jaccard_ppm",
+        )
     )
