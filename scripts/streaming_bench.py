@@ -172,6 +172,28 @@ def main() -> int:
                 checkpoint=out("ck_sess"),
             ),
         )
+        # same stateful job on the RocksDB state store — the provider a
+        # 100 TB deployment runs (state off-heap/on-disk, bounded JVM
+        # pressure); tests already prove correctness on it, this records
+        # the throughput/latency cost next to the default HDFS-backed
+        # in-memory provider
+        rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, rocks)
+        try:
+            run(
+                "sessionize_rocksdb",
+                lambda: jobs.stream_sessionize_to_parquet(
+                    spark, src, out("sessions_rocks"),
+                    checkpoint=out("ck_sess_rocks"),
+                ),
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         run(
             "hourly_counts",
             lambda: jobs.hourly_counts_to_parquet(spark, src, out("hourly")),
