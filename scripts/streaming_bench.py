@@ -102,7 +102,7 @@ class _Capture:
     def summarize(self) -> dict:
         rows = [p for p in self.progress if p.get("numInputRows", 0) > 0]
         durs = [p["durationMs"].get("triggerExecution", 0) for p in rows]
-        state_rows = []
+        state_rows = []  # per-batch series: the GROWTH curve, not just peak
         state_mem = []
         for p in rows:
             for so in p.get("stateOperators", []) or []:
@@ -115,6 +115,7 @@ class _Capture:
             "batch_ms_max": max(durs) if durs else None,
             "state_rows_peak": max(state_rows) if state_rows else None,
             "state_mem_peak_bytes": max(state_mem) if state_mem else None,
+            "state_rows_series": state_rows or None,
         }
 
 
@@ -147,7 +148,11 @@ def main() -> int:
 
         results: dict[str, dict] = {}
 
+        only = os.environ.get("STREAM_BENCH_ONLY")
+
         def run(name, fn, state_dir=None):
+            if only and name not in only.split(","):
+                return
             cap = _Capture()
             spark.streams.addListener(cap.listener)
             t0 = time.perf_counter()
