@@ -67,9 +67,11 @@ EPOCH2 = {  # commit 004a0df, sf0.1, min-of-3 warm runs, 2026-08-15 host
     "q18_cumulative_monthly_revenue": 0.58,
     # q19 re-baselined at the round-6 post-merge-hint measurement: the
     # non-broadcast hint that fixed the sf10 driver OOM costs ~0.3 s warm
-    # at bench scale (1.02 s r5 -> 1.34 s r6). Judged from the old 1.27 s
-    # baseline, the 1.8x guard window would silently absorb a further
-    # ~0.9 s real regression on top of the accepted hint cost.
+    # at bench scale (1.02 s r5 -> 1.34 s r6). The baseline now reflects
+    # the ACCEPTED post-hint cost — note this raise WIDENS the 1.8x
+    # absolute absorption window (1.8x1.34 = 2.41 s vs 2.29 s from the
+    # old 1.27 s base); the guard's job here is to anchor future drift
+    # to the accepted cost, not to tighten the window (ADVICE r7 #1).
     "q19_minhash_lsh_pairs": 1.34,
     "q20_ann_bruteforce_topk": 0.74,
     "q22_sessionize": 0.41,

@@ -78,13 +78,19 @@ def brute_force_topk(
     # is plan-keyed, so a lingering entry would rewrite the CALLER's own
     # later uses of the same frame into stat-less InMemoryTableScans
     # (observed: six filter-bounded query-side broadcasts tripping the
-    # sf10 broadcast-hazard audit).
-    queries = queries.persist()
+    # sf10 broadcast-hazard audit). If the caller ALREADY persisted the
+    # frame (e.g. via scoped_cache), that cache IS the barrier — do not
+    # persist/unpersist here, or the finally would silently evict the
+    # caller's own entry (ADVICE r7 #3).
+    we_persisted = not queries.is_cached
+    if we_persisted:
+        queries = queries.persist()
     try:
         q = _prep(queries, id_col, vec_col, "query_id", "qv", "qnrm")
         q_rows = q.toPandas()
     finally:
-        queries.unpersist(False)
+        if we_persisted:
+            queries.unpersist(False)
     if len(q_rows) == 0:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank long, cosine double"

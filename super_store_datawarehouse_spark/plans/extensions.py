@@ -15532,8 +15532,9 @@ def _int8_recall_eval(
     flat-cost eval contract (VERDICT r6 #7); unset, it is x294
     verbatim. x320 proves the sampled code path a bit-identical no-op
     (bound >> any corpus); x321 value-oracles the BINDING semantics at
-    sample_n=500 (already binding at sf0.01 — the x316 lesson: capacity
-    caps must be exercised where they bind)."""
+    sample_n=200 — binding against the 500-vector sf0.01 corpus (the
+    x316 lesson: capacity caps must be exercised where they bind;
+    sample_n=500 would NOT bind there)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # the sampled corpus feeds BOTH rankings (full-precision + quantized)
     # — cache it so the corpus-wide TakeOrdered scan that selects the

@@ -260,6 +260,65 @@ def hourly_counts_to_parquet(
     return batches["n"]
 
 
+class _ProgressCounter:
+    """Counts a streaming query's non-empty micro-batches through the
+    listener bus instead of ``query.recentProgress`` (which Spark caps
+    at ``spark.sql.streaming.numRecentProgressUpdates``, default 100 —
+    a >100-batch run would silently undercount; ADVICE r7 #4).
+
+    Listener events are delivered asynchronously but IN ORDER per
+    query, so draining until the query's ``lastProgress`` batchId has
+    been observed guarantees every earlier progress event was too.
+    """
+
+    def __init__(self, spark: SparkSession):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                outer._seen.append(
+                    (str(p.id), p.batchId, p.numInputRows)
+                )
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self._seen: list[tuple[str, int, int]] = []
+        self._spark = spark
+        self._listener = _L()
+        spark.streams.addListener(self._listener)
+
+    def non_empty_batches(self, query, drain_timeout_s: float = 10.0) -> int:
+        """Non-empty batch count for ``query``, draining the async bus
+        until its final progress (``lastProgress``) has been observed."""
+        import time as _time
+
+        last = query.lastProgress
+        if last is not None:
+            want = (str(last["id"]), last["batchId"])
+            deadline = _time.monotonic() + drain_timeout_s
+            while _time.monotonic() < deadline:
+                if any((qid, bid) == want for qid, bid, _ in self._seen):
+                    break
+                _time.sleep(0.05)
+        qid_want = str(query.id)
+        return sum(
+            1 for qid, _bid, n in self._seen if qid == qid_want and n > 0
+        )
+
+    def remove(self) -> None:
+        self._spark.streams.removeListener(self._listener)
+
+
 def stream_sessionize_to_parquet(
     spark: SparkSession,
     src_dir: str,
@@ -278,8 +337,11 @@ def stream_sessionize_to_parquet(
     contract (state ∝ open sessions inside the watermark horizon, not
     stream history). The native parquet sink + checkpoint give
     exactly-once file commits without a foreachBatch escape hatch.
-    Returns the number of micro-batches processed (from the query's
-    progress log).
+    Returns the number of non-empty micro-batches processed, counted by
+    a StreamingQueryListener — NOT ``recentProgress``, which Spark caps
+    at ``spark.sql.streaming.numRecentProgressUpdates`` (default 100)
+    and would silently undercount runs with >100 micro-batches
+    (ADVICE r7 #4).
     """
     sess = (
         read_events_stream(spark, src_dir)
@@ -306,13 +368,16 @@ def stream_sessionize_to_parquet(
         "checkpointLocation",
         checkpoint or os.path.join(out_dir, "_checkpoint"),
     )
-    q = writer.start()
+    counter = _ProgressCounter(spark)
     try:
-        q.processAllAvailable()
-        n = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        q = writer.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return counter.non_empty_batches(q)
     finally:
-        q.stop()
-    return n
+        counter.remove()
 
 
 def enriched_nation_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1274,16 +1339,15 @@ def stream_bloom_dedup_to_parquet(
         # Key-format guard (mirrors the MG/CMS query-lineage guards):
         # bit positions are a pure function of the key string, so state
         # written under a different key derivation would silently
-        # re-admit previously-seen pairs. Fail loudly instead of
-        # resuming wrong.
+        # re-admit previously-seen pairs. State WITHOUT the token is
+        # pre-round-7 state whose key derivation was the same lpk1 the
+        # token now names — its bits are still valid, so it resumes as
+        # implicit lpk1 (and the next state swap writes the token);
+        # forcing a full state/out/checkpoint reset for bits that are
+        # actually correct was the round-7 over-rejection (ADVICE r7
+        # #5). Only an EXPLICIT mismatch fails loudly.
         if "key_format" not in state.columns:
-            raise RuntimeError(
-                f"bloom dedup state at {state_dir} predates key-format "
-                f"versioning (expected key_format={BLOOM_KEY_FORMAT!r}); "
-                "its bit positions were computed from a different key "
-                "derivation and cannot be resumed. Reset state_dir, "
-                "out_dir, and the checkpoint together to re-derive."
-            )
+            state = state.withColumn("key_format", F.lit(BLOOM_KEY_FORMAT))
         fmts = {r["key_format"] for r in state.select("key_format").distinct().collect()}
         if fmts != {BLOOM_KEY_FORMAT}:
             raise RuntimeError(

@@ -1,10 +1,11 @@
 """Round-7 ADVICE regression tests.
 
 1. The Bloom-dedup stream's persisted state embeds a key-format version
-   token; resuming over state written under a different (or pre-token)
-   key derivation fails loudly instead of silently re-admitting
-   previously-seen keys (the bits are a pure function of the key
-   string, so old bits are meaningless under a new key format).
+   token; resuming over state written under a DIFFERENT key derivation
+   fails loudly instead of silently re-admitting previously-seen keys
+   (the bits are a pure function of the key string, so old bits are
+   meaningless under a new key format). Pre-token state resumes as
+   implicit lpk1 — its derivation is unchanged (ADVICE r7 #5 revision).
 2. scoped_cache()/release_scoped_caches() are lock-guarded: concurrent
    registration + release never corrupts the registry.
 """
@@ -72,7 +73,15 @@ def _rewrite_state(spark, tmp_path, transform):
     df.unpersist()
 
 
-def test_bloom_resume_rejects_legacy_state_without_token(tmp_path, spark):
+def test_bloom_resume_accepts_legacy_state_as_implicit_lpk1(tmp_path, spark):
+    """Pre-versioning state (no key_format column) used the SAME lpk1
+    key derivation the token now names — its bits are valid, so it
+    resumes as implicit lpk1 instead of forcing a full reset (ADVICE r7
+    #5: only an EXPLICIT mismatch rejects). The resumed state must (a)
+    keep suppressing keys the legacy bits already admitted and (b) be
+    re-written WITH the token."""
+    from super_store_datawarehouse_spark.streaming.jobs import BLOOM_KEY_FORMAT
+
     src = str(tmp_path / "src")
     _write_event_batch(spark, tmp_path, src, "b0", F.col("user_id") < 10)
     assert _run_bloom(spark, tmp_path) == 1
@@ -82,8 +91,15 @@ def test_bloom_resume_rejects_legacy_state_without_token(tmp_path, spark):
         spark, tmp_path, src, "b1",
         (F.col("user_id") >= 10) & (F.col("user_id") < 20),
     )
-    with pytest.raises(Exception, match="key.format|key format"):
-        _run_bloom(spark, tmp_path)
+    assert _run_bloom(spark, tmp_path) == 1  # resumes, one NEW batch
+    out = spark.read.parquet(str(tmp_path / "out"))
+    keys = [r["k"] for r in out.select(
+        F.concat_ws(":", "user_id", "event_type").alias("k")).collect()]
+    assert len(keys) == len(set(keys))  # legacy bits still suppress dups
+    state = spark.read.parquet(str(tmp_path / "state"))
+    assert "key_format" in state.columns  # token restored on the swap
+    fmts = {r["key_format"] for r in state.select("key_format").distinct().collect()}
+    assert fmts == {BLOOM_KEY_FORMAT}
 
 
 def test_bloom_resume_rejects_mismatched_token(tmp_path, spark):
