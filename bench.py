@@ -25,6 +25,7 @@ import os
 import re
 import sys
 import time
+import urllib.request
 
 try:  # engine import: resolves via `pip install -e .` / `setup.py develop`
     import super_store_datawarehouse_spark  # noqa: F401
@@ -97,28 +98,119 @@ EXTENDED = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Host-drift instrumentation (VERDICT r7 #1). This host's speed drifts
+# 1.2-2x between days with no code change (BASELINE.md "Host-speed
+# epochs"), so raw wall-clock cannot distinguish code regressions from
+# host epochs. Two normalizing signals are recorded next to wall-clock:
+#
+# 1. A CANARY: a fixed, data-independent, JVM-only job (range -> hash ->
+#    groupBy -> agg; pure whole-stage-codegen + one shuffle) timed at
+#    bench start, min-of-3 warm. `host_factor` = canary_sec /
+#    CANARY_REF_SEC scales every wall number to the reference epoch.
+# 2. Per-query executor CPU time: executorCpuTime / executorRunTime
+#    sums from the Spark status store (the public monitoring REST API),
+#    diffed across each query's 3 warm runs (mean-of-warm). CPU time is
+#    immune to scheduler wait and far less contention-sensitive than
+#    wall-clock; it is the primary regression-guard signal in
+#    scripts/check_bench.py.
+# ---------------------------------------------------------------------------
+CANARY_REF_SEC = 1.52  # round-8 epoch, idle host, local[32] (BASELINE.md)
+_CANARY_ROWS = 400_000_000
+
+
+def _canary(spark) -> float:
+    """Fixed JVM-only workload: min-of-3 warm wall seconds."""
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, _CANARY_ROWS, 1, 32).selectExpr(
+            "id % 1048576 AS k", "(id * 2654435761) % 1000003 AS v"
+        ).groupBy("k").agg(
+            {"v": "sum"}
+        ).agg({"sum(v)": "sum"}).collect()
+        return time.perf_counter() - t0
+
+    runs = [run() for _ in range(4)]
+    return round(min(runs[1:]), 3)
+
+
+class _StageMetrics:
+    """Cumulative executorRunTime/executorCpuTime via the monitoring
+    REST API (requires spark.ui.enabled; spark.ui.retainedStages must
+    exceed the suite's stage count or cumulative diffs go backwards)."""
+
+    def __init__(self, spark):
+        base = spark.sparkContext.uiWebUrl  # actual bound host:port
+        app_id = spark.sparkContext.applicationId
+        self._url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+
+    def _read(self) -> tuple[int, int, int]:
+        data = json.load(urllib.request.urlopen(self._url, timeout=10))
+        n = len(data)
+        run_ms = sum(s.get("executorRunTime", 0) for s in data)
+        cpu_ns = sum(s.get("executorCpuTime", 0) for s in data)
+        return n, run_ms, cpu_ns
+
+    def snap(self, settle_s: float = 3.0) -> tuple[int, int]:
+        """(run_ms, cpu_ns) after the async status store settles: two
+        consecutive identical reads 0.1 s apart, bounded by settle_s."""
+        prev = self._read()
+        deadline = time.monotonic() + settle_s
+        while time.monotonic() < deadline:
+            time.sleep(0.1)
+            cur = self._read()
+            if cur == prev:
+                break
+            prev = cur
+        return prev[1], prev[2]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark("bench")
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4049",
+            # the suite runs ~3-4k stages; default retention (1000)
+            # would evict early stages and break cumulative diffs
+            "spark.ui.retainedStages": "20000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    canary_sec = _canary(spark)
+    metrics = _StageMetrics(spark)
 
     from super_store_datawarehouse_spark.plans import HARNESS
     from super_store_datawarehouse_spark.plans import harness as _h  # noqa: F401
     from super_store_datawarehouse_spark.plans import extensions as _x  # noqa: F401
 
-    def timed(names: list[str]) -> dict[str, float]:
+    def timed(
+        names: list[str],
+    ) -> tuple[dict[str, float], dict[str, float], dict[str, float]]:
         out: dict[str, float] = {}
+        cpu: dict[str, float] = {}
+        runt: dict[str, float] = {}
         for name in names:
             builder, _ = HARNESS[name]
             runs = []
+            snap1 = None
             for _i in range(4):
+                if _i == 1:  # cold run done: snapshot before the warm runs
+                    snap1 = metrics.snap()
                 t0 = time.perf_counter()
                 builder(spark, sf_dir).toPandas()
                 runs.append(time.perf_counter() - t0)
+            snap2 = metrics.snap()
             out[name] = round(min(runs[1:]), 3)  # skip the cold run
+            # mean-of-warm executor metrics (CPU time is stable enough
+            # that mean ≈ min; the diff spans exactly the 3 warm runs)
+            runt[name] = round((snap2[0] - snap1[0]) / 1000.0 / 3.0, 3)
+            cpu[name] = round((snap2[1] - snap1[1]) / 1e9 / 3.0, 3)
             # Release multi-consumer operator caches BETWEEN queries
             # (never between a query's warm runs — the intra-query cache
             # reuse is part of the measured steady state): run 1 of each
@@ -126,10 +218,10 @@ def main() -> None:
             # min-of-warm metric is unchanged while the session's block
             # manager stays flat across the suite.
             release_scoped_caches()
-        return out
+        return out, cpu, runt
 
-    timings = timed(HEADLINE)
-    extended = timed(EXTENDED)
+    timings, cpu_h, run_h = timed(HEADLINE)
+    extended, cpu_x, run_x = timed(EXTENDED)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -141,6 +233,12 @@ def main() -> None:
                 "queries": {**timings, **extended},
                 "extended_total": round(sum(extended.values()), 3),
                 "sf": sf,
+                # host-drift normalization (VERDICT r7 #1)
+                "canary_sec": canary_sec,
+                "canary_ref_sec": CANARY_REF_SEC,
+                "host_factor": round(canary_sec / CANARY_REF_SEC, 3),
+                "queries_cpu_sec": {**cpu_h, **cpu_x},
+                "queries_run_sec": {**run_h, **run_x},
             }
         )
     )

@@ -460,8 +460,16 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     id_out: str = "vid",
+    with_rank: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids by cosine.
+
+    ``with_rank=True`` adds a ``probe_rank`` column (1-based position of
+    the centroid in the vector's nearest-centroid order). Probe sets are
+    NESTED by construction — the rank-``p`` assignment rows are exactly
+    the ``nprobe=p`` assignment — so one ranked ``nprobe=max`` pass
+    yields every smaller-nprobe frontier by a ``probe_rank <= p``
+    filter (the x306 single-pass rewrite, VERDICT r7 #3).
 
     Executed as a blocked GEMM over Arrow batches (the q34 technique):
     centroids are collected and broadcast (they are a small sample of
@@ -480,6 +488,8 @@ def ivf_assign(
     c = _prep(centroids, id_col, vec_col, "centroid_id", "cv", "cnrm")
     c_rows = c.toPandas()
     out_schema = f"{id_out} long, centroid_id long"
+    if with_rank:
+        out_schema += ", probe_rank long"
     if len(c_rows) == 0:
         return spark.createDataFrame([], out_schema)
     c_ids = c_rows["centroid_id"].to_numpy()
@@ -501,13 +511,18 @@ def ivf_assign(
                 cdot += np.outer(a[:, d], mat_c[:, d])
             cos = cdot / np.outer(an, nrm_c)
             vids = pdf[id_out].to_numpy()
-            out_v, out_c = [], []
+            out_v, out_c, out_r = [], [], []
             for r in range(len(pdf)):
                 # cosine desc, centroid_id asc — the window's tie order
                 top = np.lexsort((ids_c, -cos[r]))[:npb]
                 out_v.extend([vids[r]] * len(top))
                 out_c.extend(ids_c[top])
-            yield pd.DataFrame({id_out: out_v, "centroid_id": out_c})
+                if with_rank:
+                    out_r.extend(range(1, len(top) + 1))
+            cols = {id_out: out_v, "centroid_id": out_c}
+            if with_rank:
+                cols["probe_rank"] = out_r
+            yield pd.DataFrame(cols)
 
     v = _prep(vectors, id_col, vec_col, id_out, "v", "nrm").select(
         id_out, "v", "nrm"
@@ -567,6 +582,54 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_candidates_ranked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroid_fraction: float | str = 0.03,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cells: int | None = None,
+) -> DataFrame:
+    """Every corpus vector in a query's ``nprobe`` nearest cells, scored
+    ONCE and tagged with its cell's probe rank: ``(query_id,
+    neighbor_id, probe_rank, cosine)``.
+
+    The nested-probe contract (probe sets at nprobe ∈ {1..p} are
+    prefixes of the same ranked probe list, and each corpus vector
+    lives in exactly one cell): ``filter(probe_rank <= p)`` is EXACTLY
+    the nprobe=p candidate set, with its scores. A recall/cost frontier
+    over several nprobe settings therefore needs ONE corpus assignment
+    + ONE candidate scoring pass instead of one full IVF search per
+    setting (the x306 3×-work collapse, VERDICT r7 #3). All arithmetic
+    is the same bit-exact double fold as :func:`ivf_topk`, so every
+    derived frontier remains reproducible by the SQL oracle.
+    """
+    cents = ivf_centroids(corpus, centroid_fraction, id_col, max_cells=max_cells)
+    ca = ivf_assign(corpus, cents, 1, id_col, vec_col, "neighbor_id")
+    qa = ivf_assign(
+        queries, cents, nprobe, id_col, vec_col, "query_id", with_rank=True
+    )
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "cv", "cnrm").join(
+        ca, "neighbor_id"
+    )
+    q = _prep(queries, id_col, vec_col, "query_id", "qv", "qnrm").join(
+        qa, "query_id"
+    )
+    return (
+        c.join(q, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probe_rank",
+            (
+                dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))
+            ).alias("cosine"),
+        )
     )
 
 

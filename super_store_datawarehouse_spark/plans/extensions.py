@@ -16448,28 +16448,36 @@ def _x306_oracle() -> str:
 
 @harness_query("x306_ivf_nprobe_frontier", oracle=_x306_oracle())
 def x306_ivf_nprobe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-pass nested-probe form (VERDICT r7 #3): probe sets at
+    # nprobe ∈ {1,2,4} are prefixes of the same ranked probe list and
+    # every corpus vector lives in exactly one cell, so ONE corpus
+    # assignment + ONE candidate-scoring pass at nprobe=4, tagged with
+    # each candidate's probe rank, yields all three frontier rows via a
+    # probe_rank <= p filter — ~3× less work than the former
+    # one-full-IVF-search-per-setting loop, same oracle (the registered
+    # SQL replays each setting independently and must agree).
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    exact = similarity.brute_force_topk(emb, q, k=5).select(
-        "query_id", "neighbor_id"
+    # the exact ground truth and the scored candidate set each feed all
+    # three frontier branches — cache both (bounded: 10 queries × k and
+    # 10 queries × ≤4 cells of candidates)
+    exact = scoped_cache(
+        similarity.brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
     )
-    cents = similarity.ivf_centroids(emb, 0.03)
+    scored = scoped_cache(
+        similarity.ivf_candidates_ranked(emb, q, 0.03, nprobe=4)
+    )
     out = None
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     for np_ in (1, 2, 4):
+        sub = scored.filter(F.col("probe_rank") <= np_)
         approx = (
-            similarity.ivf_topk(emb, q, k=5, centroid_fraction=0.03, nprobe=np_)
+            sub.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
             .select("query_id", "neighbor_id")
             .withColumn("hit", F.lit(1))
         )
-        ca = similarity.ivf_assign(emb, cents, 1, "vec_id", "embedding", "neighbor_id")
-        qa = similarity.ivf_assign(q, cents, np_, "vec_id", "embedding", "query_id")
-        cand_n = (
-            qa.join(ca, "centroid_id")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-            .distinct()
-            .agg(F.count(F.lit(1)).alias("n_candidates"))
-        )
+        cand_n = sub.agg(F.count(F.lit(1)).alias("n_candidates"))
         hits = exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
             F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits")
         )
