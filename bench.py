@@ -94,7 +94,10 @@ EXTENDED = [
     # their own perf trail (the demoted computations keep theirs above)
     "q17_ngram_jaccard_dfcap",  # ex-x315, promoted round 7
     "q46_markov_next_event_accuracy",  # ex-x307, promoted round 7
-    "x161_ppjoin_jaccard_pairs",  # re-registered at its measured win threshold (t=0.8) round 7
+    "q43_ppjoin_jaccard_pairs",  # ex-x161 (t=0.8 via dispatcher), promoted round 8
+    # round-8 rotation promotions: sampled flat-cost evals into driver slots
+    "q31_int8_recall_gt_sampled",  # ex-x321, promoted round 8
+    "q13_near_dup_overlap_sampled",  # ex-x322 (pair-coverage-aware form), promoted round 8
 ]
 
 

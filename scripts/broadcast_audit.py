@@ -58,7 +58,7 @@ LIMITS = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
 _BASELINE_SELF_JOIN = (
     "declared exact-baseline shingle self-join: hash probe kept on purpose "
     "(merge measured 10x slower at sf10 on hot keys); scale paths are "
-    "q19 LSH / x161 PPJoin / q17 df cap — see operators/dedup.py"
+    "q19 LSH / q43 PPJoin (ex-x161) / q17 df cap — see operators/dedup.py"
 )
 ALLOW = {
     "x169_mmr_rerank": "WindowGroupLimit-bounded top-k-per-query frames (<=10*|queries| rows)",

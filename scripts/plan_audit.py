@@ -45,7 +45,7 @@ ALLOW: dict[str, str] = {
     "q40_selection_median": "selection-vs-sort demo on a scalar",
     "x150_ann_recall_eval": "composes q20 exact baseline by design",
     "x213_ranking_metrics_eval": "composes q20 exact baseline by design",
-    "x161_ppjoin_jaccard_pairs": "prefix-filter reference path (see SCALE.md)",
+    "q43_ppjoin_jaccard_pairs": "prefix-filter reference path (see SCALE.md)",
     "x138_ngram_containment_pairs": "bounded asymmetric-containment pair scan",
     "x148_cross_split_embedding_contamination": "split-vs-split bounded scan",
     "x131_fuzzy_linkage": "20-row dirty probe side broadcast NL by design",
@@ -150,6 +150,12 @@ def main() -> int:
         lines += ["## VIOLATIONS", ""]
         for n, f in bad:
             lines.append(f"- **{n}**: {', '.join(f)}")
+    # Full scanned-name appendix: lets the registry≡PLAN_AUDIT pytest
+    # invariant assert SET equality, so this report can never again
+    # certify a smaller surface than what ships (VERDICT r7 #2).
+    lines += ["", "## Scanned queries", ""]
+    scanned = sorted([n for n, _f, _r in rows] + [n for n, _f in bad])
+    lines += [f"- {n}" for n in scanned]
     body = "\n".join(lines)
     if report_path:
         with open(report_path, "w") as fh:

@@ -641,6 +641,66 @@ MD5_HASH31_SQL = (
 )
 
 
+def minhash_band_rows_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """LSH band rows ``(sid, band, bucket)`` of the fully-portable md5
+    MinHash: md5-based 31-bit shingle hash, (a·h+b) mod 2³¹
+    permutations, polynomial band buckets — each stage bit-replayable in
+    any SQL engine. ONE linear pass (shingle explode + constant-width
+    groupBy): the bucket is a pure function of the document text, so
+    the same document maps to the same buckets in any corpus subset —
+    the property the pair-coverage-aware sampling in q13 (ex-x322) relies on
+    (two docs sharing a bucket corpus-wide still share it inside any
+    sampled universe containing both).
+
+    Pass ``shingles`` (a cached unhashed (sid, shingle) frame) to reuse
+    the shingle explosion with downstream verification.
+    """
+    rows_per_band = num_hashes // bands
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(df, text_col, id_col, n, hashed=False)
+    )
+    feats = sh.withColumn("hs", md5_hash31(F.col("shingle")))
+    coeffs = _minhash_coeffs(num_hashes, seed=seed)
+    mins = [
+        F.min((F.col("hs") * a + b) % F.lit(1 << 31)).alias(f"m{j:02d}")
+        for j, (a, b) in enumerate(coeffs)
+    ]
+    sig = feats.groupBy("sid").agg(*mins)
+
+    def band_bucket(b: int) -> Column:
+        acc: Column = F.col(f"m{b * rows_per_band:02d}")
+        for r in range(1, rows_per_band):
+            acc = (acc * 31 + F.col(f"m{b * rows_per_band + r:02d}")) % F.lit(
+                1 << 31
+            )
+        return acc
+
+    return sig.select(
+        "sid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_bucket(b).alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("sid", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs_md5(
     df: DataFrame,
     text_col: str = "text",
@@ -659,38 +719,10 @@ def minhash_lsh_pairs_md5(
     (the xxhash64 fast path); md5 costs ~2× xxhash64 per shingle, which
     disappears under the explode+join that dominates at scale.
     """
-    rows_per_band = num_hashes // bands
     sh = scoped_cache(word_shingles(df, text_col, id_col, n, hashed=False))
-    base = md5_hash31(F.col("shingle"))
-    feats = sh.withColumn("hs", base)
-    coeffs = _minhash_coeffs(num_hashes, seed=seed)
-    mins = [
-        F.min((F.col("hs") * a + b) % F.lit(1 << 31)).alias(f"m{j:02d}")
-        for j, (a, b) in enumerate(coeffs)
-    ]
-    sig = feats.groupBy("sid").agg(*mins)
-
-    def band_bucket(b: int) -> Column:
-        acc: Column = F.col(f"m{b * rows_per_band:02d}")
-        for r in range(1, rows_per_band):
-            acc = (acc * 31 + F.col(f"m{b * rows_per_band + r:02d}")) % F.lit(
-                1 << 31
-            )
-        return acc
-
-    band_rows = sig.select(
-        "sid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), band_bucket(b).alias("bucket")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("sid", "bb.band", "bb.bucket")
+    band_rows = minhash_band_rows_md5(
+        df, text_col, id_col, n, num_hashes, bands, seed, shingles=sh
+    )
     cand = (
         band_rows.alias("x")
         .join(band_rows.alias("y"), ["band", "bucket"])

@@ -1582,9 +1582,12 @@ def x45_stopwords_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min-label propagation (operators/graph.py); the oracle reproduces the
 # exact same fixpoint with a recursive CTE (transitive closure + MIN).
 # Edges = the x02 n-gram Jaccard pairs at threshold 0.2.
+# Demoted from the q43 driver slot in the round-8 rotation (the slot now
+# runs the PPJoin-via-dispatcher exact jaccard join, ex-x161); the full
+# oracle is unchanged.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q43_dedup_clusters",
+    "x325_dedup_clusters",
     oracle="""
     WITH RECURSIVE w AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
@@ -1618,7 +1621,7 @@ def x45_stopwords_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d LEFT JOIN comp c USING (doc_id)
     """,
 )
-def q43_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x325_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.graph import dedup_by_components
 
     docs = load_table(spark, sf_dir, "documents")
@@ -5645,9 +5648,11 @@ def x160_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vs 65.0 s at sf10 — prefixes ≈ 80% of each doc), kept only as the
 # documented negative result in SCALE.md. jaccard_pairs_auto encodes
 # the boundary (ppjoin at t ≥ 0.7, plain below), pinned by unit test.
+# Promoted to the q43 driver slot in the round-8 rotation (ex-x161);
+# the slot's former computation is x325_dedup_clusters.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x161_ppjoin_jaccard_pairs",
+    "q43_ppjoin_jaccard_pairs",
     oracle="""
     WITH w AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
@@ -5669,7 +5674,7 @@ def x160_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE 1000 * n_inter >= 800 * (sa.n_shingles + sb.n_shingles - n_inter)
     """,
 )
-def x161_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q43_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # auto resolves to 'ppjoin' at 0.8 — the dispatcher, not a forced
     # side, so the registered query exercises the crossover logic
@@ -10884,7 +10889,7 @@ def x226_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 @harness_query(
     "x227_cluster_aware_split",
     oracle=f"""
-    WITH comps AS ({_HARNESS["q43_dedup_clusters"][1]}),
+    WITH comps AS ({_HARNESS["x325_dedup_clusters"][1]}),
     assigned AS (
       SELECT doc_id, component,
              CASE WHEN {_knuth_sql("component")} % 10 < 9
@@ -10906,7 +10911,7 @@ def x226_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x227_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.sampling import knuth_hash
 
-    comps = q43_dedup_clusters(spark, sf_dir).select("doc_id", "component")
+    comps = x325_dedup_clusters(spark, sf_dir).select("doc_id", "component")
     assigned = comps.withColumn(
         "split",
         F.when(F.pmod(knuth_hash("component"), F.lit(10)) < 9, "train").otherwise(
@@ -14407,9 +14412,12 @@ def x275_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # duplicated grams, and the Gopher keep/drop flag. One tagged positional
 # explode + (doc,n,gram) partial-agg shuffle + one window pass; both
 # fractions are single int/int double divisions — bit-exact cross-engine.
+# Demoted from the q13 driver slot in the round-8 rotation (the slot now
+# runs the pair-coverage-aware near-dup agreement eval, ex-x322); the
+# full oracle is unchanged.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q13_repetition_signals",
+    "x323_repetition_signals",
     oracle="""
     WITH base AS (
       SELECT doc_id,
@@ -14462,7 +14470,7 @@ def x275_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
 )
-def q13_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x323_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.text import repetition_signals
 
     docs = load_table(spark, sf_dir, "documents")
@@ -15531,8 +15539,8 @@ def _int8_recall_eval(
     GEMMs over ``sample_n`` vectors regardless of corpus scale — the
     flat-cost eval contract (VERDICT r6 #7); unset, it is x294
     verbatim. x320 proves the sampled code path a bit-identical no-op
-    (bound >> any corpus); x321 value-oracles the BINDING semantics at
-    sample_n=200 — binding against the 500-vector sf0.01 corpus (the
+    (bound >> any corpus); q31 (ex-x321) value-oracles the BINDING
+    semantics at sample_n=200 — binding against the 500-vector sf0.01 corpus (the
     x316 lesson: capacity caps must be exercised where they bind;
     sample_n=500 would NOT bind there)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -16690,7 +16698,8 @@ def q33_pq_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x320/x321 — sample-bounded brute-force ground truth (VERDICT r6 #7).
+# x320 / q31 (ex-x321, promoted in the round-8 rotation) — sample-
+# bounded brute-force ground truth (VERDICT r6 #7).
 # The recall evals (x294/x291/x148/x220 family) run EXACT rankings as
 # their ground truth; with the corpus unsampled that cost grows
 # linearly with corpus size even at a fixed query count. hash_sample_n
@@ -16720,7 +16729,7 @@ _X321_SALT = 17
 
 
 @harness_query(
-    "x321_int8_recall_gt_sampled",
+    "q31_int8_recall_gt_sampled",
     oracle=f"""
     WITH fe_full AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -16773,63 +16782,187 @@ _X321_SALT = 17
     GROUP BY f.query_id ORDER BY f.query_id
     """,
 )
-def x321_int8_recall_gt_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q31_int8_recall_gt_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _int8_recall_eval(
         spark, sf_dir, corpus_sample_n=_X321_SAMPLE_N, salt=_X321_SALT
     )
 
 
 # --------------------------------------------------------------------------
-# x322 — sample-bounded near-dup detector agreement (the hash_sample_n
-# composition proof across the DEDUP family, extending x320/x321's
-# ANN-eval proofs): x220's exact-vs-LSH pair-set agreement, run over a
-# deterministic fixed-size document sample. At 100 TB the agreement
-# eval (whose exact side is the O(Σdf²) ground truth) runs on a pinned
-# sample, flat-cost vs corpus size; the sample is one
-# TakeOrderedAndProject and the whole composition — shingles, MinHash
-# signatures, band buckets, exact verification, the agreement numbers —
-# stays value-oracled over the sampled universe. sample_n=200 BINDS at
-# sf0.01's 500-doc corpus (the x316/x321 lesson). Caveat, measured at
-# sf10: a uniform sample catches a dup PAIR only when both members
-# land in it, so a fixed tiny sample over a huge corpus yields zero
-# pairs (ppm goes NULL via the NULLIF guard) — size sample_n to the
-# pair coverage you need; the flat-cost property is what this slot
-# pins (14.5 s at sf10 vs ~110 s for the unsampled composition).
+# q13 (ex-x322, promoted in the round-8 rotation; the slot's former
+# computation is x323_repetition_signals) — PAIR-COVERAGE-AWARE
+# sample-bounded near-dup detector agreement
+# (round-8 revision of the round-7 uniform-sample form, VERDICT r7 #4).
+# Round 7's version hash-sampled DOCUMENTS uniformly; a uniform sample
+# catches a dup pair only when BOTH members land in it, so a fixed tiny
+# sample over a huge corpus yields zero pairs and a vacuous (NULL)
+# agreement number. This form samples dup COMPONENTS, then their
+# members:
+#
+#   1. band components — (band, bucket) groups of the md5-MinHash LSH
+#      banding with ≥2 docs (ONE linear pass over the corpus: exactly
+#      the LSH detector's own candidate-index stage, amortizable
+#      against a production LSH index);
+#   2. a deterministic fixed-size hash sample of components
+#      (hash_sample_n over band·2³¹+bucket; COMP_N=8 binds at sf0.01's
+#      82 components), keeping MEMBER_CAP=2 lowest-id member docs each;
+#   3. the eval universe = those members ∪ a uniform hash_sample_n doc
+#      sample (BASE_N=200, binding at sf0.01's 500 docs — keeps the
+#      universe representative, not just dup-seeded).
+#
+# The agreement compares the EXACT detector's verified pairs against
+# the LSH front end's CANDIDATE pairs over the universe (the verified
+# LSH output is a subset of the exact output by construction — both
+# verify with the same exact Jaccard — so the r7 metric degenerated to
+# recall-only). Bucket membership is a pure function of document text,
+# so both kept members of a sampled component still share their bucket
+# inside the universe: ANY sample containing ≥1 component contains ≥1
+# candidate pair, the pair-set union is ≥1, and the NULLIF guard on
+# pairset_jaccard_ppm is structurally unreachable (it remains only for
+# a corpus with zero components anywhere, where NULL is the right
+# answer). The expensive O(Σdf²) exact side stays bounded by the fixed
+# universe size — the flat-cost contract this slot pins.
 # --------------------------------------------------------------------------
-_X322_SAMPLE_N = 200
-_X322_SALT = 23
-_X322_ORACLE = (
-    "WITH documents_s AS (\n      SELECT * FROM documents "
-    + sampling_ops.hash_sample_n_sql("doc_id", _X322_SAMPLE_N, _X322_SALT)
-    + "\n    ), "
-    + _HARNESS["x220_near_dup_overlap_eval"][1]
-    .replace("FROM documents", "FROM documents_s")
-    .strip()
-    .removeprefix("WITH ")
-)
-assert _X322_ORACLE.count("FROM documents_s") == 2
+_X322_BASE_N = 200
+_X322_BASE_SALT = 23
+_X322_COMP_N = 8
+# salt chosen so the COMP_N=8 sample at sf0.01 includes one of the four
+# size-3 components (of 82 total) — MEMBER_CAP=2 then BINDS at the
+# oracle sf (the x316/x321 lesson: capacity caps must be exercised
+# where the oracle can see them bind)
+_X322_COMP_SALT = 33
+_X322_MEMBER_CAP = 2
 
-
-@harness_query("x322_near_dup_overlap_sampled", oracle=_X322_ORACLE)
-def x322_near_dup_overlap_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # one cached sample feeds BOTH detectors (single selection scan)
-    docs_s = scoped_cache(
-        sampling_ops.hash_sample_n(docs, "doc_id", _X322_SAMPLE_N, salt=_X322_SALT)
+_X322_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS l
+      FROM documents
+    ), sh_all AS (
+      SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle
+      FROM w CROSS JOIN range(1, 10000) r(i)
+      WHERE i <= len(l) - 2
+    ), h AS (
+      SELECT doc_id, shingle, {MD5_HASH31_SQL.format(s='shingle')} AS hs
+      FROM sh_all
+    ), sig AS (
+      SELECT doc_id, {_Q19_MINS} FROM h GROUP BY doc_id
+    ), bandrows AS (
+      {_Q19_BANDS}
+    ), comp AS (
+      SELECT band, bucket, band * 2147483648 + bucket AS comp_key
+      FROM bandrows GROUP BY band, bucket HAVING COUNT(*) >= 2
+    ), comp_s AS (
+      SELECT band, bucket FROM comp
+      {sampling_ops.hash_sample_n_sql('comp_key', _X322_COMP_N, _X322_COMP_SALT)}
+    ), members AS (
+      SELECT doc_id FROM (
+        SELECT b.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY b.band, b.bucket
+                                  ORDER BY b.doc_id) AS rn
+        FROM bandrows b JOIN comp_s USING (band, bucket)
+      ) WHERE rn <= {_X322_MEMBER_CAP}
+    ), base AS (
+      SELECT doc_id FROM documents
+      {sampling_ops.hash_sample_n_sql('doc_id', _X322_BASE_N, _X322_BASE_SALT)}
+    ), ids AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id FROM base UNION ALL SELECT doc_id FROM members
+      )
+    ), sh AS (
+      SELECT s.* FROM sh_all s JOIN ids USING (doc_id)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE 1000 * n_inter >= 200 * (sa.n_shingles + sb.n_shingles - n_inter)
+    ), brows_u AS (
+      SELECT b.* FROM bandrows b JOIN ids USING (doc_id)
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM brows_u x JOIN brows_u y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ), i AS (
+      SELECT COUNT(*) AS n_common FROM e JOIN cand USING (id_a, id_b)
+    ), szs AS (
+      SELECT (SELECT COUNT(*) FROM e) AS n_exact,
+             (SELECT COUNT(*) FROM cand) AS n_cand
     )
-    e = dedup.ngram_jaccard_pairs(docs_s, n=3, threshold=0.2).select("id_a", "id_b")
-    l = dedup.minhash_lsh_pairs_md5(docs_s, threshold=0.2).select("id_a", "id_b")
-    i = e.join(l, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_common"))
+    SELECT CAST(szs.n_exact AS BIGINT) AS n_exact,
+           CAST(szs.n_cand AS BIGINT) AS n_cand,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(i.n_common * 1000 // NULLIF(szs.n_exact, 0) AS BIGINT)
+             AS cand_recall_pm,
+           CAST(i.n_common * 1000000
+                // NULLIF(szs.n_exact + szs.n_cand - i.n_common, 0) AS BIGINT)
+             AS pairset_jaccard_ppm
+    FROM i CROSS JOIN szs
+    """
+
+
+@harness_query("q13_near_dup_overlap_sampled", oracle=_X322_ORACLE)
+def q13_near_dup_overlap_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # one linear banding pass feeds component discovery, member pick,
+    # and the universe's candidate pairs
+    bands_all = scoped_cache(dedup.minhash_band_rows_md5(docs))
+    comp = (
+        bands_all.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .withColumn(
+            "comp_key",
+            F.col("band").cast("long") * F.lit(2147483648) + F.col("bucket"),
+        )
+    )
+    comp_s = sampling_ops.hash_sample_n(
+        comp, "comp_key", _X322_COMP_N, salt=_X322_COMP_SALT
+    )
+    wm = Window.partitionBy("band", "bucket").orderBy("sid")
+    members = (
+        bands_all.join(F.broadcast(comp_s.select("band", "bucket")), ["band", "bucket"])
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= _X322_MEMBER_CAP)
+        .select(F.col("sid").alias("doc_id"))
+    )
+    base = sampling_ops.hash_sample_n(
+        docs, "doc_id", _X322_BASE_N, salt=_X322_BASE_SALT
+    ).select("doc_id")
+    ids = scoped_cache(base.unionByName(members).distinct())
+    universe = docs.join(F.broadcast(ids), "doc_id")
+    e = scoped_cache(
+        dedup.ngram_jaccard_pairs(universe, n=3, threshold=0.2).select(
+            "id_a", "id_b"
+        )
+    )
+    bands_u = bands_all.join(
+        F.broadcast(ids.withColumnRenamed("doc_id", "sid")), "sid"
+    )
+    cand = scoped_cache(
+        bands_u.alias("x")
+        .join(bands_u.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.sid") < F.col("y.sid"))
+        .select(F.col("x.sid").alias("id_a"), F.col("y.sid").alias("id_b"))
+        .distinct()
+    )
+    i = e.join(cand, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_common"))
     sizes = e.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
-        l.agg(F.count(F.lit(1)).alias("n_lsh"))
+        cand.agg(F.count(F.lit(1)).alias("n_cand"))
     )
     return (
         i.crossJoin(F.broadcast(sizes))
         .selectExpr(
             "cast(n_exact AS bigint) AS n_exact",
-            "cast(n_lsh AS bigint) AS n_lsh",
+            "cast(n_cand AS bigint) AS n_cand",
             "cast(n_common AS bigint) AS n_common",
-            "n_common * 1000000 div nullif(n_exact + n_lsh - n_common, 0)"
+            "n_common * 1000 div nullif(n_exact, 0) AS cand_recall_pm",
+            "n_common * 1000000 div nullif(n_exact + n_cand - n_common, 0)"
             " AS pairset_jaccard_ppm",
         )
     )

@@ -1143,11 +1143,13 @@ def x298_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # --------------------------------------------------------------------------
-# q31 — full outer join of two aggregates: order counts vs lineitem
-# counts per key-bucket; either side can be missing (COALESCE fills).
+# x324 (ex-q31, demoted in the round-8 rotation — the q31 driver slot
+# now runs the sampled int8-recall eval, ex-x321) — full outer join of
+# two aggregates: order counts vs lineitem counts per key-bucket; either
+# side can be missing (COALESCE fills). Full oracle unchanged.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q31_full_outer_reconciliation",
+    "x324_full_outer_reconciliation",
     oracle="""
     WITH ob AS (
       SELECT o_orderkey % 1000 AS bucket, COUNT(*) AS n_orders
@@ -1163,7 +1165,7 @@ def x298_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFra
     ORDER BY bucket
     """,
 )
-def q31_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x324_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ob = (
         load_table(spark, sf_dir, "orders")
         .groupBy((F.col("o_orderkey") % 1000).alias("bucket"))

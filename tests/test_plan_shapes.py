@@ -174,8 +174,8 @@ def test_q20_bruteforce_scores_via_gemm(plans):
     assert "Window" in p
 
 
-def test_x161_ppjoin_verifies_with_arrays_not_expansion(plans):
-    p = plans("x161_ppjoin_jaccard_pairs")
+def test_q43_ppjoin_verifies_with_arrays_not_expansion(plans):
+    p = plans("q43_ppjoin_jaccard_pairs")
     # round-4: candidate verification joins compact shingle ARRAYS and
     # intersects natively — the pair x shingle expansion re-join is gone
     assert "array_intersect" in p
@@ -209,7 +209,7 @@ def test_x270_url_dedup_is_map_side_plus_one_shuffle(plans):
 
 
 def test_x276_repetition_is_one_explode_no_join(plans):
-    p = plans("q13_repetition_signals")
+    p = plans("x323_repetition_signals")
     # tagged union of 2- and 3-grams rides ONE generator; the signals
     # come from aggregation + windows — no self-join, no Python
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
