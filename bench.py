@@ -118,8 +118,8 @@ EXTENDED = [
 #    wall-clock; it is the primary regression-guard signal in
 #    scripts/check_bench.py.
 # ---------------------------------------------------------------------------
-CANARY_REF_SEC = 1.52  # round-8 epoch, idle host, local[32] (BASELINE.md)
-_CANARY_ROWS = 400_000_000
+CANARY_REF_SEC = 2.904  # round-8 epoch, idle host, local[32] (BASELINE.md)
+_CANARY_ROWS = 200_000_000
 
 
 def _canary(spark) -> float:

@@ -20,6 +20,17 @@ Bloom-gated dedup — the set VERDICT r6 #4 names.
 
 Usage:
   python scripts/streaming_bench.py [sf_dir] [n_batches] [--json out.json]
+  python scripts/streaming_bench.py [sf_dir] --saturation [--json out.json]
+
+``--saturation`` (VERDICT r7 #7) sweeps the TRIGGER SIZE instead of
+running the fixed-40k four-job suite: the same events table is staged
+at increasing rows-per-batch and replayed through the two heaviest
+stateful jobs (sessionize on RocksDB, Bloom dedup). As the trigger
+grows, per-batch latency grows; the rows/s curve's plateau is the
+single-host rate ceiling (beyond it a real deployment's batches would
+fall behind their trigger interval — the backpressure point). A final
+sessionize run at a 2× watermark (4 h vs the default 2 h) records how
+the open-session state peak scales with the horizon.
 
 Timing discipline: run on an idle host (no concurrent Spark JVMs) —
 same contention rule as bench.py.
@@ -127,6 +138,114 @@ def dir_bytes(path: str) -> int:
     return total
 
 
+_ROCKS = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def saturation(spark, sf_dir: str, json_out: str | None) -> int:
+    """Trigger-size sweep: rows/s + batch latency as the micro-batch
+    grows, for the two heaviest stateful jobs; plus the 2× watermark
+    state point (SCALE.md §12 extension, VERDICT r7 #7)."""
+    from super_store_datawarehouse_spark.streaming import jobs
+
+    total_rows = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).count()
+    sweep = []
+
+    def measure(name, fn, state_dir=None):
+        cap = _Capture()
+        spark.streams.addListener(cap.listener)
+        t0 = time.perf_counter()
+        fn()
+        wall = time.perf_counter() - t0
+        time.sleep(2)  # listener events are async; let them drain
+        spark.streams.removeListener(cap.listener)
+        s = cap.summarize()
+        s["wall_s"] = round(wall, 2)
+        s["rows_per_s"] = round(s["input_rows"] / wall) if s["input_rows"] else 0
+        if state_dir is not None and os.path.isdir(state_dir):
+            s["state_disk_bytes"] = dir_bytes(state_dir)
+        s.pop("state_rows_series", None)  # keep the sweep JSON compact
+        return s
+
+    for size in (40_000, 100_000, 250_000, 500_000, 1_000_000):
+        n = max(1, (total_rows + size - 1) // size)
+        staging = tempfile.mkdtemp(prefix=f"stream_sat_{size}_")
+        try:
+            stage_batches(spark, sf_dir, staging, n)
+            src = os.path.join(staging, "src")
+            out = lambda nm: os.path.join(staging, nm)  # noqa: E731
+            entry = {"rows_per_batch": size, "n_batches": n}
+            key = "spark.sql.streaming.stateStore.providerClass"
+            prev = spark.conf.get(key, None)
+            spark.conf.set(key, _ROCKS)
+            try:
+                entry["sessionize_rocksdb"] = measure(
+                    "sessionize_rocksdb",
+                    lambda: jobs.stream_sessionize_to_parquet(
+                        spark, src, out("sess"), checkpoint=out("ck_sess")
+                    ),
+                )
+            finally:
+                spark.conf.unset(key) if prev is None else spark.conf.set(key, prev)
+            entry["bloom_dedup"] = measure(
+                "bloom_dedup",
+                lambda: jobs.stream_bloom_dedup_to_parquet(
+                    spark, src, out("bl_out"), out("bl_state"),
+                    m_bits=1 << 16, k_hashes=2, checkpoint=out("ck_bl"),
+                ),
+                state_dir=out("bl_state"),
+            )
+            sweep.append(entry)
+            print(json.dumps(entry))
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    # 2× watermark state point: same 40k trigger, 4 h horizon vs 2 h
+    wm = {}
+    staging = tempfile.mkdtemp(prefix="stream_sat_wm_")
+    try:
+        n = max(1, (total_rows + 39_999) // 40_000)
+        stage_batches(spark, sf_dir, staging, n)
+        src = os.path.join(staging, "src")
+        for label, horizon in (("2 hours", "2 hours"), ("4 hours", "4 hours")):
+            s = measure(
+                f"sessionize_wm_{label}",
+                lambda h=horizon: jobs.stream_sessionize_to_parquet(
+                    spark, src,
+                    os.path.join(staging, f"s_{label.replace(' ', '')}"),
+                    watermark=h,
+                    checkpoint=os.path.join(
+                        staging, f"ck_{label.replace(' ', '')}"
+                    ),
+                ),
+            )
+            wm[label] = {
+                "state_rows_peak": s["state_rows_peak"],
+                "state_mem_peak_bytes": s["state_mem_peak_bytes"],
+                "batch_ms_mean": s["batch_ms_mean"],
+            }
+            print(json.dumps({label: wm[label]}))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    line = {
+        "metric": "streaming_saturation",
+        "sf_dir": sf_dir,
+        "rows": total_rows,
+        "sweep": sweep,
+        "watermark_state": wm,
+    }
+    print(json.dumps(line))
+    if json_out:
+        with open(json_out, "w") as fh:
+            fh.write(json.dumps(line) + "\n")
+    return 0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/repo/testdata_sf1"
@@ -134,6 +253,10 @@ def main() -> int:
     json_out = None
     if "--json" in sys.argv:
         json_out = sys.argv[sys.argv.index("--json") + 1]
+    if "--saturation" in sys.argv:
+        spark = get_spark("streaming-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        return saturation(spark, sf_dir, json_out)
 
     spark = get_spark("streaming-bench")
     spark.sparkContext.setLogLevel("ERROR")

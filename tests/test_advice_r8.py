@@ -147,3 +147,60 @@ def test_readme_surface_counts_match_registry():
         f"README says {total}/{oracled}, registry has "
         f"{n_total}/{n_oracled} — update README.md"
     )
+
+
+def _run_check_bench(tmp_path, mutate):
+    import json
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = json.load(open(os.path.join(root, "BENCH_r08_builder.json")))
+    bench = src["parsed"] if "parsed" in src else src
+    mutate(bench)
+    p = tmp_path / "bench.json"
+    p.write_text(json.dumps(bench))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "check_bench.py"), str(p)],
+        capture_output=True,
+        text=True,
+    )
+    return r.returncode, r.stdout
+
+
+def test_check_bench_fires_on_corroborated_regression(tmp_path):
+    """3x wall + 3x cpu on one query = a code regression: exit 1."""
+
+    def mutate(b):
+        q = "q19_minhash_lsh_pairs"
+        b["queries"][q] *= 3
+        b["queries_cpu_sec"][q] *= 3
+
+    rc, out = _run_check_bench(tmp_path, mutate)
+    assert rc == 1 and "q19_minhash_lsh_pairs" in out
+
+
+def test_check_bench_warns_not_fails_on_wall_only_spike(tmp_path):
+    """3x wall with flat executor metrics = contention, not code: warn,
+    exit 0 (the fire-on-code-not-epochs contract, VERDICT r7 #1)."""
+
+    def mutate(b):
+        b["queries"]["q19_minhash_lsh_pairs"] *= 3
+
+    rc, out = _run_check_bench(tmp_path, mutate)
+    assert rc == 0 and "WARN" in out
+
+
+def test_check_bench_ignores_uniform_host_epoch(tmp_path):
+    """Everything (canary included) 1.7x slower = a host epoch: clean
+    pass, no warnings."""
+
+    def mutate(b):
+        for k in b["queries"]:
+            b["queries"][k] = round(b["queries"][k] * 1.7, 3)
+        b["value"] = round(b["value"] * 1.7, 3)
+        b["canary_sec"] = round(b["canary_sec"] * 1.7, 3)
+        b["host_factor"] = round(b["canary_sec"] / b["canary_ref_sec"], 3)
+
+    rc, out = _run_check_bench(tmp_path, mutate)
+    assert rc == 0 and "WARN" not in out
