@@ -247,12 +247,15 @@ def saturation(spark, sf_dir: str, json_out: str | None) -> int:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = None
+    argv = sys.argv[1:]
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]  # drop the flag AND its value
+    args = [a for a in argv if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/repo/testdata_sf1"
     n_batches = int(args[1]) if len(args) > 1 else 25
-    json_out = None
-    if "--json" in sys.argv:
-        json_out = sys.argv[sys.argv.index("--json") + 1]
     if "--saturation" in sys.argv:
         spark = get_spark("streaming-bench")
         spark.sparkContext.setLogLevel("ERROR")
