@@ -92,11 +92,14 @@ def audit_plan(name: str, plan: str) -> list[str]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     report_path = None
-    if "--report" in sys.argv:
-        report_path = sys.argv[sys.argv.index("--report") + 1]
+    argv = sys.argv[1:]
+    if "--report" in argv:
+        i = argv.index("--report")
+        report_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]  # drop the flag AND its value
+    args = [a for a in argv if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
 
     spark = get_spark("plan_audit")
     spark.sparkContext.setLogLevel("ERROR")

@@ -46,7 +46,20 @@ def _widen_narrow_scan(df: DataFrame) -> DataFrame:
     """Repartition a file scan that is both narrower than the cluster's
     slot count and large enough that pinning the downstream explosion to
     its few splits would serialize real work. In-memory frames (no input
-    files) and already-wide scans pass through untouched."""
+    files) and already-wide scans pass through untouched.
+
+    The widened partition count is PROPORTIONAL to input bytes (one
+    slot per ``_WIDEN_MIN_BYTES_PER_SLOT`` of compressed input, capped
+    at the cluster's slot count) rather than all-or-nothing to the full
+    slot count: since the shingle frames stopped being cached (see
+    ``weighted_jaccard_pairs``), every consuming branch re-runs the
+    explode as part of its own fused map stage, so a toy corpus spread
+    over 32 tasks pays k-branches x 32 tasks of scheduling overhead
+    while a corpus pinned to 1 split serializes k explodes end-to-end.
+    Sizing tasks to ~64 KB of file (~30 MB of post-explosion work) keeps
+    both failure modes out; at real scale the cap binds and this is the
+    full cluster width."""
+    import math
     import os
 
     spark = df.sparkSession
@@ -59,11 +72,12 @@ def _widen_narrow_scan(df: DataFrame) -> DataFrame:
         if not files or any(f is None for f in files):
             return df
         size = sum(os.path.getsize(os.path.normpath(f)) for f in files)
-        narrow = df.rdd.getNumPartitions() < target
+        parts = df.rdd.getNumPartitions()
     except Exception:
         return df
-    if narrow and size >= target * _WIDEN_MIN_BYTES_PER_SLOT:
-        return df.repartition(target)
+    width = min(target, math.ceil(size / _WIDEN_MIN_BYTES_PER_SLOT))
+    if parts < width:
+        return df.repartition(width)
     return df
 
 
@@ -209,7 +223,16 @@ def weighted_jaccard_pairs(
     (they simply never produce join rows). All similarity arithmetic is
     exact int64; the output permille is one trunc-div.
     """
-    tf = scoped_cache(shingle_tf(df, text_col, id_col, n))
+    # No cache: shingle_tf ends in a shuffled aggregate, so Catalyst's
+    # ReuseExchange dedupes this subplan across all four consuming
+    # branches (dfw, kept-left, kept-right, sizes) — the scan + explode
+    # + partial agg runs once and the branches re-read the shuffle
+    # files. Caching here was measured STRICTLY WORSE at every scale
+    # tried: the in-memory columnar cache costs ~45 us/row to build and
+    # its reads contend under 32-way task concurrency (q26 at sf0.1:
+    # 23-30 s CPU cached vs 2-5 s with exchange reuse; see BASELINE.md
+    # "columnar-cache contention").
+    tf = shingle_tf(df, text_col, id_col, n)
     dfw = tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     kept = tf.join(dfw.filter(F.col("df") <= max_doc_freq), "shingle").select(
         "sid", "shingle", "tf"
@@ -283,7 +306,11 @@ def ngram_jaccard_pairs(
             dfreq.filter(F.col("__df") <= max_doc_freq).select("shingle"),
             "shingle",
         )
-    sh = scoped_cache(sh)
+    # No cache (see weighted_jaccard_pairs): the consuming branches'
+    # exchanges below this point canonicalize equal, so ReuseExchange
+    # runs the explode/df-cap map side once; recomputing the cheap
+    # residual per branch beats the columnar cache's ~45 us/row build
+    # and contended reads.
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     left = sh.select(F.col("sid").alias("id_a"), "shingle")
@@ -351,8 +378,14 @@ def ppjoin_jaccard_pairs(
     lossless. ``test_ppjoin_equals_plain_and_prunes`` additionally pins
     that the candidate set is strictly smaller.
     """
-    sh = scoped_cache(word_shingles(df, text_col, id_col, n, hashed=True))
-    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # No cache (see weighted_jaccard_pairs) — and only TWO passes over
+    # the explode: one for the global df table, one for the sid-keyed
+    # windowed frame below. sizes and the per-doc shingle arrays are
+    # NOT separate passes: both derive from `ranked`, whose single
+    # exchange(sid) ReuseExchange dedupes across the prefix and the
+    # shingle-set branches (a window count supplies n_shingles; the
+    # collected array's size supplies the verification sizes).
+    sh = word_shingles(df, text_col, id_col, n, hashed=True)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
 
     thr_num, thr_den = _ratio_as_ints(threshold)
@@ -361,10 +394,17 @@ def ppjoin_jaccard_pairs(
         f"n_shingles - (({thr_num} * n_shingles + {thr_den} - 1) div {thr_den}) + 1"
     )
     w = Window.partitionBy("sid").orderBy("df", "shingle")
-    ranked = (
+    # `ranked` is the one intermediate that DOES earn a cache: its
+    # three consumers (prefix id_a side, prefix id_b side, shingle-set
+    # build) prune different column sets, so their subplans canonicalize
+    # differently and ReuseExchange cannot dedupe them — without a cache
+    # each re-runs the join + both windows (measured 1.9 s vs 1.1 s at
+    # sf0.1). Unlike the raw explode (cheap to recompute, expensive to
+    # store), ranked is post-shuffle post-sort work worth materializing.
+    ranked = scoped_cache(
         sh.join(dfreq, "shingle")
-        .join(sizes, "sid")
         .withColumn("pos", F.row_number().over(w))
+        .withColumn("n_shingles", F.count(F.lit(1)).over(Window.partitionBy("sid")))
     )
     prefix = ranked.filter(F.col("pos") <= prefix_len).select("sid", "shingle")
     cand = (
@@ -382,8 +422,9 @@ def ppjoin_jaccard_pairs(
     # to the two docs' COMPACT shingle arrays (one row per pair, ~8
     # bytes per shingle) and take the intersection natively with
     # array_intersect — no row explosion and no second shuffle of the
-    # expanded shingle stream.
-    shsets = sh.groupBy("sid").agg(F.collect_list("shingle").alias("sset"))
+    # expanded shingle stream. Built from `ranked` (already partitioned
+    # by sid), not from a third pass over the explode.
+    shsets = ranked.groupBy("sid").agg(F.collect_list("shingle").alias("sset"))
     verified = (
         cand.join(
             shsets.select(F.col("sid").alias("id_a"), F.col("sset").alias("sa")),
@@ -479,7 +520,9 @@ def ngram_containment_pairs(
     two directed pairs, each thresholded against its own source size
     (integer compare; the emitted score is a single exact division).
     """
-    sh = scoped_cache(word_shingles(df, text_col, id_col, n, hashed=True))
+    # No cache (see weighted_jaccard_pairs): duplicated explode per
+    # branch is an order of magnitude cheaper than the columnar cache.
+    sh = word_shingles(df, text_col, id_col, n, hashed=True)
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     left = sh.select(F.col("sid").alias("id_a"), "shingle")
@@ -719,7 +762,16 @@ def minhash_lsh_pairs_md5(
     (the xxhash64 fast path); md5 costs ~2× xxhash64 per shingle, which
     disappears under the explode+join that dominates at scale.
     """
-    sh = scoped_cache(word_shingles(df, text_col, id_col, n, hashed=False))
+    # No cache (see weighted_jaccard_pairs): the signature build and the
+    # exact verification each re-run the explode as part of their own
+    # fused map stage — cheaper than materializing the exploded frame.
+    # The STRING shingles exist only for the md5 signature path;
+    # verification needs shingle EQUALITY, so it runs on the hashed
+    # frame (8-byte keys: the verifier's three re-derived explodes and
+    # both of its shuffles go fixed-width — measured ~4x cheaper per
+    # pass than re-exploding strings, with value-identical pairs since
+    # xxhash64 equality ≡ string equality at any realistic corpus).
+    sh = word_shingles(df, text_col, id_col, n, hashed=False)
     band_rows = minhash_band_rows_md5(
         df, text_col, id_col, n, num_hashes, bands, seed, shingles=sh
     )
@@ -730,7 +782,8 @@ def minhash_lsh_pairs_md5(
         .select(F.col("x.sid").alias("id_a"), F.col("y.sid").alias("id_b"))
         .distinct()
     )
-    return _exact_jaccard_on_candidates(cand, sh, threshold)
+    sh_h = word_shingles(df, text_col, id_col, n, hashed=True)
+    return _exact_jaccard_on_candidates(cand, sh_h, threshold)
 
 
 def minhash_lsh_pairs(
@@ -752,10 +805,12 @@ def minhash_lsh_pairs(
     O(docs·bands) bucket rows.
     """
     rows_per_band = num_hashes // bands
-    # one shingle explosion feeds both the signature build and the exact
-    # verification below — at 100 TB this halves the dominant scan+explode;
-    # hashed shingles keep the candidate-verification join fixed-width
-    sh = scoped_cache(word_shingles(df, text_col, id_col, n, hashed=True))
+    # hashed shingles keep the candidate-verification join fixed-width.
+    # No cache (see weighted_jaccard_pairs): the signature build and the
+    # exact verification each fuse the explode into their own map stage;
+    # re-running that ~1 us/row pass beats the columnar cache's
+    # ~45 us/row build + contended reads at every measured scale.
+    sh = word_shingles(df, text_col, id_col, n, hashed=True)
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed, shingles=sh)
     band_rows = sig.select(
         F.col(id_col).alias("sid"),

@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 
 from super_store_datawarehouse_spark.operators.dedup import _widen_narrow_scan
 from super_store_datawarehouse_spark.operators.text import words
-from super_store_datawarehouse_spark.session import scoped_cache
 
 
 def token_postings(
@@ -154,10 +153,12 @@ def bm25_scores_multi(
     agg. Same 100 TB shape as TF-IDF (q44) / single-query BM25 (x137).
     """
     qterms = queries.select("query_id", "term")
-    # the postings explode feeds BOTH dl and tf — cache it so the
-    # dominant tokenize+explode map work runs once (same convention as
-    # dedup.ngram_jaccard_pairs' cached shingle frame)
-    p = scoped_cache(token_postings(df, text_col, id_col))
+    # the postings explode feeds BOTH dl and tf — NO cache (same
+    # convention as dedup.weighted_jaccard_pairs): each branch fuses
+    # the tokenize+explode into its own map stage, which is an order
+    # of magnitude cheaper than building and re-reading the in-memory
+    # columnar cache (see BASELINE.md "columnar-cache contention")
+    p = token_postings(df, text_col, id_col)
     dl = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     tf = (
         p.join(F.broadcast(qterms.select("term").distinct()), "term")
@@ -261,7 +262,8 @@ def bigram_surprise(
         .filter(F.col("bg").isNotNull())
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.bigram").alias("bigram"))
     )
-    occ = scoped_cache(occ)  # feeds c2, c1 AND the scored join — one explode
+    # feeds c2, c1 AND the scored join — NO cache (see bm25_scores):
+    # each consumer fuses the explode into its own map-side partial agg
     c2 = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
     c1 = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     scored = (

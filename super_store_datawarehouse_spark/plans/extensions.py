@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from super_store_datawarehouse_spark.functions.exact import cents
-from super_store_datawarehouse_spark.session import scoped_cache
+from super_store_datawarehouse_spark.session import localize, scoped_cache
 from super_store_datawarehouse_spark.operators import dedup, similarity
 from super_store_datawarehouse_spark.operators import sampling as sampling_ops
 from super_store_datawarehouse_spark.operators.sampling import bucket_sql as _bucket_sql
@@ -2436,11 +2436,13 @@ def x289_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     # after the nation-grain rollup everything is ≤ n² rows; Catalyst
     # can't see that through the aggregates, so broadcast explicitly —
-    # the whole iteration then runs shuffle-free on top of one reduce
-    # persist: the expensive part of PageRank is building the edge
-    # rollup from the fact join — each unrolled iteration references it,
-    # and without a cache Spark re-executes that whole subtree per use
-    ew = scoped_cache(edges.join(F.broadcast(outw), "src"))
+    # the whole iteration then runs shuffle-free. The expensive part of
+    # PageRank is building the edge rollup from the fact join; every
+    # unrolled iteration references it, so LOCALIZE the ≤n²-row rollup:
+    # the fact join runs exactly once and the iterations run against a
+    # LocalRelation (a lazy cache would stampede — each concurrent
+    # iteration branch re-executes the fact join until materialized)
+    ew = localize(edges.join(F.broadcast(outw), "src"))
     nodes = nation.select(F.col("n_nationkey").alias("id"))
 
     def rank_step(ranks: DataFrame | None) -> DataFrame:
@@ -15530,6 +15532,11 @@ def x294_int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _int8_recall_eval(spark, sf_dir, corpus_sample_n=None)
 
 
+# driver-side collect ceiling for localized sample bounds: above this
+# a "sample" is treated as corpus-shaped and stays distributed
+_LOCALIZE_SAMPLE_MAX = 100_000
+
+
 def _int8_recall_eval(
     spark: SparkSession, sf_dir: str, corpus_sample_n: int | None, salt: int = 17
 ) -> DataFrame:
@@ -15544,17 +15551,27 @@ def _int8_recall_eval(
     x316 lesson: capacity caps must be exercised where they bind;
     sample_n=500 would NOT bind there)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # the sampled corpus feeds BOTH rankings (full-precision + quantized)
-    # — cache it so the corpus-wide TakeOrdered scan that selects the
-    # sample runs once, not once per ranking branch (measured at sf10:
-    # 126 s -> ~65 s; the remaining cost is the single unavoidable scan)
-    corpus = (
-        scoped_cache(
-            sampling_ops.hash_sample_n(emb, "vec_id", corpus_sample_n, salt=salt)
+    # the sampled corpus feeds BOTH rankings (full-precision + quantized);
+    # it is bounded by construction (sample_n rows) but selecting it
+    # costs a corpus-wide TakeOrdered scan — localize it so that scan
+    # runs exactly once (a lazy cache stampedes: both ranking branches
+    # started before materialization and re-ran the scan, measured
+    # 126 s per duplicated pass at sf10). Localize ONLY while the bound
+    # is a genuinely driver-sized number: x320's no-op proof sets
+    # sample_n larger than any corpus, where the "sample" is the whole
+    # table — there the eval falls back to x294's full-corpus shape
+    # (both rankings scan, the declared baseline cost) instead of
+    # collecting the corpus to the driver.
+    corpus = emb
+    if corpus_sample_n is not None:
+        sampled = sampling_ops.hash_sample_n(
+            emb, "vec_id", corpus_sample_n, salt=salt
         )
-        if corpus_sample_n is not None
-        else emb
-    )
+        corpus = (
+            localize(sampled, max_rows=corpus_sample_n)
+            if corpus_sample_n <= _LOCALIZE_SAMPLE_MAX
+            else sampled
+        )
     # the 10-row query set feeds both ranking branches; the pushdown
     # cache-barrier itself lives inside brute_force_topk (scoped to its
     # query collect), so no extra cache is taken here
@@ -16467,14 +16484,17 @@ def x306_ivf_nprobe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     # the exact ground truth and the scored candidate set each feed all
-    # three frontier branches — cache both (bounded: 10 queries × k and
-    # 10 queries × ≤4 cells of candidates)
-    exact = scoped_cache(
+    # three frontier branches; both are bounded by construction
+    # (10 queries × k rows; 10 queries × ≤4 cells of candidates) but
+    # their LINEAGE (one GEMM ranking, one IVF assignment+scoring) is
+    # expensive — localize instead of lazy-caching so the lineage runs
+    # exactly once instead of stampeding under the three concurrent
+    # frontier branches (a lazy cache re-executes its child in every
+    # branch that starts before the first one materializes it)
+    exact = localize(
         similarity.brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
     )
-    scored = scoped_cache(
-        similarity.ivf_candidates_ranked(emb, q, 0.03, nprobe=4)
-    )
+    scored = localize(similarity.ivf_candidates_ranked(emb, q, 0.03, nprobe=4))
     out = None
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     for np_ in (1, 2, 4):
@@ -16910,8 +16930,11 @@ _X322_ORACLE = f"""
 def q13_near_dup_overlap_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # one linear banding pass feeds component discovery, member pick,
-    # and the universe's candidate pairs
-    bands_all = scoped_cache(dedup.minhash_band_rows_md5(docs))
+    # and the universe's candidate pairs — no cache: the signature
+    # aggregation inside minhash_band_rows_md5 is exchange-topped, so
+    # ReuseExchange runs it once and each consumer re-derives only the
+    # cheap band explode above it (see dedup.weighted_jaccard_pairs)
+    bands_all = dedup.minhash_band_rows_md5(docs)
     comp = (
         bands_all.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -16934,29 +16957,48 @@ def q13_near_dup_overlap_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = sampling_ops.hash_sample_n(
         docs, "doc_id", _X322_BASE_N, salt=_X322_BASE_SALT
     ).select("doc_id")
-    ids = scoped_cache(base.unionByName(members).distinct())
+    # the sampled id universe is bounded by construction
+    # (base_n + comp_n x member_cap rows) and feeds three joins —
+    # localize it so the sampling lineage runs once
+    ids = localize(base.unionByName(members).distinct())
     universe = docs.join(F.broadcast(ids), "doc_id")
-    e = scoped_cache(
-        dedup.ngram_jaccard_pairs(universe, n=3, threshold=0.2).select(
-            "id_a", "id_b"
-        )
+    # e and cand are distinct-topped (exchange-topped), so their shared
+    # subtrees dedupe via ReuseExchange without a cache
+    e = dedup.ngram_jaccard_pairs(universe, n=3, threshold=0.2).select(
+        "id_a", "id_b"
     )
     bands_u = bands_all.join(
         F.broadcast(ids.withColumnRenamed("doc_id", "sid")), "sid"
     )
-    cand = scoped_cache(
+    cand = (
         bands_u.alias("x")
         .join(bands_u.alias("y"), ["band", "bucket"])
         .filter(F.col("x.sid") < F.col("y.sid"))
         .select(F.col("x.sid").alias("id_a"), F.col("y.sid").alias("id_b"))
         .distinct()
     )
-    i = e.join(cand, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_common"))
-    sizes = e.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
-        cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    # ONE full-outer join computes n_exact, n_cand and the overlap in a
+    # single pass — the former three-consumer shape (e⋈cand, count(e),
+    # count(cand)) re-executed the exact-pair and candidate lineages
+    # per consumer because their count-only branches prune every column
+    # and so cannot share exchanges with the join branch (measured as a
+    # 12x CPU regression by the bench guard when the frames lost their
+    # caches; this shape needs neither cache nor reuse)
+    stats = (
+        e.withColumn("in_e", F.lit(1))
+        .join(
+            cand.withColumn("in_c", F.lit(1)), ["id_a", "id_b"], "full_outer"
+        )
+        .agg(
+            F.count("in_e").alias("n_exact"),
+            F.count("in_c").alias("n_cand"),
+            F.count(F.when(F.col("in_e").isNotNull() & F.col("in_c").isNotNull(), 1)).alias(
+                "n_common"
+            ),
+        )
     )
     return (
-        i.crossJoin(F.broadcast(sizes))
+        stats
         .selectExpr(
             "cast(n_exact AS bigint) AS n_exact",
             "cast(n_cand AS bigint) AS n_cand",

@@ -102,11 +102,52 @@ _SCOPED_CACHED_FRAMES: list = []
 
 def scoped_cache(df, storage_level=None):
     """``df.cache()`` (or ``persist(storage_level)``) registered for
-    deferred release via :func:`release_scoped_caches`."""
+    deferred release via :func:`release_scoped_caches`.
+
+    Reach for this ONLY when the shared frame is re-consumed by plans
+    whose canonical form differs (so ReuseExchange cannot dedupe them)
+    or across actions on REBUILT DataFrame objects (so shuffle-stage
+    skipping cannot apply), AND the lineage above the last exchange is
+    genuinely expensive. For a shared frame whose plan ends in a
+    shuffle (any groupBy/join/distinct output), prefer NO cache: within
+    one action Catalyst's ReuseExchange runs the map side once and the
+    branches re-read shuffle files; across actions on the same object
+    Spark skips already-computed shuffle stages. The in-memory columnar
+    cache was measured strictly worse for those shapes on this class of
+    host: ~45 us/row build cost and reads that contend under 32-way
+    task concurrency (q26 at sf0.1: 23-30 s CPU cached vs 2-5 s with
+    exchange reuse; 256k-row synthetic: cache read+groupBy 42 s CPU at
+    32 partitions vs 1.1 s at 4 — see BASELINE.md "columnar-cache
+    contention").
+    """
     df = df.persist(storage_level) if storage_level is not None else df.cache()
     with _SCOPED_CACHE_LOCK:
         _SCOPED_CACHED_FRAMES.append(df)
     return df
+
+
+def localize(df, max_rows: int = 100_000):
+    """Materialize a SMALL DataFrame to a driver-side LocalRelation.
+
+    The right tool when a bounded result (top-k rows, a frontier
+    candidate set, an n²-bounded rollup) is consumed by several
+    branches of one plan but its LINEAGE is expensive: a lazy cache
+    stampedes (every branch that starts before the first materializes
+    re-executes the full lineage), while a LocalRelation is computed
+    exactly once and costs nothing to re-read — downstream joins
+    against it broadcast trivially and canonicalize stably.
+
+    Guard: refuses to localize more than ``max_rows`` (this is a
+    driver-side collect — the same boundedness contract as a broadcast
+    join side). Only use where the row bound holds BY CONSTRUCTION.
+    """
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"localize(): frame exceeds max_rows={max_rows}; "
+            "this helper is for results bounded by construction"
+        )
+    return df.sparkSession.createDataFrame(rows, df.schema)
 
 
 def release_scoped_caches() -> int:
