@@ -81,6 +81,41 @@ def _widen_narrow_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+# source-scan size above which a shared shingle/posting explode is
+# worth caching: the columnar cache's cost is ~fixed per task-read
+# (allocation-bound, see BASELINE.md "columnar-cache contention"),
+# while the k-branch explode recompute it saves grows linearly with
+# corpus bytes. Measured crossover: at 0.6 MB of docs (sf0.1) the
+# no-cache form wins every family query by 1.2-2x; at 175 MB (sf10)
+# the cached shingle frame wins q17 by 1.8x (23.8 s vs 42.8 s) and
+# ppjoin by 1.4x. 8 MB splits the decades between those points.
+_SHINGLE_CACHE_MIN_SRC_BYTES = 8 * 1024 * 1024
+
+
+def _cache_if_corpus_scale(frame: DataFrame, src: DataFrame) -> DataFrame:
+    """scoped_cache ``frame`` when ``src``'s file scan is large enough
+    that re-running the explode per consuming branch dominates the
+    cache's build/read tax; below the threshold return ``frame``
+    unchanged (ReuseExchange + fused per-branch explodes win there).
+    Non-file sources (in-memory frames) stay uncached — their explode
+    recompute carries no scan cost at all."""
+    import os
+
+    try:
+        files = [
+            f[len("file:"):] if f.startswith("file:") else None
+            for f in src.inputFiles()
+        ]
+        if not files or any(f is None for f in files):
+            return frame
+        size = sum(os.path.getsize(os.path.normpath(f)) for f in files)
+    except Exception:
+        return frame
+    if size >= _SHINGLE_CACHE_MIN_SRC_BYTES:
+        return scoped_cache(frame)
+    return frame
+
+
 def normalize_text(text: Column | str) -> Column:
     """Canonical text form for exact dedup: lowercase, collapsed whitespace."""
     c = F.col(text) if isinstance(text, str) else text
@@ -223,16 +258,19 @@ def weighted_jaccard_pairs(
     (they simply never produce join rows). All similarity arithmetic is
     exact int64; the output permille is one trunc-div.
     """
-    # No cache: shingle_tf ends in a shuffled aggregate, so Catalyst's
+    # shingle_tf ends in a shuffled aggregate, so Catalyst's
     # ReuseExchange dedupes this subplan across all four consuming
     # branches (dfw, kept-left, kept-right, sizes) — the scan + explode
     # + partial agg runs once and the branches re-read the shuffle
-    # files. Caching here was measured STRICTLY WORSE at every scale
-    # tried: the in-memory columnar cache costs ~45 us/row to build and
-    # its reads contend under 32-way task concurrency (q26 at sf0.1:
-    # 23-30 s CPU cached vs 2-5 s with exchange reuse; see BASELINE.md
-    # "columnar-cache contention").
-    tf = shingle_tf(df, text_col, id_col, n)
+    # files, re-running only the final agg. At toy scale an
+    # unconditional cache here was measured STRICTLY WORSE (q26 at
+    # sf0.1: 23-30 s CPU cached vs 2-5 s with exchange reuse — the
+    # AQE-lazy-cache stampede plus the columnar cache's build/read tax,
+    # see BASELINE.md "columnar-cache contention"); at corpus scale the
+    # 4x re-run of the final agg over the reused exchange costs more
+    # than the cache, so the size-conditional cache applies (sf10:
+    # 34.3 s uncached vs 31.3 s cached).
+    tf = _cache_if_corpus_scale(shingle_tf(df, text_col, id_col, n), df)
     dfw = tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     kept = tf.join(dfw.filter(F.col("df") <= max_doc_freq), "shingle").select(
         "sid", "shingle", "tf"
@@ -306,11 +344,12 @@ def ngram_jaccard_pairs(
             dfreq.filter(F.col("__df") <= max_doc_freq).select("shingle"),
             "shingle",
         )
-    # No cache (see weighted_jaccard_pairs): the consuming branches'
-    # exchanges below this point canonicalize equal, so ReuseExchange
-    # runs the explode/df-cap map side once; recomputing the cheap
-    # residual per branch beats the columnar cache's ~45 us/row build
-    # and contended reads.
+    # Size-conditional cache (see _cache_if_corpus_scale): at toy scale
+    # the consuming branches' fused explodes + ReuseExchange beat the
+    # columnar cache's build/read tax; at corpus scale the k-branch
+    # explode recompute dominates and the cache wins (sf10: 23.8 s
+    # cached vs 42.8 s recomputed).
+    sh = _cache_if_corpus_scale(sh, df)
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     left = sh.select(F.col("sid").alias("id_a"), "shingle")
@@ -378,14 +417,15 @@ def ppjoin_jaccard_pairs(
     lossless. ``test_ppjoin_equals_plain_and_prunes`` additionally pins
     that the candidate set is strictly smaller.
     """
-    # No cache (see weighted_jaccard_pairs) — and only TWO passes over
-    # the explode: one for the global df table, one for the sid-keyed
-    # windowed frame below. sizes and the per-doc shingle arrays are
-    # NOT separate passes: both derive from `ranked`, whose single
-    # exchange(sid) ReuseExchange dedupes across the prefix and the
-    # shingle-set branches (a window count supplies n_shingles; the
-    # collected array's size supplies the verification sizes).
-    sh = word_shingles(df, text_col, id_col, n, hashed=True)
+    # Only TWO passes over the explode: one for the global df table,
+    # one for the sid-keyed windowed frame below. sizes and the per-doc
+    # shingle arrays are NOT separate passes: both derive from `ranked`
+    # (a window count supplies n_shingles; the collected array's size
+    # supplies the verification sizes). The explode itself is cached
+    # only at corpus scale (see _cache_if_corpus_scale).
+    sh = _cache_if_corpus_scale(
+        word_shingles(df, text_col, id_col, n, hashed=True), df
+    )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
 
     thr_num, thr_den = _ratio_as_ints(threshold)
@@ -520,9 +560,11 @@ def ngram_containment_pairs(
     two directed pairs, each thresholded against its own source size
     (integer compare; the emitted score is a single exact division).
     """
-    # No cache (see weighted_jaccard_pairs): duplicated explode per
-    # branch is an order of magnitude cheaper than the columnar cache.
-    sh = word_shingles(df, text_col, id_col, n, hashed=True)
+    # Size-conditional cache (see _cache_if_corpus_scale): per-branch
+    # fused explodes win at toy scale, the cache wins at corpus scale.
+    sh = _cache_if_corpus_scale(
+        word_shingles(df, text_col, id_col, n, hashed=True), df
+    )
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     left = sh.select(F.col("sid").alias("id_a"), "shingle")
@@ -782,7 +824,9 @@ def minhash_lsh_pairs_md5(
         .select(F.col("x.sid").alias("id_a"), F.col("y.sid").alias("id_b"))
         .distinct()
     )
-    sh_h = word_shingles(df, text_col, id_col, n, hashed=True)
+    sh_h = _cache_if_corpus_scale(
+        word_shingles(df, text_col, id_col, n, hashed=True), df
+    )
     return _exact_jaccard_on_candidates(cand, sh_h, threshold)
 
 
@@ -805,12 +849,13 @@ def minhash_lsh_pairs(
     O(docs·bands) bucket rows.
     """
     rows_per_band = num_hashes // bands
-    # hashed shingles keep the candidate-verification join fixed-width.
-    # No cache (see weighted_jaccard_pairs): the signature build and the
-    # exact verification each fuse the explode into their own map stage;
-    # re-running that ~1 us/row pass beats the columnar cache's
-    # ~45 us/row build + contended reads at every measured scale.
-    sh = word_shingles(df, text_col, id_col, n, hashed=True)
+    # hashed shingles keep the candidate-verification join fixed-width;
+    # size-conditional cache (see _cache_if_corpus_scale) — the
+    # signature build and the exact verification otherwise each fuse
+    # their own explode, which wins at toy scale only.
+    sh = _cache_if_corpus_scale(
+        word_shingles(df, text_col, id_col, n, hashed=True), df
+    )
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed, shingles=sh)
     band_rows = sig.select(
         F.col(id_col).alias("sid"),

@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from super_store_datawarehouse_spark.operators.dedup import _widen_narrow_scan
+from super_store_datawarehouse_spark.operators.dedup import (
+    _cache_if_corpus_scale,
+    _widen_narrow_scan,
+)
 from super_store_datawarehouse_spark.operators.text import words
 
 
@@ -262,8 +265,11 @@ def bigram_surprise(
         .filter(F.col("bg").isNotNull())
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.bigram").alias("bigram"))
     )
-    # feeds c2, c1 AND the scored join — NO cache (see bm25_scores):
-    # each consumer fuses the explode into its own map-side partial agg
+    # feeds c2, c1 AND the scored join — size-conditionally cached
+    # (dedup._cache_if_corpus_scale): per-branch fused explodes win at
+    # toy scale, the cache wins at corpus scale (sf10: 38 s uncached vs
+    # 29.5 s for the round-7 cached form)
+    occ = _cache_if_corpus_scale(occ, df)
     c2 = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
     c1 = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     scored = (
