@@ -138,6 +138,42 @@ def _canary(spark) -> float:
     return round(min(runs[1:]), 3)
 
 
+# The JVM canary misses a second, independent epoch dimension: the
+# Python-worker/Arrow path (pandas_udf, mapInPandas, toPandas) drifts
+# with host state the codegen+shuffle canary never exercises — measured
+# on one idle-host run where the JVM canary read 0.95 while every
+# Arrow-heavy query ran 10-40% slow. The Python canary is a fixed
+# mapInPandas job (Arrow both ways + numpy per batch), recorded next to
+# the JVM one so cross-round readers can normalize each query family by
+# the epoch that actually governs it. Record-only: the guard still
+# keys on the JVM factor + executor corroboration.
+PY_CANARY_REF_SEC = 1.3  # round-8 epoch, idle host, local[32]
+_PY_CANARY_ROWS = 64_000_000
+
+
+def _py_canary(spark) -> float:
+    """Fixed Python-path workload: min-of-3 warm wall seconds."""
+    import pandas as pd  # noqa: F401
+
+    def _work(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            v = pdf["id"].to_numpy(dtype="float64")
+            yield pd.DataFrame({"s": [float(np.sqrt(v * v + 1.0).sum())]})
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, _PY_CANARY_ROWS, 1, 32).mapInPandas(
+            _work, "s double"
+        ).agg({"s": "sum"}).collect()
+        return time.perf_counter() - t0
+
+    runs = [run() for _ in range(4)]
+    return round(min(runs[1:]), 3)
+
+
 class _StageMetrics:
     """Cumulative executorRunTime/executorCpuTime via the monitoring
     REST API (requires spark.ui.enabled; spark.ui.retainedStages must
@@ -186,6 +222,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     canary_sec = _canary(spark)
+    py_canary_sec = _py_canary(spark)
     metrics = _StageMetrics(spark)
 
     from super_store_datawarehouse_spark.plans import HARNESS
@@ -240,6 +277,9 @@ def main() -> None:
                 "canary_sec": canary_sec,
                 "canary_ref_sec": CANARY_REF_SEC,
                 "host_factor": round(canary_sec / CANARY_REF_SEC, 3),
+                "py_canary_sec": py_canary_sec,
+                "py_canary_ref_sec": PY_CANARY_REF_SEC,
+                "host_factor_py": round(py_canary_sec / PY_CANARY_REF_SEC, 3),
                 "queries_cpu_sec": {**cpu_h, **cpu_x},
                 "queries_run_sec": {**run_h, **run_x},
             }
