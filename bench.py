@@ -264,27 +264,68 @@ def main() -> None:
     extended, cpu_x, run_x = timed(EXTENDED)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": {**timings, **extended},
-                "extended_total": round(sum(extended.values()), 3),
-                "sf": sf,
-                # host-drift normalization (VERDICT r7 #1)
-                "canary_sec": canary_sec,
-                "canary_ref_sec": CANARY_REF_SEC,
-                "host_factor": round(canary_sec / CANARY_REF_SEC, 3),
-                "py_canary_sec": py_canary_sec,
-                "py_canary_ref_sec": PY_CANARY_REF_SEC,
-                "host_factor_py": round(py_canary_sec / PY_CANARY_REF_SEC, 3),
-                "queries_cpu_sec": {**cpu_h, **cpu_x},
-                "queries_run_sec": {**run_h, **run_x},
-            }
-        )
+    stdout_line, detail = build_payloads(
+        sf,
+        timings,
+        extended,
+        {**cpu_h, **cpu_x},
+        {**run_h, **run_x},
+        canary_sec,
+        py_canary_sec,
     )
+    sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR", DETAIL_SIDECAR)
+    with open(sidecar, "w") as fh:
+        json.dump(detail, fh)
+        fh.write("\n")
+    print(json.dumps(stdout_line))
+
+
+# The driver that records BENCH_r{N}.json captures only a 2,000-char tail
+# of stdout; round 8's full instrumentation payload (4,969 chars) overflowed
+# it and the official perf gate recorded `parsed: null` (VERDICT r8 #1).
+# The stdout line is therefore kept COMPACT — headline per-query dict plus
+# the normalization scalars — and the full detail (extended per-query wall,
+# executor cpu/run seconds, Python canary) goes to a sidecar JSON file that
+# scripts/check_bench.py merges back in via the `detail` pointer.
+# tests/test_bench_contract.py pins the stdout length budget.
+DETAIL_SIDECAR = "bench_detail.json"
+STDOUT_BUDGET = 1900  # chars; driver window is 2,000
+
+
+def build_payloads(
+    sf: float | None,
+    timings: dict[str, float],
+    extended: dict[str, float],
+    cpu: dict[str, float],
+    runt: dict[str, float],
+    canary_sec: float,
+    py_canary_sec: float,
+) -> tuple[dict, dict]:
+    """(compact stdout line, full sidecar detail) for a bench run."""
+    total = round(sum(timings.values()), 3)
+    stdout_line = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": dict(timings),  # headline only: stdout stays < budget
+        "extended_total": round(sum(extended.values()), 3),
+        "sf": sf,
+        # host-drift normalization (VERDICT r7 #1)
+        "canary_sec": canary_sec,
+        "canary_ref_sec": CANARY_REF_SEC,
+        "host_factor": round(canary_sec / CANARY_REF_SEC, 3),
+        "detail": DETAIL_SIDECAR,
+    }
+    detail = {
+        **stdout_line,
+        "queries": {**timings, **extended},
+        "py_canary_sec": py_canary_sec,
+        "py_canary_ref_sec": PY_CANARY_REF_SEC,
+        "host_factor_py": round(py_canary_sec / PY_CANARY_REF_SEC, 3),
+        "queries_cpu_sec": dict(cpu),
+        "queries_run_sec": dict(runt),
+    }
+    return stdout_line, detail
 
 
 if __name__ == "__main__":

@@ -92,15 +92,27 @@ def _widen_narrow_scan(df: DataFrame) -> DataFrame:
 _SHINGLE_CACHE_MIN_SRC_BYTES = 8 * 1024 * 1024
 
 
-def _cache_if_corpus_scale(frame: DataFrame, src: DataFrame) -> DataFrame:
+def _cache_if_corpus_scale(
+    frame: DataFrame, src: DataFrame, override: bool | None = None
+) -> DataFrame:
     """scoped_cache ``frame`` when ``src``'s file scan is large enough
     that re-running the explode per consuming branch dominates the
     cache's build/read tax; below the threshold return ``frame``
     unchanged (ReuseExchange + fused per-branch explodes win there).
     Non-file sources (in-memory frames) stay uncached — their explode
-    recompute carries no scan cost at all."""
+    recompute carries no scan cost at all.
+
+    ``override`` (ADVICE r8): the auto gate reads the FULL source scan
+    size even when ``src`` is a heavily filtered subset of it — a
+    bounded sample of a 100 TB corpus would gate as corpus-scale and
+    re-add the cache in exactly the toy shape the round-8 measurements
+    rejected. Callers that KNOW the frame's true regime pass
+    ``override=False`` (bounded sample: never cache) or
+    ``override=True`` (known corpus-scale in-memory frame)."""
     import os
 
+    if override is not None:
+        return scoped_cache(frame) if override else frame
     try:
         files = [
             f[len("file:"):] if f.startswith("file:") else None
@@ -306,6 +318,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
+    corpus_cache: bool | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join.
 
@@ -348,8 +361,11 @@ def ngram_jaccard_pairs(
     # the consuming branches' fused explodes + ReuseExchange beat the
     # columnar cache's build/read tax; at corpus scale the k-branch
     # explode recompute dominates and the cache wins (sf10: 23.8 s
-    # cached vs 42.8 s recomputed).
-    sh = _cache_if_corpus_scale(sh, df)
+    # cached vs 42.8 s recomputed). ``corpus_cache`` lets callers whose
+    # ``df`` is a bounded sample of a large source override the
+    # file-size gate (ADVICE r8 — the gate would otherwise read the
+    # full source scan and cache a toy frame).
+    sh = _cache_if_corpus_scale(sh, df, override=corpus_cache)
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     left = sh.select(F.col("sid").alias("id_a"), "shingle")
@@ -803,6 +819,18 @@ def minhash_lsh_pairs_md5(
     oracle. Same plan shape and asymptotics as :func:`minhash_lsh_pairs`
     (the xxhash64 fast path); md5 costs ~2× xxhash64 per shingle, which
     disappears under the explode+join that dominates at scale.
+
+    Exactness contract (ADVICE r8): the md5 SIGNATURE path is bit-exact,
+    but candidate VERIFICATION runs on xxhash64-hashed shingles (8-byte
+    keys — the verifier's re-derived explodes and both shuffles go
+    fixed-width, measured ~4× cheaper than string re-explodes). A hash
+    collision between two DISTINCT shingles of the same document pair
+    could perturb a Jaccard value; the probability is bounded by
+    |distinct shingles|²/2⁶⁴ per pair (≈10⁻⁸ even at 10⁹ shingles), the
+    same bound :func:`word_shingles` documents for the hashed fast path.
+    Callers needing collision-free verification too should use
+    ``_exact_jaccard_on_candidates(cand, sh, threshold)`` with the
+    string-shingle frame ``sh`` already built above.
     """
     # No cache (see weighted_jaccard_pairs): the signature build and the
     # exact verification each re-run the explode as part of their own

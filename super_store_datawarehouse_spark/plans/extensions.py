@@ -16494,7 +16494,14 @@ def x306_ivf_nprobe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = localize(
         similarity.brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
     )
-    scored = localize(similarity.ivf_candidates_ranked(emb, q, 0.03, nprobe=4))
+    # candidate rows = |queries| x probed-cell occupancy, which is
+    # data-DEPENDENT (clustered embeddings can overfill hot cells), so
+    # overflow falls back to an eager scoped cache instead of raising
+    # (ADVICE r8 medium)
+    scored = localize(
+        similarity.ivf_candidates_ranked(emb, q, 0.03, nprobe=4),
+        on_overflow="cache",
+    )
     out = None
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     for np_ in (1, 2, 4):
@@ -16965,10 +16972,13 @@ def q13_near_dup_overlap_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = localize(base.unionByName(members).distinct())
     universe = docs.join(F.broadcast(ids), "doc_id")
     # e and cand are distinct-topped (exchange-topped), so their shared
-    # subtrees dedupe via ReuseExchange without a cache
-    e = dedup.ngram_jaccard_pairs(universe, n=3, threshold=0.2).select(
-        "id_a", "id_b"
-    )
+    # subtrees dedupe via ReuseExchange without a cache. corpus_cache=False:
+    # the universe is a ~(base_n + comp_n x member_cap)-doc sample, so the
+    # shingle frame is toy-regime regardless of the SOURCE scan size the
+    # auto gate would read (ADVICE r8).
+    e = dedup.ngram_jaccard_pairs(
+        universe, n=3, threshold=0.2, corpus_cache=False
+    ).select("id_a", "id_b")
     bands_u = bands_all.join(
         F.broadcast(ids.withColumnRenamed("doc_id", "sid")), "sid"
     )

@@ -126,7 +126,7 @@ def scoped_cache(df, storage_level=None):
     return df
 
 
-def localize(df, max_rows: int = 100_000):
+def localize(df, max_rows: int = 100_000, on_overflow: str = "raise"):
     """Materialize a SMALL DataFrame to a driver-side LocalRelation.
 
     The right tool when a bounded result (top-k rows, a frontier
@@ -139,10 +139,22 @@ def localize(df, max_rows: int = 100_000):
 
     Guard: refuses to localize more than ``max_rows`` (this is a
     driver-side collect — the same boundedness contract as a broadcast
-    join side). Only use where the row bound holds BY CONSTRUCTION.
+    join side). Only use where the row bound holds BY CONSTRUCTION —
+    or, when the bound is merely EXPECTED (data-dependent, e.g. IVF
+    cell occupancy under clustered embeddings), pass
+    ``on_overflow="cache"``: instead of raising, the frame falls back
+    to an EAGER scoped cache (materialized here via ``count()``, so the
+    lineage still runs exactly once and no branch stampedes it), and
+    the query keeps its distributed plan at a modest read-path cost
+    (ADVICE r8: a hard ValueError at plan-build time is the wrong
+    failure mode for a shape that would merely run slower).
     """
     rows = df.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
+        if on_overflow == "cache":
+            cached = scoped_cache(df)
+            cached.count()  # eager: one materialization, no stampede
+            return cached
         raise ValueError(
             f"localize(): frame exceeds max_rows={max_rows}; "
             "this helper is for results bounded by construction"

@@ -59,13 +59,21 @@ def test_ngram_jaccard_is_uncached(spark):
 def test_ppjoin_caches_ranked_exactly_once(spark):
     # rule 3: ranked's three consumers prune different columns, so it
     # keeps a deliberate cache — exactly one InMemoryRelation, fed by
-    # the join+window lineage (pos/n_shingles computed below the cache)
+    # the join+window lineage (pos/n_shingles computed below the cache).
+    # The plan STRING prints the relation block once per consuming scan,
+    # so "exactly once" is asserted on materialized persistent RDDs
+    # (one cached DataFrame == one RDD), not on substring counts
+    # (ADVICE r8: the old `>= 1` could not catch an accidental second
+    # cache on this path).
+    release_scoped_caches()
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
     docs = load_table(spark, TESTDATA_SF, "documents")
     out = dedup.ppjoin_jaccard_pairs(docs, n=3, threshold=0.8)
     out.collect()
     p = _plan(out)
     assert "InMemoryTableScan" in p
-    assert p.count("InMemoryRelation") >= 1
+    assert jsc.getPersistentRDDs().size() - before == 1
     release_scoped_caches()
 
 
@@ -87,6 +95,16 @@ def test_localize_preserves_values_and_breaks_lineage(spark):
 def test_localize_refuses_unbounded_frames(spark):
     with pytest.raises(ValueError, match="max_rows"):
         localize(spark.range(0, 50), max_rows=10)
+
+
+def test_localize_overflow_falls_back_to_eager_cache(spark):
+    # ADVICE r8 (medium): data-dependent bounds must degrade to a cache,
+    # not raise at plan-build time
+    release_scoped_caches()
+    out = localize(spark.range(0, 50), max_rows=10, on_overflow="cache")
+    assert out.is_cached
+    assert out.count() == 50
+    assert release_scoped_caches() >= 1  # registered for scoped release
 
 
 def test_widen_narrow_scan_is_proportional(spark):
