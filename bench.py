@@ -70,7 +70,7 @@ HEADLINE = [
 # apples-to-apples, while "extended_total" + their per-query entries
 # give the newer operator families a recorded perf trail.
 EXTENDED = [
-    "x172_boilerplate_chunk_scrub",
+    "q17_boilerplate_chunk_scrub",  # ex-x172, promoted round 9
     "x177_heavy_hitters_mg",
     "q50_bpe_merges",
     "x180_ring_negative_sampling",
@@ -86,18 +86,23 @@ EXTENDED = [
     "q39_retrieval_eval",
     "x294_int8_quant_recall",
     "x296_bigram_lm_filter",
-    "q26_weighted_jaccard_pairs",  # ex-x299, promoted round 6
-    "q35_lsh_multiprobe_recall",  # ex-x303, promoted round 6
+    "x326_weighted_jaccard_pairs",  # ex-x299/ex-q26; rotated out of the driver window round 9
+    "x327_lsh_multiprobe_recall",  # ex-x303/ex-q35; rotated out of the driver window round 9
     "x306_ivf_nprobe_frontier",
     "q33_pq_ivf_ann_topk",  # ex-x316 fixed-budget IVFADC, promoted to the q33 slot round 7
     # round-7 rotation promotions: the driver-checked configurations get
     # their own perf trail (the demoted computations keep theirs above)
-    "q17_ngram_jaccard_dfcap",  # ex-x315, promoted round 7
+    "x328_ngram_jaccard_dfcap",  # ex-x315/ex-q17; rotated out of the driver window round 9
     "q46_markov_next_event_accuracy",  # ex-x307, promoted round 7
     "q43_ppjoin_jaccard_pairs",  # ex-x161 (t=0.8 via dispatcher), promoted round 8
     # round-8 rotation promotions: sampled flat-cost evals into driver slots
     "q31_int8_recall_gt_sampled",  # ex-x321, promoted round 8
     "q13_near_dup_overlap_sampled",  # ex-x322 (pair-coverage-aware form), promoted round 8
+    # round-9 rotation promotions (VERDICT r8 #3): graph + SemDeDup get
+    # driver rows and a perf trail (baselines recorded in check_bench.py
+    # from a standalone normalized measurement this round)
+    "q26_trade_pagerank",  # ex-x289, promoted round 9
+    "q35_semantic_dedup_pairs",  # ex-x135, promoted round 9
 ]
 
 

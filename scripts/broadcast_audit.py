@@ -68,7 +68,7 @@ ALLOW = {
     "x163_cross_source_dup_matrix": _BASELINE_SELF_JOIN,
     "x220_near_dup_overlap_eval": _BASELINE_SELF_JOIN,
     "x314_ngram_jaccard_dfcap_noop": _BASELINE_SELF_JOIN,
-    "q17_ngram_jaccard_dfcap": _BASELINE_SELF_JOIN,
+    "x328_ngram_jaccard_dfcap": _BASELINE_SELF_JOIN,
 }
 
 

@@ -53,7 +53,7 @@ ALLOW: dict[str, str] = {
     "x109_pps_weighted_sample": "k-row probe side broadcast NL by design",
     "x209_pps_ht_estimate_eval": "k-row probe side broadcast NL by design",
     "x121_priority_sample": "k-row threshold broadcast NL by design",
-    "x135_semantic_dedup_pairs": "within-cluster exact verify by design",
+    "q35_semantic_dedup_pairs": "within-cluster exact verify by design",
     "x146_dedup_representatives": "within-cluster exact verify by design",
     # inner BroadcastNestedLoopJoins whose build side is k rows or a
     # scalar aggregate — the broadcast side is bounded by construction

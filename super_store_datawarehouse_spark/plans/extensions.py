@@ -61,7 +61,7 @@ def q14_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # baseline (fan-out at the shingle self-join; see the declaration in
 # operators/dedup.py). Round-7 rotation demoted it from the q17 slot —
 # the driver window now checks the df-capped configuration a 100-TB
-# deployment would run (q17_ngram_jaccard_dfcap, same pipeline with
+# deployment would run (x328_ngram_jaccard_dfcap, same pipeline with
 # hot-shingle pruning); this exact form remains the ground-truth twin
 # that x314/x220/q19 compose against.
 # --------------------------------------------------------------------------
@@ -2382,8 +2382,10 @@ def x61_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table partitioned by src at scale), groupBy dst partial-agg reduce;
 # nodes with no in-edges keep the teleport mass via left join.
 # --------------------------------------------------------------------------
+# Promoted to the q26 driver slot in round 9 (ex-x289 — the graph
+# family's second driver row alongside q47; VERDICT r8 #3).
 @harness_query(
-    "x289_trade_pagerank",
+    "q26_trade_pagerank",
     oracle="""
     WITH edges AS (
       SELECT nc.n_nationkey AS src, ns.n_nationkey AS dst, COUNT(*) AS w
@@ -2418,7 +2420,7 @@ def x61_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY rank_ppm DESC, nationkey
     """,
 )
-def x289_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q26_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -4105,8 +4107,10 @@ def x134_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # value-oracled: the assignment replays q45's integer-quantized Lloyd
 # CTEs verbatim, the cosine is the q34 left-to-right fold.
 # --------------------------------------------------------------------------
+# Promoted to the q35 driver slot in round 9 (ex-x135 — SemDeDup's
+# first driver row; q34 covers only the GEMM primitive; VERDICT r8 #3).
 @harness_query(
-    "x135_semantic_dedup_pairs",
+    "q35_semantic_dedup_pairs",
     oracle=_KMEANS_A2_CTES
     + f"""
     , e AS (
@@ -4123,7 +4127,7 @@ def x134_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE cosine >= 0.35
     """,
 )
-def x135_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q35_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.semantic_near_dup_pairs(emb, threshold=0.35, k=8, iters=2)
 
@@ -6484,8 +6488,10 @@ def x171_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # an 8-byte xxhash64 (as q19 does for shingles); kept as text here so
 # the DuckDB twin can value-oracle the whole pipeline.
 # --------------------------------------------------------------------------
+# Promoted to the q17 driver slot in round 9 (ex-x172 — the curation
+# family's driver row; VERDICT r8 #3).
 @harness_query(
-    "x172_boilerplate_chunk_scrub",
+    "q17_boilerplate_chunk_scrub",
     oracle="""
     WITH words AS (
       SELECT doc_id, unnest(lst) AS w, generate_subscripts(lst, 1) AS i
@@ -6511,7 +6517,7 @@ def x171_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM flagged GROUP BY doc_id ORDER BY doc_id
     """,
 )
-def x172_boilerplate_chunk_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q17_boilerplate_chunk_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
@@ -15768,8 +15774,12 @@ def x296_bigram_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # would fan the self-join quadratically at corpus scale). Top-100 pairs
 # under a total order; all arithmetic exact int64.
 # --------------------------------------------------------------------------
+# Driver slot q26 rounds 6-8; rotated back to the x-series in round 9
+# (driver window made room for q26_trade_pagerank — the dedup family
+# keeps q13/q14/q19/q43 driver rows; this query stays value-oracled
+# locally and keeps its bench trail under the new name).
 @harness_query(
-    "q26_weighted_jaccard_pairs",
+    "x326_weighted_jaccard_pairs",
     oracle="""
     WITH w AS (
       SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
@@ -15809,7 +15819,7 @@ def x296_bigram_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
 )
-def q26_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x326_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.weighted_jaccard_pairs(
         docs, n=2, max_doc_freq=25, threshold_permille=100
@@ -16163,8 +16173,11 @@ def _x303_oracle() -> str:
     """
 
 
-@harness_query("q35_lsh_multiprobe_recall", oracle=_x303_oracle())
-def q35_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Driver slot q35 rounds 6-8; rotated back to the x-series in round 9
+# (slot went to q35_semantic_dedup_pairs — ANN keeps q20/q33 driver
+# rows; multiprobe stays locally oracled with its bench trail).
+@harness_query("x327_lsh_multiprobe_recall", oracle=_x303_oracle())
+def x327_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     exact = similarity.brute_force_topk(emb, q, k=5).select(
@@ -16636,8 +16649,11 @@ def x314_ngram_jaccard_dfcap_noop(spark: SparkSession, sf_dir: str) -> DataFrame
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=1_000_000)
 
 
+# Driver slot q17 rounds 7-8; rotated back to the x-series in round 9
+# (slot went to q17_boilerplate_chunk_scrub — dedup keeps q13/q14/q19/
+# q43 driver rows; the df-capped form stays locally oracled).
 @harness_query(
-    "q17_ngram_jaccard_dfcap",
+    "x328_ngram_jaccard_dfcap",
     oracle="""
     WITH w AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
@@ -16664,7 +16680,7 @@ def x314_ngram_jaccard_dfcap_noop(spark: SparkSession, sf_dir: str) -> DataFrame
     WHERE 1000 * n_inter >= 200 * (sa.n_shingles + sb.n_shingles - n_inter)
     """,
 )
-def q17_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x328_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=3)
 

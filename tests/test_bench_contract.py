@@ -79,7 +79,9 @@ def test_check_bench_merges_sidecar(tmp_path):
     cpu = dict(check_bench.R8_CPU)
     run = dict(check_bench.R8_RUN)
     head = {k: wall[k] for k in bench.HEADLINE}
-    ext = {k: wall[k] for k in bench.EXTENDED}
+    # newly promoted queries may not have a recorded baseline yet — the
+    # guard only iterates baseline keys, so any in-range value works
+    ext = {k: wall.get(k, 0.5) for k in bench.EXTENDED}
     stdout_line, detail = bench.build_payloads(
         0.1, head, ext, cpu, run, bench.CANARY_REF_SEC, bench.PY_CANARY_REF_SEC
     )
@@ -102,7 +104,7 @@ def test_check_bench_warns_not_fails_without_sidecar(tmp_path):
 
     wall = dict(check_bench.R8_WALL)
     head = {k: wall[k] for k in bench.HEADLINE}
-    ext = {k: wall[k] for k in bench.EXTENDED}
+    ext = {k: wall.get(k, 0.5) for k in bench.EXTENDED}
     stdout_line, _ = bench.build_payloads(
         0.1, head, ext, {}, {}, bench.CANARY_REF_SEC, bench.PY_CANARY_REF_SEC
     )

@@ -57,7 +57,7 @@ def test_q39_eight_table_join_is_all_broadcast(plans):
 
 
 def test_x62_pagerank_iterations_are_broadcast_only(plans):
-    p = plans("x289_trade_pagerank")
+    p = plans("q26_trade_pagerank")
     assert "SortMergeJoin" not in p
 
 
@@ -108,10 +108,10 @@ def test_q33_ivfadc_has_no_cartesian_product(plans):
     assert "CartesianProduct" not in p
 
 
-def test_x135_semantic_dedup_pairs_join_on_cluster(plans):
+def test_q35_semantic_dedup_pairs_join_on_cluster(plans):
     """SemDeDup's pair join must be keyed on the k-means cluster (hash
     join on cluster equality), not an unbounded inequality-only join."""
-    p = plans("x135_semantic_dedup_pairs")
+    p = plans("q35_semantic_dedup_pairs")
     assert "CartesianProduct" not in p
     assert "cluster" in p
 
@@ -148,7 +148,7 @@ def test_x186_mv_answer_never_rescans_fact_twice(plans):
 
 
 def test_x172_scrub_counts_via_window_not_join(plans):
-    p = plans("x172_boilerplate_chunk_scrub")
+    p = plans("q17_boilerplate_chunk_scrub")
     # corpus-frequency flagging is a window over chunk — no self-join
     assert "Window" in p
     assert "SortMergeJoin" not in p
