@@ -950,14 +950,30 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    signatures: DataFrame | None = None,
+    sig_bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole band join: with 4 16-bit chunks, hamming ≤ 3 implies at
+    Pigeonhole band join: with 4 equal chunks, hamming ≤ 3 implies at
     least one chunk is equal, so candidates come from 4 equi-joins
     (union), then the exact hamming filter runs on candidates only.
+    LOSSLESS only for max_hamming ≤ 3 (4 chunks can absorb at most 3
+    differing bits while keeping one chunk clean); larger budgets keep
+    the same candidate generation and become best-effort recall.
+
+    ``signatures``: precomputed ``(id_col, simhash)`` frame — pass
+    :func:`simhash_portable`'s output to run the identical pair
+    pipeline over the cross-engine-reproducible hash (x04's oracle
+    path); default builds xxhash64 signatures via :func:`simhash64`.
+    ``sig_bits`` sets the signature width the 4 chunks divide (64 for
+    xxhash64, 32 for the portable hash — 8-bit chunks there mean ≥256
+    buckets per band; the coarser banding is the declared trade of the
+    auditable variant, the production path keeps 16-bit chunks).
     """
-    sig = simhash64(df, text_col, id_col)
+    chunk_bits = sig_bits // 4
+    chunk_mask = (1 << chunk_bits) - 1
+    sig = signatures if signatures is not None else simhash64(df, text_col, id_col)
     chunks = sig.select(
         F.col(id_col).alias("sid"),
         "simhash",
@@ -966,7 +982,9 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_no"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                        F.shiftright("simhash", c * chunk_bits)
+                        .bitwiseAND(F.lit(chunk_mask))
+                        .alias("chunk"),
                     )
                     for c in range(4)
                 ]
