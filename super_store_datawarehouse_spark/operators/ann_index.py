@@ -29,10 +29,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from super_store_datawarehouse_spark.operators.similarity import (
+    _pq_codes_and_dtab,
     _prep,
     dot,
     ivf_assign,
     ivf_centroids,
+    pq_adc_topk,
+    pq_query_dtab,
 )
 
 
@@ -202,3 +205,204 @@ def ivf_index_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index (VERDICT r8 #5). The expensive half of every PQ
+# query is the corpus ENCODE pass — one |corpus|×|codebook| assignment
+# GEMM (x306's sf10 recording: ~71 s of a 79 s eval). A production
+# index pays it once: the codebook and the integer code table persist
+# as parquet, keyed by a corpus fingerprint + the quantization budget,
+# and every later search is dtab-build (|queries|·m·|codebook| rows,
+# broadcast) + one join against the stored codes — no corpus vector is
+# ever re-read. ``pq_index_ensure`` makes the reuse contract explicit:
+# same (fingerprint, budget) → reuse; anything else → rebuild.
+# ---------------------------------------------------------------------------
+
+
+def _pq_paths(path: str) -> tuple[str, str, str]:
+    return (
+        os.path.join(path, "pq_codebook"),
+        os.path.join(path, "pq_codes"),
+        os.path.join(path, "pq_meta"),
+    )
+
+
+def corpus_fingerprint(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[int, int]:
+    """(row count, order-free content hash) of an embedding corpus.
+
+    One linear scan, no GEMM: xxhash64 over (id, vector) per row,
+    bit-XOR-aggregated — commutative and overflow-free (a SUM of int64
+    hashes trips ANSI overflow), so partitioning and row order cannot
+    change it, and any inserted/removed/modified vector almost surely
+    flips it (64-bit collision bound; the count term breaks the one
+    structural blind spot, XOR-cancelling duplicate-row PAIRS changing
+    the row count). This is the reuse key for persisted indexes; at
+    100 TB the scan cost is the floor any index check pays (and ~m×
+    cheaper than one encode pass).
+    """
+    row = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.col(id_col), F.col(vec_col))), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def pq_index_build(
+    corpus: DataFrame,
+    path: str,
+    m: int = 4,
+    dim: int = 64,
+    codebook_buckets: int = 300,
+    salt: int = 13,
+    codebook_size: int | None = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Run the one corpus-wide encode pass and persist its outputs:
+
+    - ``pq_codebook/`` (code, j, cv) — the sampled codebook, frozen;
+    - ``pq_codes/``    (vid, j, code) — the integer code table (the
+      assignment GEMM's result, the artifact reuse amortizes);
+    - ``pq_meta/``     one row: corpus fingerprint + the budget params.
+
+    Returns {n_codewords, n_vectors, fingerprint_n, fingerprint_h}.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    book_path, codes_path, meta_path = _pq_paths(path)
+    spark = corpus.sparkSession
+    fp_n, fp_h = corpus_fingerprint(corpus, id_col, vec_col)
+    # reuse the in-plan machinery verbatim (same codebook sample, same
+    # blocked-GEMM encode, same tie order); the dtab side is built
+    # against a dummy empty query frame and discarded
+    empty_q = spark.createDataFrame(
+        [], f"{id_col} long, {vec_col} array<double>"
+    )
+    codes, _ = _pq_codes_and_dtab(
+        corpus, empty_q, m, dim // m, codebook_buckets, salt, vec_col, id_col,
+        codebook_size=codebook_size,
+    )
+    # persist the codebook the codes were encoded against (rebuild the
+    # same deterministic sample — hash-bucket + lowest-vid cap)
+    from super_store_datawarehouse_spark.operators.similarity import (
+        _pq_sampled_codebook,
+    )
+
+    e = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sub = _pq_sampled_codebook(
+        e, m, dim // m, codebook_buckets, salt, codebook_size=codebook_size
+    )
+    sub.write.mode("overwrite").parquet(book_path)
+    codes.sortWithinPartitions("j", "code").write.mode("overwrite").parquet(
+        codes_path
+    )
+    meta = spark.createDataFrame(
+        [
+            (
+                fp_n,
+                fp_h,
+                m,
+                dim,
+                codebook_buckets,
+                salt,
+                -1 if codebook_size is None else codebook_size,
+            )
+        ],
+        "fp_n long, fp_h long, m int, dim int, codebook_buckets int, "
+        "salt int, codebook_size int",
+    )
+    meta.write.mode("overwrite").parquet(meta_path)
+    return {
+        "n_codewords": spark.read.parquet(book_path).count(),
+        "n_vectors": fp_n,
+        "fingerprint_n": fp_n,
+        "fingerprint_h": fp_h,
+    }
+
+
+def pq_index_ensure(
+    corpus: DataFrame,
+    path: str,
+    m: int = 4,
+    dim: int = 64,
+    codebook_buckets: int = 300,
+    salt: int = 13,
+    codebook_size: int | None = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build the index only if none exists for this exact
+    (corpus fingerprint, quantization budget); otherwise reuse.
+
+    Returns the build stats plus ``rebuilt: bool`` — False means the
+    encode GEMM was skipped entirely (the amortization contract; the
+    only corpus-wide work on the reuse path is the fingerprint scan).
+    """
+    book_path, codes_path, meta_path = _pq_paths(path)
+    spark = corpus.sparkSession
+    want = (
+        m,
+        dim,
+        codebook_buckets,
+        salt,
+        -1 if codebook_size is None else codebook_size,
+    )
+    try:
+        meta = spark.read.parquet(meta_path).first()
+    except Exception:
+        meta = None
+    if meta is not None and (
+        meta["m"],
+        meta["dim"],
+        meta["codebook_buckets"],
+        meta["salt"],
+        meta["codebook_size"],
+    ) == want:
+        fp_n, fp_h = corpus_fingerprint(corpus, id_col, vec_col)
+        if (meta["fp_n"], meta["fp_h"]) == (fp_n, fp_h):
+            return {
+                "rebuilt": False,
+                "n_vectors": fp_n,
+                "fingerprint_n": fp_n,
+                "fingerprint_h": fp_h,
+            }
+    stats = pq_index_build(
+        corpus,
+        path,
+        m,
+        dim,
+        codebook_buckets,
+        salt,
+        codebook_size,
+        id_col,
+        vec_col,
+    )
+    return {"rebuilt": True, **stats}
+
+
+def pq_index_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over the persisted code table — bit-identical to
+    ``similarity.pq_topk`` at the same budget (shared ``pq_adc_topk`` /
+    ``pq_query_dtab`` arithmetic), but the corpus side is a 3-int-column
+    parquet scan instead of a fresh encode GEMM."""
+    book_path, codes_path, meta_path = _pq_paths(path)
+    meta = spark.read.parquet(meta_path).first()
+    sd = meta["dim"] // meta["m"]
+    sub = spark.read.parquet(book_path)
+    codes = spark.read.parquet(codes_path)
+    dtab = pq_query_dtab(queries, sub, sd, vec_col, id_col)
+    return pq_adc_topk(codes, dtab, k)

@@ -730,9 +730,20 @@ def pq_topk(
         corpus, queries, m, sd, codebook_buckets, salt, vec_col, id_col,
         codebook_size=codebook_size,
     )
+    return pq_adc_topk(codes, dtab, k)
+
+
+def pq_adc_topk(codes: DataFrame, dtab: DataFrame, k: int) -> DataFrame:
+    """ADC scoring + per-query top-k over a ``(vid, j, code)`` code table
+    and a ``(query_id, j, code, d)`` distance table — shared by the
+    in-plan :func:`pq_topk` and the persisted index
+    (``ann_index.pq_index_search``) so both paths carry the identical
+    IEEE fold and tie order.
+    """
     approx = (
-        # merge hint: codes is n·m rows behind a stat-less mapInPandas —
-        # Catalyst would broadcast it on a garbage estimate (sf10 audit)
+        # merge hint: codes is n·m rows behind a stat-less mapInPandas
+        # (or a small parquet scan) — Catalyst would broadcast it on a
+        # garbage estimate (sf10 audit)
         codes.hint("merge").join(dtab, ["j", "code"])
         .filter(F.col("query_id") != F.col("vid"))
         .groupBy("query_id", F.col("vid").alias("neighbor_id"))
@@ -843,15 +854,36 @@ def _pq_codes_and_dtab(
         if per_j
         else spark.createDataFrame([], "vid long, j int, code long")
     )
-    dtab = (
+    dtab = pq_query_dtab(queries, sub, sd, vec_col, id_col)
+    return codes, dtab
+
+
+def pq_query_dtab(
+    queries: DataFrame,
+    sub: DataFrame,
+    sd: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query ADC distance tables ``(query_id, j, code, d)`` against a
+    ``(code, j, cv)`` codebook — the query-time half of PQ, split out so
+    a PERSISTED codebook (``ann_index.pq_index_search``) reuses the
+    identical sq_l2 fold without re-encoding anything."""
+    return (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
         .join(F.broadcast(sub))
-        .select("query_id", "j", "code", sub_dist(F.col("qv")).alias("d"))
+        .select(
+            "query_id",
+            "j",
+            "code",
+            sq_l2(
+                F.slice(F.col("qv"), F.col("j") * sd + 1, sd), F.col("cv")
+            ).alias("d"),
+        )
     )
-    return codes, dtab
 
 
 def _pq_sampled_codebook(

@@ -65,3 +65,63 @@ def test_incremental_update_appends_into_existing_cells(spark, vectors, tmp_path
     hits = ivf_index_search(spark, path, q, k=3, nprobe=2).collect()
     assert len(hits) >= 1
     assert all(r["query_id"] == 250 for r in hits)
+
+
+# -- persisted PQ index (VERDICT r8 #5) --------------------------------------
+
+
+def test_pq_index_search_equals_in_plan_pq_topk(spark, vectors, tmp_path):
+    from super_store_datawarehouse_spark.operators.ann_index import (
+        pq_index_build,
+        pq_index_search,
+    )
+    from super_store_datawarehouse_spark.operators.similarity import pq_topk
+
+    path = str(tmp_path / "pq")
+    stats = pq_index_build(
+        vectors, path, m=4, dim=8, codebook_buckets=500, salt=13,
+        codebook_size=16,
+    )
+    assert stats["n_vectors"] == 300
+    assert stats["n_codewords"] > 0
+
+    queries = vectors.filter("vec_id < 5")
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+        for r in pq_index_search(spark, path, queries, k=3).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+        for r in pq_topk(
+            vectors, queries, k=3, m=4, dim=8, codebook_buckets=500,
+            salt=13, codebook_size=16,
+        ).collect()
+    }
+    assert got == want  # same codebook, same encode, same fold — bit-equal
+
+
+def test_pq_index_ensure_reuses_then_rebuilds_on_change(spark, vectors, tmp_path):
+    from super_store_datawarehouse_spark.operators.ann_index import (
+        pq_index_ensure,
+    )
+
+    path = str(tmp_path / "pq_ensure")
+    budget = dict(m=4, dim=8, codebook_buckets=500, salt=13, codebook_size=16)
+    first = pq_index_ensure(vectors, path, **budget)
+    assert first["rebuilt"] is True
+
+    # same corpus + same budget: the encode pass is skipped
+    again = pq_index_ensure(vectors, path, **budget)
+    assert again["rebuilt"] is False
+    assert again["fingerprint_h"] == first["fingerprint_h"]
+
+    # budget change forces a rebuild (codes encoded under another
+    # codebook are not reusable)
+    changed = pq_index_ensure(vectors, path, **{**budget, "codebook_size": 8})
+    assert changed["rebuilt"] is True
+
+    # corpus change (one vector removed) flips the fingerprint
+    smaller = vectors.filter("vec_id <> 42")
+    refp = pq_index_ensure(smaller, path, **{**budget, "codebook_size": 8})
+    assert refp["rebuilt"] is True
+    assert refp["fingerprint_n"] == 299
