@@ -144,10 +144,26 @@ _ROCKS = (
 )
 
 
-def saturation(spark, sf_dir: str, json_out: str | None) -> int:
+DEFAULT_SWEEP = (40_000, 100_000, 250_000, 500_000, 1_000_000)
+
+
+def saturation(
+    spark,
+    sf_dir: str,
+    json_out: str | None,
+    sizes: tuple[int, ...] = DEFAULT_SWEEP,
+    with_watermark_point: bool = True,
+) -> int:
     """Trigger-size sweep: rows/s + batch latency as the micro-batch
     grows, for the two heaviest stateful jobs; plus the 2× watermark
-    state point (SCALE.md §12 extension, VERDICT r7 #7)."""
+    state point (SCALE.md §12 extension, VERDICT r7 #7).
+
+    ``sizes`` (``--sizes a,b,c``): the r8 sweep ended at 1M rows/trigger
+    — the whole sf1 table in one batch — with throughput still rising;
+    VERDICT r8 #7 asks for the actual knee, so the sf10 run sweeps
+    1M-4M triggers over the 10M-row table (``--no-watermark-point``
+    skips the 40k-trigger watermark comparison, already recorded at
+    sf1)."""
     from super_store_datawarehouse_spark.streaming import jobs
 
     total_rows = spark.read.parquet(
@@ -171,7 +187,7 @@ def saturation(spark, sf_dir: str, json_out: str | None) -> int:
         s.pop("state_rows_series", None)  # keep the sweep JSON compact
         return s
 
-    for size in (40_000, 100_000, 250_000, 500_000, 1_000_000):
+    for size in sizes:
         n = max(1, (total_rows + size - 1) // size)
         staging = tempfile.mkdtemp(prefix=f"stream_sat_{size}_")
         try:
@@ -206,6 +222,18 @@ def saturation(spark, sf_dir: str, json_out: str | None) -> int:
 
     # 2× watermark state point: same 40k trigger, 4 h horizon vs 2 h
     wm = {}
+    if not with_watermark_point:
+        line = {
+            "metric": "streaming_saturation",
+            "sf_dir": sf_dir,
+            "rows": total_rows,
+            "sweep": sweep,
+        }
+        print(json.dumps(line))
+        if json_out:
+            with open(json_out, "w") as fh:
+                fh.write(json.dumps(line) + "\n")
+        return 0
     staging = tempfile.mkdtemp(prefix="stream_sat_wm_")
     try:
         n = max(1, (total_rows + 39_999) // 40_000)
@@ -253,13 +281,21 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]  # drop the flag AND its value
+    sizes = DEFAULT_SWEEP
+    if "--sizes" in argv:
+        i = argv.index("--sizes")
+        sizes = tuple(int(x) for x in argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]  # drop the flag AND its value
     args = [a for a in argv if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/repo/testdata_sf1"
     n_batches = int(args[1]) if len(args) > 1 else 25
     if "--saturation" in sys.argv:
         spark = get_spark("streaming-bench")
         spark.sparkContext.setLogLevel("ERROR")
-        return saturation(spark, sf_dir, json_out)
+        return saturation(
+            spark, sf_dir, json_out, sizes=sizes,
+            with_watermark_point="--no-watermark-point" not in sys.argv,
+        )
 
     spark = get_spark("streaming-bench")
     spark.sparkContext.setLogLevel("ERROR")
