@@ -406,3 +406,96 @@ def pq_index_search(
     codes = spark.read.parquet(codes_path)
     dtab = pq_query_dtab(queries, sub, sd, vec_col, id_col)
     return pq_adc_topk(codes, dtab, k)
+
+
+def ivfadc_index_build(
+    corpus: DataFrame,
+    path: str,
+    m: int = 4,
+    dim: int = 64,
+    codebook_buckets: int = 300,
+    salt: int = 13,
+    codebook_size: int | None = 256,
+    centroid_fraction: float | str = 0.03,
+    centroid_salt: int = 7,
+    max_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build BOTH halves of a persisted IVFADC index (Jégou et al. 2011
+    §V — the composition ``similarity.pq_ivf_topk`` runs in-plan): the
+    IVF store (centroids + cell assignments) bounds candidates, the PQ
+    store answers distances from codes. One corpus read per half; both
+    linear. The stores are independently reusable (``ivf_index_search``
+    / ``pq_index_search``) and compose in :func:`ivfadc_index_search`.
+    """
+    ivf_stats = ivf_index_build(
+        corpus, path, centroid_fraction, centroid_salt, id_col, vec_col,
+        max_cells=max_cells,
+    )
+    pq_stats = pq_index_build(
+        corpus, path, m, dim, codebook_buckets, salt, codebook_size,
+        id_col, vec_col,
+    )
+    return {**ivf_stats, **pq_stats}
+
+
+def ivfadc_index_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC top-k over the persisted stores — bit-identical to the
+    in-plan ``similarity.pq_ivf_topk`` at the same budgets (pinned by
+    test): candidates from the stored cell assignments (a 2-int-column
+    scan — the embeddings in ``cells/`` are never read on this path),
+    distances from the stored codes. Per query the work is
+    O(|corpus|·nprobe/n_centroids) candidate rows and no corpus vector
+    is re-read or re-encoded.
+    """
+    cent_path, cell_path = _paths(path)
+    _book, codes_path, meta_path = _pq_paths(path)
+    meta = spark.read.parquet(meta_path).first()
+    sd = meta["dim"] // meta["m"]
+
+    stored_cents = spark.read.parquet(cent_path).select(
+        F.col("centroid_id").alias(id_col), F.col("embedding").alias(vec_col)
+    )
+    q_assign = ivf_assign(queries, stored_cents, nprobe, id_col, vec_col, "query_id")
+    # column-pruned candidate side: (vid, centroid_id) only
+    c_assign = spark.read.parquet(cell_path).select(
+        F.col("vid").alias("neighbor_id"), "centroid_id"
+    )
+    cand = (
+        q_assign.join(c_assign, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+    sub = spark.read.parquet(_book)
+    codes = spark.read.parquet(codes_path)
+    dtab = pq_query_dtab(queries, sub, sd, vec_col, id_col)
+    approx = (
+        cand.join(codes.hint("merge"), cand["neighbor_id"] == codes["vid"])
+        .join(dtab, ["query_id", "j", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "d"))).alias("parts"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                "parts", F.lit(0.0), lambda acc, s: acc + s["d"]
+            ).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        approx.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist")
+    )

@@ -125,3 +125,34 @@ def test_pq_index_ensure_reuses_then_rebuilds_on_change(spark, vectors, tmp_path
     refp = pq_index_ensure(smaller, path, **{**budget, "codebook_size": 8})
     assert refp["rebuilt"] is True
     assert refp["fingerprint_n"] == 299
+
+
+def test_ivfadc_index_search_equals_in_plan_pq_ivf_topk(spark, vectors, tmp_path):
+    from super_store_datawarehouse_spark.operators.ann_index import (
+        ivfadc_index_build,
+        ivfadc_index_search,
+    )
+    from super_store_datawarehouse_spark.operators.similarity import pq_ivf_topk
+
+    path = str(tmp_path / "ivfadc")
+    budget = dict(
+        m=4, dim=8, codebook_buckets=500, salt=13, codebook_size=16,
+        centroid_fraction=0.05, centroid_salt=7,
+    )
+    stats = ivfadc_index_build(vectors, path, **budget)
+    assert stats["n_vectors"] == 300 and stats["n_centroids"] >= 2
+
+    queries = vectors.filter("vec_id < 5")
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+        for r in ivfadc_index_search(spark, path, queries, k=3, nprobe=2).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+        for r in pq_ivf_topk(
+            vectors, queries, k=3, m=4, dim=8, codebook_buckets=500,
+            salt=13, codebook_size=16, centroid_fraction=0.05,
+            centroid_salt=7, nprobe=2,
+        ).collect()
+    }
+    assert got == want  # same quantizers, same folds, same ties — bit-equal
