@@ -118,3 +118,30 @@ def test_check_bench_warns_not_fails_without_sidecar(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "WARN" in proc.stdout
+
+
+def test_check_bench_rejects_stale_sidecar(tmp_path):
+    """A sidecar whose scalars disagree with the stdout line is from a
+    DIFFERENT run (e.g. a committed builder artifact next to a fresher
+    driver line); merging would mix two runs' numbers — it must be
+    skipped with a warning instead."""
+    sys.path.insert(0, str(REPO / "scripts"))
+    import check_bench  # noqa: E402
+
+    wall = dict(check_bench.R8_WALL)
+    head = {k: wall[k] for k in bench.HEADLINE}
+    ext = {k: wall.get(k, 0.5) for k in bench.EXTENDED}
+    stdout_line, detail = bench.build_payloads(
+        0.1, head, ext, {}, {}, bench.CANARY_REF_SEC, bench.PY_CANARY_REF_SEC
+    )
+    detail = {**detail, "value": detail["value"] + 1.0}  # different run
+    out = tmp_path / "bench.out"
+    out.write_text(json.dumps(stdout_line) + "\n")
+    (tmp_path / bench.DETAIL_SIDECAR).write_text(json.dumps(detail) + "\n")
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "check_bench.py"), str(out)],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "different run" in proc.stdout
