@@ -69,6 +69,12 @@ ALLOW = {
     "x220_near_dup_overlap_eval": _BASELINE_SELF_JOIN,
     "x314_ngram_jaccard_dfcap_noop": _BASELINE_SELF_JOIN,
     "x328_ngram_jaccard_dfcap": _BASELINE_SELF_JOIN,
+    # round 9: x114 became the xxhash-LSH subset-invariant EVAL — it
+    # deliberately recomputes the declared exact-baseline pair set
+    # (ngram_jaccard_pairs, the same self-join shape as x220's eval)
+    # as its ground truth; the LSH half carries the non-broadcast
+    # hints, the baseline half keeps the documented hash-probe choice.
+    "x114_minhash_lsh_xxhash": _BASELINE_SELF_JOIN,
 }
 
 
