@@ -499,3 +499,68 @@ def ivfadc_index_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adist")
     )
+
+
+def pq_index_update(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append a batch to the persisted PQ index: encode the new vectors
+    against the FROZEN codebook (the standard PQ update contract —
+    retraining codebooks is an offline rebuild, same as IVF's frozen
+    quantizer) and append their code rows — O(batch), no corpus re-read.
+
+    The meta fingerprint updates INCREMENTALLY: the content hash is a
+    commutative bit-XOR of per-row hashes, so ``fp ⊕ xor(batch)`` equals
+    the full recomputation over (old ∪ batch) — ``pq_index_ensure``
+    called later with the grown corpus still recognizes the index
+    (rebuilt=False) without anyone ever re-scanning the old rows.
+    Appending a row that already exists is the caller's bug (codes
+    duplicate AND the XOR cancels — the count term then flags the
+    mismatch and forces a rebuild, failing safe). Returns rows appended.
+    """
+    book_path, codes_path, meta_path = _pq_paths(path)
+    meta = spark.read.parquet(meta_path).first()
+    m, sd = meta["m"], meta["dim"] // meta["m"]
+    sub = spark.read.parquet(book_path)
+    empty_q = spark.createDataFrame(
+        [], f"{id_col} long, {vec_col} array<double>"
+    )
+    codes, _ = _pq_codes_and_dtab(
+        new_vectors, empty_q, m, sd, meta["codebook_buckets"], meta["salt"],
+        vec_col, id_col, sub=sub,
+    )
+    codes = codes.persist()
+    try:
+        # count BEFORE the append (the ivf_index_update lesson: a
+        # post-write count can observe its own write through a reader
+        # lineage); empty batches skip both writes entirely
+        n_rows = codes.count()
+        n = n_rows // m
+        if n:
+            codes.sortWithinPartitions("j", "code").write.mode("append").parquet(
+                codes_path
+            )
+            dn, dh = corpus_fingerprint(new_vectors, id_col, vec_col)
+            new_meta = spark.createDataFrame(
+                [
+                    (
+                        int(meta["fp_n"]) + dn,
+                        int(meta["fp_h"]) ^ dh,
+                        m,
+                        meta["dim"],
+                        meta["codebook_buckets"],
+                        meta["salt"],
+                        meta["codebook_size"],
+                    )
+                ],
+                "fp_n long, fp_h long, m int, dim int, codebook_buckets int, "
+                "salt int, codebook_size int",
+            )
+            new_meta.write.mode("overwrite").parquet(meta_path)
+    finally:
+        codes.unpersist()
+    return n

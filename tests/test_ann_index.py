@@ -156,3 +156,39 @@ def test_ivfadc_index_search_equals_in_plan_pq_ivf_topk(spark, vectors, tmp_path
         ).collect()
     }
     assert got == want  # same quantizers, same folds, same ties — bit-equal
+
+
+def test_pq_index_update_appends_and_keeps_fingerprint_consistent(
+    spark, vectors, tmp_path
+):
+    from super_store_datawarehouse_spark.operators.ann_index import (
+        pq_index_build,
+        pq_index_ensure,
+        pq_index_search,
+        pq_index_update,
+    )
+
+    path = str(tmp_path / "pq_up")
+    first = vectors.filter("vec_id < 200")
+    batch = vectors.filter("vec_id >= 200")
+    budget = dict(m=4, dim=8, codebook_buckets=500, salt=13, codebook_size=16)
+    pq_index_build(first, path, **budget)
+
+    appended = pq_index_update(spark, path, batch)
+    assert appended == 100
+    codes = spark.read.parquet(path + "/pq_codes")
+    assert codes.select("vid").distinct().count() == 300
+
+    # the incrementally-updated fingerprint equals the full recompute:
+    # ensure() over the GROWN corpus reuses without rebuilding
+    again = pq_index_ensure(vectors, path, **budget)
+    assert again["rebuilt"] is False
+
+    # appended vectors are findable through the persisted search
+    q = batch.filter("vec_id = 250")
+    hits = pq_index_search(spark, path, q, k=3).collect()
+    assert len(hits) == 3 and all(r["query_id"] == 250 for r in hits)
+
+    # a corpus the index does NOT contain still forces a rebuild
+    refp = pq_index_ensure(vectors.filter("vec_id <> 7"), path, **budget)
+    assert refp["rebuilt"] is True
