@@ -262,6 +262,8 @@ def pq_index_build(
     codebook_size: int | None = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refined: bool = False,
+    scale: int = 1000,
 ) -> dict:
     """Run the one corpus-wide encode pass and persist its outputs:
 
@@ -277,29 +279,48 @@ def pq_index_build(
     book_path, codes_path, meta_path = _pq_paths(path)
     spark = corpus.sparkSession
     fp_n, fp_h = corpus_fingerprint(corpus, id_col, vec_col)
-    # reuse the in-plan machinery verbatim (same codebook sample, same
-    # blocked-GEMM encode, same tie order); the dtab side is built
-    # against a dummy empty query frame and discarded
     empty_q = spark.createDataFrame(
         [], f"{id_col} long, {vec_col} array<double>"
     )
-    codes, _ = _pq_codes_and_dtab(
-        corpus, empty_q, m, dim // m, codebook_buckets, salt, vec_col, id_col,
-        codebook_size=codebook_size,
-    )
-    # persist the codebook the codes were encoded against (rebuild the
-    # same deterministic sample — hash-bucket + lowest-vid cap)
-    from super_store_datawarehouse_spark.operators.similarity import (
-        _pq_sampled_codebook,
-    )
+    if refined:
+        # one integer-quantized Lloyd step over the sampled codebook —
+        # the quality upgrade real PQ training runs (x134's operator).
+        # Persist the refined book FIRST, then encode against the
+        # STORED copy, so the Lloyd lineage computes exactly once and
+        # the codes provably match the book the index serves.
+        from super_store_datawarehouse_spark.operators.similarity import (
+            pq_refined_codebook,
+        )
 
-    e = corpus.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    sub = _pq_sampled_codebook(
-        e, m, dim // m, codebook_buckets, salt, codebook_size=codebook_size
-    )
-    sub.write.mode("overwrite").parquet(book_path)
+        pq_refined_codebook(
+            corpus, m, dim, codebook_buckets, salt, scale, vec_col, id_col
+        ).write.mode("overwrite").parquet(book_path)
+        stored_sub = spark.read.parquet(book_path)
+        codes, _ = _pq_codes_and_dtab(
+            corpus, empty_q, m, dim // m, codebook_buckets, salt,
+            vec_col, id_col, sub=stored_sub,
+        )
+    else:
+        # reuse the in-plan machinery verbatim (same codebook sample,
+        # same blocked-GEMM encode, same tie order); the dtab side is
+        # built against a dummy empty query frame and discarded
+        codes, _ = _pq_codes_and_dtab(
+            corpus, empty_q, m, dim // m, codebook_buckets, salt, vec_col,
+            id_col, codebook_size=codebook_size,
+        )
+        # persist the codebook the codes were encoded against (rebuild
+        # the same deterministic sample — hash-bucket + lowest-vid cap)
+        from super_store_datawarehouse_spark.operators.similarity import (
+            _pq_sampled_codebook,
+        )
+
+        e = corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        _pq_sampled_codebook(
+            e, m, dim // m, codebook_buckets, salt, codebook_size=codebook_size
+        ).write.mode("overwrite").parquet(book_path)
     codes.sortWithinPartitions("j", "code").write.mode("overwrite").parquet(
         codes_path
     )
@@ -313,10 +334,12 @@ def pq_index_build(
                 codebook_buckets,
                 salt,
                 -1 if codebook_size is None else codebook_size,
+                bool(refined),
+                scale,
             )
         ],
         "fp_n long, fp_h long, m int, dim int, codebook_buckets int, "
-        "salt int, codebook_size int",
+        "salt int, codebook_size int, refined boolean, scale int",
     )
     meta.write.mode("overwrite").parquet(meta_path)
     return {
@@ -337,6 +360,8 @@ def pq_index_ensure(
     codebook_size: int | None = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refined: bool = False,
+    scale: int = 1000,
 ) -> dict:
     """Build the index only if none exists for this exact
     (corpus fingerprint, quantization budget); otherwise reuse.
@@ -353,17 +378,24 @@ def pq_index_ensure(
         codebook_buckets,
         salt,
         -1 if codebook_size is None else codebook_size,
+        bool(refined),
+        scale,
     )
     try:
         meta = spark.read.parquet(meta_path).first()
     except Exception:
         meta = None
+    md = meta.asDict() if meta is not None else {}
     if meta is not None and (
-        meta["m"],
-        meta["dim"],
-        meta["codebook_buckets"],
-        meta["salt"],
-        meta["codebook_size"],
+        md["m"],
+        md["dim"],
+        md["codebook_buckets"],
+        md["salt"],
+        md["codebook_size"],
+        # pre-round-9 meta rows lack these fields: treat as the default
+        # budget so an existing unrefined index is still recognized
+        bool(md.get("refined", False)),
+        md.get("scale", 1000),
     ) == want:
         fp_n, fp_h = corpus_fingerprint(corpus, id_col, vec_col)
         if (meta["fp_n"], meta["fp_h"]) == (fp_n, fp_h):
@@ -383,6 +415,8 @@ def pq_index_ensure(
         codebook_size,
         id_col,
         vec_col,
+        refined=refined,
+        scale=scale,
     )
     return {"rebuilt": True, **stats}
 
@@ -545,20 +579,23 @@ def pq_index_update(
                 codes_path
             )
             dn, dh = corpus_fingerprint(new_vectors, id_col, vec_col)
+            md = meta.asDict()
             new_meta = spark.createDataFrame(
                 [
                     (
-                        int(meta["fp_n"]) + dn,
-                        int(meta["fp_h"]) ^ dh,
+                        int(md["fp_n"]) + dn,
+                        int(md["fp_h"]) ^ dh,
                         m,
-                        meta["dim"],
-                        meta["codebook_buckets"],
-                        meta["salt"],
-                        meta["codebook_size"],
+                        md["dim"],
+                        md["codebook_buckets"],
+                        md["salt"],
+                        md["codebook_size"],
+                        bool(md.get("refined", False)),
+                        md.get("scale", 1000),
                     )
                 ],
                 "fp_n long, fp_h long, m int, dim int, codebook_buckets int, "
-                "salt int, codebook_size int",
+                "salt int, codebook_size int, refined boolean, scale int",
             )
             new_meta.write.mode("overwrite").parquet(meta_path)
     finally:

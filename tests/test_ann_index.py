@@ -192,3 +192,51 @@ def test_pq_index_update_appends_and_keeps_fingerprint_consistent(
     # a corpus the index does NOT contain still forces a rebuild
     refp = pq_index_ensure(vectors.filter("vec_id <> 7"), path, **budget)
     assert refp["rebuilt"] is True
+
+
+def test_pq_index_refined_matches_in_plan_refined_topk(spark, vectors, tmp_path):
+    """refined=True stores the Lloyd-refined codebook and encodes the
+    corpus against the STORED copy — search must equal the in-plan
+    pq_topk_refined at the same budget, and the refined budget is part
+    of the reuse key (an unrefined ensure over the same corpus
+    rebuilds)."""
+    from super_store_datawarehouse_spark.operators.ann_index import (
+        pq_index_ensure,
+        pq_index_search,
+    )
+    from super_store_datawarehouse_spark.operators.similarity import (
+        pq_topk_refined,
+    )
+
+    path = str(tmp_path / "pq_ref")
+    budget = dict(m=4, dim=8, codebook_buckets=500, salt=13, scale=1000)
+    first = pq_index_ensure(
+        vectors, path, codebook_size=None, refined=True, **budget
+    )
+    assert first["rebuilt"] is True
+
+    queries = vectors.filter("vec_id < 5")
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+        for r in pq_index_search(spark, path, queries, k=3).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+        for r in pq_topk_refined(
+            vectors, queries, k=3, m=4, dim=8, codebook_buckets=500,
+            salt=13, scale=1000,
+        ).collect()
+    }
+    assert got == want
+
+    # same corpus + same refined budget → reuse
+    again = pq_index_ensure(
+        vectors, path, codebook_size=None, refined=True, **budget
+    )
+    assert again["rebuilt"] is False
+    # refined-ness is part of the key: asking for the unrefined book
+    # over the same corpus must rebuild
+    other = pq_index_ensure(
+        vectors, path, codebook_size=None, refined=False, **budget
+    )
+    assert other["rebuilt"] is True
