@@ -569,16 +569,21 @@ def pq_index_update(
     )
     codes = codes.persist()
     try:
-        # count BEFORE the append (the ivf_index_update lesson: a
-        # post-write count can observe its own write through a reader
-        # lineage); empty batches skip both writes entirely
+        # count AND fingerprint BEFORE the append (the ivf_index_update
+        # lesson, which bit this exact function in round 9's streaming
+        # face): ``new_vectors`` may derive from a read of the codes
+        # table itself (the streaming job's content-dedup anti-join), so
+        # any post-append evaluation observes its own write — the
+        # fingerprint would hash an EMPTY frame and the meta would
+        # silently stop tracking the corpus. Empty batches skip both
+        # writes entirely.
         n_rows = codes.count()
         n = n_rows // m
         if n:
+            dn, dh = corpus_fingerprint(new_vectors, id_col, vec_col)
             codes.sortWithinPartitions("j", "code").write.mode("append").parquet(
                 codes_path
             )
-            dn, dh = corpus_fingerprint(new_vectors, id_col, vec_col)
             md = meta.asDict()
             new_meta = spark.createDataFrame(
                 [

@@ -1240,6 +1240,77 @@ def stream_ivf_index_update(
     return batches["n"]
 
 
+def stream_pq_index_update(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint: str | None = None,
+) -> int:
+    """Streaming face of the persisted PQ index (round 9, mirroring
+    :func:`stream_ivf_index_update`): embedding batches are encoded
+    against the FROZEN codebook and their code rows appended — the
+    index stays queryable throughout, never rebuilt.
+
+    Exactly-once by CONTENT dedup (batch ids cannot be trusted — see
+    the IVF job's docstring for the checkpoint-scope and file-ordering
+    failure modes): each batch anti-joins on ``vec_id`` against the
+    stored code table and only unseen ids are encoded + appended, so a
+    full replay appends nothing and a partially-applied crash batch
+    self-heals. Commit-point note: ``pq_index_update`` appends codes
+    THEN overwrites the fingerprint meta; a crash between the two
+    leaves the meta stale, which is FAIL-SAFE — ``pq_index_ensure``
+    over the grown corpus sees a fingerprint mismatch and rebuilds
+    rather than serving an index it cannot attest (and the replay's
+    anti-join still appends nothing, so codes never duplicate).
+    Returns micro-batches that appended rows.
+    """
+    from super_store_datawarehouse_spark.operators.ann_index import (
+        pq_index_update,
+    )
+
+    schema = (
+        spark.read.option("pathGlobFilter", "embeddings*.parquet")
+        .parquet(src_dir)
+        .schema
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "embeddings*.parquet")
+        .parquet(src_dir)
+    )
+    codes_path = os.path.join(index_path, "pq_codes")
+    batches = {"n": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        id_col = "vec_id" if "vec_id" in batch_df.columns else batch_df.columns[0]
+        try:
+            seen = (
+                sess.read.parquet(codes_path)
+                .select(F.col("vid").alias(id_col))
+                .distinct()
+            )
+        except Exception:
+            seen = None  # no codes yet: everything is new
+        survivors = (
+            batch_df.join(seen, id_col, "left_anti") if seen is not None else batch_df
+        )
+        appended = pq_index_update(sess, index_path, survivors)
+        if appended:
+            batches["n"] += 1
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(apply_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return batches["n"]
+
+
 # Version token for the Bloom state's key derivation, embedded in the
 # state parquet. Bloom bit positions are a pure function of the key
 # string, so a key-format change invalidates EVERY persisted bit: a

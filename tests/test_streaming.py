@@ -1369,3 +1369,63 @@ def test_stream_sessionize_matches_batch_on_finalized_sessions(tmp_path, spark):
     assert must_emit, "fixture too small to exercise finalization"
     missing = must_emit - set(got)
     assert not missing
+
+
+def test_stream_pq_index_update_exactly_once_and_fingerprint(tmp_path, spark):
+    """Streaming PQ face (round 9): batches encode against the frozen
+    codebook; replays (wiped checkpoint) append nothing via content
+    dedup; the incrementally-maintained fingerprint stays consistent
+    with the grown corpus so ensure() reuses without a rebuild; a
+    streamed vector is immediately searchable."""
+    import os
+    import random
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.operators.ann_index import (
+        pq_index_build,
+        pq_index_ensure,
+        pq_index_search,
+    )
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        stream_pq_index_update,
+    )
+
+    rng = random.Random(53)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)]
+    vectors = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    index = str(tmp_path / "pq")
+    budget = dict(m=4, dim=8, codebook_buckets=500, salt=13, codebook_size=16)
+    pq_index_build(vectors.filter("vec_id < 150"), index, **budget)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        part_dir = tmp_path / f"part{i}"
+        vectors.filter(
+            (F.col("vec_id") >= 150 + 50 * i) & (F.col("vec_id") < 200 + 50 * i)
+        ).coalesce(1).write.parquet(str(part_dir), mode="overwrite")
+        part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        os.rename(part_dir / part, os.path.join(src, f"embeddings{i}.parquet"))
+
+    ckpt = str(tmp_path / "ckpt")
+    assert stream_pq_index_update(spark, src, index, checkpoint=ckpt) == 3
+    codes = spark.read.parquet(index + "/pq_codes")
+    assert codes.select("vid").distinct().count() == 300
+
+    # replay everything (fresh checkpoint): content dedup excludes all
+    shutil.rmtree(ckpt)
+    assert stream_pq_index_update(
+        spark, src, index, checkpoint=str(tmp_path / "ckpt2")
+    ) == 0
+    assert spark.read.parquet(index + "/pq_codes").select("vid").distinct().count() == 300
+
+    # the incrementally-maintained fingerprint matches the grown corpus
+    assert pq_index_ensure(vectors, index, **budget)["rebuilt"] is False
+
+    # a streamed vector is immediately searchable
+    q = vectors.filter("vec_id = 299")
+    hits = pq_index_search(spark, index, q, k=3).collect()
+    assert len(hits) == 3 and all(r["query_id"] == 299 for r in hits)
