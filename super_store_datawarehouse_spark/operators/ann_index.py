@@ -606,3 +606,58 @@ def pq_index_update(
     finally:
         codes.unpersist()
     return n
+
+
+def ivfadc_index_ensure(
+    corpus: DataFrame,
+    path: str,
+    m: int = 4,
+    dim: int = 64,
+    codebook_buckets: int = 300,
+    salt: int = 13,
+    codebook_size: int | None = 256,
+    centroid_fraction: float | str = 0.03,
+    centroid_salt: int = 7,
+    max_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Fingerprint-keyed reuse for the composed IVFADC index.
+
+    Corpus-change detection rides on the PQ half's fingerprint meta
+    (one linear scan); the IVF half's budget (centroid fraction/salt/
+    max_cells) is pinned in its own ``ivfadc_meta`` row. Reuse only
+    when BOTH halves match: a changed corpus rebuilds both (the PQ
+    ensure detects it), a changed IVF budget rebuilds the IVF half
+    alone (codes encoded under the unchanged codebook stay valid).
+    """
+    spark = corpus.sparkSession
+    meta_path = os.path.join(path, "ivfadc_meta")
+    want = (
+        str(centroid_fraction),
+        centroid_salt,
+        -1 if max_cells is None else max_cells,
+    )
+    try:
+        im = spark.read.parquet(meta_path).first()
+        ivf_ok = (
+            im["centroid_fraction"],
+            im["centroid_salt"],
+            im["max_cells"],
+        ) == want
+    except Exception:
+        ivf_ok = False
+    pq = pq_index_ensure(
+        corpus, path, m, dim, codebook_buckets, salt, codebook_size,
+        id_col, vec_col,
+    )
+    if not pq["rebuilt"] and ivf_ok:
+        return {"rebuilt": False, **{k: v for k, v in pq.items() if k != "rebuilt"}}
+    ivf_stats = ivf_index_build(
+        corpus, path, centroid_fraction, centroid_salt, id_col, vec_col,
+        max_cells=max_cells,
+    )
+    spark.createDataFrame(
+        [want], "centroid_fraction string, centroid_salt int, max_cells int"
+    ).write.mode("overwrite").parquet(meta_path)
+    return {"rebuilt": True, **ivf_stats, **{k: v for k, v in pq.items() if k != "rebuilt"}}

@@ -240,3 +240,39 @@ def test_pq_index_refined_matches_in_plan_refined_topk(spark, vectors, tmp_path)
         vectors, path, codebook_size=None, refined=False, **budget
     )
     assert other["rebuilt"] is True
+
+
+def test_ivfadc_index_ensure_reuse_and_partial_rebuild(spark, vectors, tmp_path):
+    from super_store_datawarehouse_spark.operators.ann_index import (
+        ivfadc_index_ensure,
+        ivfadc_index_search,
+    )
+
+    path = str(tmp_path / "ivfadc_e")
+    budget = dict(
+        m=4, dim=8, codebook_buckets=500, salt=13, codebook_size=16,
+        centroid_fraction=0.05, centroid_salt=7,
+    )
+    first = ivfadc_index_ensure(vectors, path, **budget)
+    assert first["rebuilt"] is True
+
+    # same corpus + same budgets: full reuse
+    again = ivfadc_index_ensure(vectors, path, **budget)
+    assert again["rebuilt"] is False
+
+    # IVF budget change: rebuild (codes under the same codebook persist)
+    changed = ivfadc_index_ensure(
+        vectors, path, **{**budget, "centroid_fraction": 0.1}
+    )
+    assert changed["rebuilt"] is True
+
+    # corpus change: the PQ fingerprint detects it
+    refp = ivfadc_index_ensure(
+        vectors.filter("vec_id <> 11"), path,
+        **{**budget, "centroid_fraction": 0.1},
+    )
+    assert refp["rebuilt"] is True
+
+    # the rebuilt index answers queries
+    q = vectors.filter("vec_id < 3")
+    assert len(ivfadc_index_search(spark, path, q, k=3, nprobe=2).collect()) > 0
