@@ -34,7 +34,8 @@ from super_store_datawarehouse_spark.operators.similarity import (
     dot,
     ivf_assign,
     ivf_centroids,
-    pq_adc_topk,
+    pq_adc_topk_bounded_wide,
+    pq_adc_topk_wide,
     pq_query_dtab,
 )
 
@@ -430,7 +431,7 @@ def pq_index_search(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ADC top-k over the persisted code table — bit-identical to
-    ``similarity.pq_topk`` at the same budget (shared ``pq_adc_topk`` /
+    ``similarity.pq_topk`` at the same budget (shared ``pq_adc_topk_wide`` /
     ``pq_query_dtab`` arithmetic), but the corpus side is a 3-int-column
     parquet scan instead of a fresh encode GEMM."""
     book_path, codes_path, meta_path = _pq_paths(path)
@@ -439,7 +440,7 @@ def pq_index_search(
     sub = spark.read.parquet(book_path)
     codes = spark.read.parquet(codes_path)
     dtab = pq_query_dtab(queries, sub, sd, vec_col, id_col)
-    return pq_adc_topk(codes, dtab, k)
+    return pq_adc_topk_wide(codes, dtab, k, meta["m"])
 
 
 def ivfadc_index_build(
@@ -514,25 +515,7 @@ def ivfadc_index_search(
     sub = spark.read.parquet(_book)
     codes = spark.read.parquet(codes_path)
     dtab = pq_query_dtab(queries, sub, sd, vec_col, id_col)
-    approx = (
-        cand.join(codes.hint("merge"), cand["neighbor_id"] == codes["vid"])
-        .join(dtab, ["query_id", "j", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.array_sort(F.collect_list(F.struct("j", "d"))).alias("parts"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                "parts", F.lit(0.0), lambda acc, s: acc + s["d"]
-            ).alias("adist"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
-    return (
-        approx.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adist")
-    )
+    return pq_adc_topk_bounded_wide(cand, codes, dtab, k, meta["m"])
 
 
 def pq_index_update(

