@@ -278,7 +278,13 @@ def main() -> None:
         canary_sec,
         py_canary_sec,
     )
-    sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR", DETAIL_SIDECAR)
+    # anchored next to bench.py (not cwd) so a driver invoking from any
+    # directory still leaves the sidecar where check_bench looks for it;
+    # the stdout line carries only the basename
+    sidecar = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), DETAIL_SIDECAR),
+    )
     with open(sidecar, "w") as fh:
         json.dump(detail, fh)
         fh.write("\n")
