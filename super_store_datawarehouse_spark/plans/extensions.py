@@ -14808,7 +14808,8 @@ def x280_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bloom_build/bloom_bits/bloom_probe): the missing membership sketch in
 # the family (HLL=distinct, CMS=frequency, MG=heavy hitters, KMV/theta=
 # set ops). x136 uses an in-memory Bloom inside a mapInPandas join
-# prefilter (engine-internal bits, rows-only); this one is the PORTABLE
+# prefilter (its BITS are engine-internal — x136's value oracle is the
+# bit-identical unfiltered join instead); this one is the PORTABLE
 # filter whose exact bit contents and decisions value-oracle. The filter is built over the benchmark key set — eval-split
 # normalized texts PLUS a deliberately "leaked" 3% of train texts (the
 # contamination a decontamination pass must catch, guaranteeing the
