@@ -50,7 +50,7 @@ HEADLINE = [
     "q14_dedup_exact",
     "x317_ngram_jaccard_exact",  # ex-q17; same computation, keeps the 24-query total comparable
     "q19_minhash_lsh_pairs",
-    "q20_ann_bruteforce_topk",
+    "x329_ann_bruteforce_topk",  # ex-q20; same computation, keeps the 24-query total comparable (rotated round 10)
     "x290_events_hourly",
     "q22_sessionize",
     "q34_embedding_near_dup",
@@ -103,6 +103,13 @@ EXTENDED = [
     # from a standalone normalized measurement this round)
     "q26_trade_pagerank",  # ex-x289, promoted round 9
     "q35_semantic_dedup_pairs",  # ex-x135, promoted round 9
+    # round-10 rotation promotions (VERDICT r9 #1-2): the persisted
+    # PQ-index lifecycle (run 1 of 4 pays the encode GEMM; the 3 warm
+    # runs hit the fingerprint-keyed ensure path, so min-of-warm times
+    # what a deployment times — fingerprint scan + stored-codes search)
+    # and the incremental/CDC family's first driver row
+    "q20_pq_index_lifecycle",  # new round 10 (ann_index build→ensure→search)
+    "q09_snapshot_diff",  # ex-x300, promoted round 10
 ]
 
 
@@ -268,7 +275,18 @@ def main() -> None:
     timings, cpu_h, run_h = timed(HEADLINE)
     extended, cpu_x, run_x = timed(EXTENDED)
 
-    total = round(sum(timings.values()), 3)
+    # END-of-run canary pair (VERDICT r9 #4): the round-9 official
+    # record normalized every query with a START-only canary that
+    # happened to land in a load burst (host_factor 2.05 vs 0.93 for
+    # the same code on an idle host), yielding per-query ratios
+    # 0.3x-2.5x within ONE run. Timing both canaries again at the END
+    # brackets the suite: the scalar host_factor becomes the geometric
+    # mean of the two epochs, and the sidecar carries a per-query
+    # factor interpolated across execution order so each query is
+    # normalized by the epoch nearest to when it actually ran.
+    canary_end_sec = _canary(spark)
+    py_canary_end_sec = _py_canary(spark)
+
     stdout_line, detail = build_payloads(
         sf,
         timings,
@@ -277,6 +295,8 @@ def main() -> None:
         {**run_h, **run_x},
         canary_sec,
         py_canary_sec,
+        canary_end_sec=canary_end_sec,
+        py_canary_end_sec=py_canary_end_sec,
     )
     # anchored next to bench.py (not cwd) so a driver invoking from any
     # directory still leaves the sidecar where check_bench looks for it;
@@ -311,9 +331,26 @@ def build_payloads(
     runt: dict[str, float],
     canary_sec: float,
     py_canary_sec: float,
+    canary_end_sec: float | None = None,
+    py_canary_end_sec: float | None = None,
 ) -> tuple[dict, dict]:
-    """(compact stdout line, full sidecar detail) for a bench run."""
+    """(compact stdout line, full sidecar detail) for a bench run.
+
+    With an end-of-run canary pair (VERDICT r9 #4), ``host_factor`` is
+    the geometric mean of the start/end epochs (robust when one canary
+    lands in a load burst) and the sidecar adds ``queries_host_factor``
+    — a per-query factor linearly interpolated across execution order
+    (HEADLINE then EXTENDED) so scripts/check_bench.py normalizes each
+    query by the epoch nearest to when it ran, not a single
+    start-of-run sample.
+    """
     total = round(sum(timings.values()), 3)
+    f_start = canary_sec / CANARY_REF_SEC
+    if canary_end_sec is None:
+        host_factor = round(f_start, 3)
+    else:
+        f_end = canary_end_sec / CANARY_REF_SEC
+        host_factor = round((f_start * f_end) ** 0.5, 3)
     stdout_line = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -321,12 +358,14 @@ def build_payloads(
         "queries": dict(timings),  # headline only: stdout stays < budget
         "extended_total": round(sum(extended.values()), 3),
         "sf": sf,
-        # host-drift normalization (VERDICT r7 #1)
+        # host-drift normalization (VERDICT r7 #1; start+end pair r9 #4)
         "canary_sec": canary_sec,
         "canary_ref_sec": CANARY_REF_SEC,
-        "host_factor": round(canary_sec / CANARY_REF_SEC, 3),
+        "host_factor": host_factor,
         "detail": DETAIL_SIDECAR,
     }
+    if canary_end_sec is not None:
+        stdout_line["canary_end_sec"] = canary_end_sec
     detail = {
         **stdout_line,
         "queries": {**timings, **extended},
@@ -336,6 +375,19 @@ def build_payloads(
         "queries_cpu_sec": dict(cpu),
         "queries_run_sec": dict(runt),
     }
+    if py_canary_end_sec is not None:
+        detail["py_canary_end_sec"] = py_canary_end_sec
+        detail["host_factor_py_end"] = round(
+            py_canary_end_sec / PY_CANARY_REF_SEC, 3
+        )
+    if canary_end_sec is not None:
+        order = list(timings) + list(extended)
+        f_end = canary_end_sec / CANARY_REF_SEC
+        n = max(len(order) - 1, 1)
+        detail["queries_host_factor"] = {
+            name: round(f_start + (f_end - f_start) * i / n, 3)
+            for i, name in enumerate(order)
+        }
     return stdout_line, detail
 
 

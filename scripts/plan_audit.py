@@ -41,10 +41,10 @@ ALLOW: dict[str, str] = {
     # banded/bucketed production paths
     "x317_ngram_jaccard_exact": "exact-baseline self-join (LSH twin: q19; ex-q17)",
     "q34_embedding_near_dup": "exact near-dup baseline (SemDeDup twin: x135)",
-    "q20_ann_bruteforce_topk": "exact ANN baseline (LSH/IVF twins: q35/q42)",
+    "x329_ann_bruteforce_topk": "exact ANN baseline (LSH/IVF twins: q35/q42)",
     "q40_selection_median": "selection-vs-sort demo on a scalar",
-    "x150_ann_recall_eval": "composes q20 exact baseline by design",
-    "x213_ranking_metrics_eval": "composes q20 exact baseline by design",
+    "x150_ann_recall_eval": "composes x329 exact baseline by design",
+    "x213_ranking_metrics_eval": "composes x329 exact baseline by design",
     "q43_ppjoin_jaccard_pairs": "prefix-filter reference path (see SCALE.md)",
     "x138_ngram_containment_pairs": "bounded asymmetric-containment pair scan",
     "x148_cross_split_embedding_contamination": "split-vs-split bounded scan",
@@ -61,6 +61,13 @@ ALLOW: dict[str, str] = {
     "q33_pq_ivf_ann_topk": "probe x <=512-cell centroid table / <=256-codeword book (fixed budgets; ex-x316)",
     "x263_ivf_ann_topk": "probe x sqrt(n)-row centroid table",
     "x125_pq_ann_topk": "probe x m-row codebook",
+    # persisted-index lifecycle queries (round 10): the only BNLJ is the
+    # ADC distance-table build — probe x the STORED codebook, which is
+    # capped at 256 codewords by the index budget (x125/q33's declared
+    # shape; the corpus side never cross-joins anything)
+    "q20_pq_index_lifecycle": "probe x <=256-codeword stored book (dtab build; x125's shape)",
+    "x331_ivfadc_index_lifecycle": "probe x <=512-cell centroids / <=256-codeword stored book (q33's shape)",
+    "x333_pq_index_update_roundtrip": "probe x <=256-codeword stored book (dtab build; x125's shape)",
     "x134_pq_refined_topk": "probe x m-row codebook",
     "x132_knn_label_vote": "query-side != filter on a k-row broadcast",
     "x169_mmr_rerank": "k x k shortlist pair sims (k=10)",

@@ -277,6 +277,18 @@ def pq_index_build(
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if refined and codebook_size is not None:
+        # pq_refined_codebook has no size cap, so a passed cap would be
+        # silently ignored yet still recorded in pq_meta and keyed into
+        # pq_index_ensure's reuse decision — a caller would get an
+        # uncapped book with no warning, and flipping codebook_size
+        # under refined=True would force a rebuild that produces a
+        # bit-identical index (ADVICE r9). Fail loudly instead.
+        raise ValueError(
+            "refined=True builds an uncapped Lloyd-refined codebook; "
+            "pass codebook_size=None (got "
+            f"codebook_size={codebook_size!r})"
+        )
     book_path, codes_path, meta_path = _pq_paths(path)
     spark = corpus.sparkSession
     fp_n, fp_h = corpus_fingerprint(corpus, id_col, vec_col)

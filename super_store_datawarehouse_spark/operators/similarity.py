@@ -733,29 +733,6 @@ def pq_topk(
     return pq_adc_topk(codes, dtab, k)
 
 
-def _pq_codes_wide(codes: DataFrame, m: int) -> DataFrame:
-    """Pivot the long ``(vid, j, code)`` table to ``(vid, c0..c{m-1})``
-    — one cheap integer hash-agg (n·m rows → n groups, partial-agg
-    combined map-side) that lets ADC run as ``m`` broadcast lookups
-    instead of an (n·m)×(|q|·m·|book|) equi-join."""
-    return codes.groupBy("vid").agg(
-        *[
-            F.max(F.when(F.col("j") == j, F.col("code"))).alias(f"c{j}")
-            for j in range(m)
-        ]
-    )
-
-
-def _adc_sum(m: int) -> Column:
-    # d0 + d1 + … + d{m-1}, left-to-right: EXACTLY the IEEE sequence of
-    # the former sorted-parts fold (parts were j-ascending), so adist is
-    # bit-identical to both the old plan and the DuckDB oracles.
-    adist: Column = F.col("d0")
-    for j in range(1, m):
-        adist = adist + F.col(f"d{j}")
-    return adist
-
-
 def pq_adc_topk(codes: DataFrame, dtab: DataFrame, k: int) -> DataFrame:
     """ADC scoring + per-query top-k over a ``(vid, j, code)`` code table
     and a ``(query_id, j, code, d)`` distance table — the IN-PLAN form

@@ -189,7 +189,7 @@ _COSINE_FOLD = (
 
 
 @harness_query(
-    "q20_ann_bruteforce_topk",
+    "x329_ann_bruteforce_topk",
     oracle=f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -209,7 +209,7 @@ _COSINE_FOLD = (
     SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
     """,
 )
-def q20_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x329_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.brute_force_topk(emb, queries, k=5)
@@ -253,7 +253,7 @@ def q07_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x07 — quality scoring components + keep/drop classification.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q09_quality_scores",
+    "x330_quality_scores",
     oracle=f"""
     WITH t AS (
       SELECT doc_id, text,
@@ -273,7 +273,7 @@ def q07_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t
     """,
 )
-def q09_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x330_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.text import quality_keep
 
     docs = load_table(spark, sf_dir, "documents")
@@ -5101,7 +5101,7 @@ def x149_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x150_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    brute = q20_ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    brute = x329_ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
     ivf = (
         x263_ivf_ann_topk(spark, sf_dir)
         .select("query_id", "neighbor_id")
@@ -9974,7 +9974,7 @@ _IDCG5 = 5 * 1000000 + 4 * 630930 + 3 * 500000 + 2 * 430677 + 1 * 386853
 @harness_query(
     "x213_ranking_metrics_eval",
     oracle=f"""
-    WITH exact_r AS ({_HARNESS["q20_ann_bruteforce_topk"][1]}),
+    WITH exact_r AS ({_HARNESS["x329_ann_bruteforce_topk"][1]}),
     approx_r AS ({_HARNESS["x308_ann_lsh_topk"][1]}),
     graded AS (
       SELECT a.query_id, a.rank AS arank,
@@ -9994,7 +9994,7 @@ _IDCG5 = 5 * 1000000 + 4 * 630930 + 3 * 500000 + 2 * 430677 + 1 * 386853
     """,
 )
 def x213_ranking_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = q20_ann_bruteforce_topk(spark, sf_dir).select(
+    exact = x329_ann_bruteforce_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.col("rank").alias("erank")
     )
     approx = x308_ann_lsh_topk(spark, sf_dir).select(
@@ -15928,7 +15928,7 @@ def x326_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checksum value-oracle bit-exact.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x300_snapshot_diff",
+    "q09_snapshot_diff",
     oracle="""
     WITH cur AS (
       SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
@@ -15956,7 +15956,7 @@ def x326_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM diff GROUP BY 1 ORDER BY 1
     """,
 )
-def x300_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q09_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.incremental import snapshot_diff
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -17189,3 +17189,174 @@ def q13_near_dup_overlap_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS pairset_jaccard_ppm",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-10 persisted-index lifecycle queries (VERDICT r9 #1): the
+# operators/ann_index.py module (the round-9 flagship) was verified
+# only by pytest bit-equality and SCALE timings; these register its
+# full lifecycle — build → ensure (fingerprint hit, NO re-encode) →
+# search, plus the O(batch) update faces — in the value-oracled
+# registry, so the persisted paths are checked at every gate exactly
+# like the in-plan q33/x125/x263 twins whose SQL their oracles reuse
+# (the searches are bit-identical to the in-plan operators by
+# construction — tests/test_ann_index.py pins each pair).
+#
+# Index directories are process-scoped scratch (pid-keyed under the
+# system temp dir, removed atexit): concurrent gate processes never
+# share a half-written index, while WITHIN a process repeat executions
+# take the fingerprint-keyed reuse path — bench's warm runs therefore
+# time what a deployment times (fingerprint scan + search), not the
+# one-off encode GEMM.
+# --------------------------------------------------------------------------
+
+
+def _index_scratch(query_key: str, sf_dir: str) -> str:
+    import atexit
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"ssdw_idx_v1_{os.getpid()}")
+    if not os.path.isdir(root):
+        os.makedirs(root, exist_ok=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return os.path.join(
+        root, query_key, re.sub(r"[^A-Za-z0-9._-]+", "_", sf_dir)
+    )
+
+
+# The persisted PQ index ships with the q33 fixed budget (codebook
+# capped at 256): the oracle is x125's unbounded-ADC SQL with the same
+# ORDER BY vid LIMIT cap spliced into the codebook CTE (the q33
+# technique) so it stays exact at every sf, not only where the cap is
+# a no-op.
+_PQ_CB_UNCAPPED = "SELECT vid AS code, v FROM e WHERE {b13} < 300".format(
+    b13=_bucket_sql("vid", 13)
+)
+_Q20_ORACLE = _HARNESS["x125_pq_ann_topk"][1].replace(
+    _PQ_CB_UNCAPPED, _PQ_CB_UNCAPPED + " ORDER BY vid LIMIT 256", 1
+)
+assert "LIMIT 256" in _Q20_ORACLE
+
+
+@harness_query("q20_pq_index_lifecycle", oracle=_Q20_ORACLE)
+def q20_pq_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build-if-absent → ensure (must report rebuilt=False: the reuse
+    contract — the only corpus-wide work on this path is the
+    fingerprint scan) → ADC search over the stored codes."""
+    from super_store_datawarehouse_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_scratch("pq_lifecycle", sf_dir)
+    budget = dict(m=4, dim=64, codebook_buckets=300, salt=13, codebook_size=256)
+    ann_index.pq_index_ensure(emb, path, **budget)  # builds on first run
+    hit = ann_index.pq_index_ensure(emb, path, **budget)
+    if hit["rebuilt"]:
+        raise AssertionError(
+            "pq_index_ensure re-encoded an unchanged corpus — the "
+            "fingerprint reuse contract is broken"
+        )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_index.pq_index_search(spark, path, queries, k=5)
+
+
+# Composed IVFADC lifecycle at exactly q33's fixed budgets — the oracle
+# IS q33's SQL (the persisted search is bit-identical to the in-plan
+# pq_ivf_topk at the same budgets; pinned by
+# tests/test_ann_index.py::test_ivfadc_index_search_equals_in_plan_pq_ivf_topk).
+@harness_query("x331_ivfadc_index_lifecycle", oracle=_HARNESS["q33_pq_ivf_ann_topk"][1])
+def x331_ivfadc_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_scratch("ivfadc_lifecycle", sf_dir)
+    budget = dict(
+        m=4,
+        dim=64,
+        codebook_buckets=300,
+        salt=13,
+        codebook_size=256,
+        centroid_fraction=0.03,
+        centroid_salt=7,
+        max_cells=512,
+    )
+    ann_index.ivfadc_index_ensure(emb, path, **budget)  # builds on first run
+    hit = ann_index.ivfadc_index_ensure(emb, path, **budget)
+    if hit["rebuilt"]:
+        raise AssertionError(
+            "ivfadc_index_ensure rebuilt an unchanged (corpus, budget) — "
+            "the two-half reuse contract is broken"
+        )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_index.ivfadc_index_search(spark, path, queries, k=5, nprobe=2)
+
+
+# IVF update round-trip: build on the EVEN-id half (centroids frozen
+# from that half's hash sample), append the odd half as an O(batch)
+# update against the frozen quantizer, then search the full index.
+# The oracle is x263's SQL with the centroid CTE restricted to the
+# build half — the update's assignment arithmetic is the build's, so
+# "assign odd ids at update time" ≡ "assign all ids against the
+# even-half centroids", which is exactly what the modified SQL states.
+_X332_CENT = "FROM e WHERE {b7} < 300".format(b7=_bucket_sql("vec_id", 7))
+_X332_ORACLE = _HARNESS["x263_ivf_ann_topk"][1].replace(
+    _X332_CENT, _X332_CENT + " AND vec_id % 2 = 0", 1
+)
+assert "AND vec_id % 2 = 0" in _X332_ORACLE
+
+
+@harness_query("x332_ivf_index_update_roundtrip", oracle=_X332_ORACLE)
+def x332_ivf_index_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_scratch("ivf_update", sf_dir)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    # build is mode=overwrite, so re-executions of this builder reset
+    # the cells table before re-appending — never a double append
+    ann_index.ivf_index_build(even, path, fraction=0.03, salt=7)
+    appended = ann_index.ivf_index_update(spark, path, odd)
+    if not appended:
+        raise AssertionError("ivf_index_update appended no rows for a non-empty batch")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_index.ivf_index_search(spark, path, queries, k=5, nprobe=2)
+
+
+# PQ update round-trip: codes encoded under the even-half's FROZEN
+# codebook, odd half appended, then ensure() over the GROWN corpus must
+# hit — this is the registry-level proof that the incremental XOR
+# fingerprint (fp ⊕ xor(batch)) equals the full recomputation, the
+# property pq_index_update's meta update rides on. Oracle: x125's SQL
+# with the codebook CTE restricted to the build half (+ the fixed cap).
+_X333_ORACLE = _HARNESS["x125_pq_ann_topk"][1].replace(
+    _PQ_CB_UNCAPPED,
+    _PQ_CB_UNCAPPED + " AND vid % 2 = 0 ORDER BY vid LIMIT 256",
+    1,
+)
+assert "AND vid % 2 = 0" in _X333_ORACLE
+
+
+@harness_query("x333_pq_index_update_roundtrip", oracle=_X333_ORACLE)
+def x333_pq_index_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_scratch("pq_update", sf_dir)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    budget = dict(m=4, dim=64, codebook_buckets=300, salt=13, codebook_size=256)
+    ann_index.pq_index_build(even, path, **budget)  # overwrite: re-runs reset
+    appended = ann_index.pq_index_update(spark, path, odd)
+    if not appended:
+        raise AssertionError("pq_index_update appended no rows for a non-empty batch")
+    grown = ann_index.pq_index_ensure(emb, path, **budget)
+    if grown["rebuilt"]:
+        raise AssertionError(
+            "incremental fingerprint diverged from the full recompute — "
+            "ensure() re-encoded a corpus the index already contains"
+        )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_index.pq_index_search(spark, path, queries, k=5)

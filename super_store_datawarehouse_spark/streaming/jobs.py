@@ -1159,6 +1159,28 @@ def stream_drift_monitor(
     return batches["n"]
 
 
+def _read_parquet_if_exists(sess: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet table, returning None ONLY when the path does not
+    exist yet (the first micro-batch of a fresh index). Any OTHER read
+    failure propagates so Structured Streaming retries the micro-batch:
+    swallowing a transient IO error here would treat a whole
+    already-indexed batch as 'unseen' — its rows re-encode and
+    double-append, and the incremental XOR fingerprint cancels them
+    out, leaving the index meta attesting neither corpus (ADVICE r9)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return sess.read.parquet(path)
+    except AnalysisException as exc:
+        get_cond = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", None
+        )
+        cond = get_cond() if get_cond is not None else None
+        if cond == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(exc):
+            return None
+        raise
+
+
 def stream_ivf_index_update(
     spark: SparkSession,
     src_dir: str,
@@ -1212,10 +1234,10 @@ def stream_ivf_index_update(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         id_col = "vec_id" if "vec_id" in batch_df.columns else batch_df.columns[0]
-        try:
-            seen = sess.read.parquet(cell_path).select(F.col("vid").alias(id_col))
-        except Exception:
-            seen = None  # no cells yet: everything is new
+        stored = _read_parquet_if_exists(sess, cell_path)
+        seen = (
+            stored.select(F.col("vid").alias(id_col)) if stored is not None else None
+        )  # None: no cells yet — everything is new
         survivors = (
             batch_df.join(seen, id_col, "left_anti") if seen is not None else batch_df
         )
@@ -1285,14 +1307,12 @@ def stream_pq_index_update(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         id_col = "vec_id" if "vec_id" in batch_df.columns else batch_df.columns[0]
-        try:
-            seen = (
-                sess.read.parquet(codes_path)
-                .select(F.col("vid").alias(id_col))
-                .distinct()
-            )
-        except Exception:
-            seen = None  # no codes yet: everything is new
+        stored = _read_parquet_if_exists(sess, codes_path)
+        seen = (
+            stored.select(F.col("vid").alias(id_col)).distinct()
+            if stored is not None
+            else None
+        )  # None: no codes yet — everything is new
         survivors = (
             batch_df.join(seen, id_col, "left_anti") if seen is not None else batch_df
         )

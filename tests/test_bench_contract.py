@@ -145,3 +145,98 @@ def test_check_bench_rejects_stale_sidecar(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "different run" in proc.stdout
+
+
+def test_end_canary_pair_fields_and_budget():
+    """VERDICT r9 #4: with a start+end canary pair the stdout line must
+    still fit the driver window, host_factor must be the geometric mean
+    of the two epochs, and the sidecar must carry the per-query
+    interpolated factors in execution order."""
+    timings = {name: 9999.999 for name in bench.HEADLINE}
+    extended = {name: 9999.999 for name in bench.EXTENDED}
+    cpu = {name: 9999.999 for name in bench.HEADLINE + bench.EXTENDED}
+    # start epoch 2x ref, end epoch 0.5x ref -> geometric mean 1.0
+    stdout_line, detail = bench.build_payloads(
+        0.1, timings, extended, cpu, dict(cpu),
+        2 * bench.CANARY_REF_SEC, bench.PY_CANARY_REF_SEC,
+        canary_end_sec=0.5 * bench.CANARY_REF_SEC,
+        py_canary_end_sec=3 * bench.PY_CANARY_REF_SEC,
+    )
+    assert len(json.dumps(stdout_line)) < bench.STDOUT_BUDGET
+    assert stdout_line["canary_end_sec"] == 0.5 * bench.CANARY_REF_SEC
+    assert stdout_line["host_factor"] == 1.0
+    qhf = detail["queries_host_factor"]
+    order = bench.HEADLINE + bench.EXTENDED
+    assert list(qhf) == order
+    assert qhf[order[0]] == 2.0 and qhf[order[-1]] == 0.5
+    # monotone interpolation between the endpoints
+    vals = list(qhf.values())
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert detail["host_factor_py_end"] == 3.0
+
+
+def test_check_bench_require_detail_fails_without_sidecar(tmp_path):
+    """ADVICE r9: the official gate must not pass on the headline alone."""
+    sys.path.insert(0, str(REPO / "scripts"))
+    import check_bench  # noqa: E402
+
+    wall = dict(check_bench.R8_WALL)
+    head = {k: wall[k] for k in bench.HEADLINE}
+    ext = {k: wall.get(k, 0.5) for k in bench.EXTENDED}
+    stdout_line, _ = bench.build_payloads(
+        0.1, head, ext, {}, {}, bench.CANARY_REF_SEC, bench.PY_CANARY_REF_SEC
+    )
+    out = tmp_path / "bench.out"
+    out.write_text(json.dumps(stdout_line) + "\n")
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "check_bench.py"),
+         str(out), "--require-detail"],
+        capture_output=True,
+        text=True,
+        cwd=tmp_path,  # no sidecar anywhere in sight
+    )
+    assert proc.returncode == 1, proc.stdout + proc.stderr
+    assert "require-detail" in proc.stdout
+
+
+def test_check_bench_uses_per_query_factors(tmp_path):
+    """A query measured under a 2x epoch at the start of the run must be
+    normalized by ITS factor, not the run-mean: with per-query factors
+    present, a wall number exactly 2x base under a 2x local epoch is not
+    a trip."""
+    sys.path.insert(0, str(REPO / "scripts"))
+    import check_bench  # noqa: E402
+
+    wall = dict(check_bench.R8_WALL)
+    cpu = dict(check_bench.R8_CPU)
+    run = dict(check_bench.R8_RUN)
+    # every query's wall inflated by its own epoch factor (start 2x ->
+    # end 0.5x), CPU flat: a pure epoch story, zero regressions
+    head = {k: wall[k] for k in bench.HEADLINE}
+    ext = {k: wall.get(k, 0.5) for k in bench.EXTENDED}
+    stdout_line, detail = bench.build_payloads(
+        0.1, head, ext, cpu, run,
+        2 * bench.CANARY_REF_SEC, bench.PY_CANARY_REF_SEC,
+        canary_end_sec=0.5 * bench.CANARY_REF_SEC,
+        py_canary_end_sec=0.5 * bench.PY_CANARY_REF_SEC,
+    )
+    qhf = detail["queries_host_factor"]
+    scaled_head = {k: round(v * qhf[k], 3) for k, v in head.items()}
+    scaled_ext = {k: round(v * qhf[k], 3) for k, v in ext.items()}
+    stdout_line, detail = bench.build_payloads(
+        0.1, scaled_head, scaled_ext, cpu, run,
+        2 * bench.CANARY_REF_SEC, bench.PY_CANARY_REF_SEC,
+        canary_end_sec=0.5 * bench.CANARY_REF_SEC,
+        py_canary_end_sec=0.5 * bench.PY_CANARY_REF_SEC,
+    )
+    out = tmp_path / "bench.out"
+    out.write_text(json.dumps(stdout_line) + "\n")
+    (tmp_path / bench.DETAIL_SIDECAR).write_text(json.dumps(detail) + "\n")
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "check_bench.py"),
+         str(out), "--require-detail"],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "bench ok" in proc.stdout

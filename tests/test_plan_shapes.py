@@ -166,8 +166,8 @@ def test_q33_ivfadc_scores_via_gemm_not_bnlj(plans):
     assert "MapInPandas" in p
 
 
-def test_q20_bruteforce_scores_via_gemm(plans):
-    p = plans("q20_ann_bruteforce_topk")
+def test_x329_bruteforce_scores_via_gemm(plans):
+    p = plans("x329_ann_bruteforce_topk")
     assert "BroadcastNestedLoopJoin" not in p
     assert "MapInPandas" in p
     # final exact ranking stays a slim window over candidates
