@@ -169,8 +169,25 @@ def ivf_index_search(
         vec_col,
         "query_id",
     )
+    # Materialize the assignment once (contract-small: <= |queries| ·
+    # nprobe rows — the search contract keeps the query side tiny, the
+    # same bound under which ivf_assign already collects the centroid
+    # table) and rebuild it as a LITERAL frame: one GEMM execution
+    # total, and the probed cell-id set becomes a literal IN-filter on
+    # the cells scan. The build wrote cells/ sorted by centroid_id, so
+    # parquet row-group min/max stats now actually SKIP non-probed
+    # cells at scan time — a bare join on centroid_id restricts rows
+    # but cannot prune row groups.
+    qa_rows = [
+        (int(r["query_id"]), int(r["centroid_id"])) for r in q_assign.collect()
+    ]
+    q_assign = spark.createDataFrame(
+        qa_rows, "query_id long, centroid_id long"
+    )
+    probed = sorted({c for _, c in qa_rows})
     cells = (
         spark.read.parquet(cell_path)
+        .filter(F.col("centroid_id").isin(probed))
         .select(
             F.col("vid").alias("neighbor_id"),
             "centroid_id",
@@ -513,9 +530,19 @@ def ivfadc_index_search(
         F.col("centroid_id").alias(id_col), F.col("embedding").alias(vec_col)
     )
     q_assign = ivf_assign(queries, stored_cents, nprobe, id_col, vec_col, "query_id")
+    # one GEMM execution + literal rebuild (see ivf_index_search): the
+    # probed cell ids become a literal IN-filter on the sorted cells
+    # scan, so row-group stats skip non-probed cells
+    qa_rows = [
+        (int(r["query_id"]), int(r["centroid_id"])) for r in q_assign.collect()
+    ]
+    q_assign = spark.createDataFrame(qa_rows, "query_id long, centroid_id long")
+    probed = sorted({c for _, c in qa_rows})
     # column-pruned candidate side: (vid, centroid_id) only
-    c_assign = spark.read.parquet(cell_path).select(
-        F.col("vid").alias("neighbor_id"), "centroid_id"
+    c_assign = (
+        spark.read.parquet(cell_path)
+        .filter(F.col("centroid_id").isin(probed))
+        .select(F.col("vid").alias("neighbor_id"), "centroid_id")
     )
     cand = (
         q_assign.join(c_assign, "centroid_id")
