@@ -56,6 +56,23 @@ DECLARED_SLOW = {
     "q34_embedding_near_dup": "exact GEMM near-dup baseline; sf10 1966s (SCALE §13)",
     "x318_pq_ivf_hash_fraction": "O(fraction*n^2) IVFADC baseline; sf10 257s (SCALE §13)",
     "x317_ngram_jaccard_exact": "exact shingle self-join baseline; sf10 measured (SCALE §13/§15)",
+    "x148_cross_split_embedding_contamination": (
+        "declared exact-baseline GEMM (0.2n x 0.8n cross-split; q34's family — "
+        "'IVF/LSH modules bound the candidate set at production scale', "
+        "plans/extensions.py registration comment)"
+    ),
+    "x134_pq_refined_topk": (
+        "hash-fraction refined codebook (x318's O(fraction*n^2) encode family; "
+        "ship config is the capped book: q33/q20 lifecycle)"
+    ),
+}
+
+# Per-query timeout overrides: the streaming oracle vehicles run a real
+# micro-batch stream into a MEMORY sink (driver materialization is the
+# oracle contract, not the deployment shape — the parquet-sink jobs in
+# streaming/jobs.py are, and STREAMBENCH measures those at sf10).
+TIMEOUT_OVERRIDES = {
+    "x18_stream_dedup": 1800.0,
 }
 
 
@@ -112,9 +129,15 @@ def main() -> int:
             cancelled["flag"] = True
             sc.cancelJobGroup(f"sweep:{name}")
 
-        watchdog = threading.Timer(timeout_s, cancel)
+        q_timeout = TIMEOUT_OVERRIDES.get(name, timeout_s)
+        watchdog = threading.Timer(q_timeout, cancel)
+        # interruptOnCancel=False: thread interrupts can land inside a
+        # lock-holding JVM section and take the whole SparkContext down
+        # (observed in the first round-10 sweep pass — the x18 stream
+        # cancel shut the context and poisoned every later row). Plain
+        # cancellation kills tasks at their next check-point instead.
         sc.setJobGroup(f"sweep:{name}", f"registry sweep {name}",
-                       interruptOnCancel=True)
+                       interruptOnCancel=False)
         t0 = time.perf_counter()
         watchdog.start()
         try:

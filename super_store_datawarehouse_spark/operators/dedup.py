@@ -992,21 +992,28 @@ def simhash_near_pairs(
         ).alias("cc"),
     ).select("sid", "simhash", "cc.chunk_no", "cc.chunk")
 
-    cand = (
+    # Hamming-filter INSIDE the band join's fused map stage, BEFORE the
+    # candidate dedup: a band bucket of b rows fans out O(b²) joined
+    # rows, and with the portable 32-bit signature's 8-bit chunks (256
+    # buckets/band) that is ~2B rows at 500k docs — shuffling them
+    # through a distinct first (the pre-round-10 shape; the round-10
+    # sf10 sweep timed it out at >600 s) exchanges the whole fan-out,
+    # while the bit_count(xor) predicate costs two integer ops per row
+    # in the join's own codegen stage and shrinks the distinct's input
+    # to the near-pair set itself. Same output exactly: hamming is a
+    # function of the pair, so distinct-after-filter ≡ filter-after-
+    # distinct row-for-row.
+    hamming = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    return (
         chunks.alias("x")
         .join(chunks.alias("y"), ["chunk_no", "chunk"])
-        .filter(F.col("x.sid") < F.col("y.sid"))
+        .filter((F.col("x.sid") < F.col("y.sid")) & (hamming <= max_hamming))
         .select(
             F.col("x.sid").alias("id_a"),
             F.col("y.sid").alias("id_b"),
-            F.col("x.simhash").alias("sim_a"),
-            F.col("y.simhash").alias("sim_b"),
+            hamming.cast("int").alias("hamming"),
         )
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cand.filter(hamming <= max_hamming).select(
-        "id_a", "id_b", hamming.cast("int").alias("hamming")
     )
 
 

@@ -8412,12 +8412,18 @@ def x195_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY feature ORDER BY v),
              p AS (PARTITION BY feature)
     ), scored AS (
+      -- class-count squares widen to HUGEINT (Spark: DECIMAL(38,0)):
+      -- pos_l^2 * 1e6 overflows int64 from ~3M positives, i.e. at the
+      -- sf10 sweep's 15M-order scale (round-10 finding); quotients and
+      -- the final statistic stay well inside int64 and both engines
+      -- truncate identically
       SELECT feature, v AS threshold,
-             (n_l * 1000000 - (pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l))
+             (n_l * 1000000 - (CAST(pos_l AS HUGEINT) * pos_l
+                               + CAST(n_l - pos_l AS HUGEINT) * (n_l - pos_l))
                               * 1000000 // n_l)
              + ((n_t - n_l) * 1000000
-                - ((pos_t - pos_l) * (pos_t - pos_l)
-                   + ((n_t - n_l) - (pos_t - pos_l))
+                - (CAST(pos_t - pos_l AS HUGEINT) * (pos_t - pos_l)
+                   + CAST((n_t - n_l) - (pos_t - pos_l) AS HUGEINT)
                      * ((n_t - n_l) - (pos_t - pos_l))) * 1000000
                   // (n_t - n_l)) AS gini_micro,
              n_l, pos_l
@@ -8470,12 +8476,17 @@ def x196_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cum.filter(F.col("n_l") < F.col("n_t")).select(
         "feature",
         F.col("v").alias("threshold"),
+        # DECIMAL(38,0) intermediates: pos_l^2 * 1e6 overflows int64 at
+        # the sf10 sweep's order counts (ANSI ARITHMETIC_OVERFLOW,
+        # round-10 finding); the quotient and final statistic fit int64
+        # and `div` truncates exactly like the oracle's HUGEINT `//`
         F.expr(
-            "(n_l * 1000000 - (pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l))"
+            "(n_l * 1000000 - (cast(pos_l AS decimal(38,0)) * pos_l"
+            " + cast(n_l - pos_l AS decimal(38,0)) * (n_l - pos_l))"
             " * 1000000 div n_l)"
             " + ((n_t - n_l) * 1000000"
-            " - ((pos_t - pos_l) * (pos_t - pos_l)"
-            "    + ((n_t - n_l) - (pos_t - pos_l))"
+            " - (cast(pos_t - pos_l AS decimal(38,0)) * (pos_t - pos_l)"
+            "    + cast((n_t - n_l) - (pos_t - pos_l) AS decimal(38,0))"
             "      * ((n_t - n_l) - (pos_t - pos_l))) * 1000000"
             "   div (n_t - n_l))"
         ).alias("gini_micro"),
@@ -8685,12 +8696,15 @@ def x198_feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(live_n) AS BIGINT) AS live_t
       FROM counts
     )
+    -- HUGEINT intermediates (Spark: DECIMAL(38,0)): ref_n*live_t*1e6
+    -- and the squared cross-term overflow int64 at the sf10 sweep's
+    -- event counts (round-10 finding); the quotients fit int64
     SELECT CAST(bin AS BIGINT) AS bin, ref_n, live_n,
-           CAST(ref_n * live_t * 1000000 // (ref_t * GREATEST(live_n, 1))
-                AS BIGINT) AS ratio_ppm,
-           CAST((live_n * ref_t - ref_n * live_t)
-                * (live_n * ref_t - ref_n * live_t)
-                // (GREATEST(ref_n, 1) * ref_t * live_t) AS BIGINT)
+           CAST(CAST(ref_n AS HUGEINT) * live_t * 1000000
+                // (ref_t * GREATEST(live_n, 1)) AS BIGINT) AS ratio_ppm,
+           CAST((CAST(live_n AS HUGEINT) * ref_t - CAST(ref_n AS HUGEINT) * live_t)
+                * (CAST(live_n AS HUGEINT) * ref_t - CAST(ref_n AS HUGEINT) * live_t)
+                // (CAST(GREATEST(ref_n, 1) AS HUGEINT) * ref_t * live_t) AS BIGINT)
              AS chi2_term_scaled
     FROM counts CROSS JOIN tot
     ORDER BY bin
@@ -8737,13 +8751,21 @@ def x199_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bin").cast("long").alias("bin"),
             "ref_n",
             "live_n",
+            # DECIMAL(38,0) intermediates: these products overflow int64
+            # at the sf10 sweep's event counts (round-10 finding); the
+            # quotients fit int64 and div truncates exactly like the
+            # oracle's HUGEINT //
             F.expr(
-                "ref_n * live_t * 1000000 div (ref_t * GREATEST(live_n, 1L))"
+                "cast(cast(ref_n AS decimal(38,0)) * live_t * 1000000"
+                " div (ref_t * GREATEST(live_n, 1L)) as bigint)"
             ).alias("ratio_ppm"),
             F.expr(
-                "(live_n * ref_t - ref_n * live_t)"
-                " * (live_n * ref_t - ref_n * live_t)"
-                " div (GREATEST(ref_n, 1L) * ref_t * live_t)"
+                "cast((cast(live_n AS decimal(38,0)) * ref_t"
+                "      - cast(ref_n AS decimal(38,0)) * live_t)"
+                " * (cast(live_n AS decimal(38,0)) * ref_t"
+                "    - cast(ref_n AS decimal(38,0)) * live_t)"
+                " div (cast(GREATEST(ref_n, 1L) AS decimal(38,0))"
+                "      * ref_t * live_t) as bigint)"
             ).alias("chi2_term_scaled"),
         )
         .orderBy("bin")
