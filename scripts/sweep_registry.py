@@ -65,6 +65,21 @@ DECLARED_SLOW = {
         "hash-fraction refined codebook (x318's O(fraction*n^2) encode family; "
         "ship config is the capped book: q33/q20 lifecycle)"
     ),
+    "x04_simhash_near_pairs": (
+        "declared audit-regime banding: the PORTABLE 32-bit signature's 8-bit "
+        "chunks give only 256 buckets/band, so candidates are O(n^2/256) — "
+        "~2B+ joined pairs at 500k docs even with the round-10 "
+        "filter-before-distinct fix; 'the coarser banding is the declared "
+        "trade of the auditable variant, the production path keeps 16-bit "
+        "chunks' (dedup.simhash_near_pairs docstring). The xxhash64 16-bit-chunk "
+        "production path is measured separately in SCALE §17."
+    ),
+    "q35_semantic_dedup_pairs": (
+        "declared fixed-k quadratic: the oracle-pinned k=8 puts ~n/8 vectors "
+        "per cluster, so the within-cluster exact stage is n^2/8 pairs "
+        "(SCALE §15: oracle k=8 >22min, contract k=80 runs 65.6s at sf10; "
+        "'in a 100 TB deployment k grows with the corpus' — dedup.py docstring)"
+    ),
 }
 
 # Per-query timeout overrides: the streaming oracle vehicles run a real

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from super_store_datawarehouse_spark.session import checkpoint_cut
+
 
 def connected_components(
     edges: DataFrame,
@@ -37,11 +39,10 @@ def connected_components(
     """Component label (= min node id in the component) for every node
     that appears in ``edges``. Returns (u, component).
     """
-    sym = (
+    sym = checkpoint_cut(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     labels = sym.select("u").distinct().withColumn("label", F.col("u"))
     for _ in range(max_iter):
@@ -53,7 +54,11 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("vlabel").alias("nbr_min"))
         )
-        new_labels = (
+        # disk-backed lineage cut per round (checkpoint_cut): a loop of
+        # localCheckpoints retains EVERY round's labels on the executor
+        # heap — the unreleasable-block OOM the round-10 sf10 sweep hit
+        # on the sibling k-core loop
+        new_labels = checkpoint_cut(
             labels.join(nbr_min, "u", "left")
             .select(
                 "u",
@@ -61,7 +66,6 @@ def connected_components(
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)  # cut lineage: plans stay O(1) per round
         )
         n_changed = (
             new_labels.alias("n")

@@ -9084,24 +9084,26 @@ def _kcore_oracle(rounds: int, k: int) -> str:
 
 @harness_query("x202_kcore_supplier_part", oracle=_kcore_oracle(3, 3))
 def x202_kcore_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.session import checkpoint_cut
+
     li = load_table(spark, sf_dir, "lineitem")
-    e = (
+    # disk-backed lineage cuts (checkpoint_cut): this peeling loop holds
+    # 4 copies of a corpus-scale edge frame; retained localCheckpoint
+    # blocks OOM'd the 8g local heap at the sf10 sweep (round 10)
+    e = checkpoint_cut(
         li.select(
             F.col("l_suppkey").cast("long").alias("s"),
             F.col("l_partkey").cast("long").alias("p"),
-        )
-        .distinct()
-        .localCheckpoint()
+        ).distinct()
     )
     k = 3
     for _ in range(3):
         sdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("sd"))
         pdeg = e.groupBy("p").agg(F.count(F.lit(1)).alias("pd"))
-        e = (
+        e = checkpoint_cut(
             e.join(sdeg.filter(F.col("sd") >= k), "s")
             .join(pdeg.filter(F.col("pd") >= k), "p")
             .select("s", "p")
-            .localCheckpoint()
         )
     sup = e.groupBy("s").agg(F.count(F.lit(1)).alias("degree")).select(
         F.lit("supplier").alias("node_type"),

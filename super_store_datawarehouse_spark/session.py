@@ -58,6 +58,8 @@ def get_spark(
         # are almost never empty — so it is excluded engine-wide. Hot
         # shared operators ALSO use explode_outer + null-filter, which
         # dodges the rule for callers on foreign sessions.
+        # reliable checkpoints (checkpoint_cut) are GC'd with their RDDs
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
@@ -66,6 +68,37 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def checkpoint_cut(df):
+    """Materialize ``df``, CUT its lineage, and keep the copy on DISK:
+    a reliable checkpoint into a session-scoped checkpoint directory
+    (local tmp here; HDFS/object storage on a cluster — the deployment
+    graph.py's docstring prescribes).
+
+    For ITERATIVE corpus-scale loops (k-core peeling, label
+    propagation) this is the scale-safe lineage cut. ``localCheckpoint``
+    stores MEMORY_AND_DISK blocks that cannot be released without
+    destroying the data, so a loop retains every iteration's full
+    working set on the executor heap — the round-10 sf10 sweep OOM'd
+    the k-core loop's 4th retained copy of a ~60M-edge frame and took
+    the whole local JVM down. Reliable checkpoints live as files: heap
+    cost is zero, executor loss cannot replay the chain, and
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` garbage-
+    collects them when the RDD goes out of scope. localCheckpoint
+    remains the right tool for SINGLE bounded materializations.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    spark = df.sparkSession
+    jsc = spark.sparkContext
+    if jsc._jsc.sc().getCheckpointDir().isEmpty():
+        ckdir = tempfile.mkdtemp(prefix="ssdw_ckpt_")
+        jsc.setCheckpointDir(ckdir)
+        atexit.register(shutil.rmtree, ckdir, ignore_errors=True)
+    return df.checkpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
