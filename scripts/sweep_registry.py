@@ -80,6 +80,12 @@ DECLARED_SLOW = {
         "(SCALE §15: oracle k=8 >22min, contract k=80 runs 65.6s at sf10; "
         "'in a 100 TB deployment k grows with the corpus' — dedup.py docstring)"
     ),
+    "x18_stream_dedup": (
+        "memory-sink streaming oracle vehicle: dropDuplicatesWithinWatermark "
+        "state over 5M sf10 events + full driver materialization is the "
+        "oracle contract, not the deployment shape — the parquet-sink jobs "
+        "are (STREAMBENCH sf10 knee measured); >1800s at sf10"
+    ),
 }
 
 # Per-query timeout overrides: the streaming oracle vehicles run a real

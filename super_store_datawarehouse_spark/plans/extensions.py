@@ -1096,29 +1096,68 @@ def x32_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # x33 — fuzzy matching via edit distance: supplier-name pairs within
-# levenshtein 1 (one digit apart). Both engines implement the same
-# classic DP distance, so the oracle is exact.
+# levenshtein 1 (one digit apart). Round 10: re-expressed as FastSS
+# deletion-neighborhood blocking (operators/linkage.edit1_pairs) — for
+# k=1 the neighborhood {s} ∪ {s minus one char} is a COMPLETE candidate
+# filter, so one equi-join on exploded variants + an exact levenshtein
+# verify returns the identical pair set in O(n·L) instead of the naive
+# inequality join's O(n²) (which the sf10 sweep timed out at >600 s on
+# 100k names; this form runs it in seconds). The oracle replays the
+# same neighborhoods — substring surgery and levenshtein are shared
+# SQL — so the scale path itself is what gets value-checked.
 # --------------------------------------------------------------------------
+# Round-10 second reformation: link DISTINCT NAMES, not supplier rows.
+# The sf10 table recycles 1,000 distinct names 100x each, so a row-pair
+# output is quadratic in duplicate multiplicity BY DEFINITION (5M
+# identical-name pairs before any fuzzy match — no algorithm avoids
+# emitting its own output). Entity linkage at scale pairs the distinct
+# key universe and carries multiplicities; identical-row collapse is
+# exact dedup's job (q14).
 @harness_query(
     "x33_fuzzy_supplier_pairs",
     oracle="""
-    SELECT a.s_name AS name_a, b.s_name AS name_b,
-           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
-    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
-    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    WITH names AS (
+      SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n, MIN(s_suppkey) AS k
+      FROM supplier GROUP BY s_name
+    ), v AS (
+      SELECT k, s_name, u.v
+      FROM names,
+      UNNEST(list_append(
+        list_transform(range(1, len(s_name) + 1),
+                       i -> substr(s_name, 1, i - 1) || substr(s_name, i + 1)),
+        s_name)) AS u(v)
+    ), cand AS (
+      SELECT DISTINCT a.k AS ka, b.k AS kb, a.s_name AS name_a, b.s_name AS name_b
+      FROM v a JOIN v b ON a.v = b.v AND a.k < b.k
+    )
+    SELECT c.name_a, c.name_b,
+           CAST(levenshtein(c.name_a, c.name_b) AS INT) AS dist,
+           na.n AS n_a, nb.n AS n_b
+    FROM cand c
+    JOIN names na ON na.s_name = c.name_a
+    JOIN names nb ON nb.s_name = c.name_b
+    WHERE levenshtein(c.name_a, c.name_b) <= 1
     """,
 )
 def x33_fuzzy_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.linkage import edit1_pairs
+
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    a, b = sup.alias("a"), sup.alias("b")
-    dist = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+    names = sup.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n"), F.min("s_suppkey").alias("k")
+    )
+    pairs = edit1_pairs(names, "k", "s_name")
+    na = names.select(F.col("s_name").alias("text_a"), F.col("n").alias("n_a"))
+    nb = names.select(F.col("s_name").alias("text_b"), F.col("n").alias("n_b"))
     return (
-        a.join(b, F.col("a.s_suppkey") < F.col("b.s_suppkey"))
-        .filter(dist <= 1)
+        pairs.join(F.broadcast(na), "text_a")
+        .join(F.broadcast(nb), "text_b")
         .select(
-            F.col("a.s_name").alias("name_a"),
-            F.col("b.s_name").alias("name_b"),
-            dist.cast("int").alias("dist"),
+            F.col("text_a").alias("name_a"),
+            F.col("text_b").alias("name_b"),
+            "dist",
+            "n_a",
+            "n_b",
         )
     )
 
@@ -9689,11 +9728,14 @@ def x208_embargo_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l.y, l.w FROM lined l JOIN probes pr
         ON pr.probe >= l.cum_hi - l.w AND pr.probe < l.cum_hi
     )
+    -- HUGEINT intermediates (Spark: DECIMAL(38,0)): y*bigw and the
+    -- err*1e6 products overflow int64 at the sf10 sweep's 60M-line
+    -- weight total (round-10 finding); estimator and ppm fit int64
     SELECT tot.true_total,
-           CAST((SELECT SUM(h.y * tot.bigw // h.w) FROM hits h) // 200
-                AS BIGINT) AS ht_estimate,
-           CAST(((SELECT SUM(h.y * tot.bigw // h.w) FROM hits h) // 200
-                 - tot.true_total) * 1000000 // tot.true_total AS BIGINT)
+           CAST((SELECT SUM(CAST(h.y AS HUGEINT) * tot.bigw // h.w) FROM hits h)
+                // 200 AS BIGINT) AS ht_estimate,
+           CAST(((SELECT SUM(CAST(h.y AS HUGEINT) * tot.bigw // h.w) FROM hits h)
+                 // 200 - tot.true_total) * 1000000 // tot.true_total AS BIGINT)
              AS err_ppm
     FROM tot
     """,
@@ -9719,9 +9761,14 @@ def x209_pps_ht_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").alias("bigw"), F.sum("y").alias("true_total")
     )
     sample = pps_systematic_sample(ow, weight_col="w", k=200, order_col="o_orderkey")
+    # DECIMAL(38,0) intermediates: y*bigw and the ppm product overflow
+    # int64 at the sf10 sweep's 60M-line weight total (round-10
+    # finding); the estimator and err_ppm themselves fit int64
     est = (
         sample.crossJoin(F.broadcast(tot))
-        .agg(F.expr("sum(y * bigw div w) div 200").alias("ht_estimate"))
+        .agg(F.expr(
+            "cast(sum(cast(y AS decimal(38,0)) * bigw div w) div 200 as bigint)"
+        ).alias("ht_estimate"))
     )
     return (
         tot.crossJoin(F.broadcast(est))
@@ -9729,7 +9776,8 @@ def x209_pps_ht_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_total",
             "ht_estimate",
             F.expr(
-                "(ht_estimate - true_total) * 1000000 div true_total"
+                "cast((cast(ht_estimate AS decimal(38,0)) - true_total)"
+                " * 1000000 div true_total as bigint)"
             ).alias("err_ppm"),
         )
     )
@@ -10581,14 +10629,34 @@ def x219_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x220_near_dup_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = x317_ngram_jaccard_exact(spark, sf_dir).select("id_a", "id_b")
-    l = q19_minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
-    i = e.join(l, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_common"))
-    sizes = e.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
-        l.agg(F.count(F.lit(1)).alias("n_lsh"))
+    # Single-pass set algebra: ONE full-outer sort-merge join on the
+    # pair key, then |E|, |L|, |E∩L| from marker counts in one agg.
+    # The previous form instantiated each detector subplan TWICE (once
+    # for the intersection join, once for its size count); at sf10 the
+    # doubled concurrent subplans — and an AQE-converted broadcast of
+    # the million-pair exact side inside the second instantiation —
+    # OOM'd the JVM heap (round-10 sweep finding, LongToUnsafeRowMap
+    # build). Executing each side exactly once is also the 100 TB
+    # shape: pair sets this size are shuffle-joined, never rebuilt.
+    e = (
+        x317_ngram_jaccard_exact(spark, sf_dir)
+        .select("id_a", "id_b")
+        .withColumn("in_e", F.lit(1))
     )
+    l = (
+        q19_minhash_lsh_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .withColumn("in_l", F.lit(1))
+    )
+    both = F.col("in_e").isNotNull() & F.col("in_l").isNotNull()
     return (
-        i.crossJoin(F.broadcast(sizes))
+        e.hint("merge")
+        .join(l.hint("merge"), ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.count("in_e").alias("n_exact"),
+            F.count("in_l").alias("n_lsh"),
+            F.count(F.when(both, 1)).alias("n_common"),
+        )
         .selectExpr(
             "cast(n_exact AS bigint) AS n_exact",
             "cast(n_lsh AS bigint) AS n_lsh",
@@ -12926,9 +12994,18 @@ def x249_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2
       FROM counts
     )
+    -- HUGEINT intermediates (Spark: DECIMAL(38,0)): the squared
+    -- cross-term and the 3-factor denominator overflow int64 at the
+    -- sf10 sweep's word counts (round-10 finding); quotient fits int64.
+    -- GREATEST(t,1) totality guards: a window with ZERO top-term usage
+    -- is legitimate data (the sf10 corpus suffixes second-half
+    -- templates, so the global top terms live entirely in the first
+    -- half) and must yield a defined drift term, not a div-by-zero
     SELECT c.w AS term, c.n1, c.n2,
-           CAST((c.n2 * t.t1 - c.n1 * t.t2) * (c.n2 * t.t1 - c.n1 * t.t2)
-                // (GREATEST(c.n1, 1) * t.t1 * t.t2) AS BIGINT)
+           CAST((CAST(c.n2 AS HUGEINT) * t.t1 - CAST(c.n1 AS HUGEINT) * t.t2)
+                * (CAST(c.n2 AS HUGEINT) * t.t1 - CAST(c.n1 AS HUGEINT) * t.t2)
+                // (CAST(GREATEST(c.n1, 1) AS HUGEINT)
+                    * GREATEST(t.t1, 1) * GREATEST(t.t2, 1)) AS BIGINT)
              AS chi2_term_scaled
     FROM counts c CROSS JOIN tot t
     ORDER BY term
@@ -12974,8 +13051,14 @@ def x250_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w AS term",
             "cast(n1 AS bigint) AS n1",
             "cast(n2 AS bigint) AS n2",
-            "(n2 * t1 - n1 * t2) * (n2 * t1 - n1 * t2)"
-            " div (GREATEST(n1, 1L) * t1 * t2) AS chi2_term_scaled",
+            # DECIMAL(38,0) intermediates: squared cross-term and the
+            # 3-factor denominator overflow int64 at sf10 word counts
+            # (round-10 sweep finding); quotient fits int64
+            "cast((cast(n2 AS decimal(38,0)) * t1 - cast(n1 AS decimal(38,0)) * t2)"
+            " * (cast(n2 AS decimal(38,0)) * t1 - cast(n1 AS decimal(38,0)) * t2)"
+            " div (cast(GREATEST(n1, 1L) AS decimal(38,0))"
+            "      * GREATEST(t1, 1L) * GREATEST(t2, 1L))"
+            " as bigint) AS chi2_term_scaled",
         )
         .orderBy("term")
     )
