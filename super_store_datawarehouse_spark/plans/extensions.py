@@ -4516,15 +4516,25 @@ def x140_repeated_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", (F.col("p0") + 1).cast("long"))
         .drop("p0")
     )
-    docs_per = pos.groupBy("shingle").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
+    # One pass to (doc_id, shingle) grain, then a shingle-window for the
+    # doc frequency. The previous form shuffled the RAW positions frame
+    # twice on the ~40-byte shingle string (countDistinct's expand +
+    # the join back); here the positions collapse to per-(doc, shingle)
+    # counts on shuffle 1 (map-side combine), the window on shuffle 2
+    # sees one row per (doc, shingle) so count(*) over the shingle
+    # partition IS the distinct-doc count, and no join ever rematerializes
+    # the position grain. Identical rows; sf10 201 s → measured in
+    # SCALE §17 addendum.
+    per = pos.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("c"))
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     return (
-        pos.join(docs_per, "shingle")
+        per.withColumn("n_docs", n_docs)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_pos"),
-            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_repeated"),
+            F.sum("c").alias("n_pos"),
+            F.sum(F.when(F.col("n_docs") > 1, F.col("c")).otherwise(0)).alias(
+                "n_repeated"
+            ),
         )
         .withColumn(
             "repeated_frac",
@@ -13220,40 +13230,61 @@ def x252_censored_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("censored"),
     )
-    obs = lat.filter("censored = 0").select(
+    # ONE pass over the 60M-row join (the previous form executed it
+    # three times: observed-rank window, totals agg, and the
+    # observed-rank subtree again for the censoring-aware join; sf10
+    # 141 s). Ordering the rank window by (censored, lat_us) places
+    # every observed row before every censored one, so for observed
+    # rows row_number IS the rank among observed — and a target rank
+    # landing past n_obs matches no observed row, yielding the honest
+    # NULL for the censored region. n_obs = n_all − n_cens needs no
+    # second window; ties share a lat_us value, so the value at any
+    # rank is permutation-invariant. One exchange on pri, one sort,
+    # one aggregation.
+    w = Window.partitionBy("pri")
+    fr = lat.select(
         "pri",
         "lat_us",
-        F.row_number().over(Window.partitionBy("pri").orderBy("lat_us")).alias(
-            "r"
-        ),
-        F.count(F.lit(1)).over(Window.partitionBy("pri")).alias("n_obs"),
+        "censored",
+        F.row_number()
+        .over(Window.partitionBy("pri").orderBy("censored", "lat_us"))
+        .alias("r"),
+        F.count(F.lit(1)).over(w).alias("n_all"),
+        F.sum("censored").over(w).alias("n_cens"),
     )
-    tot = lat.groupBy("pri").agg(
-        F.count(F.lit(1)).alias("n_all"), F.sum("censored").alias("n_cens")
-    )
-    naive = obs.groupBy("pri").agg(
-        F.min(
-            F.when(F.expr("r = (50 * n_obs + 99) div 100"), F.col("lat_us"))
-        ).alias("naive_p50_us"),
-        F.min(
-            F.when(F.expr("r = (90 * n_obs + 99) div 100"), F.col("lat_us"))
-        ).alias("naive_p90_us"),
-    )
-    aware = (
-        obs.join(tot, "pri")
-        .groupBy("pri")
+    is_obs = F.col("censored") == 0
+    return (
+        fr.groupBy("pri")
         .agg(
+            F.first("n_all").alias("n_all"),
+            F.first("n_cens").alias("n_cens"),
             F.min(
-                F.when(F.expr("r = (50 * n_all + 99) div 100"), F.col("lat_us"))
+                F.when(
+                    is_obs
+                    & F.expr("r = (50 * (n_all - n_cens) + 99) div 100"),
+                    F.col("lat_us"),
+                )
+            ).alias("naive_p50_us"),
+            F.min(
+                F.when(
+                    is_obs
+                    & F.expr("r = (90 * (n_all - n_cens) + 99) div 100"),
+                    F.col("lat_us"),
+                )
+            ).alias("naive_p90_us"),
+            F.min(
+                F.when(
+                    is_obs & F.expr("r = (50 * n_all + 99) div 100"),
+                    F.col("lat_us"),
+                )
             ).alias("aware_p50_us"),
             F.min(
-                F.when(F.expr("r = (90 * n_all + 99) div 100"), F.col("lat_us"))
+                F.when(
+                    is_obs & F.expr("r = (90 * n_all + 99) div 100"),
+                    F.col("lat_us"),
+                )
             ).alias("aware_p90_us"),
         )
-    )
-    return (
-        tot.join(naive, "pri")
-        .join(aware, "pri")
         .selectExpr(
             "pri",
             "cast(n_all AS bigint) AS n_lines",
