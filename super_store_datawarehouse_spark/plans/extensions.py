@@ -15497,16 +15497,35 @@ def x292_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n=3: DuckDB's l[i:i+2] slice is INCLUSIVE (3 elements) — the same
     # 3-gram shingles x261's signatures use
     sig = dedup.minhash_portable(docs, n=3, num_hashes=16, seed=42)
-    bands = None
-    for b in range(4):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                ",", *[F.col(f"m{4 * b + j:02d}").cast("string") for j in range(4)]
-            ).alias("bucket"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # ONE pass over the signature subtree: explode an inline array of
+    # (band, bucket) structs instead of unioning four selects — the
+    # union form executed the full minhash computation (shingle explode
+    # + 16-way min agg) once PER BAND, and the self-join below doubles
+    # whatever its input costs, so the old shape ran it 8×. With the
+    # explode it runs twice (the self-join's two sides), and the
+    # corpus-scale cache gate collapses that to once at sf10 — the same
+    # round-8-measured policy q19's production LSH pipeline uses.
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"m{4 * b + j:02d}").cast("string")
+                                for j in range(4)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = dedup._cache_if_corpus_scale(bands, docs)
     a, c = bands.alias("a"), bands.alias("c")
     cand = (
         a.join(
@@ -15521,7 +15540,9 @@ def x292_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("caught", F.lit(True))
     )
-    sh = dedup.word_shingles(docs, n=3)
+    # the shingle frame feeds three branches (sizes + both self-join
+    # sides); same cache policy as above
+    sh = dedup._cache_if_corpus_scale(dedup.word_shingles(docs, n=3), docs)
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
     sa, sb = sh.alias("sa"), sh.alias("sb")
     inter = (
