@@ -81,6 +81,7 @@ ALLOW: dict[str, str] = {
     "x222_selectivity_estimate_eval": "4-row predicate frame x 64-bin histogram",
     "x237_kendall_tau": "|groups|x|groups| pair frame (25 rows a side)",
     "q27_rag_context_assembly": "5-row query-doc side broadcast x corpus",
+    "x334_quantile_summary_eval": "3-row estimate frame broadcast x corpus (rank-counting pass)",
 }
 
 

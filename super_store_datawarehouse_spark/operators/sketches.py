@@ -20,7 +20,7 @@ engine, so the sketch contents AND the estimates are value-oracled
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from super_store_datawarehouse_spark.operators.dedup import _minhash_coeffs
@@ -354,3 +354,109 @@ def bloom_probe(
         .withColumn("bloom_positive", F.forall(pos, lambda p: p.isin(*bits)))
         .drop("__h")
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile summary — deterministic stratified rank compaction
+# --------------------------------------------------------------------------
+
+def rank_compaction_summary(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    strata: int = 32,
+    k: int = 64,
+) -> DataFrame:
+    """Mergeable distributed quantile summary via DETERMINISTIC
+    stratified rank compaction — the sketch-family answer to "exact
+    nearest-rank percentiles need a per-key sort of the whole column"
+    (the q40/x265 trade): a bounded summary whose weighted nearest-rank
+    read-off carries a proven rank-error bound.
+
+    Construction (both engines can replay it, so it value-oracles like
+    the rest of the sketch family, unlike randomized KLL/GK):
+
+    - route each row to one of ``strata`` strata by the portable Knuth
+      hash of ``key_col`` (value-independent routing: each stratum is a
+      uniform 1/P systematic sample of the column);
+    - sort each stratum (fully parallel — this is the piece that
+      replaces the single global sort), keep every ``k``-th value with
+      weight k, plus the stratum maximum with the remainder weight, so
+      stratum weights sum exactly to the stratum count;
+    - the summary is those ≤ P + N/k (value, weight) rows. Merge of two
+      summaries = union of their rows (weights already partition the
+      row count), which is why partial summaries built per
+      partition/day/shard can be combined without touching raw data.
+
+    Rank guarantee: within a stratum, the weighted cumulative count at
+    a kept value understates that value's true intra-stratum rank by at
+    most k−1 (the rows between compaction points); strata are disjoint,
+    so globally the nearest-rank read-off lands within ``P·(k−1)``
+    ranks of the target — the bound a caller sizes (P, k) against, at
+    summary size N/k. k=1 degenerates to the exact column.
+
+    Returns (stratum, value, weight) — value/weight are what a reader
+    needs; stratum is kept so tests can assert per-stratum invariants.
+    """
+    w_rank = Window.partitionBy("__b").orderBy(value_col, key_col)
+    w_all = Window.partitionBy("__b")
+    from super_store_datawarehouse_spark.operators.sampling import knuth_hash
+
+    ranked = (
+        df.select(
+            F.col(value_col),
+            F.col(key_col),
+            F.pmod(knuth_hash(key_col), F.lit(strata)).alias("__b"),
+        )
+        .withColumn("__r", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+    )
+    return (
+        ranked.filter(
+            (F.col("__r") % k == 0)
+            | ((F.col("__r") == F.col("__n")) & (F.col("__n") % k != 0))
+        )
+        .select(
+            F.col("__b").alias("stratum"),
+            F.col(value_col).alias("value"),
+            F.when(F.col("__r") % k == 0, F.lit(k))
+            .otherwise(F.col("__n") % k)
+            .alias("weight"),
+        )
+    )
+
+
+def summary_quantiles(
+    summary: DataFrame, targets: list[tuple[str, int]]
+) -> DataFrame:
+    """Nearest-rank read-off from a :func:`rank_compaction_summary`
+    (or a union of several — merge = union): for each (label, pct)
+    target, the smallest summary value whose cumulative weight reaches
+    ``(pct·N + 99) div 100``. One window over the ≤ N/k summary rows —
+    flat cost regardless of the raw column size.
+    """
+    w_cum = Window.orderBy("value", "stratum").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = summary.select(
+        "value", "stratum", F.sum("weight").over(w_cum).alias("cw")
+    ).crossJoin(
+        F.broadcast(summary.agg(F.sum("weight").alias("n_total")))
+    )
+    picks = [
+        cum.filter(
+            F.col("cw") >= F.expr(f"({pct} * n_total + 99) div 100")
+        )
+        .orderBy("cw")
+        .limit(1)
+        .select(
+            F.lit(label).alias("q"),
+            F.col("value").alias("est"),
+            F.col("n_total"),
+        )
+        for label, pct in targets
+    ]
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

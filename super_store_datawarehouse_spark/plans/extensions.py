@@ -15526,10 +15526,13 @@ def x292_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     bands = dedup._cache_if_corpus_scale(bands, docs)
+    # merge hints: the cached banded frame has no stats, so Catalyst
+    # would broadcast a corpus-scale side (round-10 broadcast-audit
+    # flag on this exact exchange); same pin as q19's bucket join
     a, c = bands.alias("a"), bands.alias("c")
     cand = (
-        a.join(
-            c,
+        a.hint("merge").join(
+            c.hint("merge"),
             (F.col("a.band") == F.col("c.band"))
             & (F.col("a.bucket") == F.col("c.bucket"))
             & (F.col("a.doc_id") < F.col("c.doc_id")),
@@ -15546,8 +15549,8 @@ def x292_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
     sa, sb = sh.alias("sa"), sh.alias("sb")
     inter = (
-        sa.join(
-            sb,
+        sa.hint("merge").join(
+            sb.hint("merge"),
             (F.col("sa.shingle") == F.col("sb.shingle"))
             & (F.col("sa.sid") < F.col("sb.sid")),
         )
@@ -17519,3 +17522,119 @@ def x333_pq_index_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         )
     queries = emb.filter(F.col("vec_id") < 10)
     return ann_index.pq_index_search(spark, path, queries, k=5)
+
+
+# --------------------------------------------------------------------------
+# x334 — mergeable quantile summary eval (operators/sketches.py
+# rank_compaction_summary): the sketch-family answer to "exact
+# percentiles need a global sort" (reference parity has no sketch at
+# all; the x265/q40 exact forms are this summary's ground-truth twins).
+# Deterministic stratified rank compaction — Knuth-hash row routing to
+# 32 strata, per-stratum sort, keep every 64th value — so BOTH engines
+# replay the identical summary and the estimates value-oracle exactly,
+# unlike randomized KLL/GK. The eval emits, per target percentile, the
+# summary estimate, its TRUE rank (one counting pass, no global sort),
+# the target rank, and the proven P·k crossing bound — so the oracle
+# row certifies the rank guarantee itself, the contract a caller sizes
+# (P, k) against at 100 TB (summary rows ≈ N/4096·2 ≈ flat).
+# --------------------------------------------------------------------------
+_X334_ROUTE = _knuth_sql("rk")
+
+
+@harness_query(
+    "x334_quantile_summary_eval",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             l_orderkey * 8 + l_linenumber AS rk
+      FROM lineitem
+    ), ranked AS (
+      SELECT v, {_X334_ROUTE} % 32 AS b,
+             ROW_NUMBER() OVER (PARTITION BY {_X334_ROUTE} % 32
+                                ORDER BY v, rk) AS r,
+             COUNT(*) OVER (PARTITION BY {_X334_ROUTE} % 32) AS n
+      FROM base
+    ), summ AS (
+      SELECT b AS stratum, v AS value,
+             CASE WHEN r % 64 = 0 THEN 64 ELSE n % 64 END AS weight
+      FROM ranked
+      WHERE r % 64 = 0 OR (r = n AND n % 64 <> 0)
+    ), cum AS (
+      SELECT value, stratum,
+             SUM(weight) OVER (ORDER BY value, stratum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             (SELECT SUM(weight) FROM summ) AS n_total
+      FROM summ
+    ), targets AS (
+      SELECT 'p50' AS q, 50 AS pct
+      UNION ALL SELECT 'p90', 90 UNION ALL SELECT 'p99', 99
+    ), pick AS (
+      SELECT t.q, t.pct,
+             (SELECT MIN(value) FROM cum
+               WHERE cw >= (t.pct * cum.n_total + 99) // 100) AS est,
+             (SELECT MAX(n_total) FROM cum) AS n_total
+      FROM targets t
+      GROUP BY t.q, t.pct
+    )
+    SELECT p.q,
+           CAST(p.est AS BIGINT) AS est_cents,
+           CAST(p.n_total AS BIGINT) AS n_rows,
+           CAST((p.pct * p.n_total + 99) // 100 AS BIGINT) AS target_rank,
+           CAST((SELECT COUNT(*) FROM base WHERE v <= p.est) AS BIGINT)
+             AS est_rank,
+           CAST((SELECT COUNT(*) FROM base WHERE v <= p.est)
+                - (p.pct * p.n_total + 99) // 100 AS BIGINT) AS rank_err,
+           CAST(32 * 64 AS BIGINT) AS err_bound,
+           (SELECT COUNT(*) FROM base WHERE v <= p.est)
+               >= (p.pct * p.n_total + 99) // 100
+             AND (SELECT COUNT(*) FROM base WHERE v <= p.est)
+               - (p.pct * p.n_total + 99) // 100 < 32 * 64 AS within_bound
+    FROM pick p
+    ORDER BY p.q
+    """,
+)
+def x334_quantile_summary_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sketches import (
+        rank_compaction_summary,
+        summary_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        cents("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rk"),
+    )
+    summ = rank_compaction_summary(base, "v", "rk", strata=32, k=64)
+    ests = summary_quantiles(
+        summ, [("p50", 50), ("p90", 90), ("p99", 99)]
+    ).withColumn(
+        "pct",
+        F.when(F.col("q") == "p50", 50)
+        .when(F.col("q") == "p90", 90)
+        .otherwise(99),
+    )
+    # true rank of each estimate: ONE counting pass over the raw column
+    # against the 3-row broadcast estimate frame — the eval leg needs no
+    # global sort (that being the whole point of the summary)
+    return (
+        base.crossJoin(F.broadcast(ests))
+        .groupBy("q", "est", "n_total", "pct")
+        .agg(
+            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0)).alias(
+                "est_rank"
+            )
+        )
+        .selectExpr(
+            "q",
+            "cast(est AS bigint) AS est_cents",
+            "cast(n_total AS bigint) AS n_rows",
+            "(pct * n_total + 99) div 100 AS target_rank",
+            "cast(est_rank AS bigint) AS est_rank",
+            "est_rank - (pct * n_total + 99) div 100 AS rank_err",
+            "cast(32 * 64 AS bigint) AS err_bound",
+            "est_rank >= (pct * n_total + 99) div 100"
+            " AND est_rank - (pct * n_total + 99) div 100 < 32 * 64"
+            " AS within_bound",
+        )
+        .orderBy("q")
+    )

@@ -238,3 +238,104 @@ def test_adc_helpers_defined_once():
     names = [n.name for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)]
     assert names.count("_pq_codes_wide") == 1
     assert names.count("_adc_sum") == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-10 addition: mergeable quantile summary (rank compaction)
+# ---------------------------------------------------------------------------
+
+
+def _rank_of(rows, value):
+    return sum(1 for v in rows if v <= value)
+
+
+def _estimate(spark, summary, pct):
+    from super_store_datawarehouse_spark.operators.sketches import (
+        summary_quantiles,
+    )
+
+    row = summary_quantiles(summary, [(f"p{pct}", pct)]).collect()[0]
+    return row["est"], row["n_total"]
+
+
+def _frame(spark, values, start_key=0):
+    return spark.createDataFrame(
+        [(int(v), start_key + i) for i, v in enumerate(values)], "v long, rk long"
+    )
+
+
+def test_quantile_summary_rank_bound(spark):
+    from super_store_datawarehouse_spark.operators.sketches import (
+        rank_compaction_summary,
+    )
+
+    rnd = random.Random(7)
+    values = [rnd.randrange(1_000_000) for _ in range(20_000)]
+    strata, k = 8, 32
+    summ = rank_compaction_summary(
+        _frame(spark, values), "v", "rk", strata=strata, k=k
+    )
+    for pct in (10, 50, 90, 99):
+        est, n_total = _estimate(spark, summ, pct)
+        assert n_total == len(values)
+        target = (pct * n_total + 99) // 100
+        err = _rank_of(values, est) - target
+        # crossing guarantee: never below target, within P*k above
+        assert 0 <= err < strata * k, (pct, err)
+
+
+def test_quantile_summary_weights_partition_count(spark):
+    from super_store_datawarehouse_spark.operators.sketches import (
+        rank_compaction_summary,
+    )
+
+    values = list(range(1, 5001))
+    summ = rank_compaction_summary(
+        _frame(spark, values), "v", "rk", strata=4, k=16
+    ).collect()
+    assert sum(r["weight"] for r in summ) == len(values)
+    # summary is bounded: at most one tail row per stratum beyond N/k
+    assert len(summ) <= len(values) // 16 + 4
+
+
+def test_quantile_summary_k1_is_exact(spark):
+    from super_store_datawarehouse_spark.operators.sketches import (
+        rank_compaction_summary,
+    )
+
+    rnd = random.Random(11)
+    values = [rnd.randrange(10_000) for _ in range(3_000)]
+    summ = rank_compaction_summary(
+        _frame(spark, values), "v", "rk", strata=4, k=1
+    )
+    for pct in (50, 95):
+        est, n_total = _estimate(spark, summ, pct)
+        target = (pct * n_total + 99) // 100
+        assert est == sorted(values)[target - 1]
+
+
+def test_quantile_summary_merge_is_union(spark):
+    """Merge law: the union of two halves' summaries reads off with the
+    ADDITIVE bound (each half contributes its own <= P*(k-1) undercount
+    plus one crossing overshoot) — partial summaries per shard/day
+    combine without touching raw data."""
+    from super_store_datawarehouse_spark.operators.sketches import (
+        rank_compaction_summary,
+    )
+
+    rnd = random.Random(13)
+    a = [rnd.randrange(1_000_000) for _ in range(8_000)]
+    b = [rnd.randrange(1_000_000) for _ in range(12_000)]
+    strata, k = 8, 32
+    sa = rank_compaction_summary(_frame(spark, a), "v", "rk", strata, k)
+    sb = rank_compaction_summary(
+        _frame(spark, b, start_key=len(a)), "v", "rk", strata, k
+    )
+    merged = sa.unionByName(sb)
+    both = a + b
+    for pct in (50, 90):
+        est, n_total = _estimate(spark, merged, pct)
+        assert n_total == len(both)
+        target = (pct * n_total + 99) // 100
+        err = _rank_of(both, est) - target
+        assert 0 <= err < 2 * strata * k, (pct, err)
