@@ -460,3 +460,47 @@ def summary_quantiles(
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+def weighted_rank_compaction(summary: DataFrame, k: int) -> DataFrame:
+    """Re-compact a weighted (stratum, value, weight) summary to about
+    W/k rows per stratum: keep each row whose cumulative weight crosses
+    a multiple of ``k`` (plus the stratum tail row), re-weighting kept
+    rows by the cumulative-weight delta so stratum weights are
+    conserved EXACTLY. One compaction adds at most k−1 ranks of
+    undercount per stratum — the accounting a caller accumulates when
+    compacting repeatedly (see streaming/jobs.py's quantile sink, which
+    tracks the running total in the state itself).
+
+    This is the merge-then-shrink half of the mergeable-summary pair:
+    :func:`rank_compaction_summary` builds from raw rows (weight 1),
+    summaries union freely, and this operator bounds the union's size
+    again. Per-stratum windows keep the sort fully parallel.
+    """
+    w_cum = (
+        Window.partitionBy("stratum")
+        .orderBy("value", "weight")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = summary.select(
+        "stratum",
+        "value",
+        "weight",
+        F.sum("weight").over(w_cum).alias("__cw"),
+        F.sum("weight").over(Window.partitionBy("stratum")).alias("__wtot"),
+    )
+    kept = cum.filter(
+        (
+            F.floor(F.col("__cw") / k)
+            > F.floor((F.col("__cw") - F.col("weight")) / k)
+        )
+        | (F.col("__cw") == F.col("__wtot"))
+    )
+    w_prev = Window.partitionBy("stratum").orderBy("__cw")
+    return kept.select(
+        "stratum",
+        "value",
+        (
+            F.col("__cw") - F.coalesce(F.lag("__cw").over(w_prev), F.lit(0))
+        ).alias("weight"),
+    )

@@ -1638,3 +1638,130 @@ def stream_dq_monitor(
     finally:
         q.stop()
     return batches["n"]
+
+
+def stream_quantile_summary_to_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    strata: int = 8,
+    k: int = 32,
+    max_rows: int = 4096,
+    checkpoint: str | None = None,
+) -> int:
+    """Streaming mergeable quantile summary over the event ``value``
+    stream (integer cents): the rank-sketch member of the streaming
+    sink family (Bloom dedup, Misra–Gries, CMS, HLL — this adds
+    percentiles). Batch twin: ``operators.sketches.
+    rank_compaction_summary`` / x334's oracled eval.
+
+    Per micro-batch: the batch's rows enter as weight-1 summary rows
+    (stratum = Knuth hash of event_id mod ``strata``), union with the
+    persisted summary — merge IS union for this sketch — then one
+    ``weighted_rank_compaction`` bounds the state again. If the
+    compacted state still exceeds ``max_rows``, the compaction step k
+    DOUBLES until it fits (KLL-style coarsening), so the state stays
+    bounded FOREVER while the error grows only with the logged budget,
+    never silently.
+
+    Self-certifying error accounting: each compaction at step ``k_i``
+    adds at most ``k_i − 1`` ranks of undercount per stratum, so the
+    state embeds the running ``err_unit`` = Σ(k_i − 1) alongside
+    ``k_now``; a reader's live guarantee for any nearest-rank read-off
+    is ``rank_err < strata · err_unit + k_now`` — computable from the
+    state alone, no external log (the same in-state attestation style
+    as the sinks' applied_batch markers).
+
+    Exactly-once: identical contract to the Misra–Gries sink —
+    applied_batch + query_id embedded in the state parquet, atomic
+    directory swap with .prev crash recovery, lineage check raising on
+    a foreign checkpoint. Returns micro-batches applied.
+    """
+    import shutil
+    import tempfile
+
+    from super_store_datawarehouse_spark.operators.sampling import knuth_hash
+    from super_store_datawarehouse_spark.operators.sketches import (
+        weighted_rank_compaction,
+    )
+
+    ev = read_events_stream(spark, src_dir).select(
+        F.round(F.col("value") * 100).cast("long").alias("value"),
+        F.pmod(knuth_hash("event_id"), F.lit(strata)).alias("stratum"),
+    )
+    batches = {"n": 0}
+    prev_dir = out_dir + ".prev"
+    qid = _QueryIdHolder()
+
+    def read_state(sess: SparkSession):
+        if not os.path.isdir(out_dir) and os.path.isdir(prev_dir):
+            os.replace(prev_dir, out_dir)
+        if not os.path.isdir(out_dir):
+            return None
+        return sess.read.parquet(out_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        state = read_state(sess)
+        if state is not None:
+            meta = state.agg(
+                F.max("applied_batch").alias("b"),
+                F.max("query_id").alias("q"),
+                F.max("k_now").alias("k"),
+                F.max("err_unit").alias("e"),
+            ).collect()[0]
+            stored_qid = meta["q"]
+            applied = -1 if meta["b"] is None else meta["b"]
+            k_now, err_unit = int(meta["k"]), int(meta["e"])
+        else:
+            stored_qid, applied, k_now, err_unit = None, -1, k, 0
+        _check_query_lineage(
+            "stream_quantile_summary_to_parquet", out_dir, stored_qid, qid.get()
+        )
+        if batch_id <= applied:
+            return
+        delta = batch_df.select(
+            "stratum", "value", F.lit(1).cast("long").alias("weight")
+        )
+        merged = (
+            state.select("stratum", "value", "weight").unionByName(delta)
+            if state is not None
+            else delta
+        )
+        # compact; double the step until the state fits the budget
+        while True:
+            compacted = weighted_rank_compaction(merged, k_now).localCheckpoint()
+            err_unit += k_now - 1
+            if compacted.count() <= max_rows:
+                break
+            k_now *= 2
+        tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir))
+        (
+            compacted.withColumn(
+                "applied_batch", F.lit(batch_id).cast("long")
+            )
+            .withColumn("query_id", F.lit(qid.get()))
+            .withColumn("k_now", F.lit(k_now).cast("long"))
+            .withColumn("err_unit", F.lit(err_unit).cast("long"))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        if os.path.isdir(prev_dir):
+            shutil.rmtree(prev_dir)
+        if os.path.isdir(out_dir):
+            os.replace(out_dir, prev_dir)
+        os.replace(tmp, out_dir)
+        if os.path.isdir(prev_dir):
+            shutil.rmtree(prev_dir)
+        batches["n"] += 1
+
+    writer = ev.writeStream.outputMode("append").foreachBatch(merge_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    qid.set(q.id)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return batches["n"]

@@ -1429,3 +1429,78 @@ def test_stream_pq_index_update_exactly_once_and_fingerprint(tmp_path, spark):
     q = vectors.filter("vec_id = 299")
     hits = pq_index_search(spark, index, q, k=3).collect()
     assert len(hits) == 3 and all(r["query_id"] == 299 for r in hits)
+
+
+def test_stream_quantile_summary_bound_and_restart(tmp_path, spark):
+    """Streaming rank-compaction summary: state stays within the row
+    budget, the embedded err_unit/k_now certify the live rank bound
+    against exact ranks, weights conserve the stream count exactly,
+    and a checkpoint restart re-applies nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.operators.sampling import knuth_hash
+    from super_store_datawarehouse_spark.operators.sketches import (
+        summary_quantiles,
+    )
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        stream_quantile_summary_to_parquet,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        part_dir = tmp_path / f"part{i}"
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            str(part_dir), mode="overwrite"
+        )
+        part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        os.rename(part_dir / part, os.path.join(src, f"events{i}.parquet"))
+
+    out = str(tmp_path / "qsum")
+    ckpt = str(tmp_path / "ckpt")
+    strata, max_rows = 8, 512
+    assert (
+        stream_quantile_summary_to_parquet(
+            spark, src, out, strata=strata, k=32, max_rows=max_rows,
+            checkpoint=ckpt,
+        )
+        == 3
+    )
+
+    state = spark.read.parquet(out)
+    n_state = state.count()
+    assert n_state <= max_rows
+    meta = state.agg(
+        F.max("k_now").alias("k"), F.max("err_unit").alias("e")
+    ).collect()[0]
+    bound = strata * int(meta["e"]) + int(meta["k"])
+
+    vals = sorted(
+        r["v"]
+        for r in events.select(
+            F.round(F.col("value") * 100).cast("long").alias("v")
+        ).collect()
+    )
+    # weights partition the stream count exactly
+    assert state.agg(F.sum("weight")).collect()[0][0] == len(vals)
+
+    summary = state.select("stratum", "value", "weight")
+    for pct in (50, 90):
+        row = summary_quantiles(summary, [(f"p{pct}", pct)]).collect()[0]
+        target = (pct * len(vals) + 99) // 100
+        est_rank = sum(1 for v in vals if v <= row["est"])
+        assert 0 <= est_rank - target < bound, (pct, est_rank - target, bound)
+
+    # restart from the same checkpoint: nothing re-applies
+    assert (
+        stream_quantile_summary_to_parquet(
+            spark, src, out, strata=strata, k=32, max_rows=max_rows,
+            checkpoint=ckpt,
+        )
+        == 0
+    )
+    assert spark.read.parquet(out).count() == n_state
