@@ -17638,3 +17638,133 @@ def x334_quantile_summary_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# --------------------------------------------------------------------------
+# x335 — summary re-compaction eval (operators/sketches.py
+# weighted_rank_compaction): the merge-then-shrink half of the
+# mergeable-summary pair x334 builds. A k=64 summary of the 60M-row
+# price column is re-compacted at k=128 on the weighted axis; the
+# oracle certifies (a) exact weight conservation, (b) the deterministic
+# row-count contract (crossings = ⌊W_b/128⌋ per stratum + remainder
+# tails — order-invariant), and (c) the ADDITIVE rank bound of stacked
+# compactions, P·((k₁−1)+(k₂−1)) + k₂ crossing, against a counting
+# pass. Ties in the (value, weight) order never move a read-off value
+# (rows between crossings share the value at that weighted rank), so
+# the whole two-stage pipeline value-oracles bit-for-bit.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x335_summary_recompaction_eval",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             l_orderkey * 8 + l_linenumber AS rk
+      FROM lineitem
+    ), ranked AS (
+      SELECT v, {_X334_ROUTE} % 32 AS b,
+             ROW_NUMBER() OVER (PARTITION BY {_X334_ROUTE} % 32
+                                ORDER BY v, rk) AS r,
+             COUNT(*) OVER (PARTITION BY {_X334_ROUTE} % 32) AS n
+      FROM base
+    ), s64 AS (
+      SELECT b AS stratum, v AS value,
+             CAST(CASE WHEN r % 64 = 0 THEN 64 ELSE n % 64 END AS BIGINT)
+               AS weight
+      FROM ranked
+      WHERE r % 64 = 0 OR (r = n AND n % 64 <> 0)
+    ), cum AS (
+      SELECT stratum, value, weight,
+             SUM(weight) OVER (PARTITION BY stratum ORDER BY value, weight
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(weight) OVER (PARTITION BY stratum) AS wtot
+      FROM s64
+    ), s128 AS (
+      SELECT stratum, value,
+             cw - COALESCE(LAG(cw) OVER (PARTITION BY stratum ORDER BY cw),
+                           0) AS weight,
+             cw
+      FROM cum
+      WHERE cw // 128 > (cw - weight) // 128 OR cw = wtot
+    ), rdoff AS (
+      SELECT value, stratum,
+             SUM(weight) OVER (ORDER BY value, stratum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw2,
+             (SELECT SUM(weight) FROM s128) AS n_total
+      FROM s128
+    ), targets AS (
+      SELECT 'p50' AS q, 50 AS pct UNION ALL SELECT 'p90', 90
+    ), pick AS (
+      SELECT t.q, t.pct,
+             (SELECT MIN(value) FROM rdoff
+               WHERE cw2 >= (t.pct * rdoff.n_total + 99) // 100) AS est,
+             (SELECT MAX(n_total) FROM rdoff) AS n_total
+      FROM targets t GROUP BY t.q, t.pct
+    )
+    SELECT p.q,
+           CAST(p.est AS BIGINT) AS est_cents,
+           CAST(p.n_total AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM s64) AS BIGINT) AS rows_k64,
+           CAST((SELECT COUNT(*) FROM s128) AS BIGINT) AS rows_k128,
+           CAST((SELECT COUNT(*) FROM base WHERE v <= p.est)
+                - (p.pct * p.n_total + 99) // 100 AS BIGINT) AS rank_err,
+           CAST(32 * (63 + 127) + 128 AS BIGINT) AS err_bound,
+           (SELECT COUNT(*) FROM base WHERE v <= p.est)
+               >= (p.pct * p.n_total + 99) // 100
+             AND (SELECT COUNT(*) FROM base WHERE v <= p.est)
+               - (p.pct * p.n_total + 99) // 100 < 32 * (63 + 127) + 128
+             AS within_bound
+    FROM pick p
+    ORDER BY p.q
+    """,
+)
+def x335_summary_recompaction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sketches import (
+        rank_compaction_summary,
+        summary_quantiles,
+        weighted_rank_compaction,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        cents("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rk"),
+    )
+    s64 = rank_compaction_summary(base, "v", "rk", strata=32, k=64)
+    # both downstream counts and the read-off reuse s64/s128; scoped
+    # caches keep the two-stage pipeline single-execution
+    from super_store_datawarehouse_spark.session import scoped_cache
+
+    s64 = scoped_cache(s64)
+    s128 = scoped_cache(weighted_rank_compaction(s64, 128))
+    ests = summary_quantiles(
+        s128, [("p50", 50), ("p90", 90)]
+    ).withColumn(
+        "pct", F.when(F.col("q") == "p50", 50).otherwise(90)
+    )
+    sizes = (
+        s64.agg(F.count(F.lit(1)).alias("rows_k64"))
+        .crossJoin(s128.agg(F.count(F.lit(1)).alias("rows_k128")))
+    )
+    return (
+        base.crossJoin(F.broadcast(ests))
+        .groupBy("q", "est", "n_total", "pct")
+        .agg(
+            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0)).alias(
+                "est_rank"
+            )
+        )
+        .crossJoin(F.broadcast(sizes))
+        .selectExpr(
+            "q",
+            "cast(est AS bigint) AS est_cents",
+            "cast(n_total AS bigint) AS n_rows",
+            "cast(rows_k64 AS bigint) AS rows_k64",
+            "cast(rows_k128 AS bigint) AS rows_k128",
+            "est_rank - (pct * n_total + 99) div 100 AS rank_err",
+            "cast(32 * (63 + 127) + 128 AS bigint) AS err_bound",
+            "est_rank >= (pct * n_total + 99) div 100"
+            " AND est_rank - (pct * n_total + 99) div 100"
+            " < 32 * (63 + 127) + 128 AS within_bound",
+        )
+        .orderBy("q")
+    )
