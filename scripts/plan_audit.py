@@ -83,6 +83,7 @@ ALLOW: dict[str, str] = {
     "q27_rag_context_assembly": "5-row query-doc side broadcast x corpus",
     "x334_quantile_summary_eval": "3-row estimate frame broadcast x corpus (rank-counting pass)",
     "x335_summary_recompaction_eval": "2-row estimate/1-row size frames broadcast x corpus (rank-counting pass)",
+    "x336_stream_quantile_state": "2-row estimate/1-row meta frames broadcast x corpus (rank-counting pass)",
 }
 
 

@@ -17768,3 +17768,136 @@ def x335_summary_recompaction_eval(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("q")
     )
+
+
+# --------------------------------------------------------------------------
+# x336 — STREAMING quantile-summary state, value-oracled end-to-end:
+# the first sink-family query whose oracle checks the streaming face's
+# actual persisted STATE, not a batch twin (q22/x18 et al. are batch
+# twins / rows-only vehicles). Possible because the sink's construction
+# is deterministic given the micro-batch sequence: the query stages the
+# events table as ONE parquet file in session scratch (so the file
+# stream is exactly one micro-batch), runs
+# stream_quantile_summary_to_parquet on it, and reads the state back —
+# a single batch of weight-1 rows through weighted_rank_compaction IS
+# rank_compaction_summary, so DuckDB replays the state bit-for-bit and
+# the read-off certification (x334's form, with the sink's embedded
+# err_unit/k_now live bound) value-oracles. Exactly-once markers,
+# atomic swap, and lineage checks all execute inside the oracled path.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x336_stream_quantile_state",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v, event_id AS rk
+      FROM events
+    ), ranked AS (
+      SELECT v, {_knuth_sql("rk")} % 8 AS b,
+             ROW_NUMBER() OVER (PARTITION BY {_knuth_sql("rk")} % 8
+                                ORDER BY v, rk) AS r,
+             COUNT(*) OVER (PARTITION BY {_knuth_sql("rk")} % 8) AS n
+      FROM base
+    ), summ AS (
+      SELECT b AS stratum, v AS value,
+             CAST(CASE WHEN r % 32 = 0 THEN 32 ELSE n % 32 END AS BIGINT)
+               AS weight
+      FROM ranked
+      WHERE r % 32 = 0 OR (r = n AND n % 32 <> 0)
+    ), cum AS (
+      SELECT value, stratum,
+             SUM(weight) OVER (ORDER BY value, stratum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             (SELECT SUM(weight) FROM summ) AS n_total
+      FROM summ
+    ), targets AS (
+      SELECT 'p50' AS q, 50 AS pct UNION ALL SELECT 'p90', 90
+    ), pick AS (
+      SELECT t.q, t.pct,
+             (SELECT MIN(value) FROM cum
+               WHERE cw >= (t.pct * cum.n_total + 99) // 100) AS est,
+             (SELECT MAX(n_total) FROM cum) AS n_total
+      FROM targets t GROUP BY t.q, t.pct
+    )
+    SELECT p.q,
+           CAST(p.est AS BIGINT) AS est_cents,
+           CAST(p.n_total AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS batches_applied,
+           -- single batch at the initial step: err_unit = k−1, k_now = k
+           CAST(31 AS BIGINT) AS err_unit,
+           CAST(32 AS BIGINT) AS k_now,
+           CAST((SELECT COUNT(*) FROM base WHERE v <= p.est)
+                - (p.pct * p.n_total + 99) // 100 AS BIGINT) AS rank_err,
+           (SELECT COUNT(*) FROM base WHERE v <= p.est)
+               >= (p.pct * p.n_total + 99) // 100
+             AND (SELECT COUNT(*) FROM base WHERE v <= p.est)
+               - (p.pct * p.n_total + 99) // 100 < 8 * 31 + 32
+             AS within_live_bound
+    FROM pick p
+    ORDER BY p.q
+    """,
+)
+def x336_stream_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from super_store_datawarehouse_spark.operators.sketches import (
+        summary_quantiles,
+    )
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        stream_quantile_summary_to_parquet,
+    )
+
+    scratch = _index_scratch("stream_qsum", sf_dir)
+    shutil.rmtree(scratch, ignore_errors=True)
+    src = os.path.join(scratch, "src")
+    out = os.path.join(scratch, "state")
+    ckpt = os.path.join(scratch, "ckpt")
+    # stage the table as ONE file so the file stream is exactly one
+    # micro-batch — the determinism contract the oracle replays
+    load_table(spark, sf_dir, "events").coalesce(1).write.parquet(
+        os.path.join(src, "events0.parquet"), mode="overwrite"
+    )
+    # the source glob expects events*.parquet FILES in a directory; the
+    # single-part write above produces a directory, so point the stream
+    # at a flat layout
+    part_dir = os.path.join(src, "events0.parquet")
+    part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+    os.replace(os.path.join(part_dir, part), os.path.join(src, "events.parquet"))
+    shutil.rmtree(part_dir)
+    applied = stream_quantile_summary_to_parquet(
+        spark, src, out, strata=8, k=32, max_rows=1 << 62, checkpoint=ckpt
+    )
+    state = spark.read.parquet(out)
+    meta = state.agg(
+        F.max("err_unit").alias("err_unit"), F.max("k_now").alias("k_now")
+    )
+    ests = summary_quantiles(
+        state.select("stratum", "value", "weight"),
+        [("p50", 50), ("p90", 90)],
+    ).withColumn("pct", F.when(F.col("q") == "p50", 50).otherwise(90))
+    base = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    return (
+        base.crossJoin(F.broadcast(ests))
+        .groupBy("q", "est", "n_total", "pct")
+        .agg(
+            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0)).alias(
+                "est_rank"
+            )
+        )
+        .crossJoin(F.broadcast(meta))
+        .selectExpr(
+            "q",
+            "cast(est AS bigint) AS est_cents",
+            "cast(n_total AS bigint) AS n_rows",
+            f"cast({applied} AS bigint) AS batches_applied",
+            "cast(err_unit AS bigint) AS err_unit",
+            "cast(k_now AS bigint) AS k_now",
+            "est_rank - (pct * n_total + 99) div 100 AS rank_err",
+            "est_rank >= (pct * n_total + 99) div 100"
+            " AND est_rank - (pct * n_total + 99) div 100"
+            " < 8 * err_unit + k_now AS within_live_bound",
+        )
+        .orderBy("q")
+    )
