@@ -339,3 +339,58 @@ def test_quantile_summary_merge_is_union(spark):
         target = (pct * n_total + 99) // 100
         err = _rank_of(both, est) - target
         assert 0 <= err < 2 * strata * k, (pct, err)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 addition: FastSS deletion-neighborhood edit-distance blocking
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit1_pairs_equals_bruteforce(spark):
+    """FastSS k=1 completeness/soundness: the deletion-neighborhood
+    equi-join + verify returns EXACTLY the brute-force lev<=1 pair set
+    — including insertion, deletion, substitution, and equality pairs,
+    plus empty and 1-char strings."""
+    from super_store_datawarehouse_spark.operators.linkage import edit1_pairs
+
+    rnd = random.Random(17)
+    # a clustered vocabulary so lev<=1 pairs actually occur
+    seeds = ["spark", "spank", "park", "", "a", "b", "ab", "data", "date"]
+    vals = list(seeds)
+    for _ in range(120):
+        s = rnd.choice(seeds)
+        op = rnd.randrange(3)
+        i = rnd.randrange(len(s) + 1)
+        ch = rnd.choice("abkrs")
+        if op == 0:
+            vals.append(s[:i] + ch + s[i:])          # insertion
+        elif op == 1 and s:
+            vals.append(s[:i] + s[i + 1:] if i < len(s) else s[:-1])
+        else:
+            vals.append(s[:i] + ch + s[i + 1:] if i < len(s) else s + ch)
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, txt string")
+
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit1_pairs(df, "id", "txt").collect()
+    }
+    want = {
+        (ia, ib, _lev(va, vb))
+        for ia, va in rows
+        for ib, vb in rows
+        if ia < ib and _lev(va, vb) <= 1
+    }
+    assert got == want
