@@ -504,3 +504,98 @@ def weighted_rank_compaction(summary: DataFrame, k: int) -> DataFrame:
             F.col("__cw") - F.coalesce(F.lag("__cw").over(w_prev), F.lit(0))
         ).alias("weight"),
     )
+
+
+def grouped_rank_compaction_summary(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    strata: int = 32,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group :func:`rank_compaction_summary`: windows partition by
+    (group, stratum), so EVERY group's sort spreads across ``strata``
+    parallel tasks — the scale answer to the declared few-groups
+    ceiling of the exact forms (x265's window median funnels each group
+    through ONE task no matter how many executors; here a 3-group
+    60M-row column sorts on 3·P tasks). Same per-group guarantee as the
+    global operator: read-off rank error < P·(k−1) + k within each
+    group. Returns (group, stratum, value, weight).
+    """
+    from super_store_datawarehouse_spark.operators.sampling import knuth_hash
+
+    ranked = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col),
+            F.col(key_col),
+            F.pmod(knuth_hash(key_col), F.lit(strata)).alias("__b"),
+        )
+        .withColumn("__r", F.row_number().over(
+            Window.partitionBy("grp", "__b").orderBy(value_col, key_col)
+        ))
+        .withColumn("__n", F.count(F.lit(1)).over(
+            Window.partitionBy("grp", "__b")
+        ))
+    )
+    return (
+        ranked.filter(
+            (F.col("__r") % k == 0)
+            | ((F.col("__r") == F.col("__n")) & (F.col("__n") % k != 0))
+        )
+        .select(
+            F.col("grp").alias("group"),
+            F.col("__b").alias("stratum"),
+            F.col(value_col).alias("value"),
+            F.when(F.col("__r") % k == 0, F.lit(k))
+            .otherwise(F.col("__n") % k)
+            .cast("long")
+            .alias("weight"),
+        )
+    )
+
+
+def grouped_summary_quantiles(
+    summary: DataFrame, targets: list[tuple[str, int]]
+) -> DataFrame:
+    """Per-group nearest-rank read-off from a grouped summary: for each
+    (label, pct) and each group, the smallest value whose cumulative
+    weight reaches ``(pct·N_group + 99) div 100``. All windows are over
+    the ≤ N/k summary rows, partitioned by group — flat cost, fully
+    parallel across groups.
+    """
+    w_cum = (
+        Window.partitionBy("group")
+        .orderBy("value", "stratum")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = summary.select(
+        "group",
+        "value",
+        "stratum",
+        F.sum("weight").over(w_cum).alias("cw"),
+        F.sum("weight").over(Window.partitionBy("group")).alias("n_group"),
+    )
+    picks = []
+    for label, pct in targets:
+        crossers = cum.filter(
+            F.col("cw") >= F.expr(f"({pct} * n_group + 99) div 100")
+        )
+        first = crossers.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("group").orderBy("cw")),
+        ).filter(F.col("__rn") == 1)
+        picks.append(
+            first.select(
+                "group",
+                F.lit(label).alias("q"),
+                F.lit(pct).cast("int").alias("pct"),
+                F.col("value").alias("est"),
+                F.col("n_group"),
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1317,7 +1317,10 @@ def x265_group_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     but the sort funnel is the known few-groups scale ceiling;
     q40_selection_median runs the identical selection through
     operators/selection.py's range-partitioned parallel ranking, the
-    formulation that spreads the same sort across the cluster."""
+    formulation that spreads the same sort across the cluster — and
+    x337_grouped_quantile_summary is the sketch-side twin that removes
+    the per-group funnel entirely (every group across P strata, with a
+    proven P·(k−1)+k rank bound)."""
     li = load_table(spark, sf_dir, "lineitem")
     c = li.select("l_returnflag", cents("l_extendedprice").alias("cents"))
     w = Window.partitionBy("l_returnflag")
@@ -17900,4 +17903,112 @@ def x336_stream_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             " < 8 * err_unit + k_now AS within_live_bound",
         )
         .orderBy("q")
+    )
+
+
+# --------------------------------------------------------------------------
+# x337 — GROUPED quantile summary eval (operators/sketches.py
+# grouped_rank_compaction_summary): the scale twin of x265's declared
+# few-groups ceiling. x265's exact window median funnels each
+# l_returnflag group through ONE task's sort regardless of cluster
+# size; the grouped summary spreads every group across P strata —
+# 3 groups × 32 strata = 96 parallel sorts here — and answers from
+# ≤ N/k rows per group afterwards. The oracle replays the grouped
+# construction and certifies the per-group crossing bound
+# (rank error < P·(k−1) + k WITHIN each group) against per-group
+# counting passes.
+# --------------------------------------------------------------------------
+@harness_query(
+    "x337_grouped_quantile_summary",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_returnflag AS grp,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             l_orderkey * 8 + l_linenumber AS rk
+      FROM lineitem
+    ), ranked AS (
+      SELECT grp, v, {_X334_ROUTE} % 32 AS b,
+             ROW_NUMBER() OVER (PARTITION BY grp, {_X334_ROUTE} % 32
+                                ORDER BY v, rk) AS r,
+             COUNT(*) OVER (PARTITION BY grp, {_X334_ROUTE} % 32) AS n
+      FROM base
+    ), summ AS (
+      SELECT grp, b AS stratum, v AS value,
+             CAST(CASE WHEN r % 64 = 0 THEN 64 ELSE n % 64 END AS BIGINT)
+               AS weight
+      FROM ranked
+      WHERE r % 64 = 0 OR (r = n AND n % 64 <> 0)
+    ), cum AS (
+      SELECT grp, value, stratum,
+             SUM(weight) OVER (PARTITION BY grp ORDER BY value, stratum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(weight) OVER (PARTITION BY grp) AS n_group
+      FROM summ
+    ), targets AS (
+      SELECT 'p50' AS q, 50 AS pct UNION ALL SELECT 'p90', 90
+    ), pick AS (
+      SELECT c.grp, t.q, t.pct, c.n_group, MIN(c.value) AS est
+      FROM cum c CROSS JOIN targets t
+      WHERE c.cw >= (t.pct * c.n_group + 99) // 100
+      GROUP BY c.grp, t.q, t.pct, c.n_group
+    ), certified AS (
+      SELECT p.grp, p.q, p.pct, p.n_group, p.est,
+             (SELECT COUNT(*) FROM base b
+               WHERE b.grp = p.grp AND b.v <= p.est) AS est_rank
+      FROM pick p
+    )
+    SELECT grp AS l_returnflag, q,
+           CAST(est AS BIGINT) AS est_cents,
+           CAST(n_group AS BIGINT) AS n_rows,
+           CAST((pct * n_group + 99) // 100 AS BIGINT) AS target_rank,
+           CAST(est_rank AS BIGINT) AS est_rank,
+           CAST(est_rank - (pct * n_group + 99) // 100 AS BIGINT) AS rank_err,
+           (est_rank >= (pct * n_group + 99) // 100
+            AND est_rank - (pct * n_group + 99) // 100 < 32 * 63 + 64)
+             AS within_bound
+    FROM certified
+    ORDER BY l_returnflag, q
+    """,
+)
+def x337_grouped_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sketches import (
+        grouped_rank_compaction_summary,
+        grouped_summary_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("grp"),
+        cents("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rk"),
+    )
+    summ = grouped_rank_compaction_summary(
+        base, "grp", "v", "rk", strata=32, k=64
+    )
+    ests = grouped_summary_quantiles(summ, [("p50", 50), ("p90", 90)])
+    # per-group certification: one counting pass joined to the
+    # (groups × targets)-row estimate frame — broadcast by construction
+    return (
+        base.join(
+            F.broadcast(ests), base["grp"] == ests["group"], "inner"
+        )
+        .groupBy("group", "q", "est", "n_group", "pct")
+        .agg(
+            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0)).alias(
+                "est_rank"
+            )
+        )
+        .selectExpr(
+            "group AS l_returnflag",
+            "q",
+            "cast(est AS bigint) AS est_cents",
+            "cast(n_group AS bigint) AS n_rows",
+            "(pct * n_group + 99) div 100 AS target_rank",
+            "cast(est_rank AS bigint) AS est_rank",
+            "est_rank - (pct * n_group + 99) div 100 AS rank_err",
+            "est_rank >= (pct * n_group + 99) div 100"
+            " AND est_rank - (pct * n_group + 99) div 100"
+            " < 32 * 63 + 64 AS within_bound",
+        )
+        .orderBy("l_returnflag", "q")
     )

@@ -394,3 +394,42 @@ def test_edit1_pairs_equals_bruteforce(spark):
         if ia < ib and _lev(va, vb) <= 1
     }
     assert got == want
+
+
+def test_grouped_quantile_summary_per_group_bound(spark):
+    """Grouped summary: per-group read-off honors the P*(k-1)+k bound
+    in EVERY group, including a tiny group (< k rows) whose summary is
+    per-stratum tails only (bound-accurate, not exact — the tail is
+    the stratum MAX carrying the whole remainder weight)."""
+    from super_store_datawarehouse_spark.operators.sketches import (
+        grouped_rank_compaction_summary,
+        grouped_summary_quantiles,
+    )
+
+    rnd = random.Random(23)
+    rows = []
+    sizes = {"a": 7_000, "b": 2_500, "c": 9}   # c: tail-only summaries
+    i = 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            rows.append((g, rnd.randrange(1_000_000), i))
+            i += 1
+    df = spark.createDataFrame(rows, "grp string, v long, rk long")
+    strata, k = 4, 16
+    summ = grouped_rank_compaction_summary(df, "grp", "v", "rk", strata, k)
+    ests = {
+        (r["group"], r["q"]): (r["est"], r["n_group"])
+        for r in grouped_summary_quantiles(
+            summ, [("p50", 50), ("p90", 90)]
+        ).collect()
+    }
+    by_group = {}
+    for g, v, _ in rows:
+        by_group.setdefault(g, []).append(v)
+    for g, n in sizes.items():
+        assert ests[(g, "p50")][1] == n
+        for label, pct in (("p50", 50), ("p90", 90)):
+            est, _ = ests[(g, label)]
+            target = (pct * n + 99) // 100
+            err = sum(1 for v in by_group[g] if v <= est) - target
+            assert 0 <= err < strata * (k - 1) + k, (g, label, err)
