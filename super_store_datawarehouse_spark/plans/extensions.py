@@ -17607,6 +17607,13 @@ def x334_quantile_summary_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("l_extendedprice").alias("v"),
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rk"),
     )
+    # deliberately UNCACHED: the read-off branches re-execute the
+    # summary subtree, but ReuseExchange shares the one wide shuffle and
+    # the branch recompute beats the cache's materialization tax here —
+    # measured at sf10 (25.4 s uncached vs 31.7 s cached, round 10; the
+    # §15 cache-strategy rule). x337's GROUPED build is the opposite
+    # regime (cache wins 30.7→25.1 s) because its per-branch recompute
+    # carries the extra group column through every window sort.
     summ = rank_compaction_summary(base, "v", "rk", strata=32, k=64)
     ests = summary_quantiles(
         summ, [("p50", 50), ("p90", 90), ("p99", 99)]
@@ -17982,8 +17989,10 @@ def x337_grouped_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame
         cents("l_extendedprice").alias("v"),
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rk"),
     )
-    summ = grouped_rank_compaction_summary(
-        base, "grp", "v", "rk", strata=32, k=64
+    # same single-execution policy as x334/x335: the grouped read-off
+    # branches per target over the summary subtree
+    summ = scoped_cache(
+        grouped_rank_compaction_summary(base, "grp", "v", "rk", strata=32, k=64)
     )
     ests = grouped_summary_quantiles(summ, [("p50", 50), ("p90", 90)])
     # per-group certification: one counting pass joined to the
