@@ -178,11 +178,22 @@ def ivf_index_search(
     # parquet row-group min/max stats now actually SKIP non-probed
     # cells at scan time — a bare join on centroid_id restricts rows
     # but cannot prune row groups.
+    # id_col passes through untouched: rebuild the literal frame with
+    # the assignment's OWN query_id field (string/UUID ids are part of
+    # the public contract — only the index-internal centroid_id is long)
+    from pyspark.sql.types import LongType, StructField, StructType
+
     qa_rows = [
-        (int(r["query_id"]), int(r["centroid_id"])) for r in q_assign.collect()
+        (r["query_id"], int(r["centroid_id"])) for r in q_assign.collect()
     ]
     q_assign = spark.createDataFrame(
-        qa_rows, "query_id long, centroid_id long"
+        qa_rows,
+        StructType(
+            [
+                q_assign.schema["query_id"],
+                StructField("centroid_id", LongType(), False),
+            ]
+        ),
     )
     probed = sorted({c for _, c in qa_rows})
     cells = (
@@ -533,10 +544,21 @@ def ivfadc_index_search(
     # one GEMM execution + literal rebuild (see ivf_index_search): the
     # probed cell ids become a literal IN-filter on the sorted cells
     # scan, so row-group stats skip non-probed cells
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # id contract: see ivf_index_search — query_id keeps its own type
     qa_rows = [
-        (int(r["query_id"]), int(r["centroid_id"])) for r in q_assign.collect()
+        (r["query_id"], int(r["centroid_id"])) for r in q_assign.collect()
     ]
-    q_assign = spark.createDataFrame(qa_rows, "query_id long, centroid_id long")
+    q_assign = spark.createDataFrame(
+        qa_rows,
+        StructType(
+            [
+                q_assign.schema["query_id"],
+                StructField("centroid_id", LongType(), False),
+            ]
+        ),
+    )
     probed = sorted({c for _, c in qa_rows})
     # column-pruned candidate side: (vid, centroid_id) only
     c_assign = (

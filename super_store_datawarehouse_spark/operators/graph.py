@@ -45,10 +45,19 @@ def connected_components(
         .distinct()
     )
     labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+    # merge-pinned loop joins: both sides are corpus-scale and, after a
+    # checkpoint cut, stat-less — AQE's runtime broadcast conversion on
+    # a borderline label frame builds on the DRIVER and OOMs it
+    # nondeterministically at sf10 (round-10 re-measure of x227; same
+    # hazard class as q19/x292's pinned bucket joins). A broadcast is
+    # never the right shape here anyway: the label side is |V| rows.
     for _ in range(max_iter):
         nbr_min = (
-            sym.join(
-                labels.select(F.col("u").alias("v"), F.col("label").alias("vlabel")),
+            sym.hint("merge")
+            .join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("label").alias("vlabel")
+                ).hint("merge"),
                 "v",
             )
             .groupBy("u")
@@ -59,7 +68,7 @@ def connected_components(
         # heap — the unreleasable-block OOM the round-10 sf10 sweep hit
         # on the sibling k-core loop
         new_labels = checkpoint_cut(
-            labels.join(nbr_min, "u", "left")
+            labels.hint("merge").join(nbr_min.hint("merge"), "u", "left")
             .select(
                 "u",
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
@@ -68,8 +77,8 @@ def connected_components(
             )
         )
         n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
+            new_labels.alias("n").hint("merge")
+            .join(labels.alias("o").hint("merge"), "u")
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()

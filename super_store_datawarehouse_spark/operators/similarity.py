@@ -485,6 +485,18 @@ def ivf_assign(
     (measured: the sf1 IVFADC probe dropped from 186 s to seconds).
     """
     spark = vectors.sparkSession
+    # LOUD id contract (round-10 review): the GEMM batch schema emits
+    # integer ids — it has since the blocked-GEMM rewrite — so a
+    # string/UUID id_col would be silently cast-mangled downstream.
+    # Every engine table keys vectors by a long (vec_id/doc_id); a
+    # caller with foreign ids must map them to longs first.
+    id_dtype = dict(vectors.dtypes).get(id_col, "")
+    if id_dtype not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"ivf_assign requires an integral {id_col!r} column "
+            f"(got {id_dtype!r}): the blocked-GEMM batch schema emits "
+            "long ids; map foreign ids to longs before assigning"
+        )
     c = _prep(centroids, id_col, vec_col, "centroid_id", "cv", "cnrm")
     c_rows = c.toPandas()
     out_schema = f"{id_out} long, centroid_id long"

@@ -391,9 +391,13 @@ def rank_compaction_summary(
     Rank guarantee: within a stratum, the weighted cumulative count at
     a kept value understates that value's true intra-stratum rank by at
     most k−1 (the rows between compaction points); strata are disjoint,
-    so globally the nearest-rank read-off lands within ``P·(k−1)``
-    ranks of the target — the bound a caller sizes (P, k) against, at
-    summary size N/k. k=1 degenerates to the exact column.
+    so the cumulative weight at any kept value is within ``P·(k−1)`` of
+    its true rank — and the nearest-rank read-off's crossing row can
+    additionally overshoot the target by up to its own weight (< k),
+    giving the read-off guarantee ``0 ≤ rank_err < P·(k−1) + k``, the
+    bound a caller sizes (P, k) against, at summary size N/k (the
+    x334/x335/x336/x337 oracles certify exactly this). k=1 degenerates
+    to the exact column.
 
     Returns (stratum, value, weight) — value/weight are what a reader
     needs; stratum is kept so tests can assert per-stratum invariants.

@@ -17537,7 +17537,7 @@ def x333_pq_index_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
 # replay the identical summary and the estimates value-oracle exactly,
 # unlike randomized KLL/GK. The eval emits, per target percentile, the
 # summary estimate, its TRUE rank (one counting pass, no global sort),
-# the target rank, and the proven P·k crossing bound — so the oracle
+# the target rank, and the proven P·(k−1)+k crossing bound — so the oracle
 # row certifies the rank guarantee itself, the contract a caller sizes
 # (P, k) against at 100 TB (summary rows ≈ N/4096·2 ≈ flat).
 # --------------------------------------------------------------------------
@@ -17587,11 +17587,11 @@ _X334_ROUTE = _knuth_sql("rk")
              AS est_rank,
            CAST((SELECT COUNT(*) FROM base WHERE v <= p.est)
                 - (p.pct * p.n_total + 99) // 100 AS BIGINT) AS rank_err,
-           CAST(32 * 64 AS BIGINT) AS err_bound,
+           CAST(32 * 63 + 64 AS BIGINT) AS err_bound,
            (SELECT COUNT(*) FROM base WHERE v <= p.est)
                >= (p.pct * p.n_total + 99) // 100
              AND (SELECT COUNT(*) FROM base WHERE v <= p.est)
-               - (p.pct * p.n_total + 99) // 100 < 32 * 64 AS within_bound
+               - (p.pct * p.n_total + 99) // 100 < 32 * 63 + 64 AS within_bound
     FROM pick p
     ORDER BY p.q
     """,
@@ -17641,9 +17641,9 @@ def x334_quantile_summary_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(pct * n_total + 99) div 100 AS target_rank",
             "cast(est_rank AS bigint) AS est_rank",
             "est_rank - (pct * n_total + 99) div 100 AS rank_err",
-            "cast(32 * 64 AS bigint) AS err_bound",
+            "cast(32 * 63 + 64 AS bigint) AS err_bound",
             "est_rank >= (pct * n_total + 99) div 100"
-            " AND est_rank - (pct * n_total + 99) div 100 < 32 * 64"
+            " AND est_rank - (pct * n_total + 99) div 100 < 32 * 63 + 64"
             " AS within_bound",
         )
         .orderBy("q")

@@ -92,13 +92,39 @@ def checkpoint_cut(df):
     import shutil
     import tempfile
 
+    from pyspark import StorageLevel
+
     spark = df.sparkSession
     jsc = spark.sparkContext
     if jsc._jsc.sc().getCheckpointDir().isEmpty():
+        # a driver-local tmp dir is only a valid checkpoint root when
+        # every executor shares the driver's filesystem — i.e. local
+        # mode. On a real cluster each executor would write partitions
+        # to its OWN /tmp and reads back would lose them; fail loudly
+        # at the call site instead (round-10 review finding).
+        if not jsc.master.startswith("local"):
+            raise RuntimeError(
+                "checkpoint_cut: no checkpoint directory configured and "
+                f"master {jsc.master!r} is not local — set a shared "
+                "(HDFS/object-storage) dir via sc.setCheckpointDir() "
+                "before using iterative lineage cuts on a cluster"
+            )
         ckdir = tempfile.mkdtemp(prefix="ssdw_ckpt_")
         jsc.setCheckpointDir(ckdir)
         atexit.register(shutil.rmtree, ckdir, ignore_errors=True)
-    return df.checkpoint(eager=True)
+    # Reliable checkpointing runs a SECOND job over the lineage to
+    # write the checkpoint files; without a persist, every iterative
+    # round would compute its plan twice (Spark's documented
+    # recomputation, round-10 review finding). DISK_ONLY keeps the
+    # heap cost at zero — the entire point of this helper over
+    # localCheckpoint — and the block is released right after the
+    # checkpoint files are durable, so nothing accumulates across
+    # loop rounds.
+    df = df.persist(StorageLevel.DISK_ONLY)
+    try:
+        return df.checkpoint(eager=True)
+    finally:
+        df.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,71 @@ from pyspark.sql import functions as F
 from super_store_datawarehouse_spark.functions.exact import cents
 
 
+# ---------------------------------------------------------------------------
+# Shared state-publish helpers (round-10 review: the swap sequence had
+# drifted into six near-verbatim copies). TWO documented protocols
+# exist and stay distinct:
+#   * in-state marker + .prev chain (_restore_prev_state/_publish_
+#     state_atomic): applied_batch/query_id live INSIDE the state
+#     parquet, so marker and state publish in one atomic directory
+#     swap — no window where new state is visible with an old marker.
+#     Crash recovery: the previous state parks at <dir>.prev during
+#     the swap; readers restore it if a crash strands the rename.
+#     Used by the Misra–Gries, Bloom-dedup, and quantile sinks.
+#   * side marker file (countmin/HLL/upserts): state overwritten in
+#     place, applied_batch in a separate marker — the older documented
+#     protocol whose tests pin its exact behavior; its copies now share
+#     _swap_in_state for the tmp-write + replace mechanics.
+# ---------------------------------------------------------------------------
+
+
+def _restore_prev_state(out_dir: str) -> None:
+    """Crash recovery for the .prev protocol: publish renames out_dir
+    away before the new version lands; if the process died in between,
+    the .prev copy is the durable state — restore it."""
+    prev_dir = out_dir + ".prev"
+    if not os.path.isdir(out_dir) and os.path.isdir(prev_dir):
+        os.replace(prev_dir, out_dir)
+
+
+def _publish_state_atomic(out_dir: str, merged: DataFrame) -> None:
+    """Atomic publish with recovery (.prev protocol): write the new
+    state to a tmp dir (parquet write = action, so it is fully
+    materialized before any rename), retire the current state to
+    .prev, land the new version, then discard .prev. A crash at any
+    point leaves either the old state (possibly parked at .prev, which
+    _restore_prev_state restores) or the new state with its embedded
+    marker — never a half-published mix and never a lost state."""
+    import shutil
+    import tempfile
+
+    prev_dir = out_dir + ".prev"
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir))
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(prev_dir):
+        shutil.rmtree(prev_dir)
+    if os.path.isdir(out_dir):
+        os.replace(out_dir, prev_dir)
+    os.replace(tmp, out_dir)
+    if os.path.isdir(prev_dir):
+        shutil.rmtree(prev_dir)
+
+
+def _swap_in_state(out_dir: str, merged: DataFrame) -> None:
+    """Tmp-write + replace for the side-marker protocol (no .prev
+    chain — that protocol's documented crash window is the gap this
+    helper does NOT close; see the .prev helpers above for the one
+    that does)."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir))
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based stream over the events table, ts normalized to TIMESTAMP.
 
@@ -489,12 +554,7 @@ def stream_upserts_to_parquet(
         else:
             state = batch_df.limit(0)
         merged = apply_upserts(state, batch_df, ["user_id"], "version")
-        tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir))
-        merged.write.mode("overwrite").parquet(tmp)
-        # materialized before the swap: parquet write is an action
-        if os.path.isdir(out_dir):
-            shutil.rmtree(out_dir)
-        os.replace(tmp, out_dir)
+        _swap_in_state(out_dir, merged)
         batches["n"] += 1
 
     q = ev.writeStream.outputMode("append").foreachBatch(merge_batch).start()
@@ -676,11 +736,7 @@ def stream_countmin_to_parquet(
             )
         else:
             merged = delta
-        tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir))
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(out_dir):
-            shutil.rmtree(out_dir)
-        os.replace(tmp, out_dir)
+        _swap_in_state(out_dir, merged)
         with open(applied_marker + ".tmp", "w") as fh:
             fh.write(json.dumps({"applied_batch": batch_id, "query_id": qid.get()}))
         os.replace(applied_marker + ".tmp", applied_marker)
@@ -903,11 +959,7 @@ def stream_misra_gries_to_parquet(
     qid = _QueryIdHolder()
 
     def read_state_marker() -> tuple[str | None, int]:
-        # crash recovery: publish renames out_dir away before the new
-        # version lands; if we died in between, the .prev copy is the
-        # durable state — restore it.
-        if not os.path.isdir(out_dir) and os.path.isdir(prev_dir):
-            os.replace(prev_dir, out_dir)
+        _restore_prev_state(out_dir)
         if not os.path.isdir(out_dir):
             return None, -1
         state = spark.read.parquet(out_dir)
@@ -956,24 +1008,12 @@ def stream_misra_gries_to_parquet(
             )
             .filter(F.col("mg_cnt") > 0)
         )
-        tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir))
-        trimmed.withColumn(
-            "applied_batch", F.lit(batch_id).cast("long")
-        ).withColumn(
-            "query_id", F.lit(qid.get())
-        ).write.mode("overwrite").parquet(tmp)
-        # atomic publish with recovery: retire current state to .prev,
-        # land the new version, then discard .prev. A crash at any point
-        # leaves either the old state (possibly parked at .prev, which
-        # last_applied restores) or the new state with its embedded
-        # batch id — never a half-published mix and never a lost state.
-        if os.path.isdir(prev_dir):
-            shutil.rmtree(prev_dir)
-        if os.path.isdir(out_dir):
-            os.replace(out_dir, prev_dir)
-        os.replace(tmp, out_dir)
-        if os.path.isdir(prev_dir):
-            shutil.rmtree(prev_dir)
+        _publish_state_atomic(
+            out_dir,
+            trimmed.withColumn(
+                "applied_batch", F.lit(batch_id).cast("long")
+            ).withColumn("query_id", F.lit(qid.get())),
+        )
         batches["n"] += 1
 
     writer = ev.writeStream.outputMode("append").foreachBatch(merge_batch)
@@ -1051,11 +1091,7 @@ def stream_hll_to_parquet(
                 .groupBy("event_type", "bucket")
                 .agg(F.max("m").alias("m"))
             )
-        tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir))
-        regs.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(out_dir):
-            shutil.rmtree(out_dir)
-        os.replace(tmp, out_dir)
+        _swap_in_state(out_dir, regs)
         with open(applied_marker + ".tmp", "w") as fh:
             fh.write(str(batch_id))
         os.replace(applied_marker + ".tmp", applied_marker)
@@ -1521,15 +1557,7 @@ def stream_bloom_dedup_to_parquet(
                 .withColumn("applied_batch", F.lit(batch_id).cast("long"))
                 .withColumn("key_format", F.lit(BLOOM_KEY_FORMAT))
             )
-            tmp = tempfile.mkdtemp(dir=os.path.dirname(state_dir))
-            merged.write.mode("overwrite").parquet(tmp)
-            if os.path.isdir(prev_dir):
-                shutil.rmtree(prev_dir)
-            if os.path.isdir(state_dir):
-                os.replace(state_dir, prev_dir)
-            os.replace(tmp, state_dir)
-            if os.path.isdir(prev_dir):
-                shutil.rmtree(prev_dir)
+            _publish_state_atomic(state_dir, merged)
         finally:
             accepted.unpersist()
         batches["n"] += 1
@@ -1694,8 +1722,7 @@ def stream_quantile_summary_to_parquet(
     qid = _QueryIdHolder()
 
     def read_state(sess: SparkSession):
-        if not os.path.isdir(out_dir) and os.path.isdir(prev_dir):
-            os.replace(prev_dir, out_dir)
+        _restore_prev_state(out_dir)
         if not os.path.isdir(out_dir):
             return None
         return sess.read.parquet(out_dir)
@@ -1728,31 +1755,27 @@ def stream_quantile_summary_to_parquet(
             if state is not None
             else delta
         )
-        # compact; double the step until the state fits the budget
+        # compact; double the step until the state fits the budget.
+        # Every attempt recompacts from MERGED (never from a discarded
+        # coarser attempt), so only the FINAL, applied compaction adds
+        # to the error budget — charge err_unit once, after convergence
+        # (a discarded attempt's rows never reach the state, so its
+        # k_i−1 must not be attested).
         while True:
             compacted = weighted_rank_compaction(merged, k_now).localCheckpoint()
-            err_unit += k_now - 1
             if compacted.count() <= max_rows:
                 break
             k_now *= 2
-        tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir))
-        (
+        err_unit += k_now - 1
+        _publish_state_atomic(
+            out_dir,
             compacted.withColumn(
                 "applied_batch", F.lit(batch_id).cast("long")
             )
             .withColumn("query_id", F.lit(qid.get()))
             .withColumn("k_now", F.lit(k_now).cast("long"))
-            .withColumn("err_unit", F.lit(err_unit).cast("long"))
-            .write.mode("overwrite")
-            .parquet(tmp)
+            .withColumn("err_unit", F.lit(err_unit).cast("long")),
         )
-        if os.path.isdir(prev_dir):
-            shutil.rmtree(prev_dir)
-        if os.path.isdir(out_dir):
-            os.replace(out_dir, prev_dir)
-        os.replace(tmp, out_dir)
-        if os.path.isdir(prev_dir):
-            shutil.rmtree(prev_dir)
         batches["n"] += 1
 
     writer = ev.writeStream.outputMode("append").foreachBatch(merge_batch)

@@ -280,8 +280,9 @@ def test_quantile_summary_rank_bound(spark):
         assert n_total == len(values)
         target = (pct * n_total + 99) // 100
         err = _rank_of(values, est) - target
-        # crossing guarantee: never below target, within P*k above
-        assert 0 <= err < strata * k, (pct, err)
+        # crossing guarantee: never below target; the provable bound is
+        # P*(k-1) undercount + (< k) crossing overshoot
+        assert 0 <= err < strata * (k - 1) + k, (pct, err)
 
 
 def test_quantile_summary_weights_partition_count(spark):
@@ -338,7 +339,7 @@ def test_quantile_summary_merge_is_union(spark):
         assert n_total == len(both)
         target = (pct * n_total + 99) // 100
         err = _rank_of(both, est) - target
-        assert 0 <= err < 2 * strata * k, (pct, err)
+        assert 0 <= err < 2 * strata * (k - 1) + k, (pct, err)
 
 
 # ---------------------------------------------------------------------------
@@ -433,3 +434,17 @@ def test_grouped_quantile_summary_per_group_bound(spark):
             target = (pct * n + 99) // 100
             err = sum(1 for v in by_group[g] if v <= est) - target
             assert 0 <= err < strata * (k - 1) + k, (g, label, err)
+
+
+def test_ivf_search_rejects_non_integral_query_ids(spark, vectors, tmp_path):
+    """The ANN family's id contract is integral (the blocked-GEMM batch
+    schema emits long ids); a string id_col must fail LOUDLY at the
+    assignment instead of being silently cast-mangled (round-10 review
+    finding — previously the literal rebuild coerced with int())."""
+    index = str(tmp_path / "ivf_idtype")
+    ivf_index_build(vectors, index, fraction=0.06, salt=7)
+    q = vectors.filter("vec_id < 3").selectExpr(
+        "concat('doc-', cast(vec_id AS string)) AS vec_id", "embedding"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        ivf_index_search(spark, index, q, k=3, nprobe=2)
