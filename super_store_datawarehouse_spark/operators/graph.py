@@ -45,19 +45,19 @@ def connected_components(
         .distinct()
     )
     labels = sym.select("u").distinct().withColumn("label", F.col("u"))
-    # merge-pinned loop joins: both sides are corpus-scale and, after a
-    # checkpoint cut, stat-less — AQE's runtime broadcast conversion on
-    # a borderline label frame builds on the DRIVER and OOMs it
-    # nondeterministically at sf10 (round-10 re-measure of x227; same
-    # hazard class as q19/x292's pinned bucket joins). A broadcast is
-    # never the right shape here anyway: the label side is |V| rows.
+    # Join strategy, measured both ways at sf10 (round 10): merge pins
+    # on the loop joins were tried (the stat-less post-checkpoint label
+    # frame lets AQE broadcast it) and REVERTED — the label side is |V|
+    # rows (~8 MB at 500k docs), its broadcast is fast and well inside
+    # the driver, and pinning merge cost 2.6× (x325: 89.5 s planner
+    # choice vs 234 s pinned). The OOMs that motivated the trial traced
+    # to a since-reverted persist-before-checkpoint, not to this
+    # broadcast. At a scale where |V| outgrows the driver, pin merge
+    # here — the label frame is the build side.
     for _ in range(max_iter):
         nbr_min = (
-            sym.hint("merge")
-            .join(
-                labels.select(
-                    F.col("u").alias("v"), F.col("label").alias("vlabel")
-                ).hint("merge"),
+            sym.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("vlabel")),
                 "v",
             )
             .groupBy("u")
@@ -68,7 +68,7 @@ def connected_components(
         # heap — the unreleasable-block OOM the round-10 sf10 sweep hit
         # on the sibling k-core loop
         new_labels = checkpoint_cut(
-            labels.hint("merge").join(nbr_min.hint("merge"), "u", "left")
+            labels.join(nbr_min, "u", "left")
             .select(
                 "u",
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
@@ -77,8 +77,8 @@ def connected_components(
             )
         )
         n_changed = (
-            new_labels.alias("n").hint("merge")
-            .join(labels.alias("o").hint("merge"), "u")
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()

@@ -113,18 +113,18 @@ def checkpoint_cut(df):
         jsc.setCheckpointDir(ckdir)
         atexit.register(shutil.rmtree, ckdir, ignore_errors=True)
     # Reliable checkpointing runs a SECOND job over the lineage to
-    # write the checkpoint files; without a persist, every iterative
-    # round would compute its plan twice (Spark's documented
-    # recomputation, round-10 review finding). DISK_ONLY keeps the
-    # heap cost at zero — the entire point of this helper over
-    # localCheckpoint — and the block is released right after the
-    # checkpoint files are durable, so nothing accumulates across
-    # loop rounds.
-    df = df.persist(StorageLevel.DISK_ONLY)
-    try:
-        return df.checkpoint(eager=True)
-    finally:
-        df.unpersist()
+    # write the checkpoint files (Spark's documented recomputation).
+    # persist(DISK_ONLY)-before-checkpoint was tried for that (round-10
+    # review) and REVERTED on measurement: the loops that use this
+    # helper cut AFTER a shuffle, so the recompute job skips the
+    # already-computed shuffle stages and the persist bought nothing
+    # (x202 sf10: 93.5 s plain vs 93.3 s persisted) — while the extra
+    # disk-store buffers stacked on x325's declared corpus-scale
+    # broadcast and tipped the 128 GiB heap over (fresh-JVM OOM that
+    # the plain form does not hit). Callers cutting a deep NON-shuffle
+    # lineage should persist at the call site where they can see the
+    # trade.
+    return df.checkpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
