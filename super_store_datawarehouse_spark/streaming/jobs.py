@@ -29,10 +29,13 @@ from super_store_datawarehouse_spark.functions.exact import cents
 #     Crash recovery: the previous state parks at <dir>.prev during
 #     the swap; readers restore it if a crash strands the rename.
 #     Used by the Misra–Gries, Bloom-dedup, and quantile sinks.
-#   * side marker file (countmin/HLL/upserts): state overwritten in
-#     place, applied_batch in a separate marker — the older documented
-#     protocol whose tests pin its exact behavior; its copies now share
-#     _swap_in_state for the tmp-write + replace mechanics.
+#   * side marker file (countmin/HLL/upserts): applied_batch lives in
+#     a separate marker (or, for upserts, replay safety comes from the
+#     upsert merge itself being idempotent per version). Round 10 put
+#     their state swaps on the same .prev chain — the destroy-then-
+#     replace lost-state window is closed; the marker-vs-state skew
+#     window of a SEPARATE marker remains those sinks' documented
+#     difference from the in-state protocol.
 # ---------------------------------------------------------------------------
 
 
@@ -66,21 +69,6 @@ def _publish_state_atomic(out_dir: str, merged: DataFrame) -> None:
     os.replace(tmp, out_dir)
     if os.path.isdir(prev_dir):
         shutil.rmtree(prev_dir)
-
-
-def _swap_in_state(out_dir: str, merged: DataFrame) -> None:
-    """Tmp-write + replace for the side-marker protocol (no .prev
-    chain — that protocol's documented crash window is the gap this
-    helper does NOT close; see the .prev helpers above for the one
-    that does)."""
-    import shutil
-    import tempfile
-
-    tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir))
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(out_dir):
-        shutil.rmtree(out_dir)
-    os.replace(tmp, out_dir)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,12 +537,13 @@ def stream_upserts_to_parquet(
     batches = {"n": 0}
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _restore_prev_state(out_dir)
         if os.path.isdir(out_dir):
             state = batch_df.sparkSession.read.parquet(out_dir)
         else:
             state = batch_df.limit(0)
         merged = apply_upserts(state, batch_df, ["user_id"], "version")
-        _swap_in_state(out_dir, merged)
+        _publish_state_atomic(out_dir, merged)
         batches["n"] += 1
 
     q = ev.writeStream.outputMode("append").foreachBatch(merge_batch).start()
@@ -727,6 +716,7 @@ def stream_countmin_to_parquet(
         if batch_id <= applied:
             return  # replayed batch: already folded into the sketch
         delta = countmin_build(batch_df, "word", depth=depth, width=width)
+        _restore_prev_state(out_dir)
         if os.path.isdir(out_dir):
             state = batch_df.sparkSession.read.parquet(out_dir)
             merged = (
@@ -736,7 +726,7 @@ def stream_countmin_to_parquet(
             )
         else:
             merged = delta
-        _swap_in_state(out_dir, merged)
+        _publish_state_atomic(out_dir, merged)
         with open(applied_marker + ".tmp", "w") as fh:
             fh.write(json.dumps({"applied_batch": batch_id, "query_id": qid.get()}))
         os.replace(applied_marker + ".tmp", applied_marker)
@@ -1084,6 +1074,7 @@ def stream_hll_to_parquet(
             .groupBy("event_type", "bucket")
             .agg(F.max("rho").alias("m"))
         )
+        _restore_prev_state(out_dir)
         if os.path.isdir(out_dir):
             state = sess.read.parquet(out_dir)
             regs = (
@@ -1091,7 +1082,7 @@ def stream_hll_to_parquet(
                 .groupBy("event_type", "bucket")
                 .agg(F.max("m").alias("m"))
             )
-        _swap_in_state(out_dir, regs)
+        _publish_state_atomic(out_dir, regs)
         with open(applied_marker + ".tmp", "w") as fh:
             fh.write(str(batch_id))
         os.replace(applied_marker + ".tmp", applied_marker)
