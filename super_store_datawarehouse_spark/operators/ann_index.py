@@ -145,6 +145,29 @@ def ivf_index_update(
     return n
 
 
+# Bounded driver-side materialization (ADVICE r10): the literal
+# IN-filter plan is only valid while |queries| x nprobe stays
+# contract-small. The bound used to live in a comment; a caller passing
+# a corpus-scaled query frame got a silent driver OOM / megabyte-IN
+# plan instead of a loud failure. 100k rows is the same driver-side
+# boundedness contract as session.localize().
+_MAX_ASSIGN_ROWS = 100_000
+
+
+def _collect_assignment(q_assign: DataFrame, what: str) -> list[tuple]:
+    """Collect a query-to-cell assignment, loudly refusing unbounded ones."""
+    rows = q_assign.limit(_MAX_ASSIGN_ROWS + 1).collect()
+    if len(rows) > _MAX_ASSIGN_ROWS:
+        raise ValueError(
+            f"{what}: query assignment exceeds {_MAX_ASSIGN_ROWS} rows — "
+            "|queries| x nprobe must stay contract-small for the literal "
+            "IN-filter plan; batch the query frame, or use the in-plan "
+            "search (similarity.ivf_topk / ivfadc_topk) which keeps the "
+            "assignment distributed"
+        )
+    return [(r["query_id"], int(r["centroid_id"])) for r in rows]
+
+
 def ivf_index_search(
     spark: SparkSession,
     path: str,
@@ -172,20 +195,21 @@ def ivf_index_search(
     # Materialize the assignment once (contract-small: <= |queries| ·
     # nprobe rows — the search contract keeps the query side tiny, the
     # same bound under which ivf_assign already collects the centroid
-    # table) and rebuild it as a LITERAL frame: one GEMM execution
-    # total, and the probed cell-id set becomes a literal IN-filter on
-    # the cells scan. The build wrote cells/ sorted by centroid_id, so
-    # parquet row-group min/max stats now actually SKIP non-probed
-    # cells at scan time — a bare join on centroid_id restricts rows
-    # but cannot prune row groups.
-    # id_col passes through untouched: rebuild the literal frame with
-    # the assignment's OWN query_id field (string/UUID ids are part of
-    # the public contract — only the index-internal centroid_id is long)
+    # table; _collect_assignment enforces the bound loudly) and rebuild
+    # it as a LITERAL frame: one GEMM execution total, and the probed
+    # cell-id set becomes a literal IN-filter on the cells scan. The
+    # build wrote cells/ sorted by centroid_id, so parquet row-group
+    # min/max stats now actually SKIP non-probed cells at scan time — a
+    # bare join on centroid_id restricts rows but cannot prune row
+    # groups.
+    # id contract: query ids are integral (ivf_assign raises TypeError
+    # on any non-integral id column, pinned by
+    # test_ivf_search_rejects_non_integral_query_ids), so the
+    # assignment's query_id field is always LongType; the rebuild
+    # simply copies that field's StructField verbatim.
     from pyspark.sql.types import LongType, StructField, StructType
 
-    qa_rows = [
-        (r["query_id"], int(r["centroid_id"])) for r in q_assign.collect()
-    ]
+    qa_rows = _collect_assignment(q_assign, "ivf_index_search")
     q_assign = spark.createDataFrame(
         qa_rows,
         StructType(
@@ -546,10 +570,9 @@ def ivfadc_index_search(
     # scan, so row-group stats skip non-probed cells
     from pyspark.sql.types import LongType, StructField, StructType
 
-    # id contract: see ivf_index_search — query_id keeps its own type
-    qa_rows = [
-        (r["query_id"], int(r["centroid_id"])) for r in q_assign.collect()
-    ]
+    # id contract: see ivf_index_search — query ids are integral by
+    # ivf_assign's TypeError guard, so the copied StructField is LongType
+    qa_rows = _collect_assignment(q_assign, "ivfadc_index_search")
     q_assign = spark.createDataFrame(
         qa_rows,
         StructType(

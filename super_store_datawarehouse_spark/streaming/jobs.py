@@ -1728,9 +1728,14 @@ def stream_quantile_summary_to_parquet(
                 F.max("k_now").alias("k"),
                 F.max("err_unit").alias("e"),
             ).collect()[0]
+            # a zero-row state parquet (an empty FIRST micro-batch —
+            # e.g. a zero-row source file — publishes one) makes every
+            # max() None; fall back to the fresh-state defaults instead
+            # of crashing on int(None) forever after (ADVICE r10)
             stored_qid = meta["q"]
             applied = -1 if meta["b"] is None else meta["b"]
-            k_now, err_unit = int(meta["k"]), int(meta["e"])
+            k_now = k if meta["k"] is None else int(meta["k"])
+            err_unit = 0 if meta["e"] is None else int(meta["e"])
         else:
             stored_qid, applied, k_now, err_unit = None, -1, k, 0
         _check_query_lineage(
@@ -1754,9 +1759,20 @@ def stream_quantile_summary_to_parquet(
         # k_i−1 must not be attested).
         while True:
             compacted = weighted_rank_compaction(merged, k_now).localCheckpoint()
-            if compacted.count() <= max_rows:
+            n_rows = compacted.count()
+            if n_rows <= max_rows:
                 break
             k_now *= 2
+        if n_rows == 0:
+            # an empty compaction (zero-row micro-batch on fresh state)
+            # has nothing to attest: publishing a 0-row state parquet
+            # would strand a state whose max() metadata reads None on
+            # every later batch (ADVICE r10). Leave the state absent —
+            # an empty batch contributes no rows, so leaving its
+            # applied-marker un-advanced makes a checkpoint replay of
+            # it a no-op, not a duplicate.
+            batches["n"] += 1
+            return
         err_unit += k_now - 1
         _publish_state_atomic(
             out_dir,

@@ -160,7 +160,7 @@ def test_end_canary_pair_fields_and_budget():
         0.1, timings, extended, cpu, dict(cpu),
         2 * bench.CANARY_REF_SEC, bench.PY_CANARY_REF_SEC,
         canary_end_sec=0.5 * bench.CANARY_REF_SEC,
-        py_canary_end_sec=3 * bench.PY_CANARY_REF_SEC,
+        py_canary_end_sec=bench.PY_CANARY_REF_SEC,
     )
     assert len(json.dumps(stdout_line)) < bench.STDOUT_BUDGET
     assert stdout_line["canary_end_sec"] == 0.5 * bench.CANARY_REF_SEC
@@ -172,7 +172,73 @@ def test_end_canary_pair_fields_and_budget():
     # monotone interpolation between the endpoints
     vals = list(qhf.values())
     assert all(a >= b for a, b in zip(vals, vals[1:]))
-    assert detail["host_factor_py_end"] == 3.0
+    assert detail["host_factor_py_end"] == 1.0
+
+
+def test_aged_end_canary_refused_by_build_payloads():
+    """VERDICT r10 #1: an end pair whose Python factor diverges >3x from
+    its JVM factor is the session-aging signature — build_payloads must
+    fall back to a start-only host_factor, emit no per-query
+    interpolation, and still record the raw end readings."""
+    timings = {name: 1.0 for name in bench.HEADLINE}
+    extended = {name: 1.0 for name in bench.EXTENDED}
+    # the round-10 record's shape: jvm end 1.12x, py end 9.5x
+    stdout_line, detail = bench.build_payloads(
+        0.1, timings, extended, {}, {},
+        bench.CANARY_REF_SEC, bench.PY_CANARY_REF_SEC,
+        canary_end_sec=1.12 * bench.CANARY_REF_SEC,
+        py_canary_end_sec=9.5 * bench.PY_CANARY_REF_SEC,
+    )
+    assert stdout_line["host_factor"] == 1.0  # start-only
+    assert stdout_line["canary_end_valid"] is False
+    assert stdout_line["canary_end_sec"] == 1.12 * bench.CANARY_REF_SEC
+    assert "queries_host_factor" not in detail
+    # a load-plausible pair (both paths slowed together) is NOT refused
+    stdout_line, detail = bench.build_payloads(
+        0.1, timings, extended, {}, {},
+        bench.CANARY_REF_SEC, bench.PY_CANARY_REF_SEC,
+        canary_end_sec=2.0 * bench.CANARY_REF_SEC,
+        py_canary_end_sec=2.0 * bench.PY_CANARY_REF_SEC,
+    )
+    assert "canary_end_valid" not in stdout_line
+    assert stdout_line["host_factor"] == round(2.0 ** 0.5, 3)
+    assert "queries_host_factor" in detail
+
+
+def test_check_bench_refuses_aged_end_canary_in_old_artifacts():
+    """Artifacts from bench versions that took the end canary in-session
+    (r9/r10) must have a divergent end pair dropped at check time: the
+    guard renormalizes by the start canary alone."""
+    sys.path.insert(0, str(REPO / "scripts"))
+    import check_bench  # noqa: E402
+
+    geo = round((1.0 * 1.12) ** 0.5, 3)
+    artifact = {
+        "queries": {},
+        "canary_sec": check_bench.CANARY_REF_SEC_DEFAULT,
+        "canary_ref_sec": check_bench.CANARY_REF_SEC_DEFAULT,
+        "canary_end_sec": 1.12 * check_bench.CANARY_REF_SEC_DEFAULT,
+        "py_canary_ref_sec": check_bench.PY_CANARY_REF_SEC_DEFAULT,
+        "py_canary_end_sec": 9.5 * check_bench.PY_CANARY_REF_SEC_DEFAULT,
+        "host_factor": geo,
+        "queries_host_factor": {"q01_top_parts_by_quantity": geo},
+    }
+    msg = check_bench.refuse_aged_end_canary(artifact)
+    assert msg is not None and "session-aging" in msg
+    assert artifact["host_factor"] == 1.0
+    assert "queries_host_factor" not in artifact
+    # a plausible pair passes through untouched
+    ok = {
+        "queries": {},
+        "canary_sec": check_bench.CANARY_REF_SEC_DEFAULT,
+        "canary_ref_sec": check_bench.CANARY_REF_SEC_DEFAULT,
+        "canary_end_sec": 2.0 * check_bench.CANARY_REF_SEC_DEFAULT,
+        "py_canary_ref_sec": check_bench.PY_CANARY_REF_SEC_DEFAULT,
+        "py_canary_end_sec": 2.0 * check_bench.PY_CANARY_REF_SEC_DEFAULT,
+        "host_factor": round(2.0 ** 0.5, 3),
+    }
+    assert check_bench.refuse_aged_end_canary(ok) is None
+    assert ok["host_factor"] == round(2.0 ** 0.5, 3)
 
 
 def test_check_bench_require_detail_fails_without_sidecar(tmp_path):

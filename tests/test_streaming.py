@@ -1504,3 +1504,43 @@ def test_stream_quantile_summary_bound_and_restart(tmp_path, spark):
         == 0
     )
     assert spark.read.parquet(out).count() == n_state
+
+
+def test_stream_quantile_summary_survives_empty_first_batch(tmp_path, spark):
+    """ADVICE r10: a zero-row FIRST micro-batch must not poison the
+    sink — the old code published a 0-row state parquet whose max()
+    metadata read None, so int(None) crashed every subsequent batch.
+    Now an empty compaction on fresh state publishes nothing, and the
+    next (real) batch starts from fresh-state defaults."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        stream_quantile_summary_to_parquet,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def drop(df, name):
+        part_dir = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(part_dir), mode="overwrite")
+        part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        os.rename(str(part_dir / part), os.path.join(src, name))
+
+    drop(events.limit(0), "events0.parquet")  # zero-row first file
+    out = str(tmp_path / "qsum")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(strata=4, k=32, max_rows=512, checkpoint=ckpt)
+    assert stream_quantile_summary_to_parquet(spark, src, out, **kw) == 1
+    assert not os.path.isdir(out)  # nothing published for the empty batch
+
+    drop(events.filter(F.col("event_id") % 7 == 0), "events1.parquet")
+    assert stream_quantile_summary_to_parquet(spark, src, out, **kw) == 1
+    state = spark.read.parquet(out)
+    n = events.filter(F.col("event_id") % 7 == 0).count()
+    assert state.agg(F.sum("weight")).collect()[0][0] == n
+    assert state.agg(F.max("k_now")).collect()[0][0] is not None
