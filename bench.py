@@ -110,6 +110,12 @@ EXTENDED = [
     # and the incremental/CDC family's first driver row
     "q20_pq_index_lifecycle",  # new round 10 (ann_index build→ensure→search)
     "q09_snapshot_diff",  # ex-x300, promoted round 10
+    # round-11 rotation promotions (VERDICT r10 #2): the mergeable
+    # quantile-summary family's driver rows get a perf trail — the
+    # batch eval (ex-x334) and the streaming-state oracle (ex-x336,
+    # which times the full stream→compact→publish→read-back loop)
+    "q40_quantile_summary_eval",  # ex-x334, promoted round 11
+    "q15_stream_quantile_state",  # ex-x336, promoted round 11
 ]
 
 

@@ -42,7 +42,7 @@ ALLOW: dict[str, str] = {
     "x317_ngram_jaccard_exact": "exact-baseline self-join (LSH twin: q19; ex-q17)",
     "q34_embedding_near_dup": "exact near-dup baseline (SemDeDup twin: x135)",
     "x329_ann_bruteforce_topk": "exact ANN baseline (LSH/IVF twins: q35/q42)",
-    "q40_selection_median": "selection-vs-sort demo on a scalar",
+    "x338_selection_median": "selection-vs-sort demo on a scalar",
     "x150_ann_recall_eval": "composes x329 exact baseline by design",
     "x213_ranking_metrics_eval": "composes x329 exact baseline by design",
     "q43_ppjoin_jaccard_pairs": "prefix-filter reference path (see SCALE.md)",
@@ -81,9 +81,9 @@ ALLOW: dict[str, str] = {
     "x222_selectivity_estimate_eval": "4-row predicate frame x 64-bin histogram",
     "x237_kendall_tau": "|groups|x|groups| pair frame (25 rows a side)",
     "q27_rag_context_assembly": "5-row query-doc side broadcast x corpus",
-    "x334_quantile_summary_eval": "3-row estimate frame broadcast x corpus (rank-counting pass)",
+    "q40_quantile_summary_eval": "3-row estimate frame broadcast x corpus (rank-counting pass)",
     "x335_summary_recompaction_eval": "2-row estimate/1-row size frames broadcast x corpus (rank-counting pass)",
-    "x336_stream_quantile_state": "2-row estimate/1-row meta frames broadcast x corpus (rank-counting pass)",
+    "q15_stream_quantile_state": "2-row estimate/1-row meta frames broadcast x corpus (rank-counting pass)",
 }
 
 

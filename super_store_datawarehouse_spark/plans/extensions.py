@@ -1315,7 +1315,8 @@ def x265_group_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     group key. With only 3 groups the per-group sort is single-threaded —
     measurably optimal at bench scale (no second exchange, no Python),
     but the sort funnel is the known few-groups scale ceiling;
-    q40_selection_median runs the identical selection through
+    x338_selection_median (ex-q40, demoted in the round-11 rotation)
+    runs the identical selection through
     operators/selection.py's range-partitioned parallel ranking, the
     formulation that spreads the same sort across the cluster — and
     x337_grouped_quantile_summary is the sketch-side twin that removes
@@ -4126,7 +4127,7 @@ def x132_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 # elements, so the q40 oracle verifies it verbatim.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q40_selection_median",
+    "x338_selection_median",
     oracle="""
     WITH c AS (
       SELECT l_returnflag,
@@ -4144,7 +4145,7 @@ def x132_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l_returnflag
     """,
 )
-def q40_selection_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x338_selection_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.selection import (
         grouped_median_cents,
     )
@@ -17528,7 +17529,8 @@ def x333_pq_index_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # --------------------------------------------------------------------------
-# x334 — mergeable quantile summary eval (operators/sketches.py
+# q40 — mergeable quantile summary eval (ex-x334, promoted to the q40
+# driver slot in the round-11 rotation; operators/sketches.py
 # rank_compaction_summary): the sketch-family answer to "exact
 # percentiles need a global sort" (reference parity has no sketch at
 # all; the x265/q40 exact forms are this summary's ground-truth twins).
@@ -17545,7 +17547,7 @@ _X334_ROUTE = _knuth_sql("rk")
 
 
 @harness_query(
-    "x334_quantile_summary_eval",
+    "q40_quantile_summary_eval",
     oracle=f"""
     WITH base AS (
       SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
@@ -17596,7 +17598,7 @@ _X334_ROUTE = _knuth_sql("rk")
     ORDER BY p.q
     """,
 )
-def x334_quantile_summary_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q40_quantile_summary_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from super_store_datawarehouse_spark.operators.sketches import (
         rank_compaction_summary,
         summary_quantiles,
@@ -17781,7 +17783,8 @@ def x335_summary_recompaction_eval(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # --------------------------------------------------------------------------
-# x336 — STREAMING quantile-summary state, value-oracled end-to-end:
+# q15 — STREAMING quantile-summary state, value-oracled end-to-end
+# (ex-x336, promoted to the q15 driver slot in the round-11 rotation):
 # the first sink-family query whose oracle checks the streaming face's
 # actual persisted STATE, not a batch twin (q22/x18 et al. are batch
 # twins / rows-only vehicles). Possible because the sink's construction
@@ -17796,7 +17799,7 @@ def x335_summary_recompaction_eval(spark: SparkSession, sf_dir: str) -> DataFram
 # atomic swap, and lineage checks all execute inside the oracled path.
 # --------------------------------------------------------------------------
 @harness_query(
-    "x336_stream_quantile_state",
+    "q15_stream_quantile_state",
     oracle=f"""
     WITH base AS (
       SELECT CAST(ROUND(value * 100) AS BIGINT) AS v, event_id AS rk
@@ -17846,7 +17849,7 @@ def x335_summary_recompaction_eval(spark: SparkSession, sf_dir: str) -> DataFram
     ORDER BY p.q
     """,
 )
-def x336_stream_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q15_stream_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 

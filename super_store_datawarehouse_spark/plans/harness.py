@@ -583,19 +583,21 @@ def x86_distinct_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q15 — union-distinct date domain (SURVEY §2 U1).
+# x339 — union-distinct date domain (SURVEY §2 U1; ex-q15, demoted in
+# the round-11 rotation — the slot now carries the streaming quantile
+# state oracle in plans/extensions.py).
 # Reference: etl.py:164-167 — Calendar dim = set(order dates) ∪ set(ship
 # dates). Same shape: the engine's calendar domain over the testdata.
 # --------------------------------------------------------------------------
 @harness_query(
-    "q15_union_date_domain",
+    "x339_union_date_domain",
     oracle="""
     SELECT CAST(o_orderdate AS DATE) AS cal_date FROM orders
     UNION
     SELECT CAST(l_shipdate AS DATE) FROM lineitem
     """,
 )
-def q15_union_date_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x339_union_date_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (
