@@ -20,22 +20,19 @@ from super_store_datawarehouse_spark.functions.exact import cents
 
 # ---------------------------------------------------------------------------
 # Shared state-publish helpers (round-10 review: the swap sequence had
-# drifted into six near-verbatim copies). TWO documented protocols
-# exist and stay distinct:
-#   * in-state marker + .prev chain (_restore_prev_state/_publish_
-#     state_atomic): applied_batch/query_id live INSIDE the state
-#     parquet, so marker and state publish in one atomic directory
-#     swap — no window where new state is visible with an old marker.
-#     Crash recovery: the previous state parks at <dir>.prev during
-#     the swap; readers restore it if a crash strands the rename.
-#     Used by the Misra–Gries, Bloom-dedup, and quantile sinks.
-#   * side marker file (countmin/HLL/upserts): applied_batch lives in
-#     a separate marker (or, for upserts, replay safety comes from the
-#     upsert merge itself being idempotent per version). Round 10 put
-#     their state swaps on the same .prev chain — the destroy-then-
-#     replace lost-state window is closed; the marker-vs-state skew
-#     window of a SEPARATE marker remains those sinks' documented
-#     difference from the in-state protocol.
+# drifted into six near-verbatim copies). ONE protocol since round 11
+# (VERDICT r10 #7): in-state marker + .prev chain (_restore_prev_state/
+# _publish_state_atomic) — applied_batch (and query_id where the sink
+# guards lineage) live INSIDE the state parquet as constant columns, so
+# marker and state publish in one atomic directory swap: no instant
+# where a new state is visible beside an old marker. Crash recovery:
+# the previous state parks at <dir>.prev during the swap; readers
+# restore it if a crash strands the rename. Used by Misra–Gries,
+# Bloom-dedup, quantile, count-min, and HLL sinks (the last two moved
+# off their separate marker files in round 11; a legacy side file is
+# read once for migration and retired on the next publish). The upsert
+# sinks carry no marker at all — their merge is idempotent per version
+# (latest event_id wins), so a replay rewrites the same state.
 # ---------------------------------------------------------------------------
 
 
@@ -668,19 +665,25 @@ def stream_countmin_to_parquet(
 
     Exactly-once: an additive sink is NOT naturally idempotent —
     foreachBatch is at-least-once, and replaying a batch after a crash
-    would double-add it. The sink therefore records the last applied
-    batch_id next to the sketch and skips batches at-or-below it (the
-    standard transactional-foreachBatch pattern), making restart from
-    ``checkpoint`` re-add nothing. The marker also records the
-    streaming QUERY id (checkpoint-durable): on a run whose query id
-    differs from the marker's — a lost/recreated checkpoint, where
-    batch ids restart at 0 and the watermark would silently drop fresh
-    batches forever — the sink RAISES instead of skipping
-    (``_check_query_lineage``). ``test_stream_countmin_equals_batch``
-    pins batch≡stream; ``test_stream_countmin_restart_exactly_once``
-    pins the restart path;
-    ``test_stream_countmin_checkpoint_loss_fails_loud`` pins the
-    lineage guard. Returns micro-batches processed (skips excluded).
+    would double-add it. The sink therefore embeds the last applied
+    batch_id INSIDE the state parquet (constant ``applied_batch`` /
+    ``query_id`` columns, the Misra–Gries/Bloom/quantile in-state
+    protocol — VERDICT r10 #7) and skips batches at-or-below it: state
+    and marker publish in ONE atomic directory swap, so there is no
+    instant where a new sketch is visible beside an old marker (the
+    double-add crash window a separate marker file had). The embedded
+    QUERY id (checkpoint-durable) makes a run whose id differs — a
+    lost/recreated checkpoint, where batch ids restart at 0 and the
+    watermark would silently drop fresh batches forever — RAISE
+    instead of skipping (``_check_query_lineage``). A state written by
+    a pre-round-11 build (no marker columns) is migrated: its side
+    marker file is read once and the next publish embeds the marker.
+    ``test_stream_countmin_equals_batch`` pins batch≡stream;
+    ``test_stream_countmin_restart_exactly_once`` pins the restart
+    path; ``test_stream_countmin_checkpoint_loss_fails_loud`` pins the
+    lineage guard; ``test_stream_countmin_marker_is_in_state`` pins
+    the in-state protocol + legacy migration.
+    Returns micro-batches processed (skips excluded).
     """
     import json
     import shutil
@@ -692,10 +695,10 @@ def stream_countmin_to_parquet(
         F.col("event_type").alias("word")
     )
     batches = {"n": 0}
-    applied_marker = out_dir + ".applied_batch"
+    applied_marker = out_dir + ".applied_batch"  # legacy side file (read-only)
     qid = _QueryIdHolder()
 
-    def read_marker() -> tuple[str | None, int]:
+    def read_legacy_marker() -> tuple[str | None, int]:
         try:
             with open(applied_marker) as fh:
                 raw = fh.read().strip()
@@ -711,25 +714,39 @@ def stream_countmin_to_parquet(
                 return None, -1
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        stored_qid, applied = read_marker()
+        sess = batch_df.sparkSession
+        _restore_prev_state(out_dir)
+        state = sess.read.parquet(out_dir) if os.path.isdir(out_dir) else None
+        if state is not None and "applied_batch" in state.columns:
+            meta = state.agg(
+                F.max("applied_batch").alias("b"), F.max("query_id").alias("q")
+            ).collect()[0]
+            stored_qid = meta["q"]
+            applied = -1 if meta["b"] is None else int(meta["b"])
+        elif state is not None:  # pre-round-11 state: side marker, once
+            stored_qid, applied = read_legacy_marker()
+        else:
+            stored_qid, applied = None, -1
         _check_query_lineage("stream_countmin_to_parquet", out_dir, stored_qid, qid.get())
         if batch_id <= applied:
             return  # replayed batch: already folded into the sketch
         delta = countmin_build(batch_df, "word", depth=depth, width=width)
-        _restore_prev_state(out_dir)
-        if os.path.isdir(out_dir):
-            state = batch_df.sparkSession.read.parquet(out_dir)
+        if state is not None:
             merged = (
-                state.unionByName(delta)
+                state.select("r", "pos", "cnt")
+                .unionByName(delta)
                 .groupBy("r", "pos")
                 .agg(F.sum("cnt").alias("cnt"))
             )
         else:
             merged = delta
-        _publish_state_atomic(out_dir, merged)
-        with open(applied_marker + ".tmp", "w") as fh:
-            fh.write(json.dumps({"applied_batch": batch_id, "query_id": qid.get()}))
-        os.replace(applied_marker + ".tmp", applied_marker)
+        _publish_state_atomic(
+            out_dir,
+            merged.withColumn("applied_batch", F.lit(batch_id).cast("long"))
+            .withColumn("query_id", F.lit(qid.get())),
+        )
+        if os.path.exists(applied_marker):  # state is migrated: retire it
+            os.remove(applied_marker)
         batches["n"] += 1
 
     writer = ev.writeStream.outputMode("append").foreachBatch(merge_batch)
@@ -1029,8 +1046,13 @@ def stream_hll_to_parquet(
     MAX-merges them into the persisted table — the register lattice is
     a join-semilattice, so unlike the additive count-min sink this
     merge is IDEMPOTENT: replaying a batch after a crash changes
-    nothing. The applied-batch marker is therefore kept only to report
-    an accurate processed count, not for correctness.
+    nothing. The applied-batch marker exists only to report an accurate
+    processed count, not for correctness — and since round 11 it lives
+    INSIDE the state parquet (constant ``applied_batch`` column, the
+    in-state protocol every stateful sink now shares — VERDICT r10 #7),
+    so even the observability count publishes atomically with the
+    registers. A pre-round-11 state (no marker column) reads its legacy
+    side file once and is migrated on the next publish.
 
     State is ≤ 64 registers per event type forever; the batch operator
     (``operators.sketches.hll_distinct``) reads the same registers, so
@@ -1041,9 +1063,9 @@ def stream_hll_to_parquet(
 
     ev = read_events_stream(spark, src_dir).select("event_type", "user_id")
     batches = {"n": 0}
-    applied_marker = out_dir + ".applied_batch"
+    applied_marker = out_dir + ".applied_batch"  # legacy side file (read-only)
 
-    def last_applied() -> int:
+    def read_legacy_marker() -> int:
         try:
             with open(applied_marker) as fh:
                 return int(fh.read().strip())
@@ -1051,8 +1073,6 @@ def stream_hll_to_parquet(
             return -1
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_applied():
-            return
         sess = batch_df.sparkSession
         h = (
             F.conv(
@@ -1075,17 +1095,28 @@ def stream_hll_to_parquet(
             .agg(F.max("rho").alias("m"))
         )
         _restore_prev_state(out_dir)
-        if os.path.isdir(out_dir):
-            state = sess.read.parquet(out_dir)
+        state = sess.read.parquet(out_dir) if os.path.isdir(out_dir) else None
+        if state is not None and "applied_batch" in state.columns:
+            applied_row = state.agg(F.max("applied_batch")).collect()[0]
+            applied = -1 if applied_row[0] is None else int(applied_row[0])
+        elif state is not None:  # pre-round-11 state: side marker, once
+            applied = read_legacy_marker()
+        else:
+            applied = -1
+        if batch_id <= applied:
+            return
+        if state is not None:
             regs = (
-                state.unionByName(regs)
+                state.select("event_type", "bucket", "m")
+                .unionByName(regs)
                 .groupBy("event_type", "bucket")
                 .agg(F.max("m").alias("m"))
             )
-        _publish_state_atomic(out_dir, regs)
-        with open(applied_marker + ".tmp", "w") as fh:
-            fh.write(str(batch_id))
-        os.replace(applied_marker + ".tmp", applied_marker)
+        _publish_state_atomic(
+            out_dir, regs.withColumn("applied_batch", F.lit(batch_id).cast("long"))
+        )
+        if os.path.exists(applied_marker):  # state is migrated: retire it
+            os.remove(applied_marker)
         batches["n"] += 1
 
     writer = ev.writeStream.outputMode("append").foreachBatch(merge_batch)

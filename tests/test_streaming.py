@@ -1544,3 +1544,95 @@ def test_stream_quantile_summary_survives_empty_first_batch(tmp_path, spark):
     n = events.filter(F.col("event_id") % 7 == 0).count()
     assert state.agg(F.sum("weight")).collect()[0][0] == n
     assert state.agg(F.max("k_now")).collect()[0][0] is not None
+
+
+def test_stream_countmin_marker_is_in_state(tmp_path, spark):
+    """VERDICT r10 #7: the CMS sink's applied-batch marker lives INSIDE
+    the state parquet — no side file exists after a run (so there is no
+    marker-vs-state skew window to crash into), and a legacy state with
+    a side marker is migrated: the marker is honored (no double-add)
+    and retired on the next publish."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.operators.sketches import countmin_build
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from super_store_datawarehouse_spark.streaming.jobs import (
+        stream_countmin_to_parquet,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def plant(i):
+        part_dir = tmp_path / f"part{i}"
+        events.filter(F.col("event_id") % 2 == i).coalesce(1).write.parquet(
+            str(part_dir), mode="overwrite"
+        )
+        part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        os.rename(str(part_dir / part), os.path.join(src, f"events{i}.parquet"))
+
+    plant(0)
+    out = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    assert stream_countmin_to_parquet(spark, src, out, checkpoint=ckpt) >= 1
+    state = spark.read.parquet(out)
+    assert {"applied_batch", "query_id"} <= set(state.columns)
+    assert not os.path.exists(out + ".applied_batch")  # no side file
+
+    # ---- legacy migration: strip the in-state marker, plant the old
+    # side-marker format, and continue the same checkpointed stream ----
+    legacy = state.select("r", "pos", "cnt")
+    legacy_dir = str(tmp_path / "legacy_stage")
+    legacy.write.mode("overwrite").parquet(legacy_dir)
+    import shutil
+
+    applied = state.agg(F.max("applied_batch")).collect()[0][0]
+    stored_qid = state.agg(F.max("query_id")).collect()[0][0]
+    shutil.rmtree(out)
+    os.replace(legacy_dir, out)
+    with open(out + ".applied_batch", "w") as fh:
+        fh.write(json.dumps({"applied_batch": int(applied), "query_id": stored_qid}))
+
+    plant(1)  # new arrival; replays must not double-add under the legacy marker
+    assert stream_countmin_to_parquet(spark, src, out, checkpoint=ckpt) >= 1
+    got = {
+        (r["r"], r["pos"]): r["cnt"] for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["r"], r["pos"]): r["cnt"]
+        for r in countmin_build(
+            events.select(F.col("event_type").alias("word")), "word"
+        ).collect()
+    }
+    assert got == want  # exactly-once across the migration
+    assert not os.path.exists(out + ".applied_batch")  # side file retired
+
+
+def test_stream_hll_marker_is_in_state(tmp_path, spark):
+    """The HLL sink's processed-count marker publishes atomically with
+    the registers (in-state column); no side file is left behind."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from super_store_datawarehouse_spark.sources.testdata import load_table
+    from super_store_datawarehouse_spark.streaming.jobs import stream_hll_to_parquet
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    part_dir = tmp_path / "part0"
+    events.coalesce(1).write.parquet(str(part_dir), mode="overwrite")
+    part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+    os.rename(str(part_dir / part), os.path.join(src, "events0.parquet"))
+
+    out = str(tmp_path / "hll")
+    assert stream_hll_to_parquet(spark, src, out) == 1
+    state = spark.read.parquet(out)
+    assert "applied_batch" in state.columns
+    assert state.agg(F.max("applied_batch")).collect()[0][0] == 0
+    assert not os.path.exists(out + ".applied_batch")
