@@ -84,6 +84,7 @@ ALLOW: dict[str, str] = {
     "q40_quantile_summary_eval": "3-row estimate frame broadcast x corpus (rank-counting pass)",
     "x335_summary_recompaction_eval": "2-row estimate/1-row size frames broadcast x corpus (rank-counting pass)",
     "q15_stream_quantile_state": "2-row estimate/1-row meta frames broadcast x corpus (rank-counting pass)",
+    "x340_summary_shard_merge": "3-row estimate frame broadcast x corpus (rank-counting pass; q40's eval shape)",
 }
 
 

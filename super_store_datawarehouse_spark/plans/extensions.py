@@ -18018,3 +18018,129 @@ def x337_grouped_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("l_returnflag", "q")
     )
+
+
+# --------------------------------------------------------------------------
+# x340 — SHARD-PARALLEL summary build + union-merge (round 11): the
+# distributed claim the mergeable family rests on, certified end-to-end
+# in one oracled query. Two summaries are built INDEPENDENTLY on
+# disjoint halves of lineitem (l_orderkey parity — the "two executors /
+# two days / two shards" shape), merged by plain unionByName (merge IS
+# union for this sketch: weights already partition the row count), and
+# read off against the full column. The additive rank bound for a
+# union of S summaries at (P, k) is S·P·(k−1) + k — undercount at most
+# k−1 per (shard, stratum) cell plus one crossing granularity — so the
+# certified bound here is 2·32·63 + 64 = 4096. This is the exact
+# composition a 1000-executor deployment runs: per-partition builds,
+# no raw-data shuffle, one tiny union at read time (q40/x334 is the
+# single-build twin; x335 certifies the follow-on re-compaction).
+# --------------------------------------------------------------------------
+@harness_query(
+    "x340_summary_shard_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             l_orderkey * 8 + l_linenumber AS rk,
+             l_orderkey % 2 AS shard
+      FROM lineitem
+    ), ranked AS (
+      SELECT v, {_X334_ROUTE} % 32 AS b,
+             ROW_NUMBER() OVER (PARTITION BY shard, {_X334_ROUTE} % 32
+                                ORDER BY v, rk) AS r,
+             COUNT(*) OVER (PARTITION BY shard, {_X334_ROUTE} % 32) AS n
+      FROM base
+    ), summ AS (
+      SELECT b AS stratum, v AS value,
+             CAST(CASE WHEN r % 64 = 0 THEN 64 ELSE n % 64 END AS BIGINT)
+               AS weight
+      FROM ranked
+      WHERE r % 64 = 0 OR (r = n AND n % 64 <> 0)
+    ), cum AS (
+      SELECT value, stratum,
+             SUM(weight) OVER (ORDER BY value, stratum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             (SELECT SUM(weight) FROM summ) AS n_total
+      FROM summ
+    ), targets AS (
+      SELECT 'p50' AS q, 50 AS pct
+      UNION ALL SELECT 'p90', 90 UNION ALL SELECT 'p99', 99
+    ), pick AS (
+      SELECT t.q, t.pct,
+             (SELECT MIN(value) FROM cum
+               WHERE cw >= (t.pct * cum.n_total + 99) // 100) AS est,
+             (SELECT MAX(n_total) FROM cum) AS n_total
+      FROM targets t
+      GROUP BY t.q, t.pct
+    )
+    SELECT p.q,
+           CAST(p.est AS BIGINT) AS est_cents,
+           CAST(p.n_total AS BIGINT) AS n_rows,
+           CAST((p.pct * p.n_total + 99) // 100 AS BIGINT) AS target_rank,
+           CAST((SELECT COUNT(*) FROM base WHERE v <= p.est) AS BIGINT)
+             AS est_rank,
+           CAST((SELECT COUNT(*) FROM base WHERE v <= p.est)
+                - (p.pct * p.n_total + 99) // 100 AS BIGINT) AS rank_err,
+           CAST(2 * 32 * 63 + 64 AS BIGINT) AS err_bound,
+           (SELECT COUNT(*) FROM base WHERE v <= p.est)
+               >= (p.pct * p.n_total + 99) // 100
+             AND (SELECT COUNT(*) FROM base WHERE v <= p.est)
+               - (p.pct * p.n_total + 99) // 100 < 2 * 32 * 63 + 64
+             AS within_bound
+    FROM pick p
+    ORDER BY p.q
+    """,
+)
+def x340_summary_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from super_store_datawarehouse_spark.operators.sketches import (
+        rank_compaction_summary,
+        summary_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        cents("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rk"),
+        (F.col("l_orderkey") % 2).alias("shard"),
+    )
+    # two INDEPENDENT builds on disjoint shards; same uncached regime as
+    # q40 (each shard's build is one wide shuffle that ReuseExchange
+    # shares across the read-off branches)
+    summ = rank_compaction_summary(
+        base.filter(F.col("shard") == 0), "v", "rk", strata=32, k=64
+    ).unionByName(
+        rank_compaction_summary(
+            base.filter(F.col("shard") == 1), "v", "rk", strata=32, k=64
+        )
+    )
+    ests = summary_quantiles(
+        summ, [("p50", 50), ("p90", 90), ("p99", 99)]
+    ).withColumn(
+        "pct",
+        F.when(F.col("q") == "p50", 50)
+        .when(F.col("q") == "p90", 90)
+        .otherwise(99),
+    )
+    # certification: one counting pass of the raw column against the
+    # 3-row broadcast estimate frame (x334's eval shape)
+    return (
+        base.crossJoin(F.broadcast(ests))
+        .groupBy("q", "est", "n_total", "pct")
+        .agg(
+            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0)).alias(
+                "est_rank"
+            )
+        )
+        .selectExpr(
+            "q",
+            "cast(est AS bigint) AS est_cents",
+            "cast(n_total AS bigint) AS n_rows",
+            "(pct * n_total + 99) div 100 AS target_rank",
+            "cast(est_rank AS bigint) AS est_rank",
+            "est_rank - (pct * n_total + 99) div 100 AS rank_err",
+            "cast(2 * 32 * 63 + 64 AS bigint) AS err_bound",
+            "est_rank >= (pct * n_total + 99) div 100"
+            " AND est_rank - (pct * n_total + 99) div 100 < 2 * 32 * 63 + 64"
+            " AS within_bound",
+        )
+        .orderBy("q")
+    )
