@@ -10044,8 +10044,8 @@ def x212_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # again), IDCG@5 is the constant 10_271_927 micro, so NDCG lands in
 # exact ppm. The oracle literally composes q20's and x308's registered
 # oracle SQL as CTEs — evaluator and evaluated share one definition.
+# (_HARNESS itself is imported once at the top of the module.)
 # --------------------------------------------------------------------------
-from super_store_datawarehouse_spark.plans import HARNESS as _HARNESS  # noqa: E402
 
 _NDCG_LUT = [1000000, 630930, 500000, 430677, 386853]
 _IDCG5 = 5 * 1000000 + 4 * 630930 + 3 * 500000 + 2 * 430677 + 1 * 386853

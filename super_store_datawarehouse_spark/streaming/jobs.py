@@ -68,6 +68,49 @@ def _publish_state_atomic(out_dir: str, merged: DataFrame) -> None:
         shutil.rmtree(prev_dir)
 
 
+def _read_state_meta(sess, out_dir: str, extra=(), legacy_reader=None):
+    """Read side of the one publish protocol (round-11 review: the
+    restore/read/max-marker sequence had started re-duplicating across
+    sinks the way the swap once did). Restores a stranded ``.prev``,
+    reads the state parquet, and pulls the in-state marker in a single
+    aggregate. Returns ``(state, meta)``: ``state`` is the state
+    DataFrame (None when absent) and ``meta`` maps ``query_id``,
+    ``applied_batch``, and each ``(col, default)`` in ``extra`` to its
+    ``max()`` over the state — with defaults (query_id None,
+    applied_batch -1, the given extras) when the state is absent, the
+    column is missing, or a 0-row state makes every max() NULL. A state
+    carrying data but no ``applied_batch`` column — written by a
+    pre-round-11 side-marker build — consults ``legacy_reader()``
+    (-> (query_id, applied_batch)) so migration honors the old marker
+    once; the caller's next publish embeds it in-state.
+    """
+    defaults = {"query_id": None, "applied_batch": -1, **dict(extra)}
+    _restore_prev_state(out_dir)
+    if not os.path.isdir(out_dir):
+        return None, defaults
+    state = sess.read.parquet(out_dir)
+    if "applied_batch" not in state.columns:
+        q, a = legacy_reader() if legacy_reader else (None, -1)
+        return state, {**defaults, "query_id": q, "applied_batch": a}
+    aggs = [
+        F.max("applied_batch").alias("applied_batch"),
+        (
+            F.max("query_id") if "query_id" in state.columns else F.lit(None)
+        ).alias("query_id"),
+    ]
+    for col, _default in extra:
+        aggs.append(F.max(col).alias(col))
+    row = state.agg(*aggs).collect()[0]
+    meta = dict(defaults)
+    meta["query_id"] = row["query_id"]
+    if row["applied_batch"] is not None:
+        meta["applied_batch"] = int(row["applied_batch"])
+    for col, default in extra:
+        if row[col] is not None:
+            meta[col] = int(row[col])
+    return state, meta
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based stream over the events table, ts normalized to TIMESTAMP.
 
@@ -715,20 +758,13 @@ def stream_countmin_to_parquet(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        _restore_prev_state(out_dir)
-        state = sess.read.parquet(out_dir) if os.path.isdir(out_dir) else None
-        if state is not None and "applied_batch" in state.columns:
-            meta = state.agg(
-                F.max("applied_batch").alias("b"), F.max("query_id").alias("q")
-            ).collect()[0]
-            stored_qid = meta["q"]
-            applied = -1 if meta["b"] is None else int(meta["b"])
-        elif state is not None:  # pre-round-11 state: side marker, once
-            stored_qid, applied = read_legacy_marker()
-        else:
-            stored_qid, applied = None, -1
-        _check_query_lineage("stream_countmin_to_parquet", out_dir, stored_qid, qid.get())
-        if batch_id <= applied:
+        state, meta = _read_state_meta(
+            sess, out_dir, legacy_reader=read_legacy_marker
+        )
+        _check_query_lineage(
+            "stream_countmin_to_parquet", out_dir, meta["query_id"], qid.get()
+        )
+        if batch_id <= meta["applied_batch"]:
             return  # replayed batch: already folded into the sketch
         delta = countmin_build(batch_df, "word", depth=depth, width=width)
         if state is not None:
@@ -962,21 +998,13 @@ def stream_misra_gries_to_parquet(
         F.col("event_type").alias("word")
     )
     batches = {"n": 0}
-    prev_dir = out_dir + ".prev"
     qid = _QueryIdHolder()
 
     def read_state_marker() -> tuple[str | None, int]:
-        _restore_prev_state(out_dir)
-        if not os.path.isdir(out_dir):
-            return None, -1
-        state = spark.read.parquet(out_dir)
         # query_id is embedded beside applied_batch (same atomic swap);
         # legacy state predating the column reads as no lineage token
-        qcol = (
-            F.max("query_id") if "query_id" in state.columns else F.lit(None)
-        )
-        row = state.agg(F.max("applied_batch"), qcol.alias("q")).collect()[0]
-        return row["q"], -1 if row[0] is None else row[0]
+        _, meta = _read_state_meta(spark, out_dir)
+        return meta["query_id"], meta["applied_batch"]
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         stored_qid, applied = read_state_marker()
@@ -1094,16 +1122,10 @@ def stream_hll_to_parquet(
             .groupBy("event_type", "bucket")
             .agg(F.max("rho").alias("m"))
         )
-        _restore_prev_state(out_dir)
-        state = sess.read.parquet(out_dir) if os.path.isdir(out_dir) else None
-        if state is not None and "applied_batch" in state.columns:
-            applied_row = state.agg(F.max("applied_batch")).collect()[0]
-            applied = -1 if applied_row[0] is None else int(applied_row[0])
-        elif state is not None:  # pre-round-11 state: side marker, once
-            applied = read_legacy_marker()
-        else:
-            applied = -1
-        if batch_id <= applied:
+        state, meta = _read_state_meta(
+            sess, out_dir, legacy_reader=lambda: (None, read_legacy_marker())
+        )
+        if batch_id <= meta["applied_batch"]:
             return
         if state is not None:
             regs = (
@@ -1740,39 +1762,25 @@ def stream_quantile_summary_to_parquet(
         F.pmod(knuth_hash("event_id"), F.lit(strata)).alias("stratum"),
     )
     batches = {"n": 0}
-    prev_dir = out_dir + ".prev"
     qid = _QueryIdHolder()
-
-    def read_state(sess: SparkSession):
-        _restore_prev_state(out_dir)
-        if not os.path.isdir(out_dir):
-            return None
-        return sess.read.parquet(out_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        state = read_state(sess)
-        if state is not None:
-            meta = state.agg(
-                F.max("applied_batch").alias("b"),
-                F.max("query_id").alias("q"),
-                F.max("k_now").alias("k"),
-                F.max("err_unit").alias("e"),
-            ).collect()[0]
-            # a zero-row state parquet (an empty FIRST micro-batch —
-            # e.g. a zero-row source file — publishes one) makes every
-            # max() None; fall back to the fresh-state defaults instead
-            # of crashing on int(None) forever after (ADVICE r10)
-            stored_qid = meta["q"]
-            applied = -1 if meta["b"] is None else meta["b"]
-            k_now = k if meta["k"] is None else int(meta["k"])
-            err_unit = 0 if meta["e"] is None else int(meta["e"])
-        else:
-            stored_qid, applied, k_now, err_unit = None, -1, k, 0
-        _check_query_lineage(
-            "stream_quantile_summary_to_parquet", out_dir, stored_qid, qid.get()
+        # a zero-row state parquet (an empty FIRST micro-batch — e.g. a
+        # zero-row source file — makes every max() None) falls back to
+        # the fresh-state defaults instead of crashing on int(None)
+        # forever after (ADVICE r10); _read_state_meta owns that rule
+        state, meta = _read_state_meta(
+            sess, out_dir, extra=(("k_now", k), ("err_unit", 0))
         )
-        if batch_id <= applied:
+        k_now, err_unit = meta["k_now"], meta["err_unit"]
+        _check_query_lineage(
+            "stream_quantile_summary_to_parquet",
+            out_dir,
+            meta["query_id"],
+            qid.get(),
+        )
+        if batch_id <= meta["applied_batch"]:
             return
         delta = batch_df.select(
             "stratum", "value", F.lit(1).cast("long").alias("weight")

@@ -227,6 +227,11 @@ def test_check_bench_refuses_aged_end_canary_in_old_artifacts():
     assert msg is not None and "session-aging" in msg
     assert artifact["host_factor"] == 1.0
     assert "queries_host_factor" not in artifact
+    # a refused pair must not feed the PY-epoch absorb path either
+    # (round-11 review: a 9.5x aged reading left in host_factor_py_end
+    # would downgrade corroborated regressions to warnings)
+    assert "py_canary_end_sec" not in artifact
+    assert "host_factor_py_end" not in artifact
     # a plausible pair passes through untouched
     ok = {
         "queries": {},
