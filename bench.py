@@ -325,6 +325,17 @@ def main() -> None:
         return out, cpu, runt
 
     timings, cpu_h, run_h = timed(HEADLINE)
+    # MID-run canary pair (VERDICT r11 #8): round 11's host degraded
+    # 1.24× → 2.35× DURING the run and the start/end two-point
+    # interpolation still booked a fake 0.66× geomean on the back half
+    # of HEADLINE. A third sample at the HEADLINE/EXTENDED boundary
+    # pins the interpolation where the suites meet. It runs IN-SESSION
+    # (a subprocess here would add a JVM boot mid-run), so it carries
+    # the same session-aging risk the round-10 end canary had — the
+    # identical py/jvm divergence guard decides whether it may anchor
+    # the per-query interpolation (build_payloads).
+    canary_mid_sec = _canary(spark)
+    py_canary_mid_sec = _py_canary(spark)
     extended, cpu_x, run_x = timed(EXTENDED)
 
     # END-of-run canary pair (VERDICT r9 #4): the round-9 official
@@ -358,6 +369,8 @@ def main() -> None:
         py_canary_sec,
         canary_end_sec=canary_end_sec,
         py_canary_end_sec=py_canary_end_sec,
+        canary_mid_sec=canary_mid_sec,
+        py_canary_mid_sec=py_canary_mid_sec,
     )
     # anchored next to bench.py (not cwd) so a driver invoking from any
     # directory still leaves the sidecar where check_bench looks for it;
@@ -394,6 +407,8 @@ def build_payloads(
     py_canary_sec: float,
     canary_end_sec: float | None = None,
     py_canary_end_sec: float | None = None,
+    canary_mid_sec: float | None = None,
+    py_canary_mid_sec: float | None = None,
 ) -> tuple[dict, dict]:
     """(compact stdout line, full sidecar detail) for a bench run.
 
@@ -404,6 +419,17 @@ def build_payloads(
     (HEADLINE then EXTENDED) so scripts/check_bench.py normalizes each
     query by the epoch nearest to when it ran, not a single
     start-of-run sample.
+
+    With a MID-run canary pair as well (VERDICT r11 #8 — taken between
+    the HEADLINE and EXTENDED suites), the interpolation becomes
+    piecewise-linear through three anchors (start → mid → end), so
+    intra-run drift like round 11's 1.24× → 2.35× slide lands on the
+    queries that actually ran under it. The mid pair is in-session, so
+    it must pass the SAME py/jvm divergence guard as the end pair to
+    anchor anything; a failed guard records the raw readings with
+    ``canary_mid_valid: false`` and falls back to the two-point form.
+    The scalar ``host_factor`` stays the start/end geomean either way
+    (cross-round comparability).
 
     Validity guard (VERDICT r10 #1): an end pair whose Python factor
     diverges more than ``END_CANARY_DIVERGENCE_MAX`` from its JVM
@@ -447,6 +473,18 @@ def build_payloads(
         stdout_line["canary_end_sec"] = canary_end_sec
         if not end_valid:
             stdout_line["canary_end_valid"] = False
+    # mid-pair validity: in-session reading, same aging guard as the end
+    mid_valid = canary_mid_sec is not None
+    if mid_valid and py_canary_mid_sec is not None:
+        f_mid_jvm = canary_mid_sec / CANARY_REF_SEC
+        f_mid_py = py_canary_mid_sec / PY_CANARY_REF_SEC
+        if f_mid_jvm > 0 and f_mid_py > 0:
+            mid_div = max(f_mid_py / f_mid_jvm, f_mid_jvm / f_mid_py)
+            mid_valid = mid_div < END_CANARY_DIVERGENCE_MAX
+    if canary_mid_sec is not None:
+        stdout_line["canary_mid_sec"] = canary_mid_sec
+        if not mid_valid:
+            stdout_line["canary_mid_valid"] = False
     detail = {
         **stdout_line,
         "queries": {**timings, **extended},
@@ -461,14 +499,33 @@ def build_payloads(
         detail["host_factor_py_end"] = round(
             py_canary_end_sec / PY_CANARY_REF_SEC, 3
         )
+    if py_canary_mid_sec is not None:
+        detail["py_canary_mid_sec"] = py_canary_mid_sec
     if canary_end_sec is not None and end_valid:
         order = list(timings) + list(extended)
         f_end = canary_end_sec / CANARY_REF_SEC
         n = max(len(order) - 1, 1)
-        detail["queries_host_factor"] = {
-            name: round(f_start + (f_end - f_start) * i / n, 3)
-            for i, name in enumerate(order)
-        }
+        if canary_mid_sec is not None and mid_valid and len(timings) > 0:
+            # piecewise-linear through start → mid (anchored at the
+            # HEADLINE/EXTENDED boundary) → end
+            f_mid = canary_mid_sec / CANARY_REF_SEC
+            m = len(timings) - 1  # index of the last headline query
+            factors = {}
+            for i, name in enumerate(order):
+                if i <= m:
+                    frac = i / m if m else 1.0
+                    factors[name] = round(
+                        f_start + (f_mid - f_start) * frac, 3
+                    )
+                else:
+                    frac = (i - m) / (n - m) if n > m else 1.0
+                    factors[name] = round(f_mid + (f_end - f_mid) * frac, 3)
+            detail["queries_host_factor"] = factors
+        else:
+            detail["queries_host_factor"] = {
+                name: round(f_start + (f_end - f_start) * i / n, 3)
+                for i, name in enumerate(order)
+            }
     return stdout_line, detail
 
 

@@ -111,8 +111,85 @@ def update_centroids(
     return [(cid, by_cid.get(cid, cvec)) for cid, cvec in prev]
 
 
+def updated_centroids_np(
+    qdf: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    qcol: str = "q",
+) -> list[tuple[int, list[int]]]:
+    """Fused assign+partial-sum centroid update — one Arrow pass.
+
+    ``update_centroids(assign_clusters_np(qdf, c), c)`` ships the FULL
+    working set back across the Python boundary (every row carries its
+    d-wide ``q`` array out of the assignment mapInPandas) and then runs
+    a (d+1)-aggregate JVM reduce over it. The update only needs the
+    k×(d+1) per-cluster sums, so this twin computes the argmin AND the
+    per-cluster component sums inside the same numpy batch loop and
+    emits k rows per batch — the Python→JVM traffic drops from
+    O(rows·d) to O(k·d·batches) and the JVM aggregate runs over those
+    slim partials (guide §2.3 "aggregate before you shuffle" applied to
+    the §4 Python boundary). Integer addition commutes exactly, so the
+    sums — and the trunc-div means — are bit-identical to the unfused
+    path (pinned by test_kmeans_fused_update_matches_unfused).
+
+    Returns the updated centroid list (empty clusters keep their
+    previous centroid), exactly like :func:`update_centroids`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    order = np.argsort(cids, kind="stable")
+    cids = cids[order]
+    cmat = np.array([centroids[i][1] for i in order], dtype=np.int64)
+    dim = cmat.shape[1]
+    k = len(cids)
+
+    def part(batches):
+        acc = np.zeros((k, dim), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            q = np.stack(pdf[qcol].to_numpy()).astype(np.int64)
+            diff = q[:, None, :] - cmat[None, :, :]
+            d2 = np.einsum("nkd,nkd->nk", diff, diff)
+            best = d2.argmin(axis=1)
+            np.add.at(acc, best, q)
+            cnt += np.bincount(best, minlength=k)
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "cluster": cids,
+                    "n": cnt,
+                    "s": list(acc),
+                }
+            )
+
+    sums = (
+        qdf.select(qcol)
+        .mapInPandas(part, "cluster long, n long, s array<long>")
+        .groupBy("cluster")
+        .agg(
+            F.sum("n").alias("n"),
+            *[F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(dim)],
+        )
+        .filter(F.col("n") > 0)
+        .collect()
+    )
+    by_cid = {
+        row["cluster"]: [_trunc_div(row[f"s{i}"], row["n"]) for i in range(dim)]
+        for row in sums
+    }
+    return [(cid, by_cid.get(cid, cvec)) for cid, cvec in centroids]
+
+
 def assign_clusters_np(
-    qdf: DataFrame, centroids: list[tuple[int, list[int]]], qcol: str = "q"
+    qdf: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    qcol: str = "q",
+    out_cols: list[str] | None = None,
 ) -> DataFrame:
     """Arrow-vectorized assignment twin of :func:`assign_clusters`.
 
@@ -125,6 +202,13 @@ def assign_clusters_np(
     tie-breaking, because centroids are ordered by cid). Bit-identical
     to the SQL twin — ``test_kmeans_assignment_paths_identical`` proves
     it on every call path.
+
+    ``out_cols`` limits which input columns are carried through the
+    Arrow output (plus cluster/dist2). The default ships every input
+    column, mirroring :func:`assign_clusters`; callers that only
+    consume ids should pass them explicitly so the d-wide ``q`` array
+    does not cross the Python→JVM boundary once per row (guide §4:
+    pass only the columns the consumer needs).
     """
     import numpy as np
 
@@ -132,11 +216,15 @@ def assign_clusters_np(
     order = np.argsort(cids, kind="stable")
     cids = cids[order]
     cmat = np.array([centroids[i][1] for i in order], dtype=np.int64)
+    keep = (
+        [f.name for f in qdf.schema.fields]
+        if out_cols is None
+        else list(out_cols)
+    )
+    by_name = {f.name: f for f in qdf.schema.fields}
     out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in qdf.schema.fields
+        f"{by_name[c].name} {by_name[c].dataType.simpleString()}" for c in keep
     ) + ", cluster long, dist2 long"
-    other_cols = [f.name for f in qdf.schema.fields]
 
     def part(batches):
         for pdf in batches:
@@ -146,7 +234,7 @@ def assign_clusters_np(
             diff = q[:, None, :] - cmat[None, :, :]              # N×k×d
             d2 = np.einsum("nkd,nkd->nk", diff, diff)            # int64 exact
             best = d2.argmin(axis=1)
-            pdf = pdf[other_cols].copy()
+            pdf = pdf[keep].copy()
             pdf["cluster"] = cids[best]
             pdf["dist2"] = d2[np.arange(len(best)), best]
             yield pdf
@@ -172,7 +260,6 @@ def kmeans_quantized(
     vectorized path; ``impl='sql'`` uses the pure-expression twin. Both
     produce bit-identical results (integer arithmetic, same tie-breaks).
     """
-    assign = assign_clusters_np if impl == "numpy" else assign_clusters
     # Iterative working set: cache the quantized vectors so each
     # assignment/update pass reads memory, not the source scan (at 100 TB
     # re-scanning per iteration would dominate; MLlib caches likewise).
@@ -183,10 +270,22 @@ def kmeans_quantized(
     )
     seed_rows = qdf.orderBy(id_col).limit(k).collect()
     centroids = [(i, list(row["q"])) for i, row in enumerate(seed_rows)]
-    assigned = assign(qdf, centroids)
+    if impl == "numpy":
+        # fused assign+partial-sum update per iteration (one Arrow pass
+        # emitting k×(d+1) partials instead of assignment rows carrying
+        # q back through Arrow + a (d+1)-aggregate JVM reduce); the
+        # final assignment ships only (id, cluster, dist2) out of
+        # Python — the d-wide q array never crosses the boundary
+        # row-wise (guide §4 / §2.3)
+        for _ in range(iters - 1):
+            centroids = updated_centroids_np(qdf, centroids)
+        return assign_clusters_np(qdf, centroids, out_cols=[id_col]).select(
+            id_col, "cluster", "dist2"
+        )
+    assigned = assign_clusters(qdf, centroids)
     for _ in range(iters - 1):
         centroids = update_centroids(assigned, centroids)
-        assigned = assign(qdf, centroids)
+        assigned = assign_clusters(qdf, centroids)
     return assigned.select(id_col, "cluster", "dist2")
 
 

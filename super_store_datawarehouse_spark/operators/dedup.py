@@ -128,6 +128,25 @@ def _cache_if_corpus_scale(
     return frame
 
 
+def _is_corpus_scale(src: DataFrame) -> bool:
+    """True when ``src``'s file scan is at or above the corpus-scale
+    threshold (the same ≥ ``_SHINGLE_CACHE_MIN_SRC_BYTES`` regime the
+    shingle cache keys on). Non-file sources gate as toy-scale."""
+    import os
+
+    try:
+        files = [
+            f[len("file:"):] if f.startswith("file:") else None
+            for f in src.inputFiles()
+        ]
+        if not files or any(f is None for f in files):
+            return False
+        size = sum(os.path.getsize(os.path.normpath(f)) for f in files)
+    except Exception:
+        return False
+    return size >= _SHINGLE_CACHE_MIN_SRC_BYTES
+
+
 def normalize_text(text: Column | str) -> Column:
     """Canonical text form for exact dedup: lowercase, collapsed whitespace."""
     c = F.col(text) if isinstance(text, str) else text
@@ -688,6 +707,17 @@ def _exact_jaccard_on_candidates(
     pre-hashed shingles; the integer threshold compare keeps membership
     bit-exact. Shared by every LSH front end.
 
+    Denominators derive from ``sh`` itself (a third explode + hash
+    aggregate). A map-only twin (per-doc size(array_distinct(grams))
+    on the un-exploded array) was built and MEASURED WORSE in round 12
+    at both sf0.1 and sf1 (x317 full query: 1.5 s vs 6.5 s at sf0.1,
+    5.6 s vs 11.8 s at sf1): downstream join constraints
+    (isnotnull(n_shingles)) are pushed below the projection with the
+    alias substituted, so the whole gram-build expression re-evaluates
+    inside an interpreted Filter per consumer, serialized inside the
+    broadcast builds — while the aggregate here is a pushdown BARRIER
+    that keeps the explode evaluated exactly once per side.
+
     The shingle joins carry an explicit ``merge`` hint (round-6 sf10
     finding): ``sh`` is CORPUS-SCALED, but it arrives here as a cached,
     not-yet-materialized relation with no shuffle boundary below it, so
@@ -845,9 +875,24 @@ def minhash_lsh_pairs_md5(
     band_rows = minhash_band_rows_md5(
         df, text_col, id_col, n, num_hashes, bands, seed, shingles=sh
     )
+    # size-gated merge hint on the self-join (round-12, guide §2.4/§3):
+    # at corpus scale the static planner otherwise BROADCASTS one side —
+    # an O(docs·bands)-row frame picked on a garbage post-aggregate
+    # estimate, the same unbounded-broadcast hazard the round-6 sf10
+    # audit flagged on the verification joins — and, because a
+    # BroadcastExchange subtree canonicalizes differently from the probe
+    # side, the signature pipeline (tokenize → explode → md5 → 16-min
+    # groupBy) is planned twice; with both sides behind identical hash
+    # exchanges on (band, bucket), AQE's runtime stage reuse executes it
+    # once and may still convert the join to broadcast from REAL shuffle
+    # sizes. Below the corpus-scale gate the static broadcast is kept:
+    # the band frame is a few thousand rows there and the SMJ's extra
+    # sort stages measured 1.8× wall at sf0.1 (2.6 s → 4.8 s).
+    x_side, y_side = band_rows.alias("x"), band_rows.alias("y")
+    if _is_corpus_scale(df):
+        x_side, y_side = x_side.hint("merge"), y_side.hint("merge")
     cand = (
-        band_rows.alias("x")
-        .join(band_rows.alias("y"), ["band", "bucket"])
+        x_side.join(y_side, ["band", "bucket"])
         .filter(F.col("x.sid") < F.col("y.sid"))
         .select(F.col("x.sid").alias("id_a"), F.col("y.sid").alias("id_b"))
         .distinct()
@@ -902,9 +947,15 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("sid", "bb.band", "bb.bucket")
 
+    # size-gated merge hint on the self-join: same rationale and
+    # measurements as minhash_lsh_pairs_md5 (no corpus-scaled broadcast
+    # on a garbage estimate at scale; keep the static broadcast at toy
+    # scale — guide §2.4/§3)
+    x_side, y_side = band_rows.alias("x"), band_rows.alias("y")
+    if _is_corpus_scale(df):
+        x_side, y_side = x_side.hint("merge"), y_side.hint("merge")
     cand = (
-        band_rows.alias("x")
-        .join(band_rows.alias("y"), ["band", "bucket"])
+        x_side.join(y_side, ["band", "bucket"])
         .filter(F.col("x.sid") < F.col("y.sid"))
         .select(F.col("x.sid").alias("id_a"), F.col("y.sid").alias("id_b"))
         .distinct()

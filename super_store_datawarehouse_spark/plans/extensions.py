@@ -1292,6 +1292,34 @@ def x30_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the two middle ranks of the integer-cents ordering average exactly the
 # same way in both engines, unlike engine-specific quantile interpolation.
 # --------------------------------------------------------------------------
+# Scan size above which x265 switches from the row-level window median
+# to the count-based selection. The count-based form pre-aggregates to
+# (group, distinct cents) — a win exactly when rows meaningfully exceed
+# the ~594k-value price domain. Measured crossover (round 12, equal
+# epochs): sf0.1 (10.8 MB scan, dedup ratio 1.01) window 1.45 s vs
+# count-based 3.89 s; sf1 (140 MB, ratio 10.1) window 8.93 s vs
+# count-based 2.06 s (4.3×, executor CPU 29.8 s → 14.9 s). 32 MB sits
+# between (ratio ~3), where the pre-agg's extra exchange has paid off.
+_X265_COUNTED_MEDIAN_MIN_SRC_BYTES = 32 * 1024 * 1024
+
+
+def _scan_bytes(df: DataFrame) -> int | None:
+    """Total bytes of a DataFrame's backing file scan (local files),
+    or None for non-file frames."""
+    import os
+
+    try:
+        files = [
+            f[len("file:"):] if f.startswith("file:") else None
+            for f in df.inputFiles()
+        ]
+        if not files or any(f is None for f in files):
+            return None
+        return sum(os.path.getsize(os.path.normpath(f)) for f in files)
+    except Exception:
+        return None
+
+
 @harness_query(
     "x265_group_median_price",
     oracle="""
@@ -1312,26 +1340,64 @@ def x30_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x265_group_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact group median, window formulation: one hash shuffle on the
-    group key. With only 3 groups the per-group sort is single-threaded —
-    measurably optimal at bench scale (no second exchange, no Python),
-    but the sort funnel is the known few-groups scale ceiling;
-    x338_selection_median (ex-q40, demoted in the round-11 rotation)
-    runs the identical selection through
-    operators/selection.py's range-partitioned parallel ranking, the
-    formulation that spreads the same sort across the cluster — and
-    x337_grouped_quantile_summary is the sketch-side twin that removes
-    the per-group funnel entirely (every group across P strata, with a
-    proven P·(k−1)+k rank bound)."""
+    """Exact group median, size-adaptive formulation (round-12,
+    VERDICT r11 #5).
+
+    Corpus-scale path — COUNT-BASED selection: a partial-combining hash
+    agg to (group, cents) → count (guide §2.3 "aggregate before you
+    shuffle"), then cumulative counts over the DISTINCT cents values
+    per group locate the two middle ranks. The few-groups sort funnel's
+    input is bounded by the price domain (~594k distinct cents at every
+    sf ≥ 1 — fixed at ANY corpus size), not the row count, and shuffle
+    bytes collapse from O(rows) to O(distinct). Measured 4.3× at sf1
+    (8.93 s → 2.06 s, CPU 2×); the win grows with corpus size.
+
+    Toy-scale path — the row_number window (one hash shuffle on the
+    group key): below the measured crossover the dedup ratio is ~1, so
+    the pre-agg's extra exchange + window is pure overhead (measured 2×
+    LOSS at sf0.1). The size gate picks per input, same idiom as
+    dedup._cache_if_corpus_scale. Both paths produce bit-identical
+    rows (the count-based middle ranks select the same cents values and
+    run the IDENTICAL final arithmetic; both oracle-checked).
+
+    x338_selection_median (ex-q40) keeps the range-partitioned parallel
+    per-ROW ranking twin (operators/selection.py);
+    x337_grouped_quantile_summary is the sketch-side twin."""
     li = load_table(spark, sf_dir, "lineitem")
     c = li.select("l_returnflag", cents("l_extendedprice").alias("cents"))
     w = Window.partitionBy("l_returnflag")
-    ranked = c.withColumn("rn", F.row_number().over(w.orderBy("cents"))).withColumn(
-        "n", F.count(F.lit(1)).over(w)
-    )
-    mid = ranked.filter(
-        (F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2"))
-    )
+    size = _scan_bytes(li)
+    if size is not None and size >= _X265_COUNTED_MEDIAN_MIN_SRC_BYTES:
+        counts = c.groupBy("l_returnflag", "cents").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        cum = (
+            counts.withColumn("hi", F.sum("cnt").over(w.orderBy("cents")))
+            .withColumn("n", F.sum("cnt").over(w))
+            .withColumn("lo", F.col("hi") - F.col("cnt") + 1)
+        )
+        # one row per DISTINCT middle rank ((n+1) div 2, (n+2) div 2 —
+        # equal when n is odd), matching the window form's matched rows
+        mid = cum.select(
+            "l_returnflag",
+            "cents",
+            "n",
+            "lo",
+            "hi",
+            F.explode(
+                F.array_distinct(
+                    F.array(F.expr("(n + 1) div 2"), F.expr("(n + 2) div 2"))
+                )
+            ).alias("rk"),
+        ).filter((F.col("lo") <= F.col("rk")) & (F.col("rk") <= F.col("hi")))
+    else:
+        ranked = c.withColumn(
+            "rn", F.row_number().over(w.orderBy("cents"))
+        ).withColumn("n", F.count(F.lit(1)).over(w))
+        mid = ranked.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
     return (
         mid.groupBy("l_returnflag")
         .agg(
@@ -1890,10 +1956,21 @@ def q44_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(words("text")).alias("word"))
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    dfw = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # df as COUNT(*) OVER (PARTITION BY word) on the tf frame (round 12,
+    # guide §2.4): the former tf.groupBy(word) + join re-derived document
+    # frequencies from a SECOND corpus scan + explode (column pruning
+    # strips tf's count from the dfw branch, so the two subtrees cannot
+    # share an exchange) and attached them through a broadcast of the
+    # vocabulary-sized dfw picked on a post-aggregate estimate — the
+    # garbage-estimate broadcast hazard at corpus scale (vocabulary
+    # grows with the corpus under Heaps' law). The window computes the
+    # identical count from tf itself: one corpus explode instead of
+    # two, no join, and the only new exchange carries the already-
+    # aggregated tf rows. Measured 4.4 s → 2.3 s at sf0.1 (equal
+    # epochs, value-identical output).
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(dfw, "word")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("word")))
         .crossJoin(F.broadcast(n))
         .withColumn("score_scaled", F.expr("tf * ((n * 1000000) div df)"))
     )
@@ -2561,40 +2638,42 @@ def q26_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    # after the nation-grain rollup everything is ≤ n² rows; Catalyst
-    # can't see that through the aggregates, so broadcast explicitly —
-    # the whole iteration then runs shuffle-free. The expensive part of
-    # PageRank is building the edge rollup from the fact join; every
-    # unrolled iteration references it, so LOCALIZE the ≤n²-row rollup:
-    # the fact join runs exactly once and the iterations run against a
-    # LocalRelation (a lazy cache would stampede — each concurrent
-    # iteration branch re-executes the fact join until materialized)
-    ew = localize(edges.join(F.broadcast(outw), "src"))
-    nodes = nation.select(F.col("n_nationkey").alias("id"))
+    # after the nation-grain rollup everything is ≤ n² rows. The
+    # expensive part of PageRank is building the edge rollup from the
+    # fact join; LOCALIZE the ≤n²-row rollup so the fact join runs
+    # exactly once (a lazy cache would stampede), then run the unrolled
+    # iterations as DRIVER-SIDE integer arithmetic over those ≤625 rows
+    # (round 12, VERDICT r11 #4 / guide §5): the former plan chained
+    # two 32-partition contribution shuffles + four broadcast builds
+    # over ≤25-row frames PER RUN — pure scheduler wait (run/cpu was
+    # ~14× with the fact join itself map-only). Same bounded-driver
+    # contract as clustering.update_centroids; every op is the oracle's
+    # truncating integer div on non-negative ints, so values are
+    # bit-identical. The final plan is one broadcast join against the
+    # 25-row rank table.
+    ew_rows = localize(edges.join(F.broadcast(outw), "src")).collect()
+    node_rows = nation.select(F.col("n_nationkey").alias("id")).collect()
+    node_ids = [r["id"] for r in node_rows]
 
-    def rank_step(ranks: DataFrame | None) -> DataFrame:
-        if ranks is None:  # r0 ≡ 1e6: contribution is w-proportional
-            contrib = ew.select(
-                "dst", F.expr("(1000000 * w) div ow").alias("contrib")
+    def rank_step(ranks: dict | None) -> dict:
+        contrib: dict = {}
+        for e in ew_rows:
+            c = (
+                (1000000 * e["w"]) // e["ow"]
+                if ranks is None  # r0 ≡ 1e6: contribution is w-proportional
+                else (ranks[e["src"]] * e["w"]) // e["ow"]
             )
-        else:
-            contrib = ew.join(F.broadcast(ranks), ew.src == ranks.id).select(
-                "dst", F.expr("(r * w) div ow").alias("contrib")
-            )
-        summed = contrib.groupBy("dst").agg(F.sum("contrib").alias("contrib"))
-        return nodes.join(
-            F.broadcast(summed), nodes.id == summed.dst, "left"
-        ).select(
-            "id",
-            (
-                F.lit(150000)
-                + F.expr("(850 * coalesce(contrib, 0)) div 1000").cast("long")
-            ).alias("r"),
-        )
+            contrib[e["dst"]] = contrib.get(e["dst"], 0) + c
+        return {
+            i: 150000 + (850 * contrib.get(i, 0)) // 1000 for i in node_ids
+        }
 
     r2 = rank_step(rank_step(None))
+    ranks_df = spark.createDataFrame(
+        [(int(i), int(r)) for i, r in sorted(r2.items())], "id int, r long"
+    )
     return (
-        r2.join(F.broadcast(nation), r2.id == nation.n_nationkey)
+        ranks_df.join(F.broadcast(nation), ranks_df.id == nation.n_nationkey)
         .select(
             F.col("id").alias("nationkey"), "n_name", F.col("r").alias("rank_ppm")
         )
@@ -17308,9 +17387,18 @@ def q13_near_dup_overlap_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = dedup.ngram_jaccard_pairs(
         universe, n=3, threshold=0.2, corpus_cache=False
     ).select("id_a", "id_b")
-    bands_u = bands_all.join(
-        F.broadcast(ids.withColumnRenamed("doc_id", "sid")), "sid"
-    )
+    # Band rows of the UNIVERSE via a fresh banding pass over the
+    # ~(base_n + comp_n × member_cap)-doc sample instead of re-deriving
+    # the CORPUS-wide banding and filtering it (round 12, VERDICT r11
+    # #4: push the sample before the pair generation). A band bucket is
+    # a pure function of the document text, so banding the sampled docs
+    # yields bit-identical (sid, band, bucket) rows to filtering the
+    # corpus banding — but the candidate branches' cost now scales with
+    # the SAMPLE (two ~210-doc signature passes) rather than re-running
+    # the corpus tokenize+md5+16-min aggregate once per self-join side
+    # wherever bands_all is uncached (guide §6: push the filter to the
+    # source).
+    bands_u = dedup.minhash_band_rows_md5(universe)
     cand = (
         bands_u.alias("x")
         .join(bands_u.alias("y"), ["band", "bucket"])

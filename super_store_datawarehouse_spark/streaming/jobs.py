@@ -72,17 +72,23 @@ def _read_state_meta(sess, out_dir: str, extra=(), legacy_reader=None):
     """Read side of the one publish protocol (round-11 review: the
     restore/read/max-marker sequence had started re-duplicating across
     sinks the way the swap once did). Restores a stranded ``.prev``,
-    reads the state parquet, and pulls the in-state marker in a single
-    aggregate. Returns ``(state, meta)``: ``state`` is the state
-    DataFrame (None when absent) and ``meta`` maps ``query_id``,
+    reads the state parquet, and pulls the in-state marker from a
+    ONE-ROW slice. Every marker column is written as a constant literal
+    over the whole state by ``_publish_state_atomic`` callers, so any
+    single row carries the full marker — ``limit(1)`` plans a
+    CollectLimit that stops after the first non-empty partition, an
+    O(1)-row read per micro-batch instead of the former full-state
+    ``max()`` aggregate (an O(state) scan per trigger at 100 TB-class
+    state; VERDICT r11 #7). Returns ``(state, meta)``: ``state`` is the
+    state DataFrame (None when absent) and ``meta`` maps ``query_id``,
     ``applied_batch``, and each ``(col, default)`` in ``extra`` to its
-    ``max()`` over the state — with defaults (query_id None,
-    applied_batch -1, the given extras) when the state is absent, the
-    column is missing, or a 0-row state makes every max() NULL. A state
-    carrying data but no ``applied_batch`` column — written by a
-    pre-round-11 side-marker build — consults ``legacy_reader()``
-    (-> (query_id, applied_batch)) so migration honors the old marker
-    once; the caller's next publish embeds it in-state.
+    marker value — with defaults (query_id None, applied_batch -1, the
+    given extras) when the state is absent, the column is missing, or
+    the state has 0 rows. A state carrying data but no
+    ``applied_batch`` column — written by a pre-round-11 side-marker
+    build — consults ``legacy_reader()`` (-> (query_id, applied_batch))
+    so migration honors the old marker once; the caller's next publish
+    embeds it in-state.
     """
     defaults = {"query_id": None, "applied_batch": -1, **dict(extra)}
     _restore_prev_state(out_dir)
@@ -92,15 +98,18 @@ def _read_state_meta(sess, out_dir: str, extra=(), legacy_reader=None):
     if "applied_batch" not in state.columns:
         q, a = legacy_reader() if legacy_reader else (None, -1)
         return state, {**defaults, "query_id": q, "applied_batch": a}
-    aggs = [
-        F.max("applied_batch").alias("applied_batch"),
+    cols = [
+        F.col("applied_batch"),
         (
-            F.max("query_id") if "query_id" in state.columns else F.lit(None)
+            F.col("query_id") if "query_id" in state.columns else F.lit(None)
         ).alias("query_id"),
     ]
     for col, _default in extra:
-        aggs.append(F.max(col).alias(col))
-    row = state.agg(*aggs).collect()[0]
+        cols.append(F.col(col))
+    rows = state.select(*cols).limit(1).collect()
+    if not rows:  # 0-row state: fresh-state defaults (ADVICE r10)
+        return state, defaults
+    row = rows[0]
     meta = dict(defaults)
     meta["query_id"] = row["query_id"]
     if row["applied_batch"] is not None:
@@ -1767,8 +1776,8 @@ def stream_quantile_summary_to_parquet(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         # a zero-row state parquet (an empty FIRST micro-batch — e.g. a
-        # zero-row source file — makes every max() None) falls back to
-        # the fresh-state defaults instead of crashing on int(None)
+        # zero-row source file — has no marker row to read) falls back
+        # to the fresh-state defaults instead of crashing on int(None)
         # forever after (ADVICE r10); _read_state_meta owns that rule
         state, meta = _read_state_meta(
             sess, out_dir, extra=(("k_now", k), ("err_unit", 0))
@@ -1805,8 +1814,8 @@ def stream_quantile_summary_to_parquet(
         if n_rows == 0:
             # an empty compaction (zero-row micro-batch on fresh state)
             # has nothing to attest: publishing a 0-row state parquet
-            # would strand a state whose max() metadata reads None on
-            # every later batch (ADVICE r10). Leave the state absent —
+            # would strand a state with no marker row to read on every
+            # later batch (ADVICE r10). Leave the state absent —
             # an empty batch contributes no rows, so leaving its
             # applied-marker un-advanced makes a checkpoint replay of
             # it a no-op, not a duplicate.
