@@ -75,6 +75,19 @@ ALLOW = {
     # as its ground truth; the LSH half carries the non-broadcast
     # hints, the baseline half keeps the documented hash-probe choice.
     "x114_minhash_lsh_xxhash": _BASELINE_SELF_JOIN,
+    # round 12 (sf1 audit): after the CORPUS-side ivf_assign joins got
+    # merge hints (operators/similarity.py — the real hazard this audit
+    # exists for), the remaining flagged broadcast in the IVF family is
+    # the QUERY-side assignment: |queries|·nprobe rows, bounded by the
+    # search contract (the query frame is a filter-selected handful of
+    # vectors). The bound is a selective FILTER, which this audit's
+    # aggregate/limit heuristic cannot see — allow-listed with the
+    # contract named rather than taught to the heuristic (a filter is
+    # not a bound in general).
+    "q33_pq_ivf_ann_topk": "query-side ivf_assign broadcast: |queries|·nprobe rows by the search contract",
+    "x150_ann_recall_eval": "query-side ivf_assign broadcast: |queries|·nprobe rows by the search contract",
+    "x263_ivf_ann_topk": "query-side ivf_assign broadcast: |queries|·nprobe rows by the search contract",
+    "x318_pq_ivf_hash_fraction": "query-side ivf_assign broadcast: |queries|·nprobe rows by the search contract",
 }
 
 

@@ -572,8 +572,14 @@ def ivf_topk(
     c_assign = ivf_assign(corpus, cents, 1, id_col, vec_col, "neighbor_id")
     q_assign = ivf_assign(queries, cents, nprobe, id_col, vec_col, "query_id")
 
+    # merge hint (round-12 sf1 broadcast audit): c_assign is one row per
+    # CORPUS vector behind a stat-less mapInPandas — the static planner
+    # otherwise broadcasts it on a garbage estimate (the round-6 q19
+    # OOM pattern; the semantic-dedup assignment join carries the same
+    # hint). AQE still converts back to broadcast at runtime from real
+    # shuffle sizes, so toy corpora keep the fast plan.
     c = _prep(corpus, id_col, vec_col, "neighbor_id", "cv", "cnrm").join(
-        c_assign, "neighbor_id"
+        c_assign.hint("merge"), "neighbor_id"
     )
     q = _prep(queries, id_col, vec_col, "query_id", "qv", "qnrm").join(
         q_assign, "query_id"
@@ -625,8 +631,10 @@ def ivf_candidates_ranked(
     qa = ivf_assign(
         queries, cents, nprobe, id_col, vec_col, "query_id", with_rank=True
     )
+    # merge hint: ca is corpus-scaled and stat-less — never broadcast it
+    # (see ivf_topk; round-12 sf1 broadcast audit)
     c = _prep(corpus, id_col, vec_col, "neighbor_id", "cv", "cnrm").join(
-        ca, "neighbor_id"
+        ca.hint("merge"), "neighbor_id"
     )
     q = _prep(queries, id_col, vec_col, "query_id", "qv", "qnrm").join(
         qa, "query_id"
@@ -1233,9 +1241,14 @@ def pq_ivf_topk(
     )
     c_assign = ivf_assign(corpus, cents, 1, id_col, vec_col, "neighbor_id")
     q_assign = ivf_assign(queries, cents, nprobe, id_col, vec_col, "query_id")
-    # candidate pairs: bounded by cell co-membership, never corpus×queries
+    # candidate pairs: bounded by cell co-membership, never corpus×queries.
+    # Broadcast the QUERY assignment explicitly (|queries|·nprobe rows —
+    # contract-small): both sides are stat-less mapInPandas outputs and
+    # the static planner was otherwise free to broadcast the CORPUS
+    # assignment instead (round-12 sf1 broadcast audit; the round-6 q19
+    # OOM pattern).
     cand = (
-        q_assign.join(c_assign, "centroid_id")
+        F.broadcast(q_assign).join(c_assign, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         # nprobe probes can reach the same neighbor through two cells
