@@ -366,15 +366,12 @@ def pq_index_build(
             vec_col, id_col, sub=stored_sub,
         )
     else:
-        # reuse the in-plan machinery verbatim (same codebook sample,
-        # same blocked-GEMM encode, same tie order); the dtab side is
-        # built against a dummy empty query frame and discarded
-        codes, _ = _pq_codes_and_dtab(
-            corpus, empty_q, m, dim // m, codebook_buckets, salt, vec_col,
-            id_col, codebook_size=codebook_size,
-        )
-        # persist the codebook the codes were encoded against (rebuild
-        # the same deterministic sample — hash-bucket + lowest-vid cap)
+        # persist the deterministic codebook sample FIRST, then encode
+        # against the STORED copy — the refined branch's pattern
+        # (round 12, VERDICT r11 #6): the former order built the same
+        # sample twice (one hash-bucket scan + TakeOrdered job inside
+        # the encode helper, a second for persisting). One sample job,
+        # and the codes provably match the book the index serves.
         from super_store_datawarehouse_spark.operators.similarity import (
             _pq_sampled_codebook,
         )
@@ -386,6 +383,11 @@ def pq_index_build(
         _pq_sampled_codebook(
             e, m, dim // m, codebook_buckets, salt, codebook_size=codebook_size
         ).write.mode("overwrite").parquet(book_path)
+        stored_sub = spark.read.parquet(book_path)
+        codes, _ = _pq_codes_and_dtab(
+            corpus, empty_q, m, dim // m, codebook_buckets, salt, vec_col,
+            id_col, sub=stored_sub,
+        )
     codes.sortWithinPartitions("j", "code").write.mode("overwrite").parquet(
         codes_path
     )
